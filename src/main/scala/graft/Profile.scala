@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling harness: times named queries (all when no names given)
+  * and prints the formatted physical plan, so plan regressions are visible
+  * without waiting for the driver's bench round.
+  * Usage: runMain graft.Profile <sfDir> [query ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-28s $sec%8.2fs rows=$n")
+      if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

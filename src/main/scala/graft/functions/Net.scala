@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** IPv4 / CIDR column functions (SURVEY §2.2 P6, §2.5 F5).
+  *
+  * Re-expresses the semantics of AQL `INCIDR('10.0.0.0/8', ip)`
+  * (reference: qradar/input/queries.json:2-3) and the strict IPv4
+  * validation gate (reference: clickhouse/helpers.py:122-128) as pure
+  * Catalyst column expressions built from codegen'd builtins — no UDFs,
+  * so whole-stage codegen and constant folding apply, and the dotted-quad
+  * parse is shared by CSE. At 100 TB scale this keeps CIDR predicates
+  * inside the scan stage instead of forcing a black-box UDF barrier.
+  */
+object Net {
+
+  /** Strict dotted-quad IPv4: four 0-255 octets, no leading zeros —
+    * matches python `ipaddress.IPv4Address` acceptance on strings
+    * (reference: clickhouse/helpers.py:122-128).
+    */
+  private val Ipv4Regex =
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+
+  def isIpv4(ip: Column): Column = ip.rlike(Ipv4Regex)
+
+  /** Dotted-quad string -> packed unsigned IPv4 as Long (0 .. 2^32-1).
+    * Null/garbage octets become null via cast semantics.
+    */
+  def ipToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** Packed Long -> dotted-quad string (inverse of ipToLong). */
+  def longToIp(n: Column): Column =
+    concat_ws(
+      ".",
+      (n / 16777216L).cast("long") % 256,
+      (n / 65536L).cast("long") % 256,
+      (n / 256L).cast("long") % 256,
+      n % 256
+    )
+
+  /** Parse "a.b.c.d/p" at plan-build time -> (network, mask) packed Longs. */
+  def parseCidr(cidr: String): (Long, Long) = {
+    val Array(base, pLen) = cidr.split("/")
+    val octets = base.split("\\.").map(_.toLong)
+    require(octets.length == 4 && octets.forall(o => o >= 0 && o <= 255), s"bad CIDR base: $cidr")
+    val p = pLen.toInt
+    require(p >= 0 && p <= 32, s"bad CIDR prefix: $cidr")
+    val ip = octets(0) * 16777216L + octets(1) * 65536L + octets(2) * 256L + octets(3)
+    val mask = if (p == 0) 0L else (0xFFFFFFFFL << (32 - p)) & 0xFFFFFFFFL
+    (ip & mask, mask)
+  }
+
+  /** AQL `INCIDR(cidrLiteral, ip)` — true iff ip (dotted quad) falls in the
+    * CIDR block. The mask compare is two Long ops on the packed form;
+    * invalid/null IPs yield null (filters treat as false, matching a strict
+    * validator gate in front).
+    */
+  def incidr(cidr: String, ip: Column): Column = {
+    val (net, mask) = parseCidr(cidr)
+    if (mask == 0L) isIpv4(ip) // /0 contains every valid address
+    else ipToLong(ip).bitwiseAND(lit(mask)) === lit(net)
+  }
+
+  /** Same, on an already-packed Long column (scale path: pack once, test
+    * many CIDRs without re-parsing the string).
+    */
+  def incidrPacked(cidr: String, ipLong: Column): Column = {
+    val (net, mask) = parseCidr(cidr)
+    if (mask == 0L) ipLong.isNotNull
+    else ipLong.bitwiseAND(lit(mask)) === lit(net)
+  }
+
+  /** RFC1918 + loopback + link-local + 0/8 "not public" disjunction used by
+    * both AQL corpus queries (reference: qradar/input/queries.json:2-3).
+    */
+  def isPrivateOrReserved(ip: Column): Column =
+    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "169.254.0.0/16",
+      "127.0.0.0/8", "0.0.0.0/8")
+      .map(c => incidr(c, ip))
+      .reduce(_ || _)
+
+  /** The three RFC1918 private blocks only (the AQL queries' positive arm). */
+  def isRfc1918(ip: Column): Column =
+    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
+      .map(c => incidr(c, ip))
+      .reduce(_ || _)
+}

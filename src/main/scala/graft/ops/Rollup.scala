@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+
+/** The engine's core aggregation (SURVEY §2.4 A1-A3): the ClickHouse
+  * SummingMergeTree hourly rollup, computed by the engine instead of
+  * delegated to storage.
+  *
+  * Reference semantics (clickhouse/clickhouse.py:70-81, helpers.py:181-190):
+  * group by `toStartOfHour(Start_Time)` plus EVERY non-measure column,
+  * SUM the `Event_Count` measure; day-partitioned by `toYYYYMMDD`.
+  *
+  * Scale notes: `groupBy().sum()` plans as partial HashAggregate (map-side
+  * combine) -> single shuffle on the group key -> final HashAggregate, which
+  * is exactly the distributed form of SummingMergeTree's incremental merge.
+  * Output cardinality is O(distinct hourly keys), not O(events), so the
+  * shuffle carries pre-aggregated rows. Re-aggregation (sum of sums) is
+  * associative, so daily/weekly re-rollups of the hourly table never touch
+  * raw events again (A2).
+  */
+object Rollup {
+
+  /** Batch hourly rollup. `dims` defaults to every column except the time
+    * and measure columns (the SummingMergeTree "all dimensions" key,
+    * helpers.py:186-190).
+    */
+  def hourly(df: DataFrame, tsCol: String, measureCol: String,
+             dims: Seq[String] = Seq.empty,
+             hourColName: String = "hour",
+             sumColName: String = "sum_value"): DataFrame = {
+    val dimCols =
+      if (dims.nonEmpty) dims
+      else df.columns.toSeq.filterNot(c => c == tsCol || c == measureCol)
+    df.groupBy(
+        (TimeFns.toStartOfHour(col(tsCol)).as(hourColName) +: dimCols.map(c => col(s"`$c`"))): _*)
+      .agg(sum(col(s"`$measureCol`")).as(sumColName))
+  }
+
+  /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */
+  def reaggregate(hourlyDf: DataFrame, hourCol: String, sumCol: String,
+                  grain: String, dims: Seq[String],
+                  outTimeCol: String = "bucket"): DataFrame =
+    hourlyDf.groupBy(
+        (date_trunc(grain, col(hourCol)).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
+      .agg(sum(col(s"`$sumCol`")).as(sumCol))
+
+  /** A3: append-only retention write — day-partitioned parquet, the
+    * MergeTree analog (clickhouse/clickhouse.py:35-49). Adds a `yyyymmdd`
+    * partition column so readers get day-level partition pruning.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("yyyymmdd", TimeFns.toYYYYMMDD(col(tsCol)))
+      .write.mode("overwrite").partitionBy("yyyymmdd").parquet(path)
+}
