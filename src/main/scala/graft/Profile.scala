@@ -12,12 +12,14 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("PROFILE_HUGE_METHOD").foreach(v =>
+      b.config("spark.sql.codegen.hugeMethodLimit", v))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -26,6 +28,9 @@ object Profile {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name%-28s $sec%8.2fs rows=$n")
       if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      // operators persist() shared subplans; drop them so later queries in
+      // this session are not measured under accumulated storage pressure
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deduplication operators for training-data pipelines: exact hash dedup,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one shuffle on a 128-bit content hash — O(n) at any scale.
+  *  - n-gram Jaccard: candidate pairs via shingle-equality join (blocking),
+  *    never all-pairs; a `maxShingleDF` guard drops stop-shingles so one
+  *    ubiquitous shingle cannot produce an O(df^2) join explosion at 100 TB.
+  *  - MinHash+LSH: constant-size signature (16 hashes) per doc, band-bucket
+  *    join (4 bands x 4 rows) so candidate generation is O(collisions), then
+  *    exact-Jaccard verification of just the candidates.
+  *  - SimHash: constant 60-bit sketch per doc; pair scan compares sketches
+  *    with xor+bit_count (2 codegen'd ALU ops) instead of token sets.
+  *
+  * All hashing is md5-based ([[Hashing.md5Long]]) so the DuckDB oracle can
+  * reproduce every signature bit-for-bit.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle) rows.
+    * Documents shorter than `n` tokens yield no rows (guarded sequence).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(sh).as("shingle"))
+  }
+
+  /** Exact dedup: group identical content by md5, keep the minimum id as the
+    * canonical survivor. Returns (content_hash, kept_id, n_copies).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j) with similarity >= tau.
+    * Candidates are pairs sharing >= 1 shingle; `maxShingleDF` (0 = off)
+    * drops shingles appearing in more documents than the cap before the
+    * self-join — the standard stop-shingle guard against join blowup.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, tau: Double = 0.5,
+                   maxShingleDF: Int = 0): DataFrame = {
+    // The shingle table feeds three plan branches (sizes + both join sides);
+    // persist so tokenization/shingling runs once, not per branch.
+    val sh0 = shingles(df, idCol, textCol, n).persist()
+    val sh =
+      if (maxShingleDF <= 0) sh0
+      else {
+        val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDF).select("shingle")
+        sh0.join(rare, "shingle")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("i"), col("shingle"))
+    val b = sh.select(col(idCol).as("j"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col(idCol).as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("inter"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** MinHash signature: `numHashes` columns h0..h{k-1}, each the min of an
+    * affine permutation of the shingle's (single) md5 hash — see
+    * [[Hashing.minhashPerm]].
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    // Digest each shingle ONCE in a pre-projection; the k permutations are
+    // then 3 integer ops each inside the aggregate.
+    val hashed = sh.select(col(idCol),
+      (Hashing.md5Long(col("shingle")) % lit(Hashing.MinhashP)).as("hx"))
+    def perm(s: Int): Column =
+      (lit(Hashing.minhashA(s)) * col("hx") + lit(Hashing.minhashB(s))) % lit(Hashing.MinhashP)
+    hashed.groupBy(col(idCol))
+      .agg(min(perm(0)).as("h0"),
+        (1 until numHashes).map(s => min(perm(s)).as(s"h$s")): _*)
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: docs whose
+    * signature agrees on ALL rows of at least one band. Output: (i, j).
+    */
+  def lshCandidates(sig: DataFrame, idCol: String,
+                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }: _*)
+    val exploded = sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "key")))
+    val l = exploded.select(col(idCol).as("i"), col("band"), col("key"))
+    val r = exploded.select(col(idCol).as("j"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band-join ->
+    * exact-Jaccard verify of candidates only. Returns (i, j, jac >= tau).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      tau: Double = 0.5): DataFrame = {
+    // Shingles feed signature generation AND candidate verification (both
+    // join sides + sizes); signatures feed both sides of the band join.
+    // Persist both so shingling and the 16 md5 passes run exactly once.
+    val sh = shingles(df, idCol, textCol, n).persist()
+    val sig = minhashSignatures(sh, idCol, numHashes).persist()
+    val cands = lshCandidates(sig, idCol, bands, numHashes / bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // Verify ONLY the candidates: expand each candidate pair with the left
+    // doc's shingles, then probe the right doc's set — O(candidates x set)
+    // work instead of re-materializing the full all-pairs shingle join.
+    val a = sh.select(col(idCol).as("i"), col("shingle"))
+    val b = sh.select(col(idCol).as("j"), col("shingle"))
+    val interCnt = cands.join(a, "i").join(b, Seq("j", "shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    interCnt
+      .join(sizes.select(col(idCol).as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col(idCol).as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Per-document 60-bit SimHash over term frequencies: bit b of the sketch
+    * is set iff sum over tokens of (tf if bit b of md5Long(token) else -tf)
+    * is positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", Hashing.md5Long(col("token")))
+    val bitSums = tf.groupBy(col(idCol)).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as("b0"),
+      (1 until bits).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$i")): _*)
+    val sketch = (0 until bits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (i < j) with Hamming distance <= maxDist.
+    * The pair scan is an id-ordered self-join over constant-width sketches;
+    * at cluster scale, band the sketch (e.g. 4x15-bit prefixes) and join on
+    * band equality first — same trick as MinHash LSH, one line of plan
+    * change, identical semantics for maxDist <= bands-1 misses.
+    */
+  def simhashPairs(sketches: DataFrame, idCol: String,
+                   maxDist: Int = 6): DataFrame = {
+    val l = sketches.select(col(idCol).as("i"), col("simhash").as("sh_i"))
+    val r = sketches.select(col(idCol).as("j"), col("simhash").as("sh_j"))
+    l.crossJoin(r).filter(col("i") < col("j"))
+      .withColumn("dist", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("dist") <= maxDist)
+      .select("i", "j", "dist")
+  }
+}

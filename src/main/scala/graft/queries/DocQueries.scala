@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * text analysis, deduplication (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash / embedding-cosine), similarity search (brute-force + sign-LSH),
+  * and multimodal binary-column plumbing.
+  *
+  * Every query has a DuckDB oracle. Hashes are md5-based and embeddings are
+  * integer-quantized so oracle results match bit-for-bit (see Hashing /
+  * Similarity scaladoc).
+  */
+object DocQueries {
+
+  private val JaccardTau = 0.5
+  private val CosineTau = 0.44
+  private val LshDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+
+  // ---- shared DuckDB fragments ----
+
+  /** Distinct 3-word shingles + per-doc set sizes (mirrors Dedup.shingles). */
+  private val sqlShingleCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |       FROM toks, unnest(generate_series(1, len(toks)-2)) AS t(i)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  /** Quantized embeddings (mirrors Similarity.quantize). */
+  private val sqlQuantCte =
+    "em AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q FROM embeddings)"
+
+  private val sqlCos =
+    "(list_dot_product(a.q, b.q) / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+
+  private def sqlBucket(embExpr: String): String =
+    LshDims.zipWithIndex.map { case (d, i) =>
+      s"(CASE WHEN $embExpr[$d] >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis ----
+
+    "q_txt_tokens" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TA.nTokens(col("toks"))).as("total_tokens"),
+        sum(TA.nDistinctTokens(col("toks"))).as("total_distinct"),
+        sum(TA.nStopwords(col("toks"))).as("total_stop"),
+        min(TA.nTokens(col("toks"))).as("min_tokens"),
+        max(TA.nTokens(col("toks"))).as("max_tokens"))
+    }),
+
+    "q_txt_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+        .withColumn("band", floor(TA.qualityScore(col("toks")) * lit(10)))
+      d.groupBy("source", "band").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_txt_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+        .withColumn("predicted", TA.predictedLang(col("toks")))
+      d.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_txt_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fp", TA.setFingerprint(TA.tokens(col("text"))))
+        .groupBy(substring(col("fp"), 1, 2).as("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+    }),
+
+    // ---- deduplication ----
+
+    // Exact dedup over a corpus with planted duplicates (every 10th doc
+    // re-appears under a shifted id); groups with >1 copy are the dups.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exact(d.union(planted), "doc_id", "text")
+        .filter(col("n_copies") > 1)
+        .select("content_hash", "kept_id", "n_copies")
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, tau = JaccardTau)
+    }),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+    }),
+
+    // SimHash sketch distance histogram over all pairs (the sketch is the
+    // operator; the histogram keeps output bounded at any sf).
+    "q_dedup_simhash" -> ((s, dir) => {
+      val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashPairs(sk, "doc_id", maxDist = 12)
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "q_dedup_embed_cosine" -> ((s, dir) => {
+      Similarity.cosinePairsKernel(Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = CosineTau)
+    }),
+
+    // ---- similarity search ----
+
+    "q_sim_topk" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    "q_sim_lsh_bucket" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = LshDims)
+    }),
+
+    // ---- multimodal ----
+
+    "q_mm_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      Multimodal.decodeStub(s, media).toDF()
+        .groupBy("kind").agg(
+          count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("head_byte")).as("min_head"),
+          max(col("head_byte")).as("max_head"))
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val t = TA
+    Map(
+      "q_txt_tokens" ->
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS total_tokens,
+           |  CAST(sum(${t.sqlNDistinct}) AS BIGINT) AS total_distinct,
+           |  CAST(sum(${t.sqlNStop}) AS BIGINT) AS total_stop,
+           |  min(${t.sqlNTokens}) AS min_tokens,
+           |  max(${t.sqlNTokens}) AS max_tokens
+           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_quality" ->
+        s"""SELECT source, CAST(floor(${t.sqlQualityScore} * 10) AS BIGINT) AS band, count(*) AS n
+           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_txt_langid" ->
+        s"""SELECT lang, ${t.sqlPredictedLang()} AS predicted, count(*) AS n
+           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_txt_fingerprint" ->
+        s"""SELECT substring(${t.sqlSetFingerprint}, 1, 2) AS prefix,
+           |  count(*) AS n_docs, count(DISTINCT ${t.sqlSetFingerprint}) AS n_distinct_fp
+           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+          |SELECT md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+          |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+      "q_dedup_jaccard" ->
+        s"""WITH $sqlShingleCtes
+           |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE), 4) AS jac
+           |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |JOIN sz sa ON sa.doc_id = a.doc_id
+           |JOIN sz sb ON sb.doc_id = b.doc_id
+           |GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+           |HAVING CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE) >= $JaccardTau""".stripMargin,
+
+      "q_dedup_minhash_lsh" -> {
+        val minExprs = (0 until 16).map(s =>
+          s"min((${Hashing.minhashA(s)} * hx + ${Hashing.minhashB(s)}) % ${Hashing.MinhashP}) AS h$s")
+          .mkString(",\n  ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $sqlShingleCtes,
+           |hashed AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} % ${Hashing.MinhashP} AS hx FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $minExprs
+           |  FROM hashed GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+           |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  JOIN cand c ON c.i = a.doc_id AND c.j = b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT t.i, t.j,
+           |  round(CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE), 4) AS jac
+           |FROM inter t JOIN sz sa ON sa.doc_id = t.i JOIN sz sb ON sb.doc_id = t.j
+           |WHERE CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE) >= $JaccardTau""".stripMargin
+      },
+
+      "q_dedup_simhash" -> {
+        val bitSums = (0 until 60).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS b$i").mkString(",\n  ")
+        val sketch = (0 until 60).map(i =>
+          s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString("(", " + ", ")")
+        s"""WITH tf AS (
+           |  SELECT doc_id, token, count(*) AS tf, ${Hashing.sqlMd5Long("token")} AS h
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+           |  GROUP BY doc_id, token, h),
+           |bitsums AS (SELECT doc_id,
+           |  $bitSums
+           |  FROM tf GROUP BY doc_id),
+           |sk AS (SELECT doc_id, $sketch AS simhash FROM bitsums)
+           |SELECT bit_count(xor(a.simhash, b.simhash)) AS dist, count(*) AS n_pairs
+           |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+           |GROUP BY 1""".stripMargin
+      },
+
+      "q_dedup_embed_cosine" ->
+        s"""WITH $sqlQuantCte
+           |SELECT a.vec_id AS i, b.vec_id AS j, round($sqlCos, 4) AS cos
+           |FROM em a JOIN em b ON a.vec_id < b.vec_id
+           |WHERE $sqlCos >= $CosineTau""".stripMargin,
+
+      "q_sim_topk" ->
+        s"""WITH $sqlQuantCte,
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a, em b
+           |  WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id)
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 10""".stripMargin,
+
+      "q_sim_lsh_bucket" ->
+        s"""WITH $sqlQuantCte,
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a, em b
+           |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id
+           |    AND ${sqlBucket("a.embedding")} = ${sqlBucket("b.embedding")})
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 5""".stripMargin,
+
+      "q_mm_features" ->
+        """SELECT
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |       WHEN doc_id % 3 = 1 THEN 'audio'
+          |       ELSE 'video' END AS kind,
+          |  count(*) AS n,
+          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          |  min(ascii(substring(text, 1, 1))) AS min_head,
+          |  max(ascii(substring(text, 1, 1))) AS max_head
+          |FROM documents GROUP BY 1""".stripMargin
+    )
+  }
+}

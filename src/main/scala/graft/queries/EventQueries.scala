@@ -103,6 +103,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // J1 (FULLNETWORKNAME): longest-prefix network-hierarchy classification
+    // of both endpoint IPs, compiled to a codegen'd when-chain (no join).
+    "q_j1_fullnetworkname" -> ((s, dir) => {
+      val hierarchy = Seq(
+        "10.99.0.0/16" -> "dmz", "10.0.0.0/8" -> "corp",
+        "172.16.0.0/12" -> "branch", "192.168.0.0/16" -> "lab",
+        "8.8.0.0/16" -> "dns")
+      se(s, dir)
+        .withColumn("src_net", Lookups.networkNameExpr(hierarchy, col("source_ip")))
+        .withColumn("dst_net", Lookups.networkNameExpr(hierarchy, col("destination_ip")))
+        .groupBy("src_net", "dst_net")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // J2: NOT referencesetcontains(...) — broadcast anti join.
     "q_j2_refset_anti" -> ((s, dir) => {
       val ev = se(s, dir)
@@ -280,6 +294,23 @@ object EventQueries {
           |FROM e LEFT JOIN part p ON e.qid = p.p_partkey
           |WHERE e.device_type = 2
           |GROUP BY 1""".stripMargin),
+
+      "q_j1_fullnetworkname" -> cte(
+        s"""SELECT
+           |  CASE WHEN $pSrc//65536 = 2659 THEN 'dmz'
+           |       WHEN $pSrc//65536 = 49320 THEN 'lab'
+           |       WHEN $pSrc//65536 = 2056 THEN 'dns'
+           |       WHEN $pSrc//1048576 = 2753 THEN 'branch'
+           |       WHEN $pSrc//16777216 = 10 THEN 'corp'
+           |       ELSE 'other' END AS src_net,
+           |  CASE WHEN $pDst//65536 = 2659 THEN 'dmz'
+           |       WHEN $pDst//65536 = 49320 THEN 'lab'
+           |       WHEN $pDst//65536 = 2056 THEN 'dns'
+           |       WHEN $pDst//1048576 = 2753 THEN 'branch'
+           |       WHEN $pDst//16777216 = 10 THEN 'corp'
+           |       ELSE 'other' END AS dst_net,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM e GROUP BY 1, 2""".stripMargin),
 
       "q_j2_refset_anti" -> cte(
         """SELECT user_id, count(*) AS n FROM e
