@@ -55,18 +55,22 @@ object Normalize {
     * dict-comprehension overwrite order in the reference (helpers.py:49).
     */
   def renameEvents(df: DataFrame, mapping: Map[String, String] = renameMap): DataFrame = {
+    // Select by POSITION (via a unique temp positional rename): name-based
+    // selection is ambiguous under Spark's case-insensitive resolution for
+    // exactly the case-merge pairs this map exists to handle.
+    val tmp = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
     var seen = Set.empty[String]
-    var keep = Vector.empty[String]
+    var keepIdx = Vector.empty[Int]
     var newNames = Vector.empty[String]
-    df.columns.foreach { c =>
+    df.columns.zipWithIndex.foreach { case (c, i) =>
       val target = mapping.getOrElse(c, c)
       if (!seen.contains(target)) {
         seen += target
-        keep :+= c
+        keepIdx :+= i
         newNames :+= target
       }
     }
-    df.select(keep.map(col): _*).toDF(newNames: _*)
+    tmp.select(keepIdx.map(i => col(s"__c$i")): _*).toDF(newNames: _*)
   }
 
   /** F3: identifier cleaning — ` / ( ) ,` -> `_` (helpers.py:87-95).

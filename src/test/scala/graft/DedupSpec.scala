@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dedup family: shingling, exact, Jaccard, MinHash+LSH, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e f"),            // exact dup of 1
+    (3L, "a b c d e g"),            // near dup of 1 (one token changed)
+    (4L, "x y z w q r"),            // unrelated
+    (5L, "ab"))                     // shorter than one shingle
+    .toDF("doc_id", "text")
+
+  test("shingles: sliding distinct 3-grams; short docs yield none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d1 = sh.filter(_._1 == 1L).map(_._2).toSet
+    assert(d1 === Set("a b c", "b c d", "c d e", "d e f"))
+    assert(!sh.exists(_._1 == 5L))
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("kept_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("jaccardPairs finds exact and near duplicates above tau") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.4)
+      .collect().map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+        r.getAs[Double]("jac"))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) === 1.0)            // identical sets
+    assert(pairs((1L, 3L)) === 0.6)            // 3 shared of 5 union
+  }
+
+  test("maxShingleDF guard drops ubiquitous shingles (blocking recall trade)") {
+    val spammy = (1L to 10L).map(i => (i, "common common common common"))
+      .toDF("doc_id", "text")
+    // 'common common common' appears in all 10 docs; DF cap of 5 removes it
+    val pairs = Dedup.jaccardPairs(spammy, "doc_id", "text", n = 3, tau = 0.1,
+      maxShingleDF = 5)
+    assert(pairs.count() === 0)
+  }
+
+  test("minhash LSH finds the planted near-dups with exact-jaccard verify") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      numHashes = 16, bands = 4, tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    // identical docs ALWAYS collide in every band; near-dups probabilistic
+    // but deterministic given the fixed hash family — pin the outcome
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
+  test("simhash: identical docs get identical sketches, distance 0") {
+    val sk = Dedup.simhash(docs, "doc_id", "text")
+    val byId = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(1L) !== byId(4L))
+    val pairs = Dedup.simhashPairs(sk, "doc_id", maxDist = 0)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash near-dup has small distance, unrelated doc large") {
+    val sk = Dedup.simhash(docs, "doc_id", "text")
+    val d = Dedup.simhashPairs(sk, "doc_id", maxDist = 60)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("dist"))).toMap
+    assert(d((1L, 3L)) < d((1L, 4L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, TextAnalysis => TA}
+import graft.functions.Hashing
+
+/** Text analysis + multimodal stub + cross-engine hashing pins. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats: counts, distinct, stopwords, ratios") {
+    val got = Seq("the quick fox the a fox").toDF("text")
+      .select(
+        TA.nTokens(TA.tokens(col("text"))).as("n"),
+        TA.nDistinctTokens(TA.tokens(col("text"))).as("d"),
+        TA.nStopwords(TA.tokens(col("text"))).as("s"),
+        TA.stopRatio(TA.tokens(col("text"))).as("sr"))
+      .collect()(0)
+    assert(got.getInt(0) === 6)
+    assert(got.getInt(1) === 4)
+    assert(got.getInt(2) === 3) // the, the, a
+    assert(got.getDouble(3) === 0.5)
+  }
+
+  test("qualityScore is in [0,1] and rewards long diverse low-stopword text") {
+    val rows = Seq(
+      "the the the the a a",                      // all stopwords
+      "alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(TA.qualityScore(TA.tokens(col("text"))).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(1) > rows(0))
+  }
+
+  test("setFingerprint is order-insensitive, content-sensitive") {
+    val fps = Seq("b a c", "c b a", "a b d").toDF("text")
+      .select(TA.setFingerprint(TA.tokens(col("text"))).as("f"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("md5Long pins the cross-engine value (DuckDB-checked constant)") {
+    // ('0x' || substring(md5('abc'),1,15))::BIGINT == 648541476951500027
+    val got = Seq("abc").toDF("s")
+      .select(Hashing.md5Long(col("s"))).collect()(0).getLong(0)
+    assert(got === 648541476951500027L)
+  }
+
+  test("minhash permutations stay in [0, p) and differ per seed") {
+    val got = Seq("shingle one").toDF("s")
+      .select((0 until 4).map(i => Hashing.minhashPerm(col("s"), i).as(s"h$i")): _*)
+      .collect()(0)
+    val hs = (0 until 4).map(got.getLong)
+    assert(hs.forall(h => h >= 0 && h < Hashing.MinhashP))
+    assert(hs.distinct.length === 4)
+  }
+
+  test("multimodal decode stub: schema, bytes, head byte") {
+    val media = Multimodal.asMediaTable(
+      Seq((0L, "abc"), (1L, "xyzw"), (2L, "")).toDF("doc_id", "text"))
+    assert(media.schema("media").dataType.typeName === "binary")
+    val out = Multimodal.decodeStub(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(0L).kind === "image" && out(1L).kind === "audio" && out(2L).kind === "video")
+    assert(out(0L).n_bytes === 3L && out(0L).head_byte === 'a'.toInt)
+    assert(out(2L).n_bytes === 0L && out(2L).head_byte === -1)
+  }
+}
