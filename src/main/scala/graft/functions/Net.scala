@@ -25,14 +25,13 @@ object Net {
   def isIpv4(ip: Column): Column = ip.rlike(Ipv4Regex)
 
   /** Dotted-quad string -> packed unsigned IPv4 as Long (0 .. 2^32-1).
-    * Null/garbage octets become null via cast semantics.
+    * Null/garbage input becomes null (try_ variants — under ANSI mode the
+    * plain element_at/cast THROW on short arrays / non-numeric octets).
     */
   def ipToLong(ip: Column): Column = {
     val o = split(ip, "\\.")
-    element_at(o, 1).cast("long") * 16777216L +
-      element_at(o, 2).cast("long") * 65536L +
-      element_at(o, 3).cast("long") * 256L +
-      element_at(o, 4).cast("long")
+    def oct(i: Int): Column = try_element_at(o, lit(i)).try_cast("long")
+    oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
   }
 
   /** Packed Long -> dotted-quad string (inverse of ipToLong). */
@@ -85,6 +84,17 @@ object Net {
       "127.0.0.0/8", "0.0.0.0/8")
       .map(c => incidr(c, ip))
       .reduce(_ || _)
+
+  /** Column metadata marking a Long column as packed IPv4 (domain
+    * [0, 2^32)). Attach where the packed column is produced —
+    * `df.select(ipToLong(col("ip")).as("ip_long", Net.packedIpv4Metadata))`
+    * — to license [[graft.plans.CidrRangeDerivation]]'s scan-pushable
+    * range bounds for CIDR predicates on it. Survives parquet round-trips
+    * (Spark persists field metadata in the file footer).
+    */
+  val packedIpv4Metadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.ipv4", value = true).build()
 
   /** The three RFC1918 private blocks only (the AQL queries' positive arm). */
   def isRfc1918(ip: Column): Column =

@@ -68,6 +68,26 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // P6 v2: same classification through the native codegen IpToLong
+    // expression (one allocation-free parse, then packed mask-compares).
+    "q_p6_incidr_native" -> ((s, dir) => {
+      import graft.plans.GraftFunctions
+      val privateOrReserved = Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+        "169.254.0.0/16", "127.0.0.0/8", "0.0.0.0/8")
+      val rfc1918 = Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
+      def cls(ip: org.apache.spark.sql.Column) = {
+        val packed = GraftFunctions.ipToLongNative(ip)
+        when(rfc1918.map(c => Net.incidrPacked(c, packed)).reduce(_ || _), "private")
+          .when(privateOrReserved.map(c => Net.incidrPacked(c, packed)).reduce(_ || _), "reserved")
+          .otherwise("public")
+      }
+      se(s, dir)
+        .withColumn("src_class", cls(col("source_ip")))
+        .withColumn("dst_class", cls(col("destination_ip")))
+        .groupBy("src_class", "dst_class")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // P7: START/STOP time-range scan (partition-prunable predicate).
     "q_p7_timerange" -> ((s, dir) => {
       se(s, dir)
@@ -261,6 +281,19 @@ object EventQueries {
           |  AND NOT (user_id % 7 = 0)""".stripMargin),
 
       "q_p6_incidr" -> cte(
+        s"""SELECT
+           |  CASE WHEN ${sqlRfc1918(pSrc)} THEN 'private'
+           |       WHEN ${sqlReservedOnly(pSrc)} THEN 'reserved'
+           |       ELSE 'public' END AS src_class,
+           |  CASE WHEN ${sqlRfc1918(pDst)} THEN 'private'
+           |       WHEN ${sqlReservedOnly(pDst)} THEN 'reserved'
+           |       ELSE 'public' END AS dst_class,
+           |  count(*) AS n, round(sum(value),2) AS sum_value
+           |FROM e GROUP BY 1, 2""".stripMargin),
+
+      // identical semantics to q_p6_incidr — the native expression must be
+      // plan-level-only different, never result-different
+      "q_p6_incidr_native" -> cte(
         s"""SELECT
            |  CASE WHEN ${sqlRfc1918(pSrc)} THEN 'private'
            |       WHEN ${sqlReservedOnly(pSrc)} THEN 'reserved'
