@@ -70,8 +70,30 @@ object TextAnalysis {
   def setFingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
-  /** 60-bit rolling-hash-style fingerprint of the exact text. */
+  /** 60-bit digest fingerprint of the exact text. */
   def exactFingerprint(text: Column): Column = Hashing.md5Long(text)
+
+  /** BPE-ish subword token count: greedy pieces of 1-4 letters or a digit
+    * run — the regex approximation of byte-pair tokenizer piece counts
+    * (true BPE needs a merges table; the piece-count scaling behavior is
+    * what pipelines budget on). Codegen'd regexp, identical RE2/Java
+    * semantics for this pattern.
+    */
+  val BpePattern = "[a-z]{1,4}|[0-9]+"
+  def bpePieceCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Polynomial rolling hash of the text (Horner, base 257 mod 2^31-1):
+    * the streaming-friendly fingerprint — extendable one character at a
+    * time, O(1) state. Computed as a codegen'd higher-order aggregate over
+    * the character array; exact integer math, reproducible in any engine.
+    */
+  val RollBase = 257L
+  val RollMod = 2147483647L
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(RollBase) + c) % lit(RollMod))
 
   // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
 

@@ -77,6 +77,18 @@ object DocQueries {
           countDistinct(col("fp")).as("n_distinct_fp"))
     }),
 
+    "q_txt_tokens_bpe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+      d.groupBy("lang").agg(
+        sum(TA.nTokens(col("toks"))).as("ws_tokens"),
+        sum(TA.bpePieceCount(col("text"))).as("bpe_pieces"))
+    }),
+
+    "q_txt_rollinghash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.rollingHash(col("text")).as("rhash"))
+    }),
+
     // ---- deduplication ----
 
     // Exact dedup over a corpus with planted duplicates (every 10th doc
@@ -164,6 +176,24 @@ object DocQueries {
         s"""SELECT substring(${t.sqlSetFingerprint}, 1, 2) AS prefix,
            |  count(*) AS n_docs, count(DISTINCT ${t.sqlSetFingerprint}) AS n_distinct_fp
            |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_tokens_bpe" ->
+        s"""SELECT lang,
+           |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
+           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_rollinghash" ->
+        s"""WITH RECURSIVE pows(k, v) AS (
+           |  SELECT 0, 1::BIGINT
+           |  UNION ALL SELECT k + 1, (v * ${t.RollBase}) % ${t.RollMod} FROM pows WHERE k < 2000),
+           |chars AS (
+           |  SELECT doc_id, len(text) AS n, i, ord(substring(text, CAST(i AS INT), 1)) AS c
+           |  FROM documents, unnest(generate_series(1, len(text))) AS u(i))
+           |SELECT doc_id,
+           |  CAST(sum(c * p.v) % ${t.RollMod} AS BIGINT) AS rhash
+           |FROM chars JOIN pows p ON p.k = n - i
+           |GROUP BY doc_id""".stripMargin,
 
       "q_dedup_exact" ->
         """WITH corpus AS (

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Rollup
+
+/** S7/A3: day-partitioned parquet retention write (MergeTree analog). */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writePartitionedByDay produces prunable day partitions") {
+    val path = java.nio.file.Files.createTempDirectory("a3_sink").toString
+    val df = Seq(
+      ("2024-07-24 10:00:00", 1L), ("2024-07-24 23:59:59", 2L),
+      ("2024-07-25 00:00:00", 4L))
+      .toDF("s", "v").select(to_timestamp(col("s")).as("ts"), col("v"))
+    Rollup.writePartitionedByDay(df, "ts", path)
+
+    // physical layout: one directory per day
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("yyyymmdd=20240724", "yyyymmdd=20240725"))
+
+    // a day filter prunes to one partition at planning time
+    val read = spark.read.parquet(path).filter(col("yyyymmdd") === "20240724")
+    assert(read.collect().map(_.getAs[Long]("v")).sorted.toSeq === Seq(1L, 2L))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+}
