@@ -17,6 +17,10 @@ object Bench {
       // operators persist() shared subplans; drop them so storage does not
       // accumulate across the suite
       spark.catalog.clearCache()
+      // ContextCleaner is weak-ref driven: on a large heap GC may never run
+      // between queries, so broadcasts/shuffle files from 40+ queries pile
+      // up and progressively poison the session. Force the cycle.
+      System.gc()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -31,6 +31,10 @@ object Profile {
       // operators persist() shared subplans; drop them so later queries in
       // this session are not measured under accumulated storage pressure
       spark.catalog.clearCache()
+      // ContextCleaner is weak-ref driven: on a large heap GC may never run
+      // between queries, so broadcasts/shuffle files from 40+ queries pile
+      // up and progressively poison the session. Force the cycle.
+      System.gc()
     }
     spark.stop()
   }
