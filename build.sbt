@@ -28,5 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in ONE JVM: 8g starves the unified
   // memory manager into GC storms (measured 20x slowdown); the box has 128g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fixed heap size (no resize churn). NOT AlwaysPreTouch: this VM commits
+  // pages at only ~300MB/s, so pre-touching tens of GB costs minutes per
+  // launch; with System.gc() between queries (see Bench) the GC recycles
+  // already-faulted pages and steady-state stays fast.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

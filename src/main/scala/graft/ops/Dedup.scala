@@ -24,16 +24,32 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Distinct word n-gram shingles per document: (idCol, shingle) rows.
-    * Documents shorter than `n` tokens yield no rows (guarded sequence).
+    * Documents shorter than `n` tokens yield no rows.
+    *
+    * Typed flatMap, deliberately NOT an expression-tree explode: `Generate`
+    * evaluates its generator expression in interpreted mode (no codegen),
+    * and after CollapseProject inlines the tokenization into the shingle
+    * lambda, `split` re-executes per shingle position — O(tokens^2) string
+    * churn per document on the scan task (measured 10-100x blowup). The
+    * compiled flatMap is one pass: split once, slide a window, dedup.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(sh).as("shingle"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(' ')
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            toks.sliding(n).foreach(w => seen += w.mkString(" "))
+            seen.iterator.map(s => (id, s))
+          }
+        }
+      }.toDF(idCol, "shingle")
   }
 
   /** Exact dedup: group identical content by md5, keep the minimum id as the
