@@ -17,6 +17,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     sys.env.get("PROFILE_HUGE_METHOD").foreach(v =>
       b.config("spark.sql.codegen.hugeMethodLimit", v))
     val spark = b.getOrCreate()

@@ -57,4 +57,41 @@ object Multimodal {
       }
     }
   }
+
+  /** Resized media: payload after the (stub) resample plus output dims. */
+  case class ResizedMedia(doc_id: Long, kind: String, media: Array[Byte],
+                          out_w: Int, out_h: Int)
+
+  /** Resize / re-encode stage (STUB): a real implementation decodes,
+    * resamples to `w x h`, re-encodes. The deterministic fake keeps the
+    * first w*h payload bytes (or all, if shorter) so downstream size
+    * accounting is testable. Plumbing — typed batches, per-partition
+    * execution, binary in/out — is the real shape.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val out = r.media.take(w * h)
+        ResizedMedia(r.doc_id, r.kind, out, w, h)
+      }
+    }
+  }
+
+  /** One sampled frame: parent id, frame index, frame payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling (STUB): a real implementation seeks keyframes; the fake
+    * slices the payload into fixed `frameBytes` chunks and keeps every
+    * `stride`-th chunk. One-to-many typed flatMap — the same operator shape
+    * video pipelines use to turn one blob row into N frame rows.
+    */
+  def frameSampleStub(spark: SparkSession, media: DataFrame,
+                      frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      r.media.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
+    }
+  }
 }

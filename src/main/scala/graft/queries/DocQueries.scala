@@ -141,6 +141,23 @@ object DocQueries {
 
     // ---- multimodal ----
 
+    // Full multimodal stage chain: binary media -> resize -> frame-sample ->
+    // per-modality accounting. Stub transforms are deterministic byte
+    // arithmetic, so the oracle is closed-form.
+    "q_mm_pipeline" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
+      val frames = Multimodal.frameSampleStub(s,
+        resized.toDF().select("doc_id", "kind", "media"), frameBytes = 64, stride = 2)
+      frames.toDF()
+        .join(media.select(col("doc_id"), col("kind")), "doc_id")
+        .groupBy("kind")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_frames"),
+          sum(length(col("frame"))).as("total_frame_bytes"))
+    }),
+
     "q_mm_features" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       Multimodal.decodeStub(s, media).toDF()
@@ -288,6 +305,30 @@ object DocQueries {
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
            |  FROM scored) r
            |WHERE rnk <= 5""".stripMargin,
+
+      // closed form of the stub chain: m = min(bytes,256) resized bytes;
+      // c = ceil(m/64) chunks; every 2nd chunk kept (k = ceil(c/2)); kept
+      // bytes depend on whether the (short) last chunk index is even.
+      "q_mm_pipeline" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |         WHEN doc_id % 3 = 1 THEN 'audio'
+          |         ELSE 'video' END AS kind,
+          |    LEAST(octet_length(encode(text)), 256) AS m
+          |  FROM documents),
+          |per_doc AS (
+          |  SELECT doc_id, kind, m,
+          |    (m + 63) // 64 AS c,
+          |    ((m + 63) // 64 + 1) // 2 AS k
+          |  FROM base)
+          |SELECT kind,
+          |  count(DISTINCT doc_id) AS n_docs,
+          |  CAST(sum(k) AS BIGINT) AS total_frames,
+          |  CAST(sum(CASE WHEN (c - 1) % 2 = 0
+          |                THEN 64 * (k - 1) + (m - 64 * (c - 1))
+          |                ELSE 64 * k END) AS BIGINT) AS total_frame_bytes
+          |FROM per_doc GROUP BY 1""".stripMargin,
 
       "q_mm_features" ->
         """SELECT

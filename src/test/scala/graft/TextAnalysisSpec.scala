@@ -56,6 +56,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hs.distinct.length === 4)
   }
 
+  test("multimodal resize + frame-sample stubs: sizes and stride") {
+    val media = Multimodal.asMediaTable(
+      Seq((0L, "x" * 300), (1L, "y" * 100)).toDF("doc_id", "text"))
+    val resized = Multimodal.resizeStub(spark, media, 16, 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(resized(0L).media.length === 256) // truncated to w*h
+    assert(resized(1L).media.length === 100) // shorter stays whole
+    assert(resized(0L).out_w === 16 && resized(0L).out_h === 16)
+
+    val frames = Multimodal.frameSampleStub(spark,
+      Multimodal.resizeStub(spark, media, 16, 16).toDF()
+        .select(col("doc_id"), col("kind"), col("media")), 64, 2)
+      .collect().groupBy(_.doc_id)
+    // 256 bytes -> chunks 0..3 of 64; stride 2 keeps idx 0,2
+    assert(frames(0L).map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    assert(frames(0L).map(_.frame.length).sum === 128)
+    // 100 bytes -> chunks 0 (64), 1 (36); keeps idx 0 only
+    assert(frames(1L).map(_.frame_idx).toSeq === Seq(0))
+    assert(frames(1L).head.frame.length === 64)
+  }
+
   test("multimodal decode stub: schema, bytes, head byte") {
     val media = Multimodal.asMediaTable(
       Seq((0L, "abc"), (1L, "xyzw"), (2L, "")).toDF("doc_id", "text"))
