@@ -186,7 +186,7 @@ object Dedup {
     val l = sketches.select(col(idCol).as("i"), col("simhash").as("sh_i"))
     val r = sketches.select(col(idCol).as("j"), col("simhash").as("sh_j"))
     l.crossJoin(r).filter(col("i") < col("j"))
-      .withColumn("dist", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .withColumn("dist", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")
   }

@@ -140,7 +140,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("cand_id"),
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("cand_id"),
         round(col("cos"), 4).as("cos"))
   }
 
@@ -179,7 +179,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("cand_id"),
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("cand_id"),
         round(col("cos"), 4).as("cos"))
   }
 }

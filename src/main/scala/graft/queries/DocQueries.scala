@@ -53,8 +53,8 @@ object DocQueries {
         sum(TA.nTokens(col("toks"))).as("total_tokens"),
         sum(TA.nDistinctTokens(col("toks"))).as("total_distinct"),
         sum(TA.nStopwords(col("toks"))).as("total_stop"),
-        min(TA.nTokens(col("toks"))).as("min_tokens"),
-        max(TA.nTokens(col("toks"))).as("max_tokens"))
+        min(TA.nTokens(col("toks"))).cast("long").as("min_tokens"),
+        max(TA.nTokens(col("toks"))).cast("long").as("max_tokens"))
     }),
 
     "q_txt_quality" -> ((s, dir) => {
@@ -271,7 +271,7 @@ object DocQueries {
            |  $bitSums
            |  FROM tf GROUP BY doc_id),
            |sk AS (SELECT doc_id, $sketch AS simhash FROM bitsums)
-           |SELECT bit_count(xor(a.simhash, b.simhash)) AS dist, count(*) AS n_pairs
+           |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist, count(*) AS n_pairs
            |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
            |GROUP BY 1""".stripMargin

@@ -65,7 +65,7 @@ object TpchQueries {
       // window then runs over just the k survivors.
       val top = rev.orderBy(col("revenue").desc, col("c_custkey")).limit(10)
       val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
-      top.withColumn("rnk", row_number().over(w))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
         .select("rnk", "c_custkey", "c_name", "revenue")
     }),
 
@@ -79,8 +79,8 @@ object TpchQueries {
       cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("n_name").as("nation_name"), col("rnk"), col("c_custkey"),
-          round(col("c_acctbal"), 2).as("acctbal"))
+        .select(col("n_name").as("nation_name"), col("rnk").cast("long").as("rnk"),
+          col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
     }),
 
     // Semi-join shape on facts: orders that have at least one high-discount line.

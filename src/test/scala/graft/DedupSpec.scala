@@ -73,7 +73,7 @@ class DedupSpec extends SparkSpec {
   test("simhash near-dup has small distance, unrelated doc large") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val d = Dedup.simhashPairs(sk, "doc_id", maxDist = 60)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("dist"))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("dist"))).toMap
     assert(d((1L, 3L)) < d((1L, 4L)))
   }
 }

@@ -33,7 +33,7 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 4)
       .orderBy("rnk").collect()
-      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("cand_id"), r.getAs[Double]("cos")))
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("cand_id"), r.getAs[Double]("cos")))
     assert(out.length === 4)
     assert(out(0)._2 === 1L) // colinear neighbor first
     assert(out.map(_._3).toSeq === out.map(_._3).sorted(Ordering[Double].reverse).toSeq)
