@@ -144,6 +144,51 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi cells
+    * of `nCentroids` centroids; every vector joins the cell of its nearest
+    * centroid; a query probes ONLY its own cell (nprobe=1). Centroids here
+    * are the `nCentroids` lowest-id vectors — deterministic; a production
+    * index would k-means them, which changes recall, not the mechanics.
+    * Cell assignment is a broadcast scan (centroids are tiny); the search
+    * join shuffles on the cell id — each cell holds ~n/nCentroids vectors,
+    * which is the whole point at 100 TB scale.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nCentroids: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), quantize(col(embCol)).as(s"q_$id"))
+        .withColumn(s"n_$id", sqrt(dotQ(col(s"q_$id"), col(s"q_$id")).cast("double")))
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), quantize(col(embCol)).as("qc"))
+      .withColumn("nc", sqrt(dotQ(col("qc"), col("qc")).cast("double")))
+    def assign(df: DataFrame, id: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          dotQ(col(s"q_$id"), col("qc")).cast("double") / (col(s"n_$id") * col("nc")))
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") === 1)
+        .select(col(id), col(s"q_$id"), col(s"n_$id"), col("cid").as("cell"))
+    }
+    val corpusCells = assign(prep(corpus, "cand_id"), "cand_id")
+    val queryCells = assign(prep(queries, "query_id"), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotQ(col("q_query_id"), col("q_cand_id")).cast("double") /
+          (col("n_query_id") * col("n_cand_id")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("cand_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Sign-LSH bucket key: one bit per probed dimension (axis-aligned
     * random-hyperplane family), packed into a Long. Vectors in the same
     * bucket agree on the sign of every probed dimension. Comparing raw

@@ -133,6 +133,12 @@ object DocQueries {
         "vec_id", "embedding", k = 10)
     }),
 
+    "q_sim_ivf" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nCentroids = 16)
+    }),
+
     "q_sim_lsh_bucket" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       Similarity.lshTopK(em, em.filter(col("vec_id") < 20),
@@ -293,6 +299,27 @@ object DocQueries {
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
            |  FROM scored) r
            |WHERE rnk <= 10""".stripMargin,
+
+      "q_sim_ivf" ->
+        s"""WITH $sqlQuantCte,
+           |cents AS (SELECT vec_id AS cid, q AS qc FROM em WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.q, c.qc) /
+           |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+           |        c.cid) AS rk
+           |  FROM em e, cents c),
+           |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rk = 1),
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
+           |       em b JOIN cells cb ON cb.vec_id = b.vec_id
+           |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 5""".stripMargin,
 
       "q_sim_lsh_bucket" ->
         s"""WITH $sqlQuantCte,

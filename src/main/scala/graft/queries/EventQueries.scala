@@ -255,6 +255,23 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // As-of join (custom operator, union+window formulation): each purchase
+    // gets the user's most recent signup at-or-before it; per-user summary.
+    "q_asof_signup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"))
+      graft.ops.AsOfJoin.asOf(purchases, signups,
+          key = "user_id", leftTs = "ts", rightTs = "sts", payload = Seq("sts"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purch"),
+          count(col("sts_asof")).as("n_with_signup"),
+          sum(unix_micros(col("ts")) - unix_micros(col("sts_asof"))).as("sum_gap_us"))
+    }),
+
     // §2.6 superset: set operation (EXCEPT). Ports of odd event_ids are odd
     // ((e*131)%1000 preserves parity), so subtracting even-event ports leaves
     // a deterministically non-empty odd-port set at every sf.
@@ -420,6 +437,17 @@ object EventQueries {
         """SELECT regexp_replace('Cu st_om"er&''' || user_id, '[ ''"&_]', '', 'g') AS clean_name,
           |count(*) AS n
           |FROM e GROUP BY 1""".stripMargin),
+
+      // independent oracle: DuckDB's NATIVE ASOF JOIN (different algorithm
+      // from our union+window formulation)
+      "q_asof_signup" -> cte(
+        """SELECT p.user_id, count(*) AS n_purch,
+          |  count(s.sts) AS n_with_signup,
+          |  CAST(sum(epoch_us(p.ts) - epoch_us(s.sts)) AS BIGINT) AS sum_gap_us
+          |FROM (SELECT user_id, ts FROM e WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT user_id, ts AS sts FROM e WHERE event_type = 'signup') s
+          |  ON p.user_id = s.user_id AND p.ts >= s.sts
+          |GROUP BY 1""".stripMargin),
 
       "q_setop_except" -> cte(
         """SELECT DISTINCT destination_port FROM e WHERE event_type = 'purchase'

@@ -83,6 +83,27 @@ object TpchQueries {
           col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
     }),
 
+    // §2.4 superset: multi-level ROLLUP (region -> nation -> total) in one
+    // pass — Catalyst expands grouping sets before the single shuffle.
+    "q_agg_rollup" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    }),
+
+    // §2.4 superset: exact distinct aggregation (expands to two-phase
+    // aggregate; the approx_count_distinct variant is engine-built-in).
+    "q_agg_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // Semi-join shape on facts: orders that have at least one high-discount line.
     "q_semijoin_orders" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).filter(col("l_discount") >= 0.09)
@@ -134,6 +155,19 @@ object TpchQueries {
         |         c.c_custkey, round(c.c_acctbal,2) AS acctbal
         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |) ranked WHERE rnk <= 3""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |  count(*) AS n, round(sum(c.c_acctbal),2) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_semijoin_orders" ->
       """SELECT o_orderpriority, count(*) AS n
