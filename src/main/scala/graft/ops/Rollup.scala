@@ -46,6 +46,31 @@ object Rollup {
         (date_trunc(grain, col(hourCol)).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
       .agg(sum(col(s"`$sumCol`")).as(sumCol))
 
+  /** Sessionization (capability superset of §2.7 windows): split each key's
+    * event stream into sessions at inactivity gaps > `gapSeconds`.
+    * Gaps-and-islands: lag over (key, ts) marks session starts, a running
+    * sum numbers them — two window passes over ONE shuffle on the key
+    * (both windows share the (key, ts) sort order, so Catalyst plans a
+    * single Exchange+Sort). Streaming form would be
+    * `session_window(ts, gap)`; this is the batch equivalent that an
+    * oracle can replay.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val isStart = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(byKey)) >
+        gapSeconds * 1000000L, 1L)
+      .when(lag(col(tsCol), 1).over(byKey).isNull, 1L)
+      .otherwise(0L)
+    df.withColumn("__new_session", isStart)
+      .withColumn("session_id",
+        sum(col("__new_session")).over(byKey.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("__new_session")
+  }
+
   /** A3: append-only retention write — day-partitioned parquet, the
     * MergeTree analog (clickhouse/clickhouse.py:35-49). Adds a `yyyymmdd`
     * partition column so readers get day-level partition pruning.

@@ -255,6 +255,19 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Sessionization: per-user activity sessions split at 30-minute gaps;
+    // session stats prove the island numbering end-to-end.
+    "q_sessionize" -> ((s, dir) => {
+      val sess = Rollup.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("span_us")).as("max_span_us"))
+    }),
+
     // As-of join (custom operator, union+window formulation): each purchase
     // gets the user's most recent signup at-or-before it; per-user summary.
     "q_asof_signup" -> ((s, dir) => {
@@ -437,6 +450,28 @@ object EventQueries {
         """SELECT regexp_replace('Cu st_om"er&''' || user_id, '[ ''"&_]', '', 'g') AS clean_name,
           |count(*) AS n
           |FROM e GROUP BY 1""".stripMargin),
+
+      "q_sessionize" -> (s"WITH e AS (\n${Enrich.sqlCte}\n),\n" +
+        """marked AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sessions AS (
+          |  SELECT user_id, ts,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM marked),
+          |per_session AS (
+          |  SELECT user_id, session_id, count(*) AS n_events,
+          |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+          |  FROM sessions GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_sessions,
+          |  CAST(sum(n_events) AS BIGINT) AS n_events,
+          |  CAST(max(span_us) AS BIGINT) AS max_span_us
+          |FROM per_session GROUP BY 1""".stripMargin),
+
 
       // independent oracle: DuckDB's NATIVE ASOF JOIN (different algorithm
       // from our union+window formulation)

@@ -44,6 +44,24 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("sessionize splits on gap, numbers islands per key") {
+    val ev = Seq(
+      (1L, "2024-07-24 10:00:00"), (1L, "2024-07-24 10:10:00"), // session 1
+      (1L, "2024-07-24 11:00:00"),                              // session 2 (50m gap)
+      (2L, "2024-07-24 10:00:00"))                              // own session
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = Rollup.sessionize(ev, "user_id", "ts", gapSeconds = 1800L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts").toString,
+        r.getAs[Long]("session_id"))).toSet
+    assert(got === Set(
+      (1L, "2024-07-24 10:00:00.0", 1L),
+      (1L, "2024-07-24 10:10:00.0", 1L),
+      (1L, "2024-07-24 11:00:00.0", 2L),
+      (2L, "2024-07-24 10:00:00.0", 1L)))
+  }
+
   test("re-aggregation idempotence: daily reagg of hourly == direct daily") {
     val hourly = Rollup.hourly(events, "ts", "cnt", Seq("dim"),
       hourColName = "hour", sumColName = "sv")
