@@ -120,6 +120,32 @@ object DocQueries {
         .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Dedup APPLIED: the surviving corpus after dropping the higher-id
+    // member of every near-dup pair (union of Jaccard pairs' j sides,
+    // removed with a broadcast anti join).
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val drop = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = JaccardTau)
+        .select(col("j").as("doc_id")).distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+    }),
+
+    // End-to-end curation: the composite filter a training-data job runs —
+    // keep predicted-English, mid-or-better quality, near-dup-free docs.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+      val drop = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = JaccardTau)
+        .select(col("j").as("doc_id")).distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .filter(TA.predictedLang(col("toks")) === "en")
+        .filter(TA.qualityScore(col("toks")) >= lit(0.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.nTokens(col("toks"))).as("total_tokens"))
+    }),
+
     "q_dedup_embed_cosine" -> ((s, dir) => {
       Similarity.cosinePairsKernel(Tables.embeddings(s, dir), "vec_id", "embedding",
         tau = CosineTau)
@@ -282,6 +308,35 @@ object DocQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
            |GROUP BY 1""".stripMargin
       },
+
+      "q_dedup_apply" ->
+        s"""WITH $sqlShingleCtes,
+           |pairs AS (
+           |  SELECT b.doc_id AS j
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+           |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE) >= $JaccardTau)
+           |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+           |FROM documents WHERE doc_id NOT IN (SELECT j FROM pairs)
+           |GROUP BY 1""".stripMargin,
+
+      "q_curation_pipeline" ->
+        s"""WITH $sqlShingleCtes,
+           |pairs AS (
+           |  SELECT b.doc_id AS j
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+           |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE) >= $JaccardTau)
+           |SELECT source, count(*) AS n_docs, CAST(sum(${t.sqlNTokens}) AS BIGINT) AS total_tokens
+           |FROM documents
+           |WHERE doc_id NOT IN (SELECT j FROM pairs)
+           |  AND ${t.sqlPredictedLang()} = 'en'
+           |  AND ${t.sqlQualityScore} >= 0.5
+           |GROUP BY 1""".stripMargin,
 
       "q_dedup_embed_cosine" ->
         s"""WITH $sqlQuantCte
