@@ -109,6 +109,55 @@ object Dedup {
         (1 until numHashes).map(s => min(perm(s)).as(s"h$s")): _*)
   }
 
+  /** Scan-side signature computation: one typed pass per document computes
+    * all `numHashes` minima directly — no shingle explosion, no 16-aggregate
+    * shuffle; only (id, 16 longs) rows leave the scan stage. At 100 TB this
+    * is the difference between shuffling the corpus' shingles and shuffling
+    * a constant 136 bytes per document. Hash math is bit-identical to
+    * [[Hashing.minhashPerm]] (md5 hex prefix -> 60-bit int -> affine mod p),
+    * pinned by DedupSpec.
+    */
+  def minhashSignaturesDirect(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = Hashing.MinhashP
+    val as = (0 until numHashes).map(Hashing.minhashA).toArray
+    val bs = (0 until numHashes).map(Hashing.minhashB).toArray
+    val k = numHashes
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          if (toks.length < n) Iterator.empty
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            toks.sliding(n).foreach { w =>
+              val digest = md.digest(w.mkString(" ").getBytes("UTF-8"))
+              // first 15 hex chars == top 60 bits of the first 8 bytes
+              // minus the low nibble of byte 7 (hex char 16)
+              var hx = 0L
+              var i = 0
+              while (i < 8) { hx = (hx << 8) | (digest(i) & 0xFFL); i += 1 }
+              hx = hx >>> 4 // keep 60 bits = 15 hex chars
+              hx = hx % p
+              var s = 0
+              while (s < k) {
+                val h = (as(s) * hx + bs(s)) % p
+                if (h < mins(s)) mins(s) = h
+                s += 1
+              }
+            }
+            Iterator.single((id, mins.toSeq))
+          }
+        }
+      }
+      .select(col("_1").as(idCol) +:
+        (0 until k).map(s => element_at(col("_2"), s + 1).as(s"h$s")): _*)
+  }
+
   /** LSH candidate pairs from banded minhash signatures: docs whose
     * signature agrees on ALL rows of at least one band. Output: (i, j).
     */
@@ -130,11 +179,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       tau: Double = 0.5): DataFrame = {
-    // Shingles feed signature generation AND candidate verification (both
-    // join sides + sizes); signatures feed both sides of the band join.
-    // Persist both so shingling and the 16 md5 passes run exactly once.
+    // Signatures are computed scan-side in one typed pass (no shingle
+    // shuffle); the shingle table is only needed to verify candidates.
     val sh = shingles(df, idCol, textCol, n).persist()
-    val sig = minhashSignatures(sh, idCol, numHashes).persist()
+    val sig = minhashSignaturesDirect(df, idCol, textCol, n, numHashes).persist()
     val cands = lshCandidates(sig, idCol, bands, numHashes / bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Verify ONLY the candidates: expand each candidate pair with the left

@@ -59,6 +59,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
 
+  test("scan-side direct signatures == aggregate-path signatures, bit for bit") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val viaAgg = Dedup.minhashSignatures(sh, "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val direct = Dedup.minhashSignaturesDirect(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(direct === viaAgg)
+  }
+
   test("simhash: identical docs get identical sketches, distance 0") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val byId = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
