@@ -164,6 +164,14 @@ object EventQueries {
           round(col("sum_value"), 2).as("sum_value"))
     }),
 
+    // §2.6 superset: INTERSECT — ports seen by both purchase and error
+    // traffic (distinct set semantics).
+    "q_setop_intersect" -> ((s, dir) => {
+      val ev = se(s, dir)
+      ev.filter(col("event_type") === "purchase").select("destination_port").distinct()
+        .intersect(ev.filter(col("event_type") === "error").select("destination_port").distinct())
+    }),
+
     // A1: THE core hourly SummingMergeTree rollup, full AQL filter stack:
     // port NOT IN + category IN + CIDR split + refset anti + dim lookup.
     "q_a1_hourly_rollup" -> ((s, dir) => {
@@ -391,6 +399,11 @@ object EventQueries {
         """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
           |round(sum(value),2) AS sum_value
           |FROM e WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin),
+
+      "q_setop_intersect" -> cte(
+        """SELECT DISTINCT destination_port FROM e WHERE event_type = 'purchase'
+          |INTERSECT
+          |SELECT DISTINCT destination_port FROM e WHERE event_type = 'error'""".stripMargin),
 
       "q_a1_hourly_rollup" -> cte(
         s"""SELECT CAST(date_trunc('hour', e.ts) AS VARCHAR) AS hour, n.n_name AS domain_name,

@@ -95,6 +95,14 @@ object TpchQueries {
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
     }),
 
+    // §2.4 superset: full CUBE over two dimensions (all 4 grouping sets in
+    // one shuffle).
+    "q_agg_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+    }),
+
     // §2.4 superset: exact distinct aggregation (expands to two-phase
     // aggregate; the approx_count_distinct variant is engine-built-in).
     "q_agg_distinct" -> ((s, dir) => {
@@ -168,6 +176,11 @@ object TpchQueries {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  count(*) AS n, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_semijoin_orders" ->
       """SELECT o_orderpriority, count(*) AS n
