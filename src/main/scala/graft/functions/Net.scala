@@ -57,14 +57,19 @@ object Net {
   }
 
   /** AQL `INCIDR(cidrLiteral, ip)` — true iff ip (dotted quad) falls in the
-    * CIDR block. The mask compare is two Long ops on the packed form;
-    * invalid/null IPs yield null (filters treat as false, matching a strict
-    * validator gate in front).
+    * CIDR block. Gated on strict validation: without it, `ipToLong` packs
+    * malformed strings numerically ("266.1.1.1" -> 266*2^24 masks into
+    * 10.0.0.0/8) and the composed form would disagree with the native
+    * strict parser on dirty data. The mask compare itself is two Long ops;
+    * CSE shares the regex + parse across multiple incidr calls on one
+    * column. Scale hot paths should pack once ([[ipToLong]] validated
+    * upstream, or [[graft.plans.GraftFunctions.ipToLongNative]]) and use
+    * [[incidrPacked]].
     */
   def incidr(cidr: String, ip: Column): Column = {
     val (net, mask) = parseCidr(cidr)
     if (mask == 0L) isIpv4(ip) // /0 contains every valid address
-    else ipToLong(ip).bitwiseAND(lit(mask)) === lit(net)
+    else isIpv4(ip) && ipToLong(ip).bitwiseAND(lit(mask)) === lit(net)
   }
 
   /** Same, on an already-packed Long column (scale path: pack once, test

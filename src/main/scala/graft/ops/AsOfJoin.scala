@@ -20,24 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to attach (suffixed `_asof`). */
+  /** @param payload right-side columns to attach (suffixed `_asof`).
+    *
+    * The payload rides in ONE struct column (null exactly for left-side
+    * padding rows): carrying each payload column separately through
+    * `last(_, ignoreNulls)` would let a legitimately-NULL payload value in
+    * the matched right row be "seen through" to an older right row, and
+    * could mix columns from different right rows. The struct is atomic —
+    * all attached values come from the same (latest) right row, and a
+    * right row whose payload values are all NULL still matches.
+    * Right rows at the exact same (key, ts) are mutually unordered (any
+    * one of them wins) — the same nondeterminism as native ASOF joins.
+    */
   def asOf(left: DataFrame, right: DataFrame,
            key: String, leftTs: String, rightTs: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val suffixed = payload.map(c => s"${c}_asof")
+    val payloadStruct = struct(payload.map(col): _*)
 
     val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"${c}_asof")): _*)
+      (leftCols.map(col) :+ lit(1).as("__side")) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType)
+          .as("__asof"): _*)
     val r = right.select(
       (leftCols.map {
         case c if c == key => col(key)
         case c if c == leftTs => col(rightTs).cast(left.schema(leftTs).dataType).as(leftTs)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"${c}_asof")): _*)
+      } :+ lit(0).as("__side")) :+ payloadStruct.as("__asof"): _*)
 
     // order right rows BEFORE left rows at the same timestamp so an exact-
     // tie right row is visible to the left row (<= semantics)
@@ -46,9 +56,9 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        suffixed.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__asof_last", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__asof_last.$c").as(s"${c}_asof")): _*)
   }
 }

@@ -20,6 +20,13 @@ import graft.functions.Hashing
   *
   * All hashing is md5-based ([[Hashing.md5Long]]) so the DuckDB oracle can
   * reproduce every signature bit-for-bit.
+  *
+  * Persist lifecycle: pair operators persist() shared subplans for the
+  * duration of the returned plan's execution. The cache is scoped to the
+  * session — long-lived sessions issuing many dedup calls should
+  * `spark.catalog.clearCache()` (or unpersist) between corpus passes, as
+  * the engine's Bench/Verify harnesses do; Spark's LRU storage eviction
+  * bounds the damage but cached blocks do compete with working memory.
   */
 object Dedup {
 

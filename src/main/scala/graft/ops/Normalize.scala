@@ -51,26 +51,24 @@ object Normalize {
 
   /** F2: apply the rename map. Purely a plan-level projection rename —
     * zero runtime cost. Colliding targets (the `userName`/`username`
-    * case-merge) keep the first source column and drop later ones, matching
-    * dict-comprehension overwrite order in the reference (helpers.py:49).
+    * case-merge) follow python dict-overwrite semantics exactly
+    * (reference helpers.py:49): the column keeps the FIRST occurrence's
+    * position but carries the LAST source column's values.
     */
   def renameEvents(df: DataFrame, mapping: Map[String, String] = renameMap): DataFrame = {
     // Select by POSITION (via a unique temp positional rename): name-based
     // selection is ambiguous under Spark's case-insensitive resolution for
     // exactly the case-merge pairs this map exists to handle.
     val tmp = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
-    var seen = Set.empty[String]
-    var keepIdx = Vector.empty[Int]
-    var newNames = Vector.empty[String]
-    df.columns.zipWithIndex.foreach { case (c, i) =>
-      val target = mapping.getOrElse(c, c)
-      if (!seen.contains(target)) {
-        seen += target
-        keepIdx :+= i
-        newNames :+= target
-      }
+    val targets = df.columns.map(c => mapping.getOrElse(c, c))
+    val firstPos = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val lastSrc = scala.collection.mutable.Map.empty[String, Int]
+    targets.zipWithIndex.foreach { case (t, i) =>
+      if (!firstPos.contains(t)) firstPos(t) = i
+      lastSrc(t) = i
     }
-    tmp.select(keepIdx.map(i => col(s"__c$i")): _*).toDF(newNames: _*)
+    val cols = firstPos.keysIterator.map(t => col(s"__c${lastSrc(t)}")).toSeq
+    tmp.select(cols: _*).toDF(firstPos.keys.toSeq: _*)
   }
 
   /** F3: identifier cleaning — ` / ( ) ,` -> `_` (helpers.py:87-95).

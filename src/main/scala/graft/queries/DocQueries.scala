@@ -235,13 +235,17 @@ object DocQueries {
       "q_txt_rollinghash" ->
         s"""WITH RECURSIVE pows(k, v) AS (
            |  SELECT 0, 1::BIGINT
-           |  UNION ALL SELECT k + 1, (v * ${t.RollBase}) % ${t.RollMod} FROM pows WHERE k < 2000),
+           |  UNION ALL SELECT k + 1, (v * ${t.RollBase}) % ${t.RollMod} FROM pows WHERE k < 65536),
+           |guard AS (
+           |  SELECT max(len(text)) AS maxlen FROM documents),
            |chars AS (
            |  SELECT doc_id, len(text) AS n, i, ord(substring(text, CAST(i AS INT), 1)) AS c
            |  FROM documents, unnest(generate_series(1, len(text))) AS u(i))
            |SELECT doc_id,
            |  CAST(sum(c * p.v) % ${t.RollMod} AS BIGINT) AS rhash
-           |FROM chars JOIN pows p ON p.k = n - i
+           |FROM chars JOIN pows p ON p.k = n - i,
+           |     guard
+           |WHERE guard.maxlen <= 65536 OR error('rollinghash power table too small')
            |GROUP BY doc_id""".stripMargin,
 
       "q_dedup_exact" ->

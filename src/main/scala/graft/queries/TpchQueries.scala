@@ -10,11 +10,36 @@ import graft.sources.Tables
   *
   * These are the bench-bearing queries: multi-way joins (broadcast small
   * dims, shuffle the facts), partial+final hash aggregation, window
-  * evaluation. All double outputs are rounded to 2 decimals — the inputs
-  * are 2-decimal money values, so the rounded sum is exact regardless of
-  * float summation order (oracle-hash-stable by construction).
+  * evaluation. Money aggregates use exact integer-cents arithmetic (see
+  * below) so results are bit-identical across engines and partitionings at
+  * any scale factor.
   */
 object TpchQueries {
+
+  // ---- exact money arithmetic ----
+  // Monetary inputs are 2-decimal doubles; summing their float products is
+  // order-dependent in the last ulps, which can flip round(.,2) at a 0.005
+  // boundary once row counts grow. Instead: quantize each factor to integer
+  // hundredths (exact — products stay far below 2^53), compute per-row
+  // cents with one correctly-rounded division, sum in BIGINT (exact, any
+  // order), divide once for display. DuckDB mirrors every step.
+  import org.apache.spark.sql.Column
+  private def c100(c: Column): Column = round(c * lit(100)).cast("long")
+  private def discCents: Column =
+    round(c100(col("l_extendedprice")) * (lit(100L) - c100(col("l_discount"))) / lit(100.0)).cast("long")
+  private def chargeCents: Column =
+    round(c100(col("l_extendedprice")) * (lit(100L) - c100(col("l_discount"))) *
+      (lit(100L) + c100(col("l_tax"))) / lit(10000.0)).cast("long")
+  private def disp(sumCents: Column): Column =
+    round(sumCents.cast("double") / lit(100.0), 2)
+
+  private val sqlPriceC = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  private val sqlDiscC =
+    s"CAST(round($sqlPriceC * (100 - CAST(round(l_discount*100) AS BIGINT)) / CAST(100.0 AS DOUBLE)) AS BIGINT)"
+  private val sqlChargeC =
+    s"CAST(round($sqlPriceC * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT)) / CAST(10000.0 AS DOUBLE)) AS BIGINT)"
+  private def sqlDisp(sumExpr: String): String =
+    s"round(CAST($sumExpr AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing-summary aggregation (partial+final HashAggregate over the
@@ -24,10 +49,10 @@ object TpchQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          disp(sum(c100(col("l_quantity")))).as("sum_qty"),
+          disp(sum(c100(col("l_extendedprice")))).as("sum_base_price"),
+          disp(sum(discCents)).as("sum_disc_price"),
+          disp(sum(chargeCents)).as("sum_charge"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -44,7 +69,7 @@ object TpchQueries {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          disp(sum(discCents)).as("revenue"),
           count(lit(1)).as("n"))
         .select("region_name", "nation_name", "revenue", "n")
     }),
@@ -58,7 +83,7 @@ object TpchQueries {
       val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(disp(sum(discCents)).as("revenue"))
       // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
       // (per-partition heaps + driver merge of k rows — no global sort, no
       // single-partition window over the full aggregate). The row_number
@@ -124,18 +149,18 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)),2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),2) AS sum_charge,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${sqlDisp("sum(CAST(round(l_quantity*100) AS BIGINT))")} AS sum_qty,
+        |  ${sqlDisp(s"sum($sqlPriceC)")} AS sum_base_price,
+        |  ${sqlDisp(s"sum($sqlDiscC)")} AS sum_disc_price,
+        |  ${sqlDisp(s"sum($sqlChargeC)")} AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
 
     "q_join_revenue_nation" ->
-      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)),2) AS revenue,
+      s"""SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |  ${sqlDisp(s"sum(${sqlDiscC.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")})")} AS revenue,
         |  count(*) AS n
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -145,11 +170,11 @@ object TpchQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_topk_customers" ->
-      """SELECT * FROM (
+      s"""SELECT * FROM (
         |  SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk,
         |         c_custkey, c_name, revenue
         |  FROM (SELECT c.c_custkey, c.c_name,
-        |          round(sum(l.l_extendedprice * (1 - l.l_discount)),2) AS revenue
+        |          ${sqlDisp(s"sum(${sqlDiscC.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")})")} AS revenue
         |        FROM lineitem l
         |        JOIN orders o ON l.l_orderkey = o.o_orderkey
         |        JOIN customer c ON o.o_custkey = c.c_custkey

@@ -16,6 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics so the batch operator can oracle it, while exercising the
   * real state machinery: one state row per open (key) session, O(open
   * sessions) state, timeout at watermark past `last + gap`.
+  *
+  * Cross-batch disorder: an in-watermark event inside the open session's
+  * gap envelope extends the session on either end. A late event that
+  * belongs to an ALREADY-EMITTED session starts a new one instead (append
+  * output cannot retract) — the one divergence from the batch operator,
+  * bounded by the watermark.
   */
 object StatefulSessionize {
 
@@ -46,8 +52,12 @@ object StatefulSessionize {
         val closed = Vector.newBuilder[ClosedSession]
         sorted.foreach { tUs =>
           open match {
-            case Some(s) if tUs - s.lastUs <= gapUs =>
-              open = Some(SessionState(s.startUs, math.max(s.lastUs, tUs), s.n + 1))
+            // within gap of the open session's interval — including an
+            // in-watermark event EARLIER than the open start (cross-batch
+            // disorder): extend the interval on both ends
+            case Some(s) if tUs >= s.startUs - gapUs && tUs <= s.lastUs + gapUs =>
+              open = Some(SessionState(math.min(s.startUs, tUs),
+                math.max(s.lastUs, tUs), s.n + 1))
             case Some(s) =>
               closed += close(s)
               open = Some(SessionState(tUs, tUs, 1))

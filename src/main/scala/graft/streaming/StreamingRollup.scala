@@ -65,12 +65,18 @@ object StreamingRollup {
     * reference's producer — mykafka/producer.py:7-20). Built-in
     * `format("kafka")` does batching/retries/idempotence; no custom code.
     * Unused in tests (no broker in the container) but the full wiring is
-    * here: key = dims hash for partition affinity, value = JSON row.
+    * here: key = hash of the GROUP columns only (`keyCols`) so successive
+    * updates of one (hour, dims) group keep partition affinity — hashing
+    * the measure too would scatter a group's updates across partitions.
+    * Null-safe: the key is field-named JSON, so ("a", null) and
+    * (null, "a") serialize differently (concat_ws would drop nulls and
+    * collide them).
     */
   def kafkaSinkWriter(rollup: DataFrame, bootstrap: String, topic: String,
+                      keyCols: Seq[String],
                       saslJaas: Option[String] = None): DataStreamWriter[Row] = {
     val payload = rollup.select(
-      sha2(concat_ws("|", rollup.columns.map(col).toIndexedSeq: _*), 256).as("key"),
+      sha2(to_json(struct(keyCols.map(col): _*)), 256).as("key"),
       to_json(struct(rollup.columns.map(col).toIndexedSeq: _*)).as("value"))
     val w = payload.writeStream
       .format("kafka")

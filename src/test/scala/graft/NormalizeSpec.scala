@@ -16,13 +16,13 @@ class NormalizeSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("QID", "Event Count", "Destination Port"))
   }
 
-  test("renameEvents case-merge keeps first colliding source column") {
-    // userName and username both map to Username; dict-overwrite order in
-    // the reference keeps one column — we keep the FIRST and drop later.
-    val df = Seq((1L, 2L)).toDF("userName", "username")
+  test("renameEvents case-merge: first position, LAST source values (dict overwrite)") {
+    // python dict comprehension: repeated target keeps first insertion
+    // position but the LAST value wins (reference helpers.py:49)
+    val df = Seq((1L, 2L, 3L)).toDF("userName", "qid", "username")
     val out = Normalize.renameEvents(df)
-    assert(out.columns.toSeq === Seq("Username"))
-    assert(out.collect()(0).getLong(0) === 1L)
+    assert(out.columns.toSeq === Seq("Username", "QID"))
+    assert(out.collect()(0).getLong(0) === 3L) // username's value
   }
 
   test("renameEvents totality: unmapped columns pass through unchanged") {
