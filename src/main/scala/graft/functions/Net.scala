@@ -85,10 +85,18 @@ object Net {
     * both AQL corpus queries (reference: qradar/input/queries.json:2-3).
     */
   def isPrivateOrReserved(ip: Column): Column =
-    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "169.254.0.0/16",
-      "127.0.0.0/8", "0.0.0.0/8")
-      .map(c => incidr(c, ip))
-      .reduce(_ || _)
+    inAnyCidr(Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+      "169.254.0.0/16", "127.0.0.0/8", "0.0.0.0/8"), ip)
+
+  /** Membership in ANY of several CIDR blocks: validate and parse the
+    * address ONCE, then mask-compare the shared packed form per block —
+    * vs one regex + one dotted-quad parse per block via repeated
+    * [[incidr]] calls.
+    */
+  def inAnyCidr(cidrs: Seq[String], ip: Column): Column = {
+    val packed = ipToLong(ip)
+    isIpv4(ip) && cidrs.map(c => incidrPacked(c, packed)).reduce(_ || _)
+  }
 
   /** Column metadata marking a Long column as packed IPv4 (domain
     * [0, 2^32)). Attach where the packed column is produced —
@@ -103,7 +111,5 @@ object Net {
 
   /** The three RFC1918 private blocks only (the AQL queries' positive arm). */
   def isRfc1918(ip: Column): Column =
-    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
-      .map(c => incidr(c, ip))
-      .reduce(_ || _)
+    inAnyCidr(Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"), ip)
 }
