@@ -46,6 +46,26 @@ object Rollup {
         (date_trunc(grain, col(hourCol)).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
       .agg(sum(col(s"`$sumCol`")).as(sumCol))
 
+  /** Skew-safe two-phase sum: pre-aggregate on (keys, salt) so one hot key
+    * spreads over `saltBuckets` reducers, then merge partials on the bare
+    * keys. For plain algebraic aggregates Spark's map-side partial
+    * aggregation usually makes this unnecessary — it matters when the
+    * partial-agg hash table overflows on a hot key (high-cardinality
+    * secondary grouping) or when an operator lacks partial aggregation
+    * (e.g. windows, collect_list). Salt derives from a hash of all columns,
+    * so the split is deterministic per row content.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], measureCol: String,
+                sumColName: String = "sum_value",
+                saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(hash(df.columns.map(c => col(s"`$c`")): _*), lit(saltBuckets))
+    df.withColumn("__salt", salt)
+      .groupBy((keys.map(c => col(s"`$c`")) :+ col("__salt")): _*)
+      .agg(sum(col(s"`$measureCol`")).as("__partial"))
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("__partial")).as(sumColName))
+  }
+
   /** Sessionization (capability superset of §2.7 windows): split each key's
     * event stream into sessions at inactivity gaps > `gapSeconds`.
     * Gaps-and-islands: lag over (key, ts) marks session starts, a running

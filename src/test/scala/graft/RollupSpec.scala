@@ -44,6 +44,18 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("saltedSum equals direct sum on skewed keys, any salt width") {
+    val skewed = (1 to 5000).map(i => (if (i % 100 == 0) "rare" else "hot", i.toLong))
+      .toDF("k", "v")
+    val direct = skewed.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 4, 32).foreach { buckets =>
+      val salted = Rollup.saltedSum(skewed, Seq("k"), "v", "s", buckets)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted === direct, s"buckets=$buckets")
+    }
+  }
+
   test("sessionize splits on gap, numbers islands per key") {
     val ev = Seq(
       (1L, "2024-07-24 10:00:00"), (1L, "2024-07-24 10:10:00"), // session 1
