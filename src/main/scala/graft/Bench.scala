@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.ops.CacheRegistry
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,10 +9,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session hygiene between queries, in order of responsibility:
+    //  1. drain the CacheRegistry — synchronous unpersist(blocking=true) of
+    //     every operator-internal persist() (async cleanup raced the next
+    //     query's memory demand and poisoned driver-run benches);
+    //  2. clearCache as a backstop for any future untracked cache;
+    //  3. System.gc() so the weak-ref ContextCleaner reaps broadcasts and
+    //     shuffle state (on a 24g heap GC may otherwise never run).
+    def clean(): Unit = {
+      CacheRegistry.drain()
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // Warmup at the smallest sf: triggers Janino codegen compilation and JIT
     // for every query plan so the timed pass measures steady-state execution,
     // not first-run compilation.
@@ -18,26 +33,25 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        spark.catalog.clearCache(); System.gc()
+        clean()
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // operators persist() shared subplans; drop them so storage does not
-      // accumulate across the suite
-      spark.catalog.clearCache()
-      // ContextCleaner is weak-ref driven: on a large heap GC may never run
-      // between queries, so broadcasts/shuffle files from 40+ queries pile
-      // up and progressively poison the session. Force the cycle.
-      System.gc()
+      // A crashed query must NOT report its wall time as a normal result:
+      // record it as -1 so the driver's JSON shows the failure explicitly.
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      clean()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.ops.CacheRegistry
 
 /** Ad-hoc profiling harness: times named queries (all when no names given)
   * and prints the formatted physical plan, so plan regressions are visible
@@ -31,6 +32,7 @@ object Profile {
       if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
       // operators persist() shared subplans; drop them so later queries in
       // this session are not measured under accumulated storage pressure
+      CacheRegistry.drain()
       spark.catalog.clearCache()
       // ContextCleaner is weak-ref driven: on a large heap GC may never run
       // between queries, so broadcasts/shuffle files from 40+ queries pile

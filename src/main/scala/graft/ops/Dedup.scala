@@ -22,11 +22,10 @@ import graft.functions.Hashing
   * reproduce every signature bit-for-bit.
   *
   * Persist lifecycle: pair operators persist() shared subplans for the
-  * duration of the returned plan's execution. The cache is scoped to the
-  * session — long-lived sessions issuing many dedup calls should
-  * `spark.catalog.clearCache()` (or unpersist) between corpus passes, as
-  * the engine's Bench/Verify harnesses do; Spark's LRU storage eviction
-  * bounds the damage but cached blocks do compete with working memory.
+  * duration of the returned plan's execution, registering each one with
+  * [[CacheRegistry]]. After acting on a returned plan, call
+  * `CacheRegistry.drain()` to unpersist them synchronously (the engine's
+  * Bench/Verify/Profile harnesses do this after every query).
   */
 object Dedup {
 
@@ -67,22 +66,37 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
   /** Exact n-gram Jaccard near-dup pairs (i < j) with similarity >= tau.
-    * Candidates are pairs sharing >= 1 shingle; `maxShingleDF` (0 = off)
-    * drops shingles appearing in more documents than the cap before the
-    * self-join — the standard stop-shingle guard against join blowup.
+    * Candidates are pairs sharing >= 1 shingle — which makes the
+    * stop-shingle guard load-bearing at scale: one shingle shared by d
+    * documents contributes d^2/2 candidate rows, so a common phrase would
+    * dominate the join (O(df^2) blowup). Two guard forms:
+    *  - `maxShingleDF` > 0: absolute document-frequency cap;
+    *  - `stopShingleFrac` > 0: corpus-relative cap
+    *    `max(5, frac * n_docs)` derived declaratively (a one-row aggregate
+    *    cross-joined in), so the same plan stays calibrated at any scale —
+    *    no driver-side count, no constant to re-tune at 100 TB.
+    * The resulting semantics are "Jaccard over non-stop shingles"; the
+    * DuckDB oracles mirror the same cap rule.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, tau: Double = 0.5,
-                   maxShingleDF: Int = 0): DataFrame = {
+                   maxShingleDF: Int = 0,
+                   stopShingleFrac: Double = 0.0): DataFrame = {
     // The shingle table feeds three plan branches (sizes + both join sides);
     // persist so tokenization/shingling runs once, not per branch.
-    val sh0 = shingles(df, idCol, textCol, n).persist()
+    val sh0 = CacheRegistry.persist(shingles(df, idCol, textCol, n))
     val sh =
-      if (maxShingleDF <= 0) sh0
+      if (maxShingleDF <= 0 && stopShingleFrac <= 0) sh0
       else {
-        val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDF).select("shingle")
-        sh0.join(rare, "shingle")
+        val dfCounts = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val rare =
+          if (maxShingleDF > 0) dfCounts.filter(col("df") <= maxShingleDF)
+          else {
+            val cap = df.select(
+              greatest(lit(5.0), count(lit(1)) * lit(stopShingleFrac)).as("__cap"))
+            dfCounts.crossJoin(broadcast(cap)).filter(col("df") <= col("__cap"))
+          }
+        sh0.join(rare.select("shingle"), "shingle")
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("i"), col("shingle"))
@@ -188,8 +202,9 @@ object Dedup {
                       tau: Double = 0.5): DataFrame = {
     // Signatures are computed scan-side in one typed pass (no shingle
     // shuffle); the shingle table is only needed to verify candidates.
-    val sh = shingles(df, idCol, textCol, n).persist()
-    val sig = minhashSignaturesDirect(df, idCol, textCol, n, numHashes).persist()
+    val sh = CacheRegistry.persist(shingles(df, idCol, textCol, n))
+    val sig = CacheRegistry.persist(
+      minhashSignaturesDirect(df, idCol, textCol, n, numHashes))
     val cands = lshCandidates(sig, idCol, bands, numHashes / bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Verify ONLY the candidates: expand each candidate pair with the left
@@ -230,17 +245,31 @@ object Dedup {
     bitSums.select(col(idCol), sketch.as("simhash"))
   }
 
-  /** SimHash near-dup pairs (i < j) with Hamming distance <= maxDist.
-    * The pair scan is an id-ordered self-join over constant-width sketches;
-    * at cluster scale, band the sketch (e.g. 4x15-bit prefixes) and join on
-    * band equality first — same trick as MinHash LSH, one line of plan
-    * change, identical semantics for maxDist <= bands-1 misses.
+  /** SimHash near-dup pairs (i < j) with Hamming distance <= maxDist —
+    * EXACT, with no cross join: the sketch is sliced into `maxDist + 1`
+    * contiguous bit bands, so two sketches within maxDist bit flips must
+    * agree exactly on at least one band (pigeonhole). Candidates come from
+    * a shuffled equi-join on (band, slice value); the xor+bit_count verify
+    * then keeps true hits only. At scale the join cost is the collision
+    * volume per ~9-bit slice bucket instead of n^2/2 — and tightening
+    * maxDist widens the slices, shrinking buckets further.
     */
   def simhashPairs(sketches: DataFrame, idCol: String,
-                   maxDist: Int = 6): DataFrame = {
-    val l = sketches.select(col(idCol).as("i"), col("simhash").as("sh_i"))
-    val r = sketches.select(col(idCol).as("j"), col("simhash").as("sh_j"))
-    l.crossJoin(r).filter(col("i") < col("j"))
+                   maxDist: Int = 6, bits: Int = 60): DataFrame = {
+    val bands = maxDist + 1
+    val slices = array((0 until bands).map { b =>
+      val lo = (bits * b) / bands
+      val hi = (bits * (b + 1)) / bands // slice = sketch bits [lo, hi)
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }: _*)
+    val sliced = sketches.select(col(idCol), col("simhash"),
+      posexplode(slices).as(Seq("band", "slice")))
+    val l = sliced.select(col(idCol).as("i"), col("simhash").as("sh_i"),
+      col("band"), col("slice"))
+    val r = sliced.select(col(idCol).as("j"), col("simhash").as("sh_j"),
+      col("band"), col("slice"))
+    l.join(r, Seq("band", "slice")).filter(col("i") < col("j"))
+      .select("i", "j", "sh_i", "sh_j").distinct() // pairs matching >1 band
       .withColumn("dist", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")

@@ -57,7 +57,11 @@ object Lookups {
     */
   def networkNameExpr(cidrs: Seq[(String, String)], ip: Column,
                       defaultName: String = "other"): Column = {
-    val packed = Net.ipToLong(ip)
+    // Strict native parse: malformed addresses ("266.1.1.1") yield null,
+    // so every when() comparison is null and the chain falls through to
+    // defaultName — without this gate the numeric pack would mask dirty
+    // strings into real networks.
+    val packed = graft.plans.GraftFunctions.ipToLongNative(ip)
     val ordered = cidrs
       .map { case (cidr, name) => (Net.parseCidr(cidr), cidr.split("/")(1).toInt, name) }
       .sortBy(-_._2)
@@ -65,6 +69,25 @@ object Lookups {
       when(packed.bitwiseAND(lit(mask)) === lit(net), lit(name)).otherwise(els)
     }
   }
+
+  /** J1 (FULLNETWORKNAME, 2-arg): the domain-aware form the reference uses
+    * everywhere — `FULLNETWORKNAME(ip, domainId)` (reference:
+    * qradar/input/queries.json:2-3) resolves the ip against THAT domain's
+    * network hierarchy; the same CIDR can name different networks in
+    * different tenants. Hierarchies are config-scale, so the Spark-native
+    * form stays a codegen'd expression: an outer when-chain on domainId
+    * dispatching to each domain's longest-prefix chain. IPs in domains
+    * with no hierarchy, unmatched IPs, and malformed IPs all resolve to
+    * `defaultName` (QRadar's "other").
+    */
+  def networkNameDomainExpr(byDomain: Map[Int, Seq[(String, String)]],
+                            ip: Column, domainId: Column,
+                            defaultName: String = "other"): Column =
+    byDomain.toSeq.sortBy(_._1).foldRight(lit(defaultName)) {
+      case ((dom, cidrs), els) =>
+        when(domainId === lit(dom),
+          networkNameExpr(cidrs, ip, defaultName)).otherwise(els)
+    }
 
   /** networkNameExpr over a `(cidr, name)` DataFrame: the hierarchy is
     * collected once at plan-build time (it is a small config table, like the

@@ -55,9 +55,9 @@ object Similarity {
                   tau: Double, dim: Int = 64): DataFrame = {
     // Precompute each vector's norm ONCE (O(n) aggregates) so the O(n^2)
     // pair scan evaluates a single dot product per pair, not three.
-    val q = em.select(col(idCol), quantize(col(embCol)).as("q"))
-      .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double")))
-      .persist()
+    val q = CacheRegistry.persist(
+      em.select(col(idCol), quantize(col(embCol)).as("q"))
+        .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double"))))
     val l = q.select(col(idCol).as("i"), col("q").as("qi"), col("norm").as("ni"))
     val r = q.select(col(idCol).as("j"), col("q").as("qj"), col("norm").as("nj"))
     l.crossJoin(r).filter(col("i") < col("j"))
@@ -75,9 +75,10 @@ object Similarity {
     * row-at-a-time plan execution pays 1KB of array copying per pair for
     * 64 multiplies of useful work.
     *
-    * Scale path: beyond broadcastable corpus sizes (~10^6 vectors), block
-    * both sides (outer product of row blocks) and run this kernel per block
-    * pair; same math, same results.
+    * OPT-IN for broadcastable corpora only (~10^6 vectors): it collects the
+    * corpus to the driver. The shipped query path and anything beyond that
+    * ceiling must use [[cosinePairsBlocked]] — same math, same results, no
+    * driver materialization.
     *
     * Results are bit-identical to [[cosinePairs]]: integer dot products,
     * IEEE sqrt/divide, and HALF_UP rounding exactly as Spark's `round`.
@@ -117,6 +118,71 @@ object Similarity {
       }
       out
     }.toDF("i", "j", "cos")
+  }
+
+  /** All near-duplicate pairs, blocked kernel form — the scale path of
+    * [[cosinePairsKernel]] with NO driver materialization. Vectors are
+    * grouped into `blocks` row blocks (by id mod blocks), the upper
+    * triangle of block pairs is enumerated with a tiny self-join
+    * (blocks^2/2 rows), and each block pair runs the same tight j-loop
+    * kernel on two executor-resident arrays. Replication factor is
+    * `blocks` (each block meets blocks-1 partners), so choose
+    * blocks ~ corpus_bytes / per-task budget; total work stays
+    * O(n^2 * dim / 2) with no driver round-trip and no per-pair row
+    * materialization. Results are bit-identical to [[cosinePairs]] and
+    * [[cosinePairsKernel]] (integer dot products, IEEE sqrt/divide,
+    * HALF_UP rounding).
+    */
+  def cosinePairsBlocked(em: DataFrame, idCol: String, embCol: String,
+                         tau: Double, blocks: Int = 8): DataFrame = {
+    val spark = em.sparkSession
+    import spark.implicits._
+    val blocked = em.select(col(idCol).cast("long"), quantize(col(embCol)))
+      .as[(Long, Array[Long])]
+      .groupByKey(r => (((r._1 % blocks) + blocks) % blocks).toInt)
+      .mapGroups { (b: Int, it: Iterator[(Long, Array[Long])]) =>
+        val arr = it.map { case (id, v) =>
+          (id, v, math.sqrt(v.map(x => x * x).sum.toDouble))
+        }.toArray.sortBy(_._1)
+        (b, arr)
+      }
+    val bl = blocked.toDF("b1", "rows1")
+    val br = blocked.toDF("b2", "rows2")
+    bl.join(br, col("b1") <= col("b2"))
+      .select(col("b1").as("_1"), col("rows1").as("_2"),
+        col("b2").as("_3"), col("rows2").as("_4"))
+      .as[(Int, Array[(Long, Array[Long], Double)],
+           Int, Array[(Long, Array[Long], Double)])]
+      .flatMap { case (b1, arr1, b2, arr2) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def emit(x: (Long, Array[Long], Double), y: (Long, Array[Long], Double)): Unit = {
+          val (idX, vx, nx) = x; val (idY, vy, ny) = y
+          var dot = 0L; var k = 0
+          while (k < vx.length) { dot += vx(k) * vy(k); k += 1 }
+          val cos = dot.toDouble / (nx * ny)
+          if (cos >= tau) {
+            val rounded = java.math.BigDecimal.valueOf(cos)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            out += ((math.min(idX, idY), math.max(idX, idY), rounded))
+          }
+        }
+        if (b1 == b2) {
+          var i = 0
+          while (i < arr1.length) {
+            var j = i + 1
+            while (j < arr1.length) { emit(arr1(i), arr1(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < arr1.length) {
+            var j = 0
+            while (j < arr2.length) { emit(arr1(i), arr2(j)); j += 1 }
+            i += 1
+          }
+        }
+        out
+      }.toDF("i", "j", "cos")
   }
 
   /** Brute-force cosine top-k: for each query vector (rows of `queries`),
@@ -163,15 +229,20 @@ object Similarity {
       .select(col(idCol).as("cid"), quantize(col(embCol)).as("qc"))
       .withColumn("nc", sqrt(dotQ(col("qc"), col("qc")).cast("double")))
     def assign(df: DataFrame, id: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(id))
-        .orderBy(col("__ccos").desc, col("cid"))
+      // Nearest centroid via a partial+final max_by aggregate — map-side
+      // combine collapses the nCentroids-wide expansion before any shuffle,
+      // vs a row_number window that would sort the whole expanded corpus.
+      // Ties break to the lowest centroid id (struct compares cos first,
+      // then -cid), matching the oracle's ORDER BY cos DESC, cid.
       df.crossJoin(broadcast(cents))
         .withColumn("__ccos",
           dotQ(col(s"q_$id"), col("qc")).cast("double") / (col(s"n_$id") * col("nc")))
-        .withColumn("__crk", row_number().over(w))
-        .filter(col("__crk") === 1)
-        .select(col(id), col(s"q_$id"), col(s"n_$id"), col("cid").as("cell"))
+        .groupBy(col(id))
+        .agg(max_by(
+          struct(col(s"q_$id").as("q"), col(s"n_$id").as("n"), col("cid")),
+          struct(col("__ccos").as("cos"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col(id), col("best.q").as(s"q_$id"), col("best.n").as(s"n_$id"),
+          col("best.cid").as("cell"))
     }
     val corpusCells = assign(prep(corpus, "cand_id"), "cand_id")
     val queryCells = assign(prep(queries, "query_id"), "query_id")

@@ -21,14 +21,70 @@ object DocQueries {
   private val CosineTau = 0.44
   private val LshDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
 
+  /** Corpus-relative stop-shingle cap for the exact-Jaccard queries: a
+    * shingle in more than max(5, 2% of docs) documents is treated as a stop
+    * shingle (see Dedup.jaccardPairs scale rationale).
+    */
+  private val StopFrac = 0.02
+
   // ---- shared DuckDB fragments ----
 
-  /** Distinct 3-word shingles + per-doc set sizes (mirrors Dedup.shingles). */
-  private val sqlShingleCtes =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-      |       FROM toks, unnest(generate_series(1, len(toks)-2)) AS t(i)),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+  /** Distinct 3-word shingles + per-doc set sizes over `src` (mirrors
+    * Dedup.shingles).
+    */
+  private def sqlShingleCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+       |       FROM toks, unnest(generate_series(1, len(toks)-2)) AS t(i)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  private val sqlShingleCtes = sqlShingleCtesFrom("documents")
+
+  /** Shingle CTEs with the corpus-relative stop-shingle guard applied
+    * (mirrors Dedup.jaccardPairs with stopShingleFrac = [[StopFrac]]):
+    * `sh`/`sz` are post-guard, so downstream pair SQL is unchanged.
+    */
+  private def sqlGuardedShingleCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+       |        FROM toks, unnest(generate_series(1, len(toks)-2)) AS t(i)),
+       |keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |           HAVING count(*) <= greatest(5.0, $StopFrac * (SELECT count(*) FROM $src))),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  /** The full MinHash+LSH pipeline as a CTE chain over `src`, ending in
+    * `lshpairs(i, j, jac)` (mirrors Dedup.minhashLshPairs: scan-side
+    * signatures, 4x4 band candidates, exact-Jaccard verify of candidates).
+    */
+  private def sqlLshPairCtesFrom(src: String): String = {
+    val minExprs = (0 until 16).map(s =>
+      s"min((${Hashing.minhashA(s)} * hx + ${Hashing.minhashB(s)}) % ${Hashing.MinhashP}) AS h$s")
+      .mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${sqlShingleCtesFrom(src)},
+       |hashed AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} % ${Hashing.MinhashP} AS hx FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.i = a.doc_id AND c.j = b.doc_id
+       |  GROUP BY 1, 2),
+       |lshpairs AS (
+       |  SELECT t.i, t.j,
+       |    round(CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE), 4) AS jac
+       |  FROM inter t JOIN sz sa ON sa.doc_id = t.i JOIN sz sb ON sb.doc_id = t.j
+       |  WHERE CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE) >= $JaccardTau)""".stripMargin
+  }
 
   /** Quantized embeddings (mirrors Similarity.quantize). */
   private val sqlQuantCte =
@@ -104,7 +160,7 @@ object DocQueries {
 
     "q_dedup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, tau = JaccardTau)
+        n = 3, tau = JaccardTau, stopShingleFrac = StopFrac)
     }),
 
     "q_dedup_minhash_lsh" -> ((s, dir) => {
@@ -112,11 +168,13 @@ object DocQueries {
         n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
     }),
 
-    // SimHash sketch distance histogram over all pairs (the sketch is the
-    // operator; the histogram keeps output bounded at any sf).
+    // SimHash near-dup distance histogram. maxDist=6 makes the banded pair
+    // scan (7 exact bands, equi-join candidates) both correct and sparse —
+    // the oracle states the plain all-pairs semantics the banding is
+    // provably equal to.
     "q_dedup_simhash" -> ((s, dir) => {
       val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.simhashPairs(sk, "doc_id", maxDist = 12)
+      Dedup.simhashPairs(sk, "doc_id", maxDist = 6)
         .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     }),
 
@@ -125,30 +183,37 @@ object DocQueries {
     // removed with a broadcast anti join).
     "q_dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val drop = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = JaccardTau)
+      val drop = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = JaccardTau,
+          stopShingleFrac = StopFrac)
         .select(col("j").as("doc_id")).distinct()
       docs.join(drop, Seq("doc_id"), "left_anti")
         .groupBy("lang").agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))
     }),
 
-    // End-to-end curation: the composite filter a training-data job runs —
-    // keep predicted-English, mid-or-better quality, near-dup-free docs.
+    // End-to-end curation, cheap-and-selective work FIRST: lang + quality
+    // filters prune the corpus before any pair work, then near-dups among
+    // the survivors come from the banded MinHash+LSH path (candidates-only
+    // verify), not an exact all-candidate Jaccard. At 100 TB the filter
+    // order and the LSH path are each the difference between a feasible
+    // job and an infeasible one.
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
-      val drop = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = JaccardTau)
-        .select(col("j").as("doc_id")).distinct()
-      docs.join(drop, Seq("doc_id"), "left_anti")
+      val kept = docs
         .filter(TA.predictedLang(col("toks")) === "en")
         .filter(TA.qualityScore(col("toks")) >= lit(0.5))
+      val drop = Dedup.minhashLshPairs(kept, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+        .select(col("j").as("doc_id")).distinct()
+      kept.join(drop, Seq("doc_id"), "left_anti")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.nTokens(col("toks"))).as("total_tokens"))
     }),
 
     "q_dedup_embed_cosine" -> ((s, dir) => {
-      Similarity.cosinePairsKernel(Tables.embeddings(s, dir), "vec_id", "embedding",
-        tau = CosineTau)
+      Similarity.cosinePairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
+        tau = CosineTau, blocks = 8)
     }),
 
     // ---- similarity search ----
@@ -257,7 +322,7 @@ object DocQueries {
           |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
       "q_dedup_jaccard" ->
-        s"""WITH $sqlShingleCtes
+        s"""WITH ${sqlGuardedShingleCtesFrom("documents")}
            |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
            |  round(CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE), 4) AS jac
            |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -266,33 +331,9 @@ object DocQueries {
            |GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
            |HAVING CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE) >= $JaccardTau""".stripMargin,
 
-      "q_dedup_minhash_lsh" -> {
-        val minExprs = (0 until 16).map(s =>
-          s"min((${Hashing.minhashA(s)} * hx + ${Hashing.minhashB(s)}) % ${Hashing.MinhashP}) AS h$s")
-          .mkString(",\n  ")
-        val bandRows = (0 until 4).map { b =>
-          val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $sqlShingleCtes,
-           |hashed AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} % ${Hashing.MinhashP} AS hx FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $minExprs
-           |  FROM hashed GROUP BY doc_id),
-           |bands AS (
-           |  $bandRows),
-           |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-           |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           |  JOIN cand c ON c.i = a.doc_id AND c.j = b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT t.i, t.j,
-           |  round(CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE), 4) AS jac
-           |FROM inter t JOIN sz sa ON sa.doc_id = t.i JOIN sz sb ON sb.doc_id = t.j
-           |WHERE CAST(t.inter AS DOUBLE) / CAST(sa.sz + sb.sz - t.inter AS DOUBLE) >= $JaccardTau""".stripMargin
-      },
+      "q_dedup_minhash_lsh" ->
+        s"""WITH ${sqlLshPairCtesFrom("documents")}
+           |SELECT i, j, jac FROM lshpairs""".stripMargin,
 
       "q_dedup_simhash" -> {
         val bitSums = (0 until 60).map(i =>
@@ -309,12 +350,12 @@ object DocQueries {
            |sk AS (SELECT doc_id, $sketch AS simhash FROM bitsums)
            |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist, count(*) AS n_pairs
            |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |GROUP BY 1""".stripMargin
       },
 
       "q_dedup_apply" ->
-        s"""WITH $sqlShingleCtes,
+        s"""WITH ${sqlGuardedShingleCtesFrom("documents")},
            |pairs AS (
            |  SELECT b.doc_id AS j
            |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -327,19 +368,13 @@ object DocQueries {
            |GROUP BY 1""".stripMargin,
 
       "q_curation_pipeline" ->
-        s"""WITH $sqlShingleCtes,
-           |pairs AS (
-           |  SELECT b.doc_id AS j
-           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           |  JOIN sz sa ON sa.doc_id = a.doc_id
-           |  JOIN sz sb ON sb.doc_id = b.doc_id
-           |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
-           |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.sz + sb.sz - count(*) AS DOUBLE) >= $JaccardTau)
+        s"""WITH filtered AS (
+           |  SELECT * FROM documents
+           |  WHERE ${t.sqlPredictedLang()} = 'en' AND ${t.sqlQualityScore} >= 0.5),
+           |${sqlLshPairCtesFrom("filtered")}
            |SELECT source, count(*) AS n_docs, CAST(sum(${t.sqlNTokens}) AS BIGINT) AS total_tokens
-           |FROM documents
-           |WHERE doc_id NOT IN (SELECT j FROM pairs)
-           |  AND ${t.sqlPredictedLang()} = 'en'
-           |  AND ${t.sqlQualityScore} >= 0.5
+           |FROM filtered
+           |WHERE doc_id NOT IN (SELECT j FROM lshpairs)
            |GROUP BY 1""".stripMargin,
 
       "q_dedup_embed_cosine" ->
@@ -395,6 +430,9 @@ object DocQueries {
       // closed form of the stub chain: m = min(bytes,256) resized bytes;
       // c = ceil(m/64) chunks; every 2nd chunk kept (k = ceil(c/2)); kept
       // bytes depend on whether the (short) last chunk index is even.
+      // per_doc is filtered to k > 0: the Spark side inner-joins through
+      // frames, so a doc whose payload yields zero frames (empty text)
+      // contributes no row — the closed form must mirror that.
       "q_mm_pipeline" ->
         """WITH base AS (
           |  SELECT doc_id,
@@ -407,15 +445,18 @@ object DocQueries {
           |  SELECT doc_id, kind, m,
           |    (m + 63) // 64 AS c,
           |    ((m + 63) // 64 + 1) // 2 AS k
-          |  FROM base)
+          |  FROM base),
+          |nonempty AS (SELECT * FROM per_doc WHERE k > 0)
           |SELECT kind,
           |  count(DISTINCT doc_id) AS n_docs,
           |  CAST(sum(k) AS BIGINT) AS total_frames,
           |  CAST(sum(CASE WHEN (c - 1) % 2 = 0
           |                THEN 64 * (k - 1) + (m - 64 * (c - 1))
           |                ELSE 64 * k END) AS BIGINT) AS total_frame_bytes
-          |FROM per_doc GROUP BY 1""".stripMargin,
+          |FROM nonempty GROUP BY 1""".stripMargin,
 
+      // head CASE mirrors the Spark stub's empty-payload sentinel (-1):
+      // DuckDB's ascii('') is 0, not -1.
       "q_mm_features" ->
         """SELECT
           |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -423,8 +464,10 @@ object DocQueries {
           |       ELSE 'video' END AS kind,
           |  count(*) AS n,
           |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-          |  min(ascii(substring(text, 1, 1))) AS min_head,
-          |  max(ascii(substring(text, 1, 1))) AS max_head
+          |  min(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+          |           ELSE ascii(substring(text, 1, 1)) END) AS min_head,
+          |  max(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+          |           ELSE ascii(substring(text, 1, 1)) END) AS max_head
           |FROM documents GROUP BY 1""".stripMargin
     )
   }

@@ -45,11 +45,11 @@ object StreamingRollup {
     if (interval.isEmpty) w.trigger(Trigger.AvailableNow())
     else w.trigger(Trigger.ProcessingTime(interval))
 
-  /** S7-analog streaming sink: append the rollup to day-partitioned parquet
-    * with exactly-once checkpointing. Update-mode rows land via foreachBatch
-    * so any idempotent external sink (JDBC/HTTP) can be swapped in —
-    * the reference's ClickHouse/Druid push sinks live at this seam
-    * (clickhouse/clickhouse.py:60-67, druid/push_streaming.py:59-82).
+  /** S7-analog streaming sink: an Append-mode parquet writeStream with
+    * exactly-once checkpointing. For external push sinks (the reference's
+    * ClickHouse/Druid HTTP landings — clickhouse/clickhouse.py:60-67,
+    * druid/push_streaming.py:59-82) use [[HttpPushSink.start]], the
+    * foreachBatch seam with retry/backoff and batchId idempotency.
     */
   def startParquetSink(rollup: DataFrame, path: String, checkpoint: String,
                        interval: String = "") = {

@@ -79,6 +79,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("stopShingleFrac guard derives the cap from corpus size") {
+    // 'common common common' is in all 10 docs -> df=10 > max(5, 0.2*10)=5,
+    // dropped; with it gone no candidate pairs remain.
+    val spammy = (1L to 10L).map(i => (i, "common common common common"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(spammy, "doc_id", "text", n = 3, tau = 0.1,
+      stopShingleFrac = 0.2)
+    assert(pairs.count() === 0)
+    // a rare shingle (df=2 <= cap) survives the guard and still pairs up
+    val mixed = spammy.union(Seq(
+      (21L, "rare one two three"), (22L, "rare one two three"))
+      .toDF("doc_id", "text"))
+    val kept = Dedup.jaccardPairs(mixed, "doc_id", "text", n = 3, tau = 0.1,
+      stopShingleFrac = 0.2)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(kept === Set((21L, 22L)))
+  }
+
+  test("banded simhash pair scan == all-pairs brute force (exactness)") {
+    // sketches engineered at graded distances from doc 1's sketch
+    val base = java.lang.Long.parseLong("0FFFFFFFFFFFFFF", 16) // 60 bits set... low 56
+    val sk = Seq(
+      (1L, base), (2L, base ^ 1L), (3L, base ^ 0x31L), // dist 1, dist 3
+      (4L, base ^ 0xF0F0F0L), (5L, ~base & ((1L << 60) - 1)))
+      .toDF("doc_id", "simhash")
+    for (maxDist <- Seq(0, 3, 6, 12)) {
+      val banded = Dedup.simhashPairs(sk, "doc_id", maxDist)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("dist"))).toMap
+      val brute = sk.as[(Long, Long)].collect().toSeq
+        .combinations(2).map(_.sortBy(_._1))
+        .map { case Seq((i, si), (j, sj)) => ((i, j), java.lang.Long.bitCount(si ^ sj).toLong) }
+        .filter(_._2 <= maxDist).toMap
+      assert(banded === brute, s"maxDist=$maxDist")
+    }
+  }
+
   test("simhash near-dup has small distance, unrelated doc large") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val d = Dedup.simhashPairs(sk, "doc_id", maxDist = 60)

@@ -29,6 +29,17 @@ class SimilaritySpec extends SparkSpec {
     assert(a((0L, 4L)) < -0.9999) // anti-colinear
   }
 
+  test("blocked kernel pairs == declarative pairs (no driver collect)") {
+    val a = Similarity.cosinePairs(vecs, "vec_id", "embedding", tau = -1.1, dim = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // blocks=3 over 5 vectors exercises same-block triangles AND cross-block
+    // rectangles, including a singleton block
+    val b = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding",
+      tau = -1.1, blocks = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(a === b)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 4)
