@@ -56,17 +56,24 @@ object Lookups {
     * (QRadar's "other").
     */
   def networkNameExpr(cidrs: Seq[(String, String)], ip: Column,
-                      defaultName: String = "other"): Column = {
+                      defaultName: String = "other"): Column =
     // Strict native parse: malformed addresses ("266.1.1.1") yield null,
     // so every when() comparison is null and the chain falls through to
     // defaultName — without this gate the numeric pack would mask dirty
     // strings into real networks.
-    val packed = graft.plans.GraftFunctions.ipToLongNative(ip)
+    networkNameExprPacked(cidrs,
+      graft.plans.GraftFunctions.ipToLongNative(ip), defaultName)
+
+  /** networkNameExpr over an already-packed Long IP — the pack-at-ingest
+    * hot path: each hierarchy entry is 2 ALU ops, no parse in the chain.
+    */
+  def networkNameExprPacked(cidrs: Seq[(String, String)], ipLong: Column,
+                            defaultName: String = "other"): Column = {
     val ordered = cidrs
       .map { case (cidr, name) => (Net.parseCidr(cidr), cidr.split("/")(1).toInt, name) }
       .sortBy(-_._2)
     ordered.foldRight(lit(defaultName)) { case (((net, mask), _, name), els) =>
-      when(packed.bitwiseAND(lit(mask)) === lit(net), lit(name)).otherwise(els)
+      when(ipLong.bitwiseAND(lit(mask)) === lit(net), lit(name)).otherwise(els)
     }
   }
 
@@ -83,10 +90,17 @@ object Lookups {
   def networkNameDomainExpr(byDomain: Map[Int, Seq[(String, String)]],
                             ip: Column, domainId: Column,
                             defaultName: String = "other"): Column =
+    networkNameDomainExprPacked(byDomain,
+      graft.plans.GraftFunctions.ipToLongNative(ip), domainId, defaultName)
+
+  /** Domain-aware FULLNETWORKNAME over an already-packed Long IP. */
+  def networkNameDomainExprPacked(byDomain: Map[Int, Seq[(String, String)]],
+                                  ipLong: Column, domainId: Column,
+                                  defaultName: String = "other"): Column =
     byDomain.toSeq.sortBy(_._1).foldRight(lit(defaultName)) {
       case ((dom, cidrs), els) =>
         when(domainId === lit(dom),
-          networkNameExpr(cidrs, ip, defaultName)).otherwise(els)
+          networkNameExprPacked(cidrs, ipLong, defaultName)).otherwise(els)
     }
 
   /** networkNameExpr over a `(cidr, name)` DataFrame: the hierarchy is

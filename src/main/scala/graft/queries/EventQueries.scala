@@ -32,6 +32,70 @@ object EventQueries {
   private def sqlReservedOnly(ip: String) =
     s"($ip//16777216 IN (0, 127) OR $ip//65536 = 43518)"
 
+  /** Per-domain network hierarchies — the FULLNETWORKNAME(ip, domainId)
+    * dimension (reference: qradar/input/queries.json:2-3). Domain 7 is the
+    * composite queries' customer ("NATION_7"); domains 3/12 prove the
+    * domain dispatch resolves the same IP differently per tenant.
+    */
+  private val NetHierarchies: Map[Int, Seq[(String, String)]] = Map(
+    3 -> Seq("10.0.0.0/8" -> "corp", "8.8.0.0/16" -> "dns"),
+    7 -> Seq("203.0.32.0/19" -> "scanner", "8.8.0.0/18" -> "dns",
+      "10.99.0.0/16" -> "dmz", "172.16.0.0/12" -> "branch"),
+    12 -> Seq("192.168.0.0/16" -> "lab"))
+
+  /** Oracle-side mirror of networkNameDomainExpr over [[NetHierarchies]]
+    * (independent packed-int derivation, longest prefix first).
+    */
+  private def sqlNetName(p: String): String =
+    s"""CASE WHEN domain_id = 3 THEN
+       |       (CASE WHEN $p//65536 = 2056 THEN 'dns'
+       |             WHEN $p//16777216 = 10 THEN 'corp' ELSE 'other' END)
+       |     WHEN domain_id = 7 THEN
+       |       (CASE WHEN $p//8192 = 415745 THEN 'scanner'
+       |             WHEN $p//16384 = 8224 THEN 'dns'
+       |             WHEN $p//65536 = 2659 THEN 'dmz'
+       |             WHEN $p//1048576 = 2753 THEN 'branch' ELSE 'other' END)
+       |     WHEN domain_id = 12 THEN
+       |       (CASE WHEN $p//65536 = 49320 THEN 'lab' ELSE 'other' END)
+       |     ELSE 'other' END""".stripMargin
+
+  /** The shared clause stack of the two faithful composite AQL queries
+    * (reference: qradar/input/queries.json:2-3): customer scoping via
+    * DOMAINNAME, port NOT IN, the full category list (incl. 4037),
+    * LOGSOURCETYPENAME exclusion ("ASIA" plays 'Custom Rule Engine' in the
+    * region dim), refset anti ("Known DNS traffic" = signup destinations),
+    * START/STOP window, and the 2-arg FULLNETWORKNAME columns.
+    */
+  private def allowedTrafficBase(s: SparkSession, dir: String): DataFrame = {
+    val ev = se(s, dir)
+    val knownDns = ev.filter(col("event_type") === "signup").select("destination_ip_packed")
+    val filtered = ev.filter(
+      !col("destination_port").isin(0, 1, 2, 3, 43, 161, 162) &&
+        col("highlevelcategory") === 4000 &&
+        col("category").isin(4002, 4007, 4012, 4016, 4025, 4027, 4031, 4037, 4039) &&
+        col("ts") >= lit("2024-01-03") && col("ts") < lit("2024-01-29"))
+    val noDns = Lookups.notInReferenceSet(filtered, knownDns, "destination_ip_packed")
+    val named = Lookups.lookup(noDns, Tables.nation(s, dir),
+      "domain_id", "n_nationkey", "n_name", "domainName")
+    val typed = Lookups.lookup(named, Tables.region(s, dir),
+      "device_type", "r_regionkey", "r_name", "log_source_type")
+    typed
+      .withColumn("src_net", Lookups.networkNameDomainExprPacked(
+        NetHierarchies, col("source_ip_packed"), col("domain_id")))
+      .withColumn("dst_net", Lookups.networkNameDomainExprPacked(
+        NetHierarchies, col("destination_ip_packed"), col("domain_id")))
+      .filter(col("domainName") === "NATION_7" &&
+        col("log_source_type") =!= "ASIA")
+  }
+
+  private val sqlAllowedCommon: String =
+    """e.destination_port NOT IN (0,1,2,3,43,161,162)
+      |  AND e.highlevelcategory = 4000
+      |  AND e.category IN (4002,4007,4012,4016,4025,4027,4031,4037,4039)
+      |  AND e.ts >= TIMESTAMP '2024-01-03' AND e.ts < TIMESTAMP '2024-01-29'
+      |  AND e.destination_ip NOT IN (SELECT DISTINCT destination_ip FROM e WHERE event_type = 'signup')
+      |  AND n.n_name = 'NATION_7' AND r.r_name <> 'ASIA'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2: projection with aliases over schema-on-read columns.
     "q_p1_projection" -> ((s, dir) => {
@@ -137,6 +201,79 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // J1 (FULLNETWORKNAME, 2-arg): the same IP resolves per-domain — the
+    // codegen'd dispatch chain over NetHierarchies, no join, no shuffle
+    // until the final aggregate.
+    "q_j1_fullnetworkname_domain" -> ((s, dir) => {
+      se(s, dir)
+        .withColumn("src_net", Lookups.networkNameDomainExprPacked(
+          NetHierarchies, col("source_ip_packed"), col("domain_id")))
+        .withColumn("dst_net", Lookups.networkNameDomainExprPacked(
+          NetHierarchies, col("destination_ip_packed"), col("domain_id")))
+        .groupBy("src_net", "dst_net")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // The reference's first production query, clause for clause
+    // (reference: qradar/input/queries.json:2 "AllowedInboundTraffic"):
+    // full quoted-alias projection, public source, private destination,
+    // FULLNETWORKNAME(sourceip, domainId) = 'other'.
+    "q_allowed_inbound" -> ((s, dir) => {
+      allowedTrafficBase(s, dir)
+        .filter(!Net.isPrivateOrReservedPacked(col("source_ip_packed")) &&
+          Net.isRfc1918Packed(col("destination_ip_packed")) &&
+          col("src_net") === "other")
+        .select(
+          col("domainName"),
+          col("domain_id").as("Domain"),
+          col("event_count").as("Event Count"),
+          col("source_ip").as("Source IP"),
+          col("destination_port").as("Destination Port"),
+          col("rule_name").as("Rule Name (custom)"),
+          col("destination_ip").as("Destination IP"),
+          col("log_source_type").as("Log Source Type"),
+          unix_millis(col("ts")).as("Start Time"),
+          col("dst_net").as("Destination Network"),
+          col("src_net").as("Source Network"),
+          col("source_geo").as("Source Geographic Country/Region"),
+          col("source_port").as("Source Port"),
+          col("mitre_tactic").as("Mitre Tactic"),
+          col("mitre_technique").as("Mitre Technique"))
+    }),
+
+    // The reference's second production query (queries.json:3
+    // "AllowedOutboundTraffic"): private source, public destination,
+    // FULLNETWORKNAME(destinationip, domainId) = 'other', plus the
+    // LOGSOURCENAME and QIDNAME lookups in the projection.
+    "q_allowed_outbound" -> ((s, dir) => {
+      val base = allowedTrafficBase(s, dir)
+        .filter(Net.isRfc1918Packed(col("source_ip_packed")) &&
+          !Net.isPrivateOrReservedPacked(col("destination_ip_packed")) &&
+          col("dst_net") === "other")
+      val withLs = Lookups.lookup(base, Tables.supplier(s, dir),
+        "log_source_id", "s_suppkey", "s_name", "log_source_name")
+      val withQid = Lookups.lookup(withLs, Tables.part(s, dir),
+        "qid", "p_partkey", "p_name", "event_name")
+      withQid.select(
+        col("domainName"),
+        col("domain_id").as("Domain"),
+        col("event_count").as("Event Count"),
+        col("destination_ip").as("Destination IP"),
+        col("destination_port").as("Destination Port"),
+        col("rule_name").as("Rule Name (custom)"),
+        col("log_source_name").as("Log Source"),
+        col("log_source_type").as("Log Source Type"),
+        col("source_ip").as("Source IP"),
+        unix_millis(col("ts")).as("Start Time"),
+        col("src_net").as("Source Network"),
+        col("event_name").as("Event Name"),
+        col("dest_geo").as("Destination Geographic Country/Region"),
+        col("action").as("Action"),
+        col("policy_name").as("Policy Name"),
+        col("mitre_tactic").as("Mitre Tactic"),
+        col("mitre_technique").as("Mitre Technique"))
+    }),
+
     // J2: NOT referencesetcontains(...) — broadcast anti join.
     "q_j2_refset_anti" -> ((s, dir) => {
       val ev = se(s, dir)
@@ -176,14 +313,17 @@ object EventQueries {
     // port NOT IN + category IN + CIDR split + refset anti + dim lookup.
     "q_a1_hourly_rollup" -> ((s, dir) => {
       val ev = se(s, dir)
-      val knownDns = ev.filter(col("event_type") === "signup").select("destination_ip")
+      // refset anti on the packed Long (injective with the dotted-quad
+      // string here) — joining on the string would rebuild the concat
+      // derivation on both sides
+      val knownDns = ev.filter(col("event_type") === "signup").select("destination_ip_packed")
       val filtered = ev.filter(
         !col("destination_port").isin(0, 1, 2, 3, 43, 161, 162) &&
           col("highlevelcategory") === 4000 &&
-          col("category").isin(4002, 4007, 4012, 4016, 4025, 4027, 4031, 4039) &&
-          Net.isRfc1918(col("source_ip")) &&
-          !Net.isPrivateOrReserved(col("destination_ip")))
-      val noDns = Lookups.notInReferenceSet(filtered, knownDns, "destination_ip")
+          col("category").isin(4002, 4007, 4012, 4016, 4025, 4027, 4031, 4037, 4039) &&
+          Net.isRfc1918Packed(col("source_ip_packed")) &&
+          !Net.isPrivateOrReservedPacked(col("destination_ip_packed")))
+      val noDns = Lookups.notInReferenceSet(filtered, knownDns, "destination_ip_packed")
       val named = Lookups.lookup(noDns, Tables.nation(s, dir),
         "domain_id", "n_nationkey", "n_name", "domain_name")
       Rollup.hourly(named, "ts", "value",
@@ -383,6 +523,59 @@ object EventQueries {
            |  count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM e GROUP BY 1, 2""".stripMargin),
 
+      "q_j1_fullnetworkname_domain" -> cte(
+        s"""SELECT ${sqlNetName(pSrc)} AS src_net,
+           |  ${sqlNetName(pDst)} AS dst_net,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM e GROUP BY 1, 2""".stripMargin),
+
+      "q_allowed_inbound" -> cte(
+        s"""SELECT n.n_name AS "domainName", e.domain_id AS "Domain",
+           |  e.event_count AS "Event Count", e.source_ip AS "Source IP",
+           |  e.destination_port AS "Destination Port",
+           |  e.rule_name AS "Rule Name (custom)",
+           |  e.destination_ip AS "Destination IP",
+           |  r.r_name AS "Log Source Type",
+           |  epoch_ms(e.ts) AS "Start Time",
+           |  ${sqlNetName(pDst)} AS "Destination Network",
+           |  ${sqlNetName(pSrc)} AS "Source Network",
+           |  e.source_geo AS "Source Geographic Country/Region",
+           |  e.source_port AS "Source Port",
+           |  e.mitre_tactic AS "Mitre Tactic",
+           |  e.mitre_technique AS "Mitre Technique"
+           |FROM e JOIN nation n ON e.domain_id = n.n_nationkey
+           |       JOIN region r ON e.device_type = r.r_regionkey
+           |WHERE $sqlAllowedCommon
+           |  AND NOT (${sqlRfc1918(pSrc)} OR ${sqlReservedOnly(pSrc)})
+           |  AND ${sqlRfc1918(pDst)}
+           |  AND (${sqlNetName(pSrc)}) = 'other'""".stripMargin),
+
+      "q_allowed_outbound" -> cte(
+        s"""SELECT n.n_name AS "domainName", e.domain_id AS "Domain",
+           |  e.event_count AS "Event Count",
+           |  e.destination_ip AS "Destination IP",
+           |  e.destination_port AS "Destination Port",
+           |  e.rule_name AS "Rule Name (custom)",
+           |  s.s_name AS "Log Source",
+           |  r.r_name AS "Log Source Type",
+           |  e.source_ip AS "Source IP",
+           |  epoch_ms(e.ts) AS "Start Time",
+           |  ${sqlNetName(pSrc)} AS "Source Network",
+           |  p.p_name AS "Event Name",
+           |  e.dest_geo AS "Destination Geographic Country/Region",
+           |  e.action AS "Action",
+           |  e.policy_name AS "Policy Name",
+           |  e.mitre_tactic AS "Mitre Tactic",
+           |  e.mitre_technique AS "Mitre Technique"
+           |FROM e JOIN nation n ON e.domain_id = n.n_nationkey
+           |       JOIN region r ON e.device_type = r.r_regionkey
+           |       LEFT JOIN supplier s ON e.log_source_id = s.s_suppkey
+           |       LEFT JOIN part p ON e.qid = p.p_partkey
+           |WHERE $sqlAllowedCommon
+           |  AND ${sqlRfc1918(pSrc)}
+           |  AND NOT (${sqlRfc1918(pDst)} OR ${sqlReservedOnly(pDst)})
+           |  AND (${sqlNetName(pDst)}) = 'other'""".stripMargin),
+
       "q_j2_refset_anti" -> cte(
         """SELECT user_id, count(*) AS n FROM e
           |WHERE event_type = 'purchase'
@@ -411,7 +604,7 @@ object EventQueries {
            |FROM e LEFT JOIN nation n ON e.domain_id = n.n_nationkey
            |WHERE e.destination_port NOT IN (0,1,2,3,43,161,162)
            |  AND e.highlevelcategory = 4000
-           |  AND e.category IN (4002,4007,4012,4016,4025,4027,4031,4039)
+           |  AND e.category IN (4002,4007,4012,4016,4025,4027,4031,4037,4039)
            |  AND ${sqlRfc1918(pSrc)}
            |  AND NOT (${sqlRfc1918(pDst)} OR ${sqlReservedOnly(pDst)})
            |  AND e.destination_ip NOT IN (SELECT DISTINCT destination_ip FROM e WHERE event_type = 'signup')

@@ -28,6 +28,33 @@ class LookupsSpec extends SparkSpec {
     assert(notIn === Set(99))
   }
 
+  test("networkNameExpr falls back to default for malformed addresses") {
+    val hierarchy = Seq("10.0.0.0/8" -> "corp")
+    val got = Seq("10.1.2.3", "266.1.1.1", "host-7", "")
+      .toDF("ip")
+      .select(Lookups.networkNameExpr(hierarchy, col("ip")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    // '266.1.1.1' would pack numerically into 10.0.0.0/8; the strict
+    // parser nulls it out instead
+    assert(got === Seq("corp", "other", "other", "other"))
+  }
+
+  test("networkNameDomainExpr resolves the same IP per domain") {
+    val byDomain = Map(
+      1 -> Seq("10.0.0.0/8" -> "corp", "10.99.0.0/16" -> "dmz"),
+      2 -> Seq("10.99.0.0/16" -> "lab2"))
+    val rows = Seq(
+      ("10.99.1.1", 1), // dmz in domain 1 (longest prefix)
+      ("10.99.1.1", 2), // lab2 in domain 2 — same IP, different tenant
+      ("10.1.2.3", 2),  // no /8 entry in domain 2
+      ("10.1.2.3", 9))  // domain with no hierarchy
+      .toDF("ip", "dom")
+    val got = rows.select(Lookups.networkNameDomainExpr(
+        byDomain, col("ip"), col("dom")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("dmz", "lab2", "other", "other"))
+  }
+
   test("networkNameExpr does longest-prefix match with default") {
     val hierarchy = Seq(
       "10.0.0.0/8" -> "corp",
