@@ -96,7 +96,36 @@ object EventQueries {
       |  AND e.destination_ip NOT IN (SELECT DISTINCT destination_ip FROM e WHERE event_type = 'signup')
       |  AND n.n_name = 'NATION_7' AND r.r_name <> 'ASIA'""".stripMargin
 
+  /** P8 backing store: the events table landed once per sfDir as
+    * day-partitioned parquet (A3 retention layout), so the partition-
+    * pruning query reads a real partitioned store. Memoized write-once
+    * per JVM; /tmp is this harness's scratch space.
+    */
+  private val p8Paths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def eventsByDay(s: SparkSession, dir: String): DataFrame = {
+    val path = p8Paths.getOrElseUpdate(dir, {
+      val out = s"/tmp/graft_p8_store_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Rollup.writePartitionedByDay(
+        Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")),
+        "ts", out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P8: partition targeting end-to-end — a day-range predicate on the
+    // partition column prunes directories at planning time (PartitionFilters,
+    // asserted in SinksSpec) and the result hash-matches the oracle's scan
+    // of the raw table. Note yyyymmdd reads back as INT (partition column
+    // type inference); the oracle casts to match.
+    "q_p8_partition_pruning" -> ((s, dir) => {
+      eventsByDay(s, dir)
+        .filter(col("yyyymmdd") >= 20240110 && col("yyyymmdd") < 20240120)
+        .groupBy("yyyymmdd")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // P1/P2: projection with aliases over schema-on-read columns.
     "q_p1_projection" -> ((s, dir) => {
       se(s, dir).filter(col("event_type") === "purchase")
@@ -447,6 +476,14 @@ object EventQueries {
     val pSrc = packed("source_ip")
     val pDst = packed("destination_ip")
     Map(
+      "q_p8_partition_pruning" -> cte(
+        """SELECT CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS yyyymmdd,
+          |count(*) AS n, round(sum(value),2) AS sum_value
+          |FROM e
+          |WHERE CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) >= 20240110
+          |  AND CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) < 20240120
+          |GROUP BY 1""".stripMargin),
+
       "q_p1_projection" -> cte(
         """SELECT event_id AS id, event_type AS event_name, round(value,2) AS value_r,
           |strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM e WHERE event_type = 'purchase'""".stripMargin),

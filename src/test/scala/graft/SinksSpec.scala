@@ -26,4 +26,16 @@ class SinksSpec extends SparkSpec {
     val scan = read.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
   }
+
+  test("q_p8 plan prunes day partitions via PartitionFilters, no data filter") {
+    val df = graft.SparkEntry.queries("q_p8_partition_pruning")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the day range must land in PartitionFilters (pruned at planning),
+    // with a non-empty predicate on the partition column
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val pf = plan.split("PartitionFilters: ")(1)
+    assert(pf.contains("yyyymmdd"), plan)
+    assert(df.collect().map(_.getAs[Long]("n")).sum > 0)
+  }
 }
