@@ -115,6 +115,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_simhash plan is a shuffled equi-join — no cartesian scan") {
+    val df = graft.SparkEntry.queries("q_dedup_simhash")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("simhash near-dup has small distance, unrelated doc large") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val d = Dedup.simhashPairs(sk, "doc_id", maxDist = 60)
