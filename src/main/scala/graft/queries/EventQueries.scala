@@ -432,6 +432,21 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // §2.6 superset: frame-bounded sliding window + lag — per-user 3-row
+    // moving sum and inter-event gap, one shuffle on the partition key
+    // (both windows share the (user_id, ts) sort). Integer measures keep
+    // the oracle exact (no float summation-order hazard).
+    "q_window_moving_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-2, 0)
+      se(s, dir).select(
+        col("event_id"),
+        sum(col("destination_port")).over(frame).as("mv_sum"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+    }),
+
     // Sessionization: per-user activity sessions split at 30-minute gaps;
     // session stats prove the island numbering end-to-end.
     "q_sessionize" -> ((s, dir) => {
@@ -693,6 +708,13 @@ object EventQueries {
         """SELECT regexp_replace('Cu st_om"er&''' || user_id, '[ ''"&_]', '', 'g') AS clean_name,
           |count(*) AS n
           |FROM e GROUP BY 1""".stripMargin),
+
+      "q_window_moving_sum" -> cte(
+        """SELECT event_id,
+          |  CAST(sum(destination_port) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_sum,
+          |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          |FROM e""".stripMargin),
 
       "q_sessionize" -> (s"WITH e AS (\n${Enrich.sqlCte}\n),\n" +
         """marked AS (

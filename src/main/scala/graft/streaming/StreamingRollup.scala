@@ -72,12 +72,20 @@ object StreamingRollup {
     * (null, "a") serialize differently (concat_ws would drop nulls and
     * collide them).
     */
+  /** The Kafka record shaping alone (key = hash of group columns, value =
+    * full-row JSON) — pure column exprs, identical on batch and streaming
+    * frames, so StreamingRollupSpec can pin the wire format without a
+    * broker.
+    */
+  def kafkaPayload(rollup: DataFrame, keyCols: Seq[String]): DataFrame =
+    rollup.select(
+      sha2(to_json(struct(keyCols.map(col): _*)), 256).as("key"),
+      to_json(struct(rollup.columns.map(col).toIndexedSeq: _*)).as("value"))
+
   def kafkaSinkWriter(rollup: DataFrame, bootstrap: String, topic: String,
                       keyCols: Seq[String],
                       saslJaas: Option[String] = None): DataStreamWriter[Row] = {
-    val payload = rollup.select(
-      sha2(to_json(struct(keyCols.map(col): _*)), 256).as("key"),
-      to_json(struct(rollup.columns.map(col).toIndexedSeq: _*)).as("value"))
+    val payload = kafkaPayload(rollup, keyCols)
     val w = payload.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)

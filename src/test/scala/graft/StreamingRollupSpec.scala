@@ -53,6 +53,28 @@ class StreamingRollupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka sink payload: group-key partition affinity, null-safe keys") {
+    val rows = Seq(
+      (ts("2024-07-24 10:00:00"), "a", 1L),
+      (ts("2024-07-24 10:00:00"), "a", 2L),   // same group, new measure
+      (ts("2024-07-24 10:00:00"), null, 3L),  // null dim
+      (ts("2024-07-24 11:00:00"), "a", 4L))
+      .toDF("hour", "dim", "sv")
+    val out = StreamingRollup.kafkaPayload(rows, Seq("hour", "dim"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.forall(_._1.length === 64)) // sha256 hex
+    // successive updates of one (hour, dim) group share a key => same
+    // Kafka partition; measure changes must NOT change the key
+    assert(out(0)._1 === out(1)._1)
+    assert(out(0)._1 !== out(3)._1)
+    // value carries the whole row as field-named JSON
+    assert(out(0)._2.contains(""""sv":1"""))
+    assert(out(1)._2.contains(""""sv":2"""))
+    // null dim is dropped from the key struct's JSON but still yields a
+    // stable, distinct key
+    assert(out(2)._1 !== out(0)._1)
+  }
+
   test("streaming rollup matches batch rollup on the same closed windows") {
     implicit val ctx = spark.sqlContext
     val rows = Seq(
