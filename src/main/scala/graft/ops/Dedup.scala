@@ -224,6 +224,50 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Transitive-closure dedup clustering: near-dup pairs induce connected
+    * components, and every member doc resolves to its component's minimum
+    * id — the canonical survivor. Production dedup keeps ONE doc per
+    * cluster; dropping `j` of every pair over-drops on chains (a~b, b~c
+    * removes b AND c even when a~c is below tau).
+    *
+    * Iterative min-label propagation (the Pregel connected-components
+    * pattern): each round joins labels across the symmetric edge list and
+    * takes the elementwise min. Rounds needed = O(component diameter);
+    * near-dup components are near-cliques, so 2-3 rounds converge. The
+    * driver loop only orchestrates rounds and checks convergence (one
+    * metadata-sized action per round) — all data movement is distributed
+    * joins/aggregates on the edge list. At 100 TB add `localCheckpoint`
+    * every few rounds to truncate lineage; the loop shape is unchanged.
+    *
+    * Returns (id, cluster) for every doc incident to >= 1 pair.
+    */
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = CacheRegistry.persist(
+      pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
+        .union(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b"))))
+    var labels = CacheRegistry.persist(
+      edges.groupBy("a").agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("a"), col("nmin")).as("label")))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val byNeighbor = labels.select(col("a").as("b"), col("label").as("blabel"))
+      val neighborMin = edges.join(byNeighbor, "b")
+        .groupBy("a").agg(min(col("blabel")).as("nmin"))
+      val next = CacheRegistry.persist(
+        labels.join(neighborMin, Seq("a"), "left")
+          .select(col("a"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      val changed = next.join(
+          labels.select(col("a"), col("label").as("old")), "a")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("a").as("id"), col("label").as("cluster"))
+  }
+
   /** Per-document 60-bit SimHash over term frequencies: bit b of the sketch
     * is set iff sum over tokens of (tf if bit b of md5Long(token) else -tf)
     * is positive.

@@ -260,6 +260,30 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Elementwise mean-pooled embedding per group (centroid computation —
+    * the feature-aggregation building block of IVF training, per-source
+    * embedding drift monitoring, etc.). The scale-right shape: ONE
+    * aggregate pass with `dim` sums as independent aggregate expressions,
+    * so map-side partial aggregation collapses each partition to one row
+    * per group BEFORE the shuffle — no posexplode row multiplication of
+    * the corpus (n x dim rows through an exchange). The narrow (grp, pos,
+    * mean) unpacking happens after aggregation, on O(groups) rows.
+    * Quantized-integer sums keep the oracle exact.
+    */
+  def meanPool(em: DataFrame, groupExpr: Column, embCol: String,
+               dim: Int = 64): DataFrame = {
+    val q = quantize(col(embCol))
+    val sums = (1 to dim).map(k => sum(element_at(q, k)).as(s"__s$k"))
+    val agg = em.groupBy(groupExpr.as("grp"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val posMeans = array((1 to dim).map(k =>
+      struct(lit(k).as("pos"),
+        (col(s"__s$k").cast("double") / col("n")).as("mean"))): _*)
+    agg.select(col("grp"), col("n"), explode(posMeans).as("pm"))
+      .select(col("grp"), col("n"), col("pm.pos").as("pos"),
+        round(col("pm.mean"), 4).as("mean"))
+  }
+
   /** Sign-LSH bucket key: one bit per probed dimension (axis-aligned
     * random-hyperplane family), packed into a Long. Vectors in the same
     * bucket agree on the sign of every probed dimension. Comparing raw

@@ -211,9 +211,26 @@ object DocQueries {
           sum(TA.nTokens(col("toks"))).as("total_tokens"))
     }),
 
+    // Cluster-granular dedup: LSH pairs -> connected components -> one
+    // canonical survivor per component (min id). The oracle replays the
+    // closure with a recursive CTE.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+      Dedup.dedupClusters(pairs)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    }),
+
     "q_dedup_embed_cosine" -> ((s, dir) => {
       Similarity.cosinePairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
         tau = CosineTau, blocks = 8)
+    }),
+
+    // Mean-pooled embedding per bucket — elementwise centroid aggregation
+    // with map-side partials (no corpus explode).
+    "q_emb_meanpool" -> ((s, dir) => {
+      Similarity.meanPool(Tables.embeddings(s, dir), col("vec_id") % 8, "embedding")
     }),
 
     // ---- similarity search ----
@@ -377,11 +394,31 @@ object DocQueries {
            |WHERE doc_id NOT IN (SELECT j FROM lshpairs)
            |GROUP BY 1""".stripMargin,
 
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE ${sqlLshPairCtesFrom("documents")},
+           |syme AS (SELECT i AS a, j AS b FROM lshpairs
+           |         UNION SELECT j, i FROM lshpairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM syme
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN syme e ON r.b = e.a),
+           |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+           |SELECT cluster, count(*) AS n_members, max(a) AS max_id
+           |FROM lab GROUP BY 1""".stripMargin,
+
       "q_dedup_embed_cosine" ->
         s"""WITH $sqlQuantCte
            |SELECT a.vec_id AS i, b.vec_id AS j, round($sqlCos, 4) AS cos
            |FROM em a JOIN em b ON a.vec_id < b.vec_id
            |WHERE $sqlCos >= $CosineTau""".stripMargin,
+
+      "q_emb_meanpool" ->
+        s"""WITH $sqlQuantCte,
+           |ex AS (SELECT vec_id % 8 AS grp, i AS pos, q[i] AS v
+           |       FROM em, unnest(generate_series(1, len(q))) AS t(i))
+           |SELECT grp, count(*) AS n, pos,
+           |  round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean
+           |FROM ex GROUP BY grp, pos""".stripMargin,
 
       "q_sim_topk" ->
         s"""WITH $sqlQuantCte,

@@ -115,6 +115,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters: chains collapse to one component, min id wins") {
+    // chain 1~2, 2~3 (no 1~3 edge) plus the separate pair 10~11: pairwise
+    // j-dropping would remove 2 AND 3; clustering keeps one survivor per
+    // component
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("q_dedup_simhash plan is a shuffled equi-join — no cartesian scan") {
     val df = graft.SparkEntry.queries("q_dedup_simhash")(
       spark, "/root/testdata/sf0.001")
