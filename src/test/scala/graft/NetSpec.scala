@@ -73,6 +73,28 @@ class NetSpec extends SparkSpec {
     assert(got.toSeq === cases.map(_._2))
   }
 
+  test("strict native parse == regex-gated composed parse (sampled property)") {
+    import graft.plans.GraftFunctions
+    val octet = Gen.oneOf(
+      Gen.chooseNum(0, 255).map(_.toString), Gen.const("00"), Gen.const("01"),
+      Gen.const("256"), Gen.const("999"), Gen.const("x"), Gen.const(""))
+    val quasi = for {
+      n <- Gen.chooseNum(2, 5); ps <- Gen.listOfN(n, octet)
+    } yield ps.mkString(".")
+    val strs = (Gen.listOfN(400, quasi).sample.get ++
+      Seq("1.2.3.4", "255.255.255.255", "", "1.2.3.4.", ".1.2.3.4")).distinct
+    val rows = strs.toDF("ip").select(
+        col("ip"),
+        when(Net.isIpv4(col("ip")), Net.ipToLong(col("ip"))).as("composed"),
+        GraftFunctions.ipToLongNative(col("ip")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      val c = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val n = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(c === n, s"ip='${r.getString(0)}'")
+    }
+  }
+
   test("ipToLong/longToIp roundtrip (sampled property)") {
     val ns = Gen.listOfN(200, Gen.chooseNum(0L, 4294967295L)).sample.get :+
       0L :+ 4294967295L
