@@ -76,5 +76,6 @@ object CidrRangeDerivation extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CidrRangeDerivation)
+    ext.injectOptimizerRule(_ => NanosRangeDerivation)
   }
 }

@@ -70,6 +70,24 @@ class PlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("NanosRangeDerivation pushes START/STOP bounds to the raw nanos column") {
+    import graft.plans.NanosRangeDerivation
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ NanosRangeDerivation
+    try {
+      // the real nanos table + the real derivation (Tables.events)
+      def query() = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+      val plan = query().queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(ts,"), s"no pushed lower bound:\n$plan")
+      assert(plan.contains("LessThanOrEqual(ts,"), s"no pushed upper bound:\n$plan")
+      // results identical with and without the derived bounds
+      val withRule = query().count()
+      spark.experimental.extraOptimizations = prev
+      assert(query().count() === withRule)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("CidrRangeDerivation never touches unannotated 64-bit columns") {
     // x = net + 2^32 satisfies the mask-compare but would violate derived
     // bounds — without the domain annotation the rule must stay away.
