@@ -254,15 +254,15 @@ object Dedup {
       val byNeighbor = labels.select(col("a").as("b"), col("label").as("blabel"))
       val neighborMin = edges.join(byNeighbor, "b")
         .groupBy("a").agg(min(col("blabel")).as("nmin"))
+      // carry the previous label through so convergence detection is one
+      // cheap filter on the (persisted) round output — not a second join
       val next = CacheRegistry.persist(
         labels.join(neighborMin, Seq("a"), "left")
           .select(col("a"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      val changed = next.join(
-          labels.select(col("a"), col("label").as("old")), "a")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            col("label").as("old")))
+      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next.select("a", "label")
       round += 1
     }
     labels.select(col("a").as("id"), col("label").as("cluster"))

@@ -212,16 +212,19 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi cells
     * of `nCentroids` centroids; every vector joins the cell of its nearest
-    * centroid; a query probes ONLY its own cell (nprobe=1). Centroids here
-    * are the `nCentroids` lowest-id vectors — deterministic; a production
-    * index would k-means them, which changes recall, not the mechanics.
-    * Cell assignment is a broadcast scan (centroids are tiny); the search
-    * join shuffles on the cell id — each cell holds ~n/nCentroids vectors,
+    * centroid; a query probes its `nprobe` nearest cells (the standard
+    * recall dial — more probes, more of the corpus scanned). Centroids
+    * here are the `nCentroids` lowest-id vectors — deterministic; a
+    * production index would k-means them, which changes recall, not the
+    * mechanics. Corpus cell assignment is one broadcast scan + max_by
+    * partial aggregate (never a corpus-wide window); the query side is
+    * tiny, so its nprobe-cell ranking may use a window. The search join
+    * shuffles on the cell id — each cell holds ~n/nCentroids vectors,
     * which is the whole point at 100 TB scale.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
-              nCentroids: Int): DataFrame = {
+              nCentroids: Int, nprobe: Int = 1): DataFrame = {
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), quantize(col(embCol)).as(s"q_$id"))
         .withColumn(s"n_$id", sqrt(dotQ(col(s"q_$id"), col(s"q_$id")).cast("double")))
@@ -245,7 +248,20 @@ object Similarity {
           col("best.cid").as("cell"))
     }
     val corpusCells = assign(prep(corpus, "cand_id"), "cand_id")
-    val queryCells = assign(prep(queries, "query_id"), "query_id")
+    // query side: nprobe nearest cells per query. Each corpus vector lives
+    // in exactly one cell, so probing several cells never duplicates a
+    // (query, candidate) pair.
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val queryCells = prep(queries, "query_id").crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        dotQ(col("q_query_id"), col("qc")).cast("double") /
+          (col("n_query_id") * col("nc")))
+      .withColumn("__crk", row_number().over(qw))
+      .filter(col("__crk") <= nprobe)
+      .select(col("query_id"), col("q_query_id"), col("n_query_id"),
+        col("cid").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))

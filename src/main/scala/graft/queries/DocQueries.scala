@@ -247,6 +247,14 @@ object DocQueries {
         "vec_id", "embedding", k = 5, nCentroids = 16)
     }),
 
+    // nprobe=2: each query scans its two nearest cells — the IVF recall
+    // dial; candidate volume doubles, still ~2n/nCentroids per query.
+    "q_sim_ivf_nprobe" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nprobe = 2)
+    }),
+
     "q_sim_lsh_bucket" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       Similarity.lshTopK(em, em.filter(col("vec_id") < 20),
@@ -446,6 +454,28 @@ object DocQueries {
            |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
            |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
            |       em b JOIN cells cb ON cb.vec_id = b.vec_id
+           |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 5""".stripMargin,
+
+      "q_sim_ivf_nprobe" ->
+        s"""WITH $sqlQuantCte,
+           |cents AS (SELECT vec_id AS cid, q AS qc FROM em WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.q, c.qc) /
+           |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+           |        c.cid) AS rk
+           |  FROM em e, cents c),
+           |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rk = 1),
+           |qcells AS (SELECT vec_id, cid AS cell FROM assign WHERE rk <= 2),
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
+           |       em b JOIN qcells cb ON cb.vec_id = b.vec_id
            |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id AND ca.cell = cb.cell)
            |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
