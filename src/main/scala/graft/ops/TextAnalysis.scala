@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -94,6 +94,50 @@ object TextAnalysis {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => (acc * lit(RollBase) + c) % lit(RollMod))
+
+  /** Winnowing-style fingerprint selection (the MOSS lineage): hash every
+    * character k-gram, keep the positions whose hash is the minimum of the
+    * trailing w-hash window. Density guarantee: at least one fingerprint
+    * per w consecutive k-grams, and selections are stable under edits
+    * outside the window — what makes winnowed fingerprints usable for
+    * containment/plagiarism detection over a corpus. One typed pass per
+    * document with NO shuffle (hashing and the trailing min are local to
+    * the row); only (doc, pos, fp) selections leave the scan stage. Hash
+    * math is bit-identical to [[Hashing.md5Long]] (top 60 md5 bits) so
+    * the DuckDB oracle reproduces every selection.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null || text.length < k) Iterator.empty
+          else {
+            val n = text.length - k + 1
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val digest = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+              var hx = 0L
+              var j = 0
+              while (j < 8) { hx = (hx << 8) | (digest(j) & 0xFFL); j += 1 }
+              hs(i) = hx >>> 4 // top 60 bits == first 15 md5 hex chars
+              i += 1
+            }
+            (0 until n).iterator.filter { i =>
+              var j = math.max(0, i - w + 1)
+              var isMin = true
+              while (j < i) { if (hs(j) < hs(i)) isMin = false; j += 1 }
+              isMin
+            }.map(i => (id, (i + 1).toLong, hs(i)))
+          }
+        }
+      }.toDF(idCol, "pos", "fp")
+  }
 
   // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
 

@@ -140,6 +140,16 @@ object DocQueries {
         sum(TA.bpePieceCount(col("text"))).as("bpe_pieces"))
     }),
 
+    // Winnowed k-gram fingerprints: per-doc selection stats. The trailing-
+    // window min rule is replayed exactly by the oracle's window frame.
+    "q_txt_winnow" -> ((s, dir) => {
+      TA.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+    }),
+
     "q_txt_rollinghash" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.rollingHash(col("text")).as("rhash"))
@@ -321,6 +331,20 @@ object DocQueries {
            |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
            |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
            |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_winnow" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, i AS pos,
+           |    ${Hashing.sqlMd5Long("substring(text, CAST(i AS INT), 8)")} AS h
+           |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)),
+           |sel AS (
+           |  SELECT doc_id, pos, h,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+           |  FROM g)
+           |SELECT doc_id, count(*) AS n_fp, count(DISTINCT h) AS n_distinct_fp,
+           |  min(h) AS min_fp, max(h) AS max_fp
+           |FROM sel WHERE h = wmin GROUP BY 1""".stripMargin,
 
       "q_txt_rollinghash" ->
         s"""WITH RECURSIVE pows(k, v) AS (

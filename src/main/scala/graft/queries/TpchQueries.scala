@@ -74,6 +74,21 @@ object TpchQueries {
         .select("region_name", "nation_name", "revenue", "n")
     }),
 
+    // Skew-mitigated fact-fact join (hot-key salting): identical results
+    // to the plain join, hot keys spread over 8 sub-keys. Oracle is the
+    // UNSALTED join — proving the rewrite is result-invariant.
+    "q_join_salted_skew" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedInner(li, ord, "l_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          disp(sum(discCents)).as("revenue"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // §2.6 superset: global top-k (order by + limit) with deterministic
     // tie-break on the rounded measure.
     "q_topk_customers" -> ((s, dir) => {
@@ -168,6 +183,14 @@ object TpchQueries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_salted_skew" ->
+      s"""SELECT o.o_orderpriority,
+        |  ${sqlDisp(s"sum(${sqlDiscC.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")})")} AS revenue,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_topk_customers" ->
       s"""SELECT * FROM (
