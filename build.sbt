@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // already-faulted pages and steady-state stays fast.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a 60-query suite generates hundreds of Janino classes + JIT'd methods;
+  // the 240m default code cache evicts hot code mid-suite (silent 5-15x
+  // degradation on later queries, no warning below the 'full' threshold)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -19,6 +19,12 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf, must precede session creation: the default 100-entry
+      // Janino cache thrashes across a 60-query suite (~300 codegen units
+      // per pass), so warmup compilations were evicted before the timed
+      // pass and every query re-paid compilation (measured 6-17x on the
+      // iterative operators)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     sys.env.get("PROFILE_HUGE_METHOD").foreach(v =>
       b.config("spark.sql.codegen.hugeMethodLimit", v))
     val spark = b.getOrCreate()

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf, must precede session creation: the default 100-entry
+      // Janino cache thrashes across a 60-query suite (~300 codegen units
+      // per pass), so warmup compilations were evicted before the timed
+      // pass and every query re-paid compilation (measured 6-17x on the
+      // iterative operators)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -242,9 +242,14 @@ object Dedup {
     * Returns (id, cluster) for every doc incident to >= 1 pair.
     */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    // persist the pair list BEFORE the symmetric union: both union
+    // branches reference the same (potentially expensive) pair plan, and
+    // without the cache the whole candidate pipeline would execute twice
+    val p = CacheRegistry.persist(
+      pairs.select(col("i").cast("long"), col("j").cast("long")))
     val edges = CacheRegistry.persist(
-      pairs.select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
-        .union(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b"))))
+      p.select(col("i").as("a"), col("j").as("b"))
+        .union(p.select(col("j").as("a"), col("i").as("b"))))
     var labels = CacheRegistry.persist(
       edges.groupBy("a").agg(min(col("b")).as("nmin"))
         .select(col("a"), least(col("a"), col("nmin")).as("label")))
@@ -261,7 +266,11 @@ object Dedup {
           .select(col("a"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
             col("label").as("old")))
-      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      // full count, deliberately not limit(1): the count is also the
+      // action that materializes next's cache COMPLETELY — a short-
+      // circuiting limit would leave partitions uncached and every later
+      // round would silently recompute the whole lineage for them
+      converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next.select("a", "label")
       round += 1
     }
