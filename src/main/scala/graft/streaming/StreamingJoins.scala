@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming forms of the join layer (SURVEY §2.3 on unbounded inputs).
+  *
+  * Stream × static dim needs no operator at all — `Lookups.lookup`'s
+  * broadcast left join works verbatim on a streaming frame (per-batch
+  * broadcast), which StreamingJoinsSpec pins. Stream × stream is the
+  * genuinely stateful case and lives here.
+  */
+object StreamingJoins {
+
+  /** Stream-stream inner join within an event-time interval: rows pair
+    * when keys match and the right event falls in
+    * [left_ts - windowSec, left_ts] (e.g. "purchase within an hour of a
+    * signup"). Both sides are watermarked and the join condition bounds
+    * event-time distance, so Spark derives state watermarks and evicts
+    * buffered rows — state is O(rows inside lateness + window), not the
+    * stream prefix. Matches append as soon as both sides arrive.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyL: String, keyR: String,
+                   tsL: String, tsR: String,
+                   windowSec: Long,
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsL, lateness)
+    val r = right.withWatermark(tsR, lateness)
+    l.join(r,
+      col(s"`$keyL`") === col(s"`$keyR`") &&
+        col(s"`$tsR`") >= col(s"`$tsL`") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col(s"`$tsR`") <= col(s"`$tsL`"))
+  }
+}
