@@ -18,6 +18,9 @@ object Bench {
       // pass and every query re-paid compilation (measured 6-17x on the
       // iterative operators)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // set at build time so Tables.events' runtime fallback never mutates
+      // a session mid-flight
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Session hygiene between queries, in order of responsibility:

@@ -25,6 +25,9 @@ object Profile {
       // pass and every query re-paid compilation (measured 6-17x on the
       // iterative operators)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // set at build time so Tables.events' runtime fallback never mutates
+      // a session mid-flight
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     sys.env.get("PROFILE_HUGE_METHOD").foreach(v =>
       b.config("spark.sql.codegen.hugeMethodLimit", v))
     val spark = b.getOrCreate()

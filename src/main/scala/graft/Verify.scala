@@ -20,6 +20,9 @@ object Verify {
       // pass and every query re-paid compilation (measured 6-17x on the
       // iterative operators)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // set at build time so Tables.events' runtime fallback never mutates
+      // a session mid-flight
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
