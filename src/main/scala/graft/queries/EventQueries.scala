@@ -432,6 +432,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Approximate distinct via the KMV sketch (custom typed Aggregator):
+    // O(k) state per group crosses the shuffle instead of the distinct
+    // set; md5-based minima make the estimate an exact deterministic
+    // function of the input set, so the oracle reproduces it bit for bit.
+    // Groups under k distinct values fall back to the exact regime (null
+    // estimate, filtered here; oracle mirrors via the rank-k requirement).
+    "q_agg_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.{Hashing, Kmv}
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          Kmv.kMinima(Hashing.md5Long(col("user_id").cast("string")), 32).as("m"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          Kmv.estimate(col("m"), 32).as("est_distinct"))
+        .filter(col("est_distinct").isNotNull)
+    }),
+
     // §2.6 superset: frame-bounded sliding window + lag — per-user 3-row
     // moving sum and inter-event gap, one shuffle on the partition key
     // (both windows share the (user_id, ts) sort). Integer measures keep
@@ -708,6 +726,19 @@ object EventQueries {
         """SELECT regexp_replace('Cu st_om"er&''' || user_id, '[ ''"&_]', '', 'g') AS clean_name,
           |count(*) AS n
           |FROM e GROUP BY 1""".stripMargin),
+
+      "q_agg_kmv_distinct" ->
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT event_type, h,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+          |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+          |  FROM events GROUP BY 1)
+          |SELECT r.event_type, ex.n_exact,
+          |  CAST(round(31.0 * 1152921504606846976 / CAST(h AS DOUBLE)) AS BIGINT) AS est_distinct
+          |FROM r JOIN ex USING (event_type)
+          |WHERE rk = 32""".stripMargin,
 
       "q_window_moving_sum" -> cte(
         """SELECT event_id,
