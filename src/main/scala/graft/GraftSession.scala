@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place the harness SparkSession is configured — Bench, Verify,
+  * and Profile must stay in lock-step or a drifting copy silently loses a
+  * load-bearing setting (the codegen-cache conf below is worth 6-17x on
+  * the timed suite and is STATIC, so it must precede session creation).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf: the default 100-entry Janino cache thrashes across a
+      // 60-query suite (~300 codegen units per pass), evicting warmup
+      // compilations before the timed pass
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // set at build time so Tables.events' runtime fallback never mutates
+      // a session mid-flight
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

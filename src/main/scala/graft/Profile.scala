@@ -13,21 +13,7 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // static conf, must precede session creation: the default 100-entry
-      // Janino cache thrashes across a 60-query suite (~300 codegen units
-      // per pass), so warmup compilations were evicted before the timed
-      // pass and every query re-paid compilation (measured 6-17x on the
-      // iterative operators)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // set at build time so Tables.events' runtime fallback never mutates
-      // a session mid-flight
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val b = GraftSession.builder(cpus)
     sys.env.get("PROFILE_HUGE_METHOD").foreach(v =>
       b.config("spark.sql.codegen.hugeMethodLimit", v))
     val spark = b.getOrCreate()

@@ -8,21 +8,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // static conf, must precede session creation: the default 100-entry
-      // Janino cache thrashes across a 60-query suite (~300 codegen units
-      // per pass), so warmup compilations were evicted before the timed
-      // pass and every query re-paid compilation (measured 6-17x on the
-      // iterative operators)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // set at build time so Tables.events' runtime fallback never mutates
-      // a session mid-flight
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = GraftSession.builder(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -81,12 +81,21 @@ object Net {
     else ipLong.bitwiseAND(lit(mask)) === lit(net)
   }
 
+  /** The CIDR block lists of the AQL corpus queries (reference:
+    * qradar/input/queries.json:2-3) — single source for both the string
+    * and packed predicate variants (a block added to one variant only
+    * would make them silently disagree).
+    */
+  val Rfc1918Blocks: Seq[String] =
+    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
+  val PrivateOrReservedBlocks: Seq[String] =
+    Rfc1918Blocks ++ Seq("169.254.0.0/16", "127.0.0.0/8", "0.0.0.0/8")
+
   /** RFC1918 + loopback + link-local + 0/8 "not public" disjunction used by
     * both AQL corpus queries (reference: qradar/input/queries.json:2-3).
     */
   def isPrivateOrReserved(ip: Column): Column =
-    inAnyCidr(Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
-      "169.254.0.0/16", "127.0.0.0/8", "0.0.0.0/8"), ip)
+    inAnyCidr(PrivateOrReservedBlocks, ip)
 
   /** Membership in ANY of several CIDR blocks: validate and parse the
     * address ONCE, then mask-compare the shared packed form per block —
@@ -111,18 +120,15 @@ object Net {
 
   /** The three RFC1918 private blocks only (the AQL queries' positive arm). */
   def isRfc1918(ip: Column): Column =
-    inAnyCidr(Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"), ip)
+    inAnyCidr(Rfc1918Blocks, ip)
 
   /** Packed-Long forms of the two disjunctions — the pack-at-ingest hot
     * path (2 ALU ops per block, no parse, no validity regex: a packed
     * column is valid by construction or null).
     */
   def isRfc1918Packed(ipLong: Column): Column =
-    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16")
-      .map(c => incidrPacked(c, ipLong)).reduce(_ || _)
+    Rfc1918Blocks.map(c => incidrPacked(c, ipLong)).reduce(_ || _)
 
   def isPrivateOrReservedPacked(ipLong: Column): Column =
-    Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
-      "169.254.0.0/16", "127.0.0.0/8", "0.0.0.0/8")
-      .map(c => incidrPacked(c, ipLong)).reduce(_ || _)
+    PrivateOrReservedBlocks.map(c => incidrPacked(c, ipLong)).reduce(_ || _)
 }

@@ -274,6 +274,12 @@ object Dedup {
       labels = next.select("a", "label")
       round += 1
     }
+    // a silently unconverged result would mislabel chain tails as separate
+    // clusters (and hash-mismatch any exact oracle) — refuse instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds — a component's " +
+          s"diameter exceeds maxRounds; raise it (rounds needed = O(diameter))")
     labels.select(col("a").as("id"), col("label").as("cluster"))
   }
 

@@ -137,17 +137,21 @@ object Similarity {
                          tau: Double, blocks: Int = 8): DataFrame = {
     val spark = em.sparkSession
     import spark.implicits._
-    val blocked = em.select(col(idCol).cast("long"), quantize(col(embCol)))
-      .as[(Long, Array[Long])]
-      .groupByKey(r => (((r._1 % blocks) + blocks) % blocks).toInt)
-      .mapGroups { (b: Int, it: Iterator[(Long, Array[Long])]) =>
-        val arr = it.map { case (id, v) =>
-          (id, v, math.sqrt(v.map(x => x * x).sum.toDouble))
-        }.toArray.sortBy(_._1)
-        (b, arr)
-      }
-    val bl = blocked.toDF("b1", "rows1")
-    val br = blocked.toDF("b2", "rows2")
+    // persist: both sides of the block-pair join reference this plan, and
+    // without the cache the scan + quantize + shuffle + block build would
+    // execute twice per invocation
+    val blocked = CacheRegistry.persist(
+      em.select(col(idCol).cast("long"), quantize(col(embCol)))
+        .as[(Long, Array[Long])]
+        .groupByKey(r => (((r._1 % blocks) + blocks) % blocks).toInt)
+        .mapGroups { (b: Int, it: Iterator[(Long, Array[Long])]) =>
+          val arr = it.map { case (id, v) =>
+            (id, v, math.sqrt(v.map(x => x * x).sum.toDouble))
+          }.toArray.sortBy(_._1)
+          (b, arr)
+        }.toDF("b", "rows"))
+    val bl = blocked.select(col("b").as("b1"), col("rows").as("rows1"))
+    val br = blocked.select(col("b").as("b2"), col("rows").as("rows2"))
     bl.join(br, col("b1") <= col("b2"))
       .select(col("b1").as("_1"), col("rows1").as("_2"),
         col("b2").as("_3"), col("rows2").as("_4"))

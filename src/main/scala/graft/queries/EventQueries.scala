@@ -104,7 +104,10 @@ object EventQueries {
   private val p8Paths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def eventsByDay(s: SparkSession, dir: String): DataFrame = {
     val path = p8Paths.getOrElseUpdate(dir, {
-      val out = s"/tmp/graft_p8_store_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // per-JVM temp dir: a fixed shared path would let a concurrent
+      // harness JVM's overwrite delete files under this JVM's planned scan
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_p8_store_").toString
       Rollup.writePartitionedByDay(
         Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")),
         "ts", out)

@@ -49,7 +49,10 @@ object HttpPushSink {
     while (true) {
       try return attempt
       catch {
-        case e: Throwable =>
+        // NonFatal only: an interrupt means Spark is cancelling the task
+        // and an Error is JVM-fatal — sleeping and retrying over either
+        // would delay the kill by the whole backoff schedule
+        case scala.util.control.NonFatal(e) =>
           n += 1
           if (n >= maxAttempts) throw e
           Thread.sleep(delay)

@@ -45,19 +45,25 @@ object KafkaSource {
 
   /** Decode a Kafka-shaped frame stream (`value`: one JSON event per
     * record) into typed columns. PERMISSIVE like the reference's tolerant
-    * parse: a corrupt record becomes an all-null row, dropped by default so
-    * it cannot poison downstream aggregates; pass dropCorrupt=false to
-    * audit them. Pure column expressions — works identically on batch and
+    * parse, with an explicit corrupt-record marker column so a genuinely
+    * malformed record is distinguishable from a valid record whose fields
+    * are all null (an any-field-not-null heuristic would silently drop
+    * the latter). Corrupt records are dropped by default; pass
+    * dropCorrupt=false to audit them (the `_corrupt` column carries the
+    * raw payload). Pure column expressions — identical on batch and
     * streaming frames, entirely inside whole-stage codegen.
     */
   def decodeJson(frames: DataFrame, schema: StructType,
                  dropCorrupt: Boolean = true,
                  options: Map[String, String] = Map.empty): DataFrame = {
-    val parsed = frames
-      .select(from_json(col("value").cast("string"), schema, options).as("j"))
+    val corrupt = "_corrupt"
+    val withMarker = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType))
+    val parsed = frames.select(from_json(col("value").cast("string"), withMarker,
+      options + ("columnNameOfCorruptRecord" -> corrupt)).as("j"))
     val out = parsed.select(col("j.*"))
-    if (dropCorrupt)
-      out.filter(schema.fields.map(f => col(s"`${f.name}`").isNotNull).reduce(_ || _))
+    if (dropCorrupt) out.filter(col(corrupt).isNull).drop(corrupt)
     else out
   }
 }

@@ -27,9 +27,11 @@ object StreamingJoins {
                    lateness: String = "1 hour"): DataFrame = {
     val l = left.withWatermark(tsL, lateness)
     val r = right.withWatermark(tsR, lateness)
+    // frame-qualified refs: the two streams usually share column names
+    // (same event schema on both sides), and bare col() would be ambiguous
     l.join(r,
-      col(s"`$keyL`") === col(s"`$keyR`") &&
-        col(s"`$tsR`") >= col(s"`$tsL`") - expr(s"INTERVAL $windowSec SECONDS") &&
-        col(s"`$tsR`") <= col(s"`$tsL`"))
+      l(keyL) === r(keyR) &&
+        r(tsR) >= l(tsL) - expr(s"INTERVAL $windowSec SECONDS") &&
+        r(tsR) <= l(tsL))
   }
 }

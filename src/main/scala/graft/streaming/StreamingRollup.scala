@@ -48,7 +48,7 @@ object StreamingRollup {
   /** S7-analog streaming sink: an Append-mode parquet writeStream with
     * exactly-once checkpointing. For external push sinks (the reference's
     * ClickHouse/Druid HTTP landings — clickhouse/clickhouse.py:60-67,
-    * druid/push_streaming.py:59-82) use [[HttpPushSink.start]], the
+    * druid/push_streaming.py:59-82) use [[HttpPushSink.writer]], the
     * foreachBatch seam with retry/backoff and batchId idempotency.
     */
   def startParquetSink(rollup: DataFrame, path: String, checkpoint: String,
@@ -61,27 +61,25 @@ object StreamingRollup {
     withCadence(writer, interval).start()
   }
 
-  /** S8-analog: Kafka sink configuration (SASL/PLAIN shape mirrors the
-    * reference's producer — mykafka/producer.py:7-20). Built-in
-    * `format("kafka")` does batching/retries/idempotence; no custom code.
-    * Unused in tests (no broker in the container) but the full wiring is
-    * here: key = hash of the GROUP columns only (`keyCols`) so successive
-    * updates of one (hour, dims) group keep partition affinity — hashing
-    * the measure too would scatter a group's updates across partitions.
-    * Null-safe: the key is field-named JSON, so ("a", null) and
-    * (null, "a") serialize differently (concat_ws would drop nulls and
-    * collide them).
-    */
-  /** The Kafka record shaping alone (key = hash of group columns, value =
-    * full-row JSON) — pure column exprs, identical on batch and streaming
-    * frames, so StreamingRollupSpec can pin the wire format without a
-    * broker.
+  /** The Kafka record shaping alone (spec-pinned without a broker by
+    * StreamingRollupSpec): key = sha256 of the GROUP columns only
+    * (`keyCols`), so successive updates of one (hour, dims) group keep
+    * partition affinity — hashing the measure too would scatter a group's
+    * updates across partitions. Null-safe: the key is field-named JSON,
+    * so ("a", null) and (null, "a") serialize differently (concat_ws
+    * would drop nulls and collide them). Pure column exprs, identical on
+    * batch and streaming frames.
     */
   def kafkaPayload(rollup: DataFrame, keyCols: Seq[String]): DataFrame =
     rollup.select(
       sha2(to_json(struct(keyCols.map(col): _*)), 256).as("key"),
       to_json(struct(rollup.columns.map(col).toIndexedSeq: _*)).as("value"))
 
+  /** S8-analog: Kafka sink wiring over [[kafkaPayload]] (SASL/PLAIN shape
+    * mirrors the reference's producer — mykafka/producer.py:7-20).
+    * Built-in `format("kafka")` does batching/retries/idempotence; no
+    * custom code. Unused in tests (no broker in the container).
+    */
   def kafkaSinkWriter(rollup: DataFrame, bootstrap: String, topic: String,
                       keyCols: Seq[String],
                       saslJaas: Option[String] = None): DataStreamWriter[Row] = {

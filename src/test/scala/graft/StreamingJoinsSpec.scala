@@ -57,4 +57,25 @@ class StreamingJoinsSpec extends SparkSpec {
       assert(got === Set(1L))
     } finally q.stop()
   }
+
+  test("interval join resolves identical column names on both sides") {
+    implicit val ctx = spark.sqlContext
+    // both streams carry the SAME schema (user_id, ts) — the common case;
+    // the join condition must be frame-qualified, not bare col() names
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingJoins.intervalJoin(
+      purchases.toDF().toDF("user_id", "ts"),
+      signups.toDF().toDF("user_id", "ts"),
+      "user_id", "user_id", "ts", "ts", windowSec = 3600)
+    val q = joined.writeStream
+      .format("memory").queryName("sj_samecols").outputMode("append").start()
+    try {
+      signups.addData((1L, ts("2024-07-24 09:30:00")), (2L, ts("2024-07-24 07:00:00")))
+      purchases.addData((1L, ts("2024-07-24 10:10:00")), (2L, ts("2024-07-24 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sj_samecols").collect()
+        .map(_.getAs[Long](0)).toSet === Set(1L))
+    } finally q.stop()
+  }
 }
