@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
   * [[drain]] after each action to `unpersist(blocking = true)` everything
   * synchronously. Blocking matters: non-blocking unpersist queues async
   * block removal that races the next query's memory demand.
+  *
+  * Scope: the registry is process-global and assumes the harness runs
+  * queries one at a time (all three shipped harnesses do). A concurrent
+  * multi-query harness calling [[drain]] would unpersist caches belonging
+  * to in-flight plans of OTHER queries in the same JVM — correct results
+  * (caches recompute) but silent recomputation; such a harness should
+  * scope draining per query via [[release]] of the frames it owns.
   */
 object CacheRegistry {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
@@ -25,6 +32,16 @@ object CacheRegistry {
     val p = df.persist()
     live.add(p)
     p
+  }
+
+  /** Unpersist ONE registered frame early (blocking) — for iterative
+    * operators that supersede a cached plan mid-query (e.g. each label-
+    * propagation round replaces the previous round's table) and must not
+    * hold O(rounds) dead caches until the harness drains.
+    */
+  def release(df: DataFrame): Unit = {
+    live.remove(df)
+    df.unpersist(blocking = true)
   }
 
   /** Synchronously unpersist every registered DataFrame; returns how many. */

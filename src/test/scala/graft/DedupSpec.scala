@@ -125,6 +125,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters: pointer jumping converges a path graph in O(log d) rounds") {
+    // a 64-node path has diameter 63 — plain min-label propagation needs 63
+    // rounds and would blow the default maxRounds; pointer jumping halves
+    // label chains each round, so the default converges with room to spare
+    val path = (0L until 63L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Dedup.dedupClusters(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("q_dedup_simhash plan is a shuffled equi-join — no cartesian scan") {
     val df = graft.SparkEntry.queries("q_dedup_simhash")(
       spark, "/root/testdata/sf0.001")
