@@ -120,30 +120,60 @@ object Similarity {
     }.toDF("i", "j", "cos")
   }
 
+  /** Block count for [[cosinePairsBlocked]], from corpus stats:
+    *  - memory ceiling: one block row materializes ~n/blocks vectors in a
+    *    single `mapGroups` row, so blocks >= corpus_bytes / maxBlockBytes
+    *    keeps every block row under a fixed byte budget (a hardcoded count
+    *    would grow the row with the corpus and hit the JVM's 2 GB
+    *    array/row ceiling long before compute matters);
+    *  - parallelism floor: the kernel runs blocks*(blocks+1)/2 block-pair
+    *    tasks, so blocks >= sqrt(2*parallelism) keeps every core busy.
+    * Replication factor is `blocks` (each vector meets blocks-1 partner
+    * blocks), the inherent all-pairs blocking trade — total shuffle bytes
+    * grow with sqrt(parallelism) or corpus/maxBlockBytes, whichever binds.
+    */
+  def deriveBlocks(nVectors: Long, avgVecBytes: Double, parallelism: Int,
+                   maxBlockBytes: Long = 64L << 20): Int = {
+    val memFloor = math.ceil(nVectors * avgVecBytes / maxBlockBytes).toInt
+    val parFloor = math.ceil(math.sqrt(2.0 * parallelism)).toInt
+    math.max(1, math.max(memFloor, parFloor))
+  }
+
   /** All near-duplicate pairs, blocked kernel form — the scale path of
     * [[cosinePairsKernel]] with NO driver materialization. Vectors are
     * grouped into `blocks` row blocks (by id mod blocks), the upper
     * triangle of block pairs is enumerated with a tiny self-join
     * (blocks^2/2 rows), and each block pair runs the same tight j-loop
-    * kernel on two executor-resident arrays. Replication factor is
-    * `blocks` (each block meets blocks-1 partners), so choose
-    * blocks ~ corpus_bytes / per-task budget; total work stays
-    * O(n^2 * dim / 2) with no driver round-trip and no per-pair row
-    * materialization. Results are bit-identical to [[cosinePairs]] and
-    * [[cosinePairsKernel]] (integer dot products, IEEE sqrt/divide,
-    * HALF_UP rounding).
+    * kernel on two executor-resident arrays. Results are bit-identical to
+    * [[cosinePairs]] and [[cosinePairsKernel]] (integer dot products,
+    * IEEE sqrt/divide, HALF_UP rounding).
+    *
+    * `blocks <= 0` (the default) derives the count from corpus stats via
+    * [[deriveBlocks]] — one metadata-sized aggregate (count + avg vector
+    * width) decides the physical block layout, so the same call site stays
+    * correctly sized from a 5k-row test table to a 100 TB corpus.
     */
   def cosinePairsBlocked(em: DataFrame, idCol: String, embCol: String,
-                         tau: Double, blocks: Int = 8): DataFrame = {
+                         tau: Double, blocks: Int = 0): DataFrame = {
     val spark = em.sparkSession
     import spark.implicits._
+    val nBlocks =
+      if (blocks > 0) blocks
+      else {
+        // 8 bytes per quantized element + ~24 of id/norm/array headers
+        val stats = em.agg(count(lit(1)).as("n"),
+          avg(size(col(embCol)) * 8 + 24).as("b")).head()
+        val n = stats.getLong(0)
+        val avgBytes = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+        deriveBlocks(n, avgBytes, spark.sparkContext.defaultParallelism)
+      }
     // persist: both sides of the block-pair join reference this plan, and
     // without the cache the scan + quantize + shuffle + block build would
     // execute twice per invocation
     val blocked = CacheRegistry.persist(
       em.select(col(idCol).cast("long"), quantize(col(embCol)))
         .as[(Long, Array[Long])]
-        .groupByKey(r => (((r._1 % blocks) + blocks) % blocks).toInt)
+        .groupByKey(r => (((r._1 % nBlocks) + nBlocks) % nBlocks).toInt)
         .mapGroups { (b: Int, it: Iterator[(Long, Array[Long])]) =>
           val arr = it.map { case (id, v) =>
             (id, v, math.sqrt(v.map(x => x * x).sum.toDouble))

@@ -232,9 +232,11 @@ object DocQueries {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
+    // blocks auto-derived from corpus stats (memory ceiling + parallelism
+    // floor) — the call site carries no scale-sensitive constant
     "q_dedup_embed_cosine" -> ((s, dir) => {
       Similarity.cosinePairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding",
-        tau = CosineTau, blocks = 8)
+        tau = CosineTau)
     }),
 
     // Mean-pooled embedding per bucket — elementwise centroid aggregation

@@ -116,7 +116,66 @@ object EventQueries {
     s.read.parquet(path)
   }
 
+  /** T1-T3 end-to-end parity store: the hourly rollup computed BY THE
+    * STREAMING PATH — file source -> watermarked 1h window aggregation ->
+    * Update-mode foreachBatch parquet append — landed once per sfDir in
+    * this JVM. Update mode emits each (hour, dims) group's cumulative sum
+    * whenever a micro-batch changes it, which is exactly the reference's
+    * additive SummingMergeTree landing (clickhouse/clickhouse.py:70-81):
+    * the store is compacted on read by taking the LATEST emission per
+    * group (max_by over batch_id — the ReplacingMergeTree read rule).
+    * Append mode would be wrong for a drain-and-stop parity run: windows
+    * newer than (max event time - lateness) are still open when
+    * AvailableNow terminates and would never be emitted. The watermark
+    * horizon here exceeds the dataset's span so no state is dropped —
+    * that is what makes streaming == batch EXACT; a production stream
+    * uses a bounded horizon and the delta is documented in
+    * [[graft.streaming.StreamingRollup]].
+    */
+  private val streamParityPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedHourly(s: SparkSession, dir: String): DataFrame = {
+    val out = streamParityPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_parity_").toString
+      val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      // streaming sources need a pinned schema — one metadata-only batch
+      // read supplies it (S4's schema-union inference, never first-row)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source wants a directory; glob-filter it to the events table
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = stream.withColumn("ts",
+        timestamp_micros(expr("ts div 1000"))) // nanos Long -> µs, as Tables.events
+      val roll = graft.streaming.StreamingRollup.hourly(ev, "ts", "value",
+        dims = Seq("event_type"), lateness = "87600 hours", sumColName = "sum_value")
+      val q = roll.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1-T3: the streaming path under the driver's batch oracle — the
+    // structured-streaming rollup's landed output must hash-match the
+    // batch hourly rollup SQL exactly (see [[streamedHourly]]).
+    "q_t2_streaming_parity" -> ((s, dir) => {
+      streamedHourly(s, dir)
+        .groupBy("hour", "event_type")
+        .agg(max_by(col("sum_value"), col("batch_id")).as("sv"))
+        .select(col("hour").cast("string").as("hour"), col("event_type"),
+          round(col("sv"), 2).as("sum_value"))
+    }),
+
     // P8: partition targeting end-to-end — a day-range predicate on the
     // partition column prunes directories at planning time (PartitionFilters,
     // asserted in SinksSpec) and the result hash-matches the oracle's scan
@@ -217,6 +276,33 @@ object EventQueries {
           Tables.part(s, dir), "qid", "p_partkey", "p_name", "event_name")
         .groupBy("event_name")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // J1: CATEGORYNAME(category) + CATEGORYNAME(highlevelcategory) — the
+    // reference projects both under echoed names "Low Level Category" /
+    // "High Level Category" (rename map, clickhouse/helpers.py:14-29).
+    // QRadar's category table is system config holding low- AND high-level
+    // ids, so one dim serves both lookups; here it is a generated
+    // config-scale dim (3000..4047) broadcast to both joins.
+    "q_j1_categoryname" -> ((s, dir) => {
+      val catDim = s.range(3000L, 4048L).toDF("cat_id")
+        .withColumn("cat_name", concat(lit("category_"), col("cat_id")))
+      val low = Lookups.lookup(se(s, dir), catDim,
+        "category", "cat_id", "cat_name", "Low Level Category")
+      val both = Lookups.lookup(low, catDim,
+        "highlevelcategory", "cat_id", "cat_name", "High Level Category")
+      both.groupBy(col("`Low Level Category`"), col("`High Level Category`"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // J1: SENSORDEVICENAME(deviceId) — echoed as "Log Source"
+    // (clickhouse/helpers.py:14-29); the supplier dim plays the sensor
+    // device table keyed on log_source_id.
+    "q_j1_sensordevicename" -> ((s, dir) => {
+      Lookups.lookup(se(s, dir), Tables.supplier(s, dir),
+          "log_source_id", "s_suppkey", "s_name", "Log Source")
+        .groupBy(col("`Log Source`"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
     // J1 (FULLNETWORKNAME): longest-prefix network-hierarchy classification
@@ -577,6 +663,30 @@ object EventQueries {
         """SELECT p.p_name AS event_name, count(*) AS n
           |FROM e LEFT JOIN part p ON e.qid = p.p_partkey
           |WHERE e.device_type = 2
+          |GROUP BY 1""".stripMargin),
+
+      // raw events, no enrichment: the streaming rollup reads the source
+      // table directly, so its oracle does too
+      "q_t2_streaming_parity" ->
+        """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+          |round(sum(value),2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_j1_categoryname" -> cte(
+        """SELECT cl.cat_name AS "Low Level Category",
+          |  ch.cat_name AS "High Level Category",
+          |  count(*) AS n, round(sum(e.value),2) AS sum_value
+          |FROM e
+          |LEFT JOIN (SELECT 3000 + i AS cat_id, 'category_' || (3000 + i) AS cat_name
+          |           FROM range(1048) t(i)) cl ON e.category = cl.cat_id
+          |LEFT JOIN (SELECT 3000 + i AS cat_id, 'category_' || (3000 + i) AS cat_name
+          |           FROM range(1048) t(i)) ch ON e.highlevelcategory = ch.cat_id
+          |GROUP BY 1, 2""".stripMargin),
+
+      "q_j1_sensordevicename" -> cte(
+        """SELECT s.s_name AS "Log Source", count(*) AS n,
+          |round(sum(e.value),2) AS sum_value
+          |FROM e LEFT JOIN supplier s ON e.log_source_id = s.s_suppkey
           |GROUP BY 1""".stripMargin),
 
       "q_j1_fullnetworkname" -> cte(

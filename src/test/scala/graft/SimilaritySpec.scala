@@ -38,6 +38,23 @@ class SimilaritySpec extends SparkSpec {
       tau = -1.1, blocks = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(a === b)
+    // auto-derived block count (blocks <= 0) must give identical results
+    val c = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", tau = -1.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(a === c)
+  }
+
+  test("deriveBlocks scales with corpus size and respects both floors") {
+    val kb = 1L << 10; val mb = 1L << 20
+    // parallelism floor binds on small corpora: ceil(sqrt(2*32)) = 8
+    assert(Similarity.deriveBlocks(5000, 536.0, 32, 64 * mb) === 8)
+    // memory ceiling binds as the corpus grows: block rows stay <= 64 MB
+    val big = Similarity.deriveBlocks(1000000000L, 536.0, 32, 64 * mb)
+    assert(big === math.ceil(1000000000L * 536.0 / (64 * mb)).toInt)
+    assert(big > 7000) // ~536 GB corpus -> thousands of blocks
+    // monotone in corpus size; never below 1
+    assert(Similarity.deriveBlocks(0, 0.0, 1, 64 * mb) === 2)
+    assert(Similarity.deriveBlocks(100, 512.0, 1, 50 * kb) >= 2)
   }
 
   test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
