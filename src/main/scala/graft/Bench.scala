@@ -37,22 +37,36 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       clean()
     }
+    // Attributability metadata: per-query start offsets (s since bench
+    // start) and an OS load sentinel before/after the timed pass, so a
+    // driver-vs-quiet-machine delta is diagnosable from the artifact
+    // alone — a loadavg far above the 32 cores at t0 means the numbers
+    // were taken on a contended box (measured 10-50x inflation on heavy
+    // queries under a second concurrent 32-thread JVM).
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg
+    val benchT0 = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val startOffset = (t0 - benchT0) / 1e9
       // A crashed query must NOT report its wall time as a normal result:
       // record it as -1 so the driver's JSON shows the failure explicitly.
       val ok =
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       clean()
-      name -> sec
+      (name, sec, startOffset)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadAvg
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val starts = results.map { case (k, _, s0) => f"""\"$k\":$s0%.2f""" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","query_start_offsets_sec":$starts,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cores":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }
 }

@@ -103,15 +103,70 @@ object Lookups {
           networkNameExprPacked(cidrs, ipLong, defaultName)).otherwise(els)
     }
 
+  /** Hierarchies beyond this size stop being "config-scale": the compiled
+    * when-chain would blow past Janino's 64KB method limit (silent
+    * interpreted fallback) and plan-build collect cost grows. Above it,
+    * use [[networkNameJoin]].
+    */
+  val MaxCompiledHierarchy = 512
+
   /** networkNameExpr over a `(cidr, name)` DataFrame: the hierarchy is
     * collected once at plan-build time (it is a small config table, like the
     * reference's QRadar network hierarchy) and compiled into the expression.
+    * Refuses hierarchies larger than [[MaxCompiledHierarchy]] — callers
+    * with genuinely large CIDR tables must use [[networkNameJoin]].
     */
   def networkName(fact: DataFrame, cidrTable: DataFrame,
                   ipCol: String, as: String,
                   defaultName: String = "other"): DataFrame = {
     val entries = cidrTable.select("cidr", "name").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    require(entries.size <= MaxCompiledHierarchy,
+      s"network hierarchy has ${entries.size} entries (> $MaxCompiledHierarchy): " +
+        "the compiled when-chain would exceed codegen limits — use networkNameJoin")
     fact.withColumn(as, networkNameExpr(entries, col(s"`$ipCol`"), defaultName))
+  }
+
+  /** Longest-prefix match as a broadcast theta-join — the scale path for
+    * CIDR tables too large to compile into a when-chain (> 512 entries;
+    * e.g. a full BGP-derived hierarchy). Plan shape:
+    *
+    *   fact  BROADCAST-JOIN  dim ON (ipLong & mask) = net   (left outer)
+    *        → partial+final max(struct(prefixLen, name)) BY row id
+    *
+    * The row id is assigned before the join, every candidate match of one
+    * fact row stays in that row's partition (broadcast join preserves
+    * partitioning), so the groupBy's partial aggregation collapses the
+    * candidates map-side and the exchange carries ~1 row per fact row —
+    * the unavoidable cost of a non-compilable hierarchy, paid once.
+    * Longest prefix wins via max over (prefixLen, name) structs.
+    */
+  def networkNameJoin(fact: DataFrame, cidrTable: DataFrame,
+                      ipCol: String, as: String,
+                      defaultName: String = "other"): DataFrame = {
+    val dim = cidrTable.select(
+      col("cidr"), col("name"),
+      split(col("cidr"), "/").getItem(1).cast("int").as("__nn_pfx"))
+      .withColumn("__nn_mask",
+        when(col("__nn_pfx") === 0, lit(0L))
+          .otherwise(expr("shiftleft(4294967295, 32 - __nn_pfx)")
+            .bitwiseAND(lit(0xFFFFFFFFL))))
+      .withColumn("__nn_net",
+        graft.plans.GraftFunctions.ipToLongNative(split(col("cidr"), "/").getItem(0))
+          .bitwiseAND(col("__nn_mask")))
+      .select(col("__nn_net"), col("__nn_mask"), col("__nn_pfx"),
+        col("name").as("__nn_name"))
+    val withId = fact.withColumn("__nn_rid", monotonically_increasing_id())
+      .withColumn("__nn_ip", graft.plans.GraftFunctions.ipToLongNative(col(s"`$ipCol`")))
+    val factCols = fact.columns
+    val joined = withId.join(broadcast(dim),
+      withId("__nn_ip").bitwiseAND(dim("__nn_mask")) === dim("__nn_net"), "left")
+    val firstCols = factCols.map(c => first(col(s"`$c`")).as(c))
+    joined.groupBy("__nn_rid")
+      .agg(firstCols.head, firstCols.tail :+
+        max(when(col("__nn_name").isNotNull,
+          struct(col("__nn_pfx"), col("__nn_name").as("n")))).as("__nn_best"): _*)
+      .withColumn(as, coalesce(col("__nn_best.n"), lit(defaultName)))
+      .drop("__nn_rid", "__nn_best")
   }
 }

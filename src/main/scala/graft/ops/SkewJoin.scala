@@ -26,8 +26,16 @@ object SkewJoin {
     */
   def saltedInner(skewed: DataFrame, other: DataFrame, key: String,
                   saltBuckets: Int = 8): DataFrame = {
-    val salt = pmod(hash(skewed.columns.map(c => col(s"`$c`")): _*), lit(saltBuckets))
-    val b = skewed.withColumn("__salt", salt)
+    // Salt from a per-row ordinal, NOT a content hash: full-row duplicates
+    // of a hot key (common in log workloads) would all hash to the same
+    // bucket and silently defeat the mitigation, and hash() errors on
+    // MapType columns. monotonically_increasing_id is consecutive within a
+    // partition, so pmod spreads a hot key's rows uniformly across buckets.
+    // The salt value never affects the RESULT (every bucket meets a full
+    // replica of the other side) — only the distribution, so the id's
+    // run-to-run nondeterminism is harmless.
+    val b = skewed.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val r = other.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     b.join(r, Seq(key, "__salt")).drop("__salt")

@@ -25,7 +25,12 @@ object Tables {
     * DuckDB truncates ns->us the same way, so oracles agree.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession.builder sets this at session build; the guard below is
+    // only a fallback for externally-built sessions, and never mutates a
+    // session that is already configured (no global side effect on the
+    // hot read path).
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

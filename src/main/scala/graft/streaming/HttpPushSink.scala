@@ -73,14 +73,30 @@ object HttpPushSink {
       pushBatch(batch, batchId, transport, maxAttempts, baseDelayMs)
     }
 
-  /** One micro-batch (also directly usable for batch-mode pushes). */
+  /** One micro-batch (also directly usable for batch-mode pushes).
+    *
+    * Lines stream straight through the GZIPOutputStream one at a time, so
+    * peak executor memory is the COMPRESSED buffer — never the whole
+    * uncompressed partition payload (which for a large partition would be
+    * partition-size bytes resident three times over: String, UTF-8 bytes,
+    * gzip input).
+    */
   def pushBatch(batch: DataFrame, batchId: Long, transport: Transport,
                 maxAttempts: Int = 5, baseDelayMs: Long = 10): Unit =
     batch.toJSON.foreachPartition { (it: Iterator[String]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val lines = it.mkString("\n")
-      if (lines.nonEmpty) {
-        val payload = gzip(lines.getBytes("UTF-8"))
+      if (it.hasNext) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        val nl = "\n".getBytes("UTF-8")
+        var first = true
+        it.foreach { line =>
+          if (!first) gz.write(nl)
+          gz.write(line.getBytes("UTF-8"))
+          first = false
+        }
+        gz.close()
+        val payload = bos.toByteArray
         withRetry(maxAttempts, baseDelayMs) {
           val status = transport(batchId, pid, payload)
           if (status < 200 || status >= 300)

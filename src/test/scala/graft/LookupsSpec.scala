@@ -66,4 +66,31 @@ class LookupsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("corp", "dmz", "lab", "other"))
   }
+
+  test("networkName refuses hierarchies past the codegen-safe bound") {
+    val big = (0 until Lookups.MaxCompiledHierarchy + 1)
+      .map(i => (s"10.${i / 256}.${i % 256}.0/24", s"net_$i")).toDF("cidr", "name")
+    val facts = Seq("10.0.1.9").toDF("ip")
+    val e = intercept[IllegalArgumentException] {
+      Lookups.networkName(facts, big, "ip", "n")
+    }
+    assert(e.getMessage.contains("networkNameJoin"))
+  }
+
+  test("networkNameJoin == compiled chain (longest prefix, default, malformed)") {
+    val table = Seq(
+      ("10.0.0.0/8", "corp"),
+      ("10.99.0.0/16", "dmz"),
+      ("192.168.0.0/16", "lab")).toDF("cidr", "name")
+    val facts = Seq(("a", "10.1.2.3"), ("b", "10.99.1.1"), ("c", "192.168.7.7"),
+      ("d", "8.8.8.8"), ("e", "266.1.1.1")).toDF("id", "ip")
+    val viaJoin = Lookups.networkNameJoin(facts, table, "ip", "n")
+      .orderBy("id").select("id", "n")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val viaChain = Lookups.networkName(facts, table, "ip", "n")
+      .orderBy("id").select("id", "n")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaJoin === viaChain)
+    assert(viaJoin.map(_._2) === Seq("corp", "dmz", "lab", "other", "other"))
+  }
 }

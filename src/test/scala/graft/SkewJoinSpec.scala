@@ -23,9 +23,22 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.length === 100)
 
     // the hot key's rows really fan out over several salt buckets
-    val salt = pmod(hash(facts.columns.map(col): _*), lit(4))
+    val salt = pmod(monotonically_increasing_id(), lit(4L))
     val buckets = facts.filter(col("k") === 1L).select(salt.as("s"))
       .distinct().count()
     assert(buckets > 1)
+  }
+
+  test("full-row duplicates of a hot key still spread across buckets") {
+    // 80 IDENTICAL rows — a content-derived salt would put them all in one
+    // bucket and silently defeat the mitigation; the ordinal salt must not
+    val facts = Seq.fill(80)((1L, 7L)).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val salted = SkewJoin.saltedInner(facts, dim, "k", saltBuckets = 4)
+    assert(salted.count() === 80)
+    val buckets = facts
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(4L)))
+      .select("s").distinct().count()
+    assert(buckets === 4)
   }
 }
