@@ -334,6 +334,82 @@ object Similarity {
         round(col("pm.mean"), 4).as("mean"))
   }
 
+  /** Per-vector symmetric int8 quantization (the compression step before
+    * an ANN index ships to serving): scale = 127 / max|x_d|, q_d =
+    * round(x_d * scale). Pure per-row expression — quantization is scan
+    * local, no shuffle. The scale factor is computed as `127.0 / max`
+    * FIRST and then multiplied (one division per vector, and the exact
+    * association the oracle mirrors so every rounded value matches).
+    * All-zero vectors quantize to all zeros (guarded — the division would
+    * yield NaN).
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val mx = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(mx === 0.0, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb,
+        x => round(x.cast("double") * (lit(127.0) / mx)).cast("long")))
+  }
+
+  /** K-means (Lloyd) training over quantized embeddings — the IVF
+    * centroid-training step. Deterministic and oracle-exact:
+    *  - vectors are milli-unit integers ([[quantize]]), so all distances
+    *    are exact integer math in any engine;
+    *  - init = the k lowest-id vectors; tie-broken argmin (distance, then
+    *    centroid id); centroid update is elementwise floor(sum/n) —
+    *    exact floor division on both engines;
+    *  - empty cells keep their previous centroid.
+    *
+    * Distributed shape per round: ONE broadcast-compare scan (centroids
+    * are a k x dim literal compiled into the assignment expression — no
+    * join, no shuffle of the corpus) + ONE partial+final aggregate of
+    * per-dimension sums (map-side combine collapses each partition to k
+    * rows before the exchange). The driver holds only the k centroids
+    * (config-scale metadata, like a broadcast variable) and loops
+    * `iters` times — the corpus never leaves the executors.
+    *
+    * Returns the final assignment frame: (id, cell, dist) with dist the
+    * exact squared integer distance to the winning centroid.
+    */
+  def kmeansLloyd(em: DataFrame, idCol: String, embCol: String,
+                  k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    val q = CacheRegistry.persist(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
+    var cents: Array[(Long, Array[Long])] = q.filter(col("id") < k)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assigned = {
+      // argmin over k centroids: array_min on (dist, cid) structs —
+      // lexicographic struct ordering gives min distance, ties to the
+      // lowest centroid id
+      val candidates = array(cents.map { case (cid, cv) =>
+        val carr = typedLit(cv.toSeq)
+        struct(
+          aggregate(zip_with(col("q"), carr, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      q.withColumn("best", array_min(candidates))
+        .select(col("id"), col("q"),
+          col("best.cid").as("cell"), col("best.dist").as("dist"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = (1 to dim).map(d => sum(element_at(col("q"), d)).as(s"s$d"))
+      val byCell = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0),
+            (1 to dim).map(d => Math.floorDiv(r.getLong(1 + d), n)).toArray)
+        }.toMap
+      cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
+    }
+    // q stays registered (not released here): the returned plan still
+    // reads it, so the caller's action reuses the cache and the harness's
+    // CacheRegistry.drain() reclaims it after the action.
+    assigned.select(col("id"), col("cell"), col("dist"))
+  }
+
   /** Sign-LSH bucket key: one bit per probed dimension (axis-aligned
     * random-hyperplane family), packed into a Long. Vectors in the same
     * bucket agree on the sign of every probed dimension. Comparing raw

@@ -139,6 +139,63 @@ object TextAnalysis {
       }.toDF(idCol, "pos", "fp")
   }
 
+  // ---- PII scrubbing ----
+
+  /** PII patterns written in the common subset of Java regex and RE2 so the
+    * Spark expression and the DuckDB oracle match the same spans: email,
+    * dotted-quad IPv4, and +CC-NNN-NNN-NNNN phone numbers.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact PII in place: emails -> <EMAIL>, IPv4s -> <IP>, phones ->
+    * <PHONE>. Order matters — emails first, so a dotted domain is consumed
+    * as part of the email span, not re-matched as an IP fragment. Pure
+    * codegen'd regexp_replace chain, linear in the scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  def countEmails(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def countIpv4s(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def countPhones(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  // ---- repetition signals (Gopher/RefinedWeb-style quality rules) ----
+
+  /** Word n-gram array of a token array (empty when the doc is shorter
+    * than n). `sequence` is guarded: Spark auto-reverses when start > stop,
+    * which would fabricate n-grams for short docs.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Count of occurrences of the most frequent element — the "top n-gram
+    * fraction" numerator. Computed as the longest run of the SORTED array
+    * via one `aggregate` fold: O(m log m) per doc and fully codegen'd,
+    * instead of the O(distinct x m) nested filter-count (quadratic in doc
+    * length) or an explode + groupBy (a corpus-wide shuffle for a per-row
+    * statistic).
+    */
+  def maxRepeatCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
 
   val sqlToks = "string_split(text, ' ')"

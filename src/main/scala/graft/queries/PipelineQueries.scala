@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Training-data pipeline operators, batch 2: PII scrubbing, repetition
+  * quality signals, rule-cascade curation, deterministic splits/sampling,
+  * sequence packing, benchmark-contamination detection, int8 embedding
+  * quantization, and k-means (Lloyd) centroid training.
+  *
+  * Every query is oracle-checked. Numeric outputs are integers (counts,
+  * exact integer distances, floor divisions) or md5 fingerprints, so the
+  * DuckDB comparison is bit-exact; the few fractional rules are stated in
+  * cross-multiplied integer form (`2*(n5-d5) > n5` instead of
+  * `dup_frac > 0.5`) for the same reason.
+  */
+object PipelineQueries {
+
+  /** Deterministic synthetic PII appended to each document (the corpus
+    * itself is clean word-salad): one email, one phone, one IPv4 per doc,
+    * plus a second email on every third doc so the counts are not
+    * constant. Mirrored exactly by [[sqlWithPii]].
+    */
+  private def withPii(text: org.apache.spark.sql.Column,
+                      docId: org.apache.spark.sql.Column) =
+    concat(
+      text,
+      lit(" contact user"), docId.cast("string"), lit("@example.com via +1-555-"),
+      lpad((docId % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((docId % 10000).cast("string"), 4, "0"), lit(" from 10."),
+      (docId % 256).cast("string"), lit(".0."), ((docId * 7) % 256).cast("string"),
+      when(docId % 3 === 0, lit(" cc admin@test.org")).otherwise(lit("")))
+
+  private val sqlWithPii =
+    """(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via +1-555-' ||
+      | lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      | lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+      | CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      | CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END)"""
+      .stripMargin.replace("\n", "")
+
+  /** 2-gram / 5-gram repetition-signal CTEs over `documents`, ending in
+    * per-doc integer columns (n2, top2, n5, d5) — mirrors
+    * [[TA.wordNgrams]] + [[TA.maxRepeatCount]].
+    */
+  private val sqlRepCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      |       FROM toks, unnest(generate_series(1, len(toks)-1)) AS t(i)),
+      |c2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS top2
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+      |g5 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+      |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+      |c5 AS (SELECT doc_id, count(*) AS n5, count(DISTINCT g) AS d5 FROM g5 GROUP BY 1),
+      |rep AS (SELECT d.doc_id, COALESCE(c2.n2, 0) AS n2, COALESCE(c2.top2, 0) AS top2,
+      |               COALESCE(c5.n5, 0) AS n5, COALESCE(c5.d5, 0) AS d5
+      |        FROM documents d LEFT JOIN c2 ON d.doc_id = c2.doc_id
+      |                         LEFT JOIN c5 ON d.doc_id = c5.doc_id)""".stripMargin
+
+  /** Per-doc repetition signal columns (Spark side of [[sqlRepCtes]]). */
+  private def repCols(df: DataFrame): DataFrame = {
+    val toks = TA.tokens(col("text"))
+    val g2 = TA.wordNgrams(toks, 2)
+    val g5 = TA.wordNgrams(toks, 5)
+    df.withColumn("n2", size(g2).cast("long"))
+      .withColumn("top2", TA.maxRepeatCount(g2))
+      .withColumn("n5", size(g5).cast("long"))
+      .withColumn("d5", size(array_distinct(g5)).cast("long"))
+  }
+
+  private val StratRates = Map("en" -> 250, "es" -> 500)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- PII scrubbing ----
+
+    // Redaction counts + an md5 fingerprint of the scrubbed text: the
+    // fingerprint pins the exact replacement spans, not just the counts.
+    "q_txt_pii_scrub" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("t2", withPii(col("text"), col("doc_id")))
+        .select(col("doc_id"),
+          TA.countEmails(col("t2")).cast("long").as("n_emails"),
+          TA.countIpv4s(col("t2")).cast("long").as("n_ips"),
+          TA.countPhones(col("t2")).cast("long").as("n_phones"),
+          md5(TA.scrubPii(col("t2"))).as("scrub_fp"))
+    }),
+
+    // ---- repetition signals ----
+
+    // Gopher/RefinedWeb-style repetition statistics per document, in exact
+    // integer form: total/top 2-gram counts and total/distinct 5-gram
+    // counts. All computed inside one codegen'd projection (sorted-run
+    // fold for the mode) — no shuffle for a per-row statistic.
+    "q_txt_repetition" -> ((s, dir) => {
+      repCols(Tables.documents(s, dir))
+        .select("doc_id", "n2", "top2", "n5", "d5")
+    }),
+
+    // ---- rule-cascade curation ----
+
+    // Quality-rule cascade (length, mean word length, stopword presence,
+    // duplicate-5-gram fraction, top-2-gram fraction) with per-source
+    // pass/fail accounting. Fractional thresholds are cross-multiplied to
+    // integers so pass/fail is exact on both engines.
+    "q_curation_gopher" -> ((s, dir) => {
+      val toks = TA.tokens(col("text"))
+      val d = repCols(Tables.documents(s, dir))
+        .withColumn("n", size(toks).cast("long"))
+        .withColumn("sumlen",
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("nstop", TA.nStopwords(toks).cast("long"))
+      val failLen = !(col("n") >= 20 && col("n") <= 1000)
+      val failWordlen = !(col("sumlen") >= col("n") * 2 && col("sumlen") <= col("n") * 10)
+      val failStop = col("nstop") === 0
+      val failRep = (col("n5") - col("d5")) * 2 > col("n5")
+      val failTop = col("top2") * 10 > col("n2") * 3
+      val pass = !failLen && !failWordlen && !failStop && !failRep && !failTop
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        cnt(pass).as("n_pass"),
+        cnt(failLen).as("n_fail_len"),
+        cnt(failWordlen).as("n_fail_wordlen"),
+        cnt(failStop).as("n_fail_stop"),
+        cnt(failRep).as("n_fail_rep"),
+        cnt(failTop).as("n_fail_top"))
+    }),
+
+    // ---- deterministic splits / sampling ----
+
+    // Train/val/test assignment + an independent 50% subsample, both pure
+    // per-row md5 expressions (stable under corpus growth, no RNG/state).
+    "q_sample_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.split(col("doc_id")))
+        .withColumn("sampled", Sampling.samplePermille(col("doc_id"), 500))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Per-language down-sampling to target permille rates (en -> 25%,
+    // es -> 50%, others kept whole) — the language-rebalance step of a
+    // corpus mix, as one compiled when-chain inside the scan.
+    "q_sample_stratified" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("keep",
+          Sampling.stratifiedKeep(col("doc_id"), col("lang"), StratRates))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
+    // ---- sequence packing ----
+
+    // Concat-and-chunk packing into 512-token context windows, per source
+    // shard: each doc gets its (bin, offset) position from a per-shard
+    // prefix sum.
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(TA.tokens(col("text"))).cast("long"))
+      Packing.packConcat(d, "source", "doc_id", "n_tokens", ctxTokens = 512)
+        .select("doc_id", "source", "n_tokens", "bin", "offset")
+    }),
+
+    // ---- benchmark contamination ----
+
+    // Corpus documents sharing >= 3 distinct 5-gram shingles with the
+    // benchmark set (source = 'src0' stands in for an eval suite). The
+    // benchmark shingle set is broadcast — eval suites are small by
+    // construction — so the corpus-side scan never shuffles; overlap
+    // counting is a map-side-combined count per doc.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5).select("shingle").distinct()
+      Dedup.shingles(docs.filter(col("source") =!= "src0"), "doc_id", "text", n = 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+    }),
+
+    // ---- embedding compression / centroid training ----
+
+    // Symmetric per-vector int8 quantization; min/max/sum/norm of the
+    // quantized vector pin every quantized value.
+    "q_emb_quantize_int8" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q8"))
+        .select(col("vec_id"),
+          array_min(col("q8")).as("qmin"),
+          array_max(col("q8")).as("qmax"),
+          aggregate(col("q8"), lit(0L), (a, x) => a + x).as("qsum"),
+          aggregate(transform(col("q8"), x => x * x), lit(0L), (a, x) => a + x).as("qnorm"))
+    }),
+
+    // Two Lloyd rounds from the deterministic seed (k lowest-id vectors):
+    // per-cell membership, id checksum, and exact integer inertia.
+    "q_emb_kmeans" -> ((s, dir) => {
+      Similarity.kmeansLloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("id_checksum"),
+          sum(col("dist")).as("inertia"))
+    })
+  )
+
+  // ---- oracles ----
+
+  private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneSql = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Unrolled 2-iteration Lloyd SQL (mirrors Similarity.kmeansLloyd with
+    * k=8, iters=2, dim=64): assignment via row_number over exact integer
+    * distances, centroid update via per-dimension floor(sum/n), empty
+    * cells inherit the previous centroid.
+    */
+  private def sqlKmeans(k: Int, iters: Int, dim: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, q, cid, dist FROM (
+         |  SELECT vec_id, q, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.q, c.cid,
+         |          CAST(list_dot_product(e.q, e.q) - 2*list_dot_product(e.q, c.q)
+         |               + list_dot_product(c.q, c.q) AS BIGINT) AS dist
+         |        FROM em e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""ex$i AS (SELECT a.cid, t.i, a.q[t.i] AS v
+         |        FROM a$i a, unnest(generate_series(1, $dim)) AS t(i)),
+         |cs$i AS (SELECT cid, i,
+         |           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |         FROM ex$i GROUP BY 1, 2),
+         |cn$i AS (SELECT cid, list(cv ORDER BY i) AS q FROM cs$i GROUP BY cid),
+         |cents$i AS (SELECT cid, q FROM cn$i
+         |            UNION ALL
+         |            SELECT cid, q FROM cents${i - 1}
+         |            WHERE cid NOT IN (SELECT cid FROM cn$i))""".stripMargin
+    val iterCtes = (1 to iters).map(i =>
+      assign(s"a$i", s"cents${i - 1}") + ",\n" + update(i)).mkString(",\n")
+    s"""WITH em AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cents0 AS (SELECT vec_id AS cid, q FROM em WHERE vec_id < $k),
+       |$iterCtes,
+       |${assign("af", s"cents$iters")}
+       |SELECT cid AS cell, count(*) AS n_members,
+       |  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+       |  CAST(sum(dist) AS BIGINT) AS inertia
+       |FROM af GROUP BY 1""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q_txt_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, $sqlWithPii AS t2 FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$emailSql')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '$ipSql')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '$phoneSql')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(t2, '$emailSql', '<EMAIL>', 'g'),
+         |          '$phoneSql', '<PHONE>', 'g'),
+         |        '$ipSql', '<IP>', 'g')) AS scrub_fp
+         |FROM p""".stripMargin,
+
+    "q_txt_repetition" ->
+      s"""WITH $sqlRepCtes
+         |SELECT doc_id, n2, top2, n5, d5 FROM rep""".stripMargin,
+
+    "q_curation_gopher" ->
+      s"""WITH $sqlRepCtes,
+         |feat AS (SELECT d.source, r.n2, r.top2, r.n5, r.d5,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(string_split(d.text, ' '), t -> len(t))) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(string_split(d.text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS nstop
+         |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id),
+         |flags AS (SELECT source,
+         |    NOT (n >= 20 AND n <= 1000) AS fail_len,
+         |    NOT (sumlen >= n * 2 AND sumlen <= n * 10) AS fail_wordlen,
+         |    nstop = 0 AS fail_stop,
+         |    (n5 - d5) * 2 > n5 AS fail_rep,
+         |    top2 * 10 > n2 * 3 AS fail_top
+         |  FROM feat)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT fail_len AND NOT fail_wordlen AND NOT fail_stop
+         |                 AND NOT fail_rep AND NOT fail_top THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+         |  CAST(sum(CASE WHEN fail_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+         |  CAST(sum(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         |  CAST(sum(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+         |  CAST(sum(CASE WHEN fail_top THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top
+         |FROM flags GROUP BY 1""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT ${Sampling.sqlSplit("doc_id")} AS split, lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ${Sampling.sqlSamplePermille("doc_id", 500)} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val b = Sampling.sqlHashBucket("doc_id", 1000, "s")
+      val keep = StratRates.toSeq.sortBy(_._1).foldRight("TRUE") {
+        case ((lang, permille), els) =>
+          s"CASE WHEN lang = '$lang' THEN $b < $permille ELSE $els END"
+      }
+      s"""SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY 1""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS st
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(st AS DOUBLE) / 512) AS BIGINT) AS bin,
+        |  st % 512 AS offset
+        |FROM p""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+        |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+        |      WHERE source = 'src0')
+        |SELECT sh.doc_id, count(*) AS n_overlap
+        |FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
+        |WHERE d.source <> 'src0'
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q_emb_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT))
+        |  END AS q8 FROM m)
+        |SELECT vec_id, list_min(q8) AS qmin, list_max(q8) AS qmax,
+        |  CAST(list_sum(q8) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS qnorm
+        |FROM q""".stripMargin,
+
+    "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64)
+  )
+}

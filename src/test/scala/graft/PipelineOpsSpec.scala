@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, Sampling, Similarity, TextAnalysis => TA}
+
+/** Batch-2 pipeline operators: PII scrubbing, repetition signals,
+  * deterministic splits/sampling, sequence packing, int8 quantization,
+  * k-means training.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii redacts emails, phones, and IPv4s; counts match") {
+    val text = "mail bob.smith@corp.example.org now or +1-555-123-4567 " +
+      "from 10.1.2.3 and 192.168.0.255 end"
+    val out = Seq(text).toDF("t")
+      .select(TA.scrubPii(col("t")).as("s"),
+        TA.countEmails(col("t")).as("e"),
+        TA.countIpv4s(col("t")).as("i"),
+        TA.countPhones(col("t")).as("p"))
+      .head()
+    assert(out.getString(0) ===
+      "mail <EMAIL> now or <PHONE> from <IP> and <IP> end")
+    assert((out.getInt(1), out.getInt(2), out.getInt(3)) === ((1, 2, 1)))
+  }
+
+  test("scrubPii leaves clean text untouched") {
+    val clean = "just plain words 1.2 and a half"
+    val got = Seq(clean).toDF("t").select(TA.scrubPii(col("t"))).head().getString(0)
+    assert(got === clean)
+  }
+
+  test("wordNgrams: counts, short-doc empty, no fabricated grams") {
+    val rows = Seq("a b c d e", "a b", "solo").toDF("t")
+      .select(size(TA.wordNgrams(TA.tokens(col("t")), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows === Seq(3, 0, 0))
+  }
+
+  test("maxRepeatCount finds the mode count of an array") {
+    val got = Seq(
+      (Seq("x y", "x y", "z w", "x y"), 3L),
+      (Seq("a b"), 1L),
+      (Seq.empty[String], 0L))
+      .toDF("arr", "want")
+      .select(TA.maxRepeatCount(col("arr")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("split is deterministic, complete, and ~80/10/10") {
+    val n = 10000
+    val d = spark.range(n).select(Sampling.split(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.values.sum === n)
+    assert(math.abs(d("train") - 8000) < 300, d.toString)
+    assert(math.abs(d("val") - 1000) < 150, d.toString)
+    assert(math.abs(d("test") - 1000) < 150, d.toString)
+    // determinism under repartition: same assignment per key
+    val a = spark.range(n).repartition(13).select(col("id"), Sampling.split(col("id")).as("s"))
+    val b = spark.range(n).repartition(3).select(col("id"), Sampling.split(col("id")).as("s2"))
+    assert(a.join(b, "id").filter(col("s") =!= col("s2")).count() === 0)
+  }
+
+  test("stratifiedKeep downsamples only listed strata") {
+    val d = spark.range(4000)
+      .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("fr"))
+      .withColumn("keep", Sampling.stratifiedKeep(col("id"), col("lang"), Map("en" -> 250)))
+    val kept = d.groupBy("lang")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("k"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept("fr")._1 === kept("fr")._2) // unlisted stratum kept whole
+    val enFrac = kept("en")._1.toDouble / kept("en")._2
+    assert(enFrac > 0.18 && enFrac < 0.32, enFrac.toString)
+  }
+
+  test("packConcat: per-shard prefix layout, offsets within ctx") {
+    val d = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 100L),
+      ("s2", 1L, 600L), ("s2", 2L, 10L))
+      .toDF("src", "ord", "sz")
+    val out = Packing.packConcat(d, "src", "ord", "sz", ctxTokens = 512)
+      .select("src", "ord", "bin", "offset")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // s1: starts 0, 300, 600 -> bins 0,0,1; offsets 0,300,88
+    assert(out(("s1", 1L)) === ((0L, 0L)))
+    assert(out(("s1", 2L)) === ((0L, 300L)))
+    assert(out(("s1", 3L)) === ((1L, 88L)))
+    // s2 packs independently: starts 0, 600
+    assert(out(("s2", 1L)) === ((0L, 0L)))
+    assert(out(("s2", 2L)) === ((1L, 88L)))
+  }
+
+  test("quantizeInt8: range, max maps to +-127, zero vector guarded") {
+    val out = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) === Seq(64L, -127L, 32L)) // round(0.5*127), -127, round(31.75)
+    assert(out(2L) === Seq(0L, 0L, 0L))
+  }
+
+  test("kmeansLloyd matches a local reference implementation") {
+    // two tight clusters around (0,0) and (10,10); seeds are ids 0,1
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.1f, 0.0f), 1L -> Seq(9.9f, 10.0f),
+      2L -> Seq(0.2f, 0.1f), 3L -> Seq(10.1f, 9.8f),
+      4L -> Seq(0.0f, 0.3f), 5L -> Seq(9.7f, 10.2f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // local replica: milli-quantize, 2 Lloyd rounds, floor-div update
+    var cents = Map(0L -> Array(100L, 0L), 1L -> Array(9900L, 10000L))
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.round(x.toDouble * 1000.0)).toArray }
+    def assign(c: Map[Long, Array[Long]]) = q.map { case (id, v) =>
+      id -> c.minBy { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+    }.toMap
+    for (_ <- 1 to 2) {
+      val asg = assign(cents)
+      cents = cents.map { case (cid, cv) =>
+        val members = q.filter { case (id, _) => asg(id) == cid }.map(_._2)
+        if (members.isEmpty) cid -> cv
+        else cid -> Array.tabulate(2)(d =>
+          Math.floorDiv(members.map(_(d)).sum, members.size.toLong))
+      }
+    }
+    assert(got === assign(cents))
+    assert(got.values.toSet.size === 2)
+  }
+}
