@@ -164,6 +164,44 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** STREAMING DEDUP PATH — file source -> watermarked
+    * dropDuplicatesWithinWatermark on a content key -> Append-mode parquet
+    * landing, once per sfDir in this JVM. Every content key survives
+    * exactly once (the lateness horizon exceeds the dataset span, so the
+    * run is a global dedup); WHICH physical row carries the key depends on
+    * arrival order, so the landed projection is the KEY itself — the
+    * deterministic part — and the oracle is the batch DISTINCT.
+    */
+  private val streamDedupPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = streamDedupPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
+      val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("content",
+          concat(col("event_type"), lit("#"), (col("event_id") % 997).cast("string")))
+      val dd = graft.streaming.StreamingDedup.exact(ev, "ts", "content",
+        lateness = "87600 hours")
+      val q = dd.select("event_type", "content").writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1-T3: the streaming path under the driver's batch oracle — the
     // structured-streaming rollup's landed output must hash-match the
@@ -174,6 +212,15 @@ object EventQueries {
         .agg(max_by(col("sum_value"), col("batch_id")).as("sv"))
         .select(col("hour").cast("string").as("hour"), col("event_type"),
           round(col("sv"), 2).as("sum_value"))
+    }),
+
+    // T3/S6: streaming exact dedup end-to-end — the landed key set after
+    // dropDuplicatesWithinWatermark equals the batch DISTINCT (the replay
+    // guard the reference's insert path lacks).
+    "q_t3_streaming_dedup" -> ((s, dir) => {
+      streamedDedup(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_keys"))
     }),
 
     // P8: partition targeting end-to-end — a day-range predicate on the
@@ -671,6 +718,10 @@ object EventQueries {
         """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
           |round(sum(value),2) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_t3_streaming_dedup" ->
+        """SELECT event_type, count(DISTINCT event_id % 997) AS n_keys
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q_j1_categoryname" -> cte(
         """SELECT cl.cat_name AS "Low Level Category",

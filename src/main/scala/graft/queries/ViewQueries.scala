@@ -49,6 +49,24 @@ object ViewQueries {
         ev.filter(col("highlevelcategory") === 4000),
         "ts", "event_count",
         dims = Seq("domain_id", "rule_name"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "AuthenticationSuccess" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("event_type") === "signup"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "qid"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "LogonType" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("event_type") === "view"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "device_type"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "GroupModification" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("event_type") === "purchase" && col("action") === "deny"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "mitre_tactic"),
         hourColName = "hour", sumColName = "sum_event_count")))
 
   /** Materialized-store paths, one per sfDir, written on first access in
@@ -125,7 +143,16 @@ object ViewQueries {
         "2024-01-05", "2024-01-20"), "policy_name")),
     "q_gv_topsecurity" -> ((s, dir) =>
       shape(scanView(s, dir, "TopSecurityEvents", "NATION_3",
-        "2024-01-10", "2024-01-25"), "rule_name")))
+        "2024-01-10", "2024-01-25"), "rule_name")),
+    "q_gv_authsuccess" -> ((s, dir) =>
+      shape(scanView(s, dir, "AuthenticationSuccess", "NATION_19",
+        "2024-01-02", "2024-01-17"), "qid")),
+    "q_gv_logontype" -> ((s, dir) =>
+      shape(scanView(s, dir, "LogonType", "NATION_22",
+        "2024-01-08", "2024-01-31"), "device_type")),
+    "q_gv_groupmod" -> ((s, dir) =>
+      shape(scanView(s, dir, "GroupModification", "NATION_5",
+        "2024-01-04", "2024-01-27"), "mitre_tactic")))
 
   /** SELECT *-equivalent projection with engine-stable column shapes
     * (timestamp rendered as string for the cross-engine hash; partition
@@ -141,5 +168,11 @@ object ViewQueries {
     "q_gv_vpnaccess" -> sqlScan("action = 'permit'", "policy_name",
       "NATION_12", "2024-01-05", "2024-01-20"),
     "q_gv_topsecurity" -> sqlScan("highlevelcategory = 4000", "rule_name",
-      "NATION_3", "2024-01-10", "2024-01-25"))
+      "NATION_3", "2024-01-10", "2024-01-25"),
+    "q_gv_authsuccess" -> sqlScan("event_type = 'signup'", "qid",
+      "NATION_19", "2024-01-02", "2024-01-17"),
+    "q_gv_logontype" -> sqlScan("event_type = 'view'", "device_type",
+      "NATION_22", "2024-01-08", "2024-01-31"),
+    "q_gv_groupmod" -> sqlScan("event_type = 'purchase' AND action = 'deny'", "mitre_tactic",
+      "NATION_5", "2024-01-04", "2024-01-27"))
 }
