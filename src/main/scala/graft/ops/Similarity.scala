@@ -258,13 +258,25 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
-              nCentroids: Int, nprobe: Int = 1): DataFrame = {
+              nCentroids: Int, nprobe: Int = 1,
+              trainedCentroids: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
     def prep(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), quantize(col(embCol)).as(s"q_$id"))
         .withColumn(s"n_$id", sqrt(dotQ(col(s"q_$id"), col(s"q_$id")).cast("double")))
-    val cents = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), quantize(col(embCol)).as("qc"))
-      .withColumn("nc", sqrt(dotQ(col("qc"), col("qc")).cast("double")))
+    // centroids: either [[kmeansTrain]]'s output (the production build) or
+    // the deterministic lowest-id seed; either way a k-row local relation
+    // broadcast to every assignment scan
+    val cents = trainedCentroids match {
+      case Some(tc) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        tc.toDF("cid", "qc")
+          .withColumn("nc", sqrt(dotQ(col("qc"), col("qc")).cast("double")))
+      case None =>
+        corpus.filter(col(idCol) < nCentroids)
+          .select(col(idCol).as("cid"), quantize(col(embCol)).as("qc"))
+          .withColumn("nc", sqrt(dotQ(col("qc"), col("qc")).cast("double")))
+    }
     def assign(df: DataFrame, id: String) = {
       // Nearest centroid via a partial+final max_by aggregate — map-side
       // combine collapses the nCentroids-wide expansion before any shuffle,
@@ -374,27 +386,52 @@ object Similarity {
                   k: Int, iters: Int, dim: Int = 64): DataFrame = {
     val q = CacheRegistry.persist(
       em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
+    val cents = lloydLoop(q, k, iters, dim)
+    // q stays registered (not released here): the returned plan still
+    // reads it, so the caller's action reuses the cache and the harness's
+    // CacheRegistry.drain() reclaims it after the action.
+    assignCells(q, cents).select(col("id"), col("cell"), col("dist"))
+  }
+
+  /** Train and return the final centroids only (for feeding [[ivfTopK]]'s
+    * `trainedCentroids` — the production IVF build: train, then index).
+    */
+  def kmeansTrain(em: DataFrame, idCol: String, embCol: String,
+                  k: Int, iters: Int, dim: Int = 64): Array[(Long, Array[Long])] = {
+    val q = CacheRegistry.persist(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
+    val cents = lloydLoop(q, k, iters, dim)
+    CacheRegistry.release(q)
+    cents
+  }
+
+  /** Nearest-centroid assignment: argmin over k centroids via array_min on
+    * (dist, cid) structs — lexicographic struct ordering gives min
+    * distance, ties to the lowest centroid id.
+    */
+  private def assignCells(q: DataFrame,
+                          cents: Array[(Long, Array[Long])]): DataFrame = {
+    val candidates = array(cents.map { case (cid, cv) =>
+      val carr = typedLit(cv.toSeq)
+      struct(
+        aggregate(zip_with(col("q"), carr, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    q.withColumn("best", array_min(candidates))
+      .select(col("id"), col("q"),
+        col("best.cid").as("cell"), col("best.dist").as("dist"))
+  }
+
+  /** `iters` Lloyd rounds from the k lowest-id seed. */
+  private def lloydLoop(q: DataFrame, k: Int, iters: Int,
+                        dim: Int): Array[(Long, Array[Long])] = {
     var cents: Array[(Long, Array[Long])] = q.filter(col("id") < k)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    def assigned = {
-      // argmin over k centroids: array_min on (dist, cid) structs —
-      // lexicographic struct ordering gives min distance, ties to the
-      // lowest centroid id
-      val candidates = array(cents.map { case (cid, cv) =>
-        val carr = typedLit(cv.toSeq)
-        struct(
-          aggregate(zip_with(col("q"), carr, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
-          lit(cid).as("cid"))
-      }: _*)
-      q.withColumn("best", array_min(candidates))
-        .select(col("id"), col("q"),
-          col("best.cid").as("cell"), col("best.dist").as("dist"))
-    }
     for (_ <- 1 to iters) {
       val sums = (1 to dim).map(d => sum(element_at(col("q"), d)).as(s"s$d"))
-      val byCell = assigned.groupBy("cell")
+      val byCell = assignCells(q, cents).groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
         .map { r =>
@@ -404,10 +441,7 @@ object Similarity {
         }.toMap
       cents = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
     }
-    // q stays registered (not released here): the returned plan still
-    // reads it, so the caller's action reuses the cache and the harness's
-    // CacheRegistry.drain() reclaims it after the action.
-    assigned.select(col("id"), col("cell"), col("dist"))
+    cents
   }
 
   /** Sign-LSH bucket key: one bit per probed dimension (axis-aligned

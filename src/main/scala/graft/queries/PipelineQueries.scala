@@ -207,6 +207,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_members"),
           sum(col("id")).as("id_checksum"),
           sum(col("dist")).as("inertia"))
+    }),
+
+    // The production IVF build: TRAIN centroids (2 Lloyd rounds), then
+    // index + probe with them — k-means feeding ivfTopK end-to-end.
+    "q_sim_ivf_trained" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nCentroids = 8, nprobe = 2,
+        trainedCentroids = Some(cents.toSeq))
+    }),
+
+    // ---- vocabulary ----
+
+    // Global top-50 tokens by raw count with a deterministic tie-break —
+    // the wordcount/top-k shape (TakeOrderedAndProject over a map-side-
+    // combined aggregate).
+    "q_vocab_topk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
     })
   )
 
@@ -221,15 +243,19 @@ object PipelineQueries {
     * distances, centroid update via per-dimension floor(sum/n), empty
     * cells inherit the previous centroid.
     */
-  private def sqlKmeans(k: Int, iters: Int, dim: Int): String = {
-    def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, q, cid, dist FROM (
-         |  SELECT vec_id, q, cid, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM (SELECT e.vec_id, e.q, c.cid,
-         |          CAST(list_dot_product(e.q, e.q) - 2*list_dot_product(e.q, c.q)
-         |               + list_dot_product(c.q, c.q) AS BIGINT) AS dist
-         |        FROM em e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+  private def sqlKmeansAssign(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, q, cid, dist FROM (
+       |  SELECT vec_id, q, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.q, c.cid,
+       |          CAST(list_dot_product(e.q, e.q) - 2*list_dot_product(e.q, c.q)
+       |               + list_dot_product(c.q, c.q) AS BIGINT) AS dist
+       |        FROM em e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+
+  /** CTE chain `em, cents0, a1, ..., cents{iters}` (no WITH, no final
+    * select) — shared by the k-means query and the trained-IVF query.
+    */
+  private def sqlKmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def update(i: Int) =
       s"""ex$i AS (SELECT a.cid, t.i, a.q[t.i] AS v
          |        FROM a$i a, unnest(generate_series(1, $dim)) AS t(i)),
@@ -242,18 +268,21 @@ object PipelineQueries {
          |            SELECT cid, q FROM cents${i - 1}
          |            WHERE cid NOT IN (SELECT cid FROM cn$i))""".stripMargin
     val iterCtes = (1 to iters).map(i =>
-      assign(s"a$i", s"cents${i - 1}") + ",\n" + update(i)).mkString(",\n")
-    s"""WITH em AS (SELECT vec_id,
+      sqlKmeansAssign(s"a$i", s"cents${i - 1}") + ",\n" + update(i)).mkString(",\n")
+    s"""em AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |cents0 AS (SELECT vec_id AS cid, q FROM em WHERE vec_id < $k),
-       |$iterCtes,
-       |${assign("af", s"cents$iters")}
+       |$iterCtes""".stripMargin
+  }
+
+  private def sqlKmeans(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${sqlKmeansCtes(k, iters, dim)},
+       |${sqlKmeansAssign("af", s"cents$iters")}
        |SELECT cid AS cell, count(*) AS n_members,
        |  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
        |  CAST(sum(dist) AS BIGINT) AS inertia
        |FROM af GROUP BY 1""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
 
@@ -352,6 +381,36 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS qnorm
         |FROM q""".stripMargin,
 
-    "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64)
+    "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64),
+
+    "q_sim_ivf_trained" -> {
+      val cos = "(list_dot_product(a.q, b.q) / " +
+        "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
+         |cents AS (SELECT cid, q AS qc FROM cents2),
+         |cassign AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.q, c.qc) /
+         |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+         |        c.cid) AS rk
+         |  FROM em e, cents c),
+         |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
+         |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= 2),
+         |scored AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+         |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
+         |       em b JOIN qcells cb ON cb.vec_id = b.vec_id
+         |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+         |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored) r
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
   )
 }

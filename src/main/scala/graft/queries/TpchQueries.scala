@@ -109,6 +109,64 @@ object TpchQueries {
         .select("rnk", "c_custkey", "c_name", "revenue")
     }),
 
+    // §2.6 superset: FULL OUTER join — per-nation counts of high-balance
+    // customers and suppliers, either side possibly absent. Both inputs
+    // are pre-aggregated (25-row sides), so the outer join is broadcast-
+    // scale regardless of fact size.
+    "q_join_fullouter" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_cust"))
+      val supp = Tables.supplier(s, dir).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_supp"))
+      cust.join(supp, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+          coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+    }),
+
+    // §2.6 superset: PIVOT with a pinned value list (deterministic column
+    // set — never corpus-inferred, which would change the schema when a
+    // status disappears from a slice). Plans as one conditional aggregate.
+    "q_pivot_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // §2.4 superset: GROUPING SETS with grouping() disambiguation markers
+    // (one shuffle, Expand feeds all three groupings). Exact integer-cents
+    // money totals as everywhere.
+    "q_agg_groupingsets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_p,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_s,
+          |  count(*) AS n,
+          |  round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    }),
+
+    // §2.4 superset: exact percentiles (linear interpolation over the
+    // sorted group — Spark `percentile`, DuckDB `quantile_cont` compute
+    // the same (n-1)*p rule).
+    "q_agg_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    }),
+
     // §2.6 superset: partitioned window function — top-3 customers per
     // nation by account balance.
     "q_window_top3_per_nation" -> ((s, dir) => {
@@ -163,6 +221,39 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_fullouter" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(c.n_rich_cust, 0) AS n_rich_cust,
+        |  COALESCE(s.n_rich_supp, 0) AS n_rich_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_rich_cust
+        |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_rich_supp
+        |           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+        |ON c.nationkey = s.nationkey""".stripMargin,
+
+    "q_pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_agg_groupingsets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_p,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_s,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "q_agg_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "q_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${sqlDisp("sum(CAST(round(l_quantity*100) AS BIGINT))")} AS sum_qty,
