@@ -178,11 +178,14 @@ object TextAnalysis {
       .otherwise(typedLit(Seq.empty[String]))
 
   /** Count of occurrences of the most frequent element — the "top n-gram
-    * fraction" numerator. Computed as the longest run of the SORTED array
-    * via one `aggregate` fold: O(m log m) per doc and fully codegen'd,
-    * instead of the O(distinct x m) nested filter-count (quadratic in doc
-    * length) or an explode + groupBy (a corpus-wide shuffle for a per-row
-    * statistic).
+    * fraction" numerator, as the longest run of the SORTED array via one
+    * `aggregate` fold. CAVEAT (measured): use this only on an array that
+    * is already materialized as a column. Fed directly from
+    * `wordNgrams(split(text))`, CollapseProject inlines the split into
+    * every lambda and higher-order functions evaluate interpreted — the
+    * text is re-split PER ELEMENT, O(tokens^2)/doc (the round-1 Generate
+    * finding again). The scan path for these statistics is
+    * [[repetitionStats]], one typed pass.
     */
   def maxRepeatCount(arr: Column): Column =
     aggregate(
@@ -195,6 +198,45 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  /** Per-document repetition statistics in ONE typed pass appended to the
+    * input row: total/top 2-gram counts (`n2`, `top2`) and total/distinct
+    * 5-gram counts (`n5`, `d5`). Hash-map counting is O(tokens) per doc,
+    * shuffle-free, and sidesteps the interpreted-HOF + CollapseProject
+    * re-split trap the Column form hits (see [[maxRepeatCount]]).
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema
+      .add("n2", LongType).add("top2", LongType)
+      .add("n5", LongType).add("d5", LongType)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val text = if (row.isNullAt(idx)) null else row.getString(idx)
+        val toks = if (text == null) Array.empty[String] else text.split(' ')
+        val counts = new java.util.HashMap[String, Integer]()
+        var top2 = 0
+        var i = 0
+        while (i < toks.length - 1) {
+          val c = counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+          if (c > top2) top2 = c
+          i += 1
+        }
+        val five = new java.util.HashSet[String]()
+        i = 0
+        while (i < toks.length - 4) {
+          five.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+            toks(i + 3) + " " + toks(i + 4))
+          i += 1
+        }
+        Row.fromSeq(row.toSeq ++ Seq(
+          math.max(toks.length - 1, 0).toLong, top2.toLong,
+          math.max(toks.length - 4, 0).toLong, five.size.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
 
   // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
 

@@ -59,16 +59,12 @@ object PipelineQueries {
       |        FROM documents d LEFT JOIN c2 ON d.doc_id = c2.doc_id
       |                         LEFT JOIN c5 ON d.doc_id = c5.doc_id)""".stripMargin
 
-  /** Per-doc repetition signal columns (Spark side of [[sqlRepCtes]]). */
-  private def repCols(df: DataFrame): DataFrame = {
-    val toks = TA.tokens(col("text"))
-    val g2 = TA.wordNgrams(toks, 2)
-    val g5 = TA.wordNgrams(toks, 5)
-    df.withColumn("n2", size(g2).cast("long"))
-      .withColumn("top2", TA.maxRepeatCount(g2))
-      .withColumn("n5", size(g5).cast("long"))
-      .withColumn("d5", size(array_distinct(g5)).cast("long"))
-  }
+  /** Per-doc repetition signal columns (Spark side of [[sqlRepCtes]]):
+    * one typed pass, NOT the Column HOF form — CollapseProject would
+    * inline the tokenization into every lambda element (measured
+    * O(tokens^2)/doc, see TextAnalysis.maxRepeatCount scaladoc).
+    */
+  private def repCols(df: DataFrame): DataFrame = TA.repetitionStats(df, "text")
 
   private val StratRates = Map("en" -> 250, "es" -> 500)
 

@@ -48,6 +48,27 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("repetitionStats typed pass == Column HOF form") {
+    val df = Seq(
+      (0L, "x y x y x y z"),
+      (1L, "a b c d e f g h"),
+      (2L, "w w w w w w"),
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val typed = graft.ops.TextAnalysis.repetitionStats(df, "text")
+      .select("doc_id", "n2", "top2", "n5", "d5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val toks = TA.tokens(col("text"))
+    val g2 = TA.wordNgrams(toks, 2)
+    val g5 = TA.wordNgrams(toks, 5)
+    val hof = df.select(col("doc_id"), size(g2).cast("long").as("n2"),
+        TA.maxRepeatCount(g2).as("top2"), size(g5).cast("long").as("n5"),
+        size(array_distinct(g5)).cast("long").as("d5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(typed.toSeq === hof.toSeq)
+    assert(typed(0) === ((0L, 6L, 3L, 3L, 3L)))
+  }
+
   test("split is deterministic, complete, and ~80/10/10") {
     val n = 10000
     val d = spark.range(n).select(Sampling.split(col("id")).as("s"))
