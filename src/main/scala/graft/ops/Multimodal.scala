@@ -94,4 +94,32 @@ object Multimodal {
         .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
     }
   }
+
+  /** One dimension of one frame's pseudo-embedding. */
+  case class FrameDim(doc_id: Long, frame_idx: Int, dim: Int, v: Long)
+
+  /** Frame embedding (STUB): a real implementation runs a vision/audio
+    * encoder per frame; the deterministic fake folds the frame bytes into
+    * a `dim`-dimensional integer vector (dimension k = sum of unsigned
+    * bytes at positions ≡ k mod dim). Emits (frame, dim, value) rows for
+    * dimensions that received at least one byte — a short tail frame
+    * contributes only its populated dimensions, so downstream pooling
+    * counts match a byte-position oracle exactly. Same per-partition
+    * typed-batch shape as the decode stage; composes with elementwise
+    * pooling and the ANN operators to close the multimodal -> embedding
+    * loop.
+    */
+  def embedStub(spark: SparkSession, frames: DataFrame, dim: Int = 8): Dataset[FrameDim] = {
+    import spark.implicits._
+    frames.as[Frame].flatMap { f =>
+      val d = math.min(dim, f.frame.length)
+      val v = new Array[Long](d)
+      var j = 0
+      while (j < f.frame.length) {
+        v(j % dim) += f.frame(j) & 0xFFL
+        j += 1
+      }
+      (0 until d).iterator.map(k => FrameDim(f.doc_id, f.frame_idx, k, v(k)))
+    }
+  }
 }

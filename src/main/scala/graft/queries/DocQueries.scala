@@ -300,6 +300,29 @@ object DocQueries {
           sum(col("n_bytes")).as("total_bytes"),
           min(col("head_byte")).as("min_head"),
           max(col("head_byte")).as("max_head"))
+    }),
+
+    // Multimodal -> embedding loop closed: media -> resize -> frame-sample
+    // -> per-frame pseudo-embedding (stub encoder, deterministic byte
+    // folds) -> per-doc elementwise floor-mean pooling -> per-modality
+    // aggregate. Every stage is the production operator shape; only the
+    // encoder body is stubbed.
+    "q_mm_embed" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
+        .toDF().select("doc_id", "kind", "media")
+      val frames = Multimodal.frameSampleStub(s, resized, frameBytes = 64, stride = 2)
+      val fe = Multimodal.embedStub(s, frames.toDF(), dim = 8).toDF()
+      val pooled = fe.groupBy(col("doc_id"), col("dim"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("pv"))
+      pooled
+        .withColumn("dim", col("dim").cast("long")) // oracle's % yields BIGINT
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+        .groupBy("kind", "dim")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pv")).as("sum_pv"))
     })
   )
 
@@ -547,6 +570,34 @@ object DocQueries {
           |                THEN 64 * (k - 1) + (m - 64 * (c - 1))
           |                ELSE 64 * k END) AS BIGINT) AS total_frame_bytes
           |FROM nonempty GROUP BY 1""".stripMargin,
+
+      // byte-level replay of resize(16x16) -> frames(64, stride 2) ->
+      // dim-fold embedding -> floor-mean pooling. The corpus is pure
+      // ASCII (pinned by q_mm_pipeline's octet_length parity), so
+      // substr/ascii positions == payload bytes; dim = (i-1) % 8 because
+      // 64 % 8 = 0.
+      "q_mm_embed" ->
+        """WITH base AS (
+          |  SELECT doc_id, substr(text, 1, 256) AS payload FROM documents),
+          |chars AS (
+          |  SELECT doc_id,
+          |    (i - 1) // 64 AS frame_idx,
+          |    (i - 1) % 8 AS dim,
+          |    ascii(substr(payload, i, 1)) AS b
+          |  FROM base, unnest(generate_series(1, length(payload))) AS t(i)),
+          |fe AS (
+          |  SELECT doc_id, frame_idx, dim, CAST(sum(b) AS BIGINT) AS v
+          |  FROM chars WHERE frame_idx % 2 = 0 GROUP BY 1, 2, 3),
+          |pooled AS (
+          |  SELECT doc_id, dim,
+          |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pv
+          |  FROM fe GROUP BY 1, 2)
+          |SELECT
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |       WHEN doc_id % 3 = 1 THEN 'audio'
+          |       ELSE 'video' END AS kind,
+          |  dim, count(*) AS n_docs, CAST(sum(pv) AS BIGINT) AS sum_pv
+          |FROM pooled GROUP BY 1, 2""".stripMargin,
 
       // head CASE mirrors the Spark stub's empty-payload sentinel (-1):
       // DuckDB's ascii('') is 0, not -1.

@@ -112,6 +112,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("s2", 2L)) === ((1L, 88L)))
   }
 
+  test("packConcat invariants on random sizes (sampled property)") {
+    import org.scalacheck.Gen
+    val sizes = Gen.listOfN(200, Gen.chooseNum(1L, 700L)).sample.get
+    val ctx = 512
+    val rows = sizes.zipWithIndex.map { case (sz, i) => (s"s${i % 3}", i.toLong, sz) }
+    val out = Packing.packConcat(rows.toDF("src", "ord", "sz"), "src", "ord", "sz", ctx)
+      .select("src", "ord", "sz", "bin", "offset")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    out.foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_._2)
+      var running = 0L
+      sorted.foreach { case (_, _, sz, bin, offset) =>
+        assert(offset >= 0 && offset < ctx)
+        assert(bin === running / ctx) // start position chunked by ctx
+        assert(offset === running % ctx)
+        running += sz
+      }
+      // bins are non-decreasing in packing order
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+    }
+  }
+
+  test("samplePermille sample sets are nested as the rate grows") {
+    val d = spark.range(5000)
+      .withColumn("k200", Sampling.samplePermille(col("id"), 200))
+      .withColumn("k600", Sampling.samplePermille(col("id"), 600))
+    // every member of the 20% sample is in the 60% sample (same salt)
+    assert(d.filter(col("k200") && !col("k600")).count() === 0)
+    val n600 = d.filter(col("k600")).count()
+    assert(math.abs(n600 - 3000L) < 200, n600.toString)
+  }
+
   test("quantizeInt8: range, max maps to +-127, zero vector guarded") {
     val out = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),

@@ -87,4 +87,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0L).n_bytes === 3L && out(0L).head_byte === 'a'.toInt)
     assert(out(2L).n_bytes === 0L && out(2L).head_byte === -1)
   }
+
+  test("multimodal embed stub: byte folds per dim, short tail frames") {
+    import org.apache.spark.sql.functions.col
+    // frame "abcd" with dim=3: v0 = 'a'+'d' = 197, v1 = 'b' = 98, v2 = 'c' = 99
+    val frames = Seq((1L, 0, "abcd".getBytes("UTF-8")), (1L, 2, "xy".getBytes("UTF-8")))
+      .toDF("doc_id", "frame_idx", "frame")
+    val out = Multimodal.embedStub(spark, frames, dim = 3).collect()
+      .map(f => (f.frame_idx, f.dim) -> f.v).toMap
+    assert(out((0, 0)) === 197L && out((0, 1)) === 98L && out((0, 2)) === 99L)
+    // 2-byte tail frame emits only dims 0 and 1
+    assert(out.get((2, 2)).isEmpty)
+    assert(out((2, 0)) === 'x'.toLong && out((2, 1)) === 'y'.toLong)
+  }
 }
