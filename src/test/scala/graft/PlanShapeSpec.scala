@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan regression pins for the round-4 queries: the properties
+  * that make them scale are asserted on the executed plan, not just
+  * described in scaladoc.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    graft.ops.CacheRegistry.drain()
+    p
+  }
+
+  test("q_contamination: benchmark side broadcast, no cartesian/SMJ") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_pack_sequences: prefix-sum window is partitioned by the shard") {
+    val p = plan("q_pack_sequences")
+    assert("Window .*\\[source".r.findFirstIn(p).isDefined ||
+      p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("per-row statistics plan with no shuffle exchange") {
+    for (q <- Seq("q_txt_repetition", "q_emb_quantize_int8", "q_txt_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffled:\n$p")
+    }
+  }
+
+  test("q_sample_split: column pruning drops the text payload at the scan") {
+    val p = plan("q_sample_split")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse(p)
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("q_vocab_topk: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
