@@ -238,6 +238,38 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Overlapping passage chunking (the RAG/pretraining passage splitter):
+    * token windows of `chunkTokens` advancing by `chunkTokens - overlap`,
+    * last partial window kept. One typed flatMap per document — 1->N row
+    * expansion with no shuffle; chunk text is rebuilt with single spaces
+    * (the corpus tokenizer's inverse). Emits (id, chunk_idx, n_tokens,
+    * chunk).
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val step = chunkTokens - overlap
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.isEmpty) Iterator.empty
+        else {
+          val toks = text.split(' ')
+          // starts: 0, step, 2*step, ... while the window still adds a NEW
+          // token (the previous chunk already covers up to s + overlap)
+          Iterator.from(0).map(_ * step)
+            .takeWhile(s => s == 0 || s + overlap < toks.length)
+            .zipWithIndex.map { case (s, i) =>
+              val chunk = toks.slice(s, s + chunkTokens)
+              (id, i.toLong, chunk.length.toLong, chunk.mkString(" "))
+            }
+        }
+      }.toDF(idCol, "chunk_idx", "n_tokens", "chunk")
+  }
+
   // ---- DuckDB oracle fragments (keep in lock-step with the above) ----
 
   val sqlToks = "string_split(text, ' ')"

@@ -215,6 +215,37 @@ object PipelineQueries {
         trainedCentroids = Some(cents.toSeq))
     }),
 
+    // ---- passage chunking ----
+
+    // Overlapping 64-token windows advancing by 48 (16-token overlap),
+    // the RAG/pretraining passage splitter; md5 of each chunk pins the
+    // exact token spans.
+    "q_chunk_passages" -> ((s, dir) => {
+      TA.chunkPassages(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk")).as("fp"))
+    }),
+
+    // ---- tf-idf ----
+
+    // Quantized tf-idf top term per document: score = tf * 1e6 div df —
+    // integer arithmetic end to end (a float idf's ln() is not
+    // bit-portable across engines). Two-pass shape: (doc, term) tf with
+    // map-side combine, vocabulary-sized df, join on term, per-doc top-1.
+    "q_txt_tfidf" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "token")
+        .withColumn("score", expr("tf * 1000000 div df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "token", "score")
+    }),
+
     // ---- vocabulary ----
 
     // Global top-50 tokens by raw count with a deterministic tie-break —
@@ -403,6 +434,29 @@ object PipelineQueries {
          |  FROM scored) r
          |WHERE rnk <= 5""".stripMargin
     },
+
+    "q_chunk_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents WHERE len(text) > 0),
+        |st AS (SELECT doc_id, toks, t.s
+        |       FROM toks, unnest(generate_series(0, greatest(0, len(toks) - 16 - 1), 48)) AS t(s))
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[s+1 : s+64], ' ')) AS fp
+        |FROM st""".stripMargin,
+
+    "q_txt_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT t.doc_id, t.token,
+        |    CAST((t.tf * 1000000) // d.df AS BIGINT) AS score
+        |  FROM tf t JOIN dfreq d USING (token))
+        |SELECT doc_id, token, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored) r
+        |WHERE rn = 1""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT token, count(*) AS cnt

@@ -69,6 +69,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(typed(0) === ((0L, 6L, 3L, 3L, 3L)))
   }
 
+  test("chunkPassages: overlap layout, no redundant tail, short docs") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, text10), (1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .chunkPassages(df, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 0 (10 tokens, step 2): starts 0,2,4,6 (start 8 adds no new token
+    // beyond 8+2=10? 8+2 !< 10 -> stop); chunks of 4, last may be short
+    assert(out((0L, 0L)) === ((4L, "w1 w2 w3 w4")))
+    assert(out((0L, 1L)) === ((4L, "w3 w4 w5 w6")))
+    assert(out((0L, 2L)) === ((4L, "w5 w6 w7 w8")))
+    assert(out((0L, 3L)) === ((4L, "w7 w8 w9 w10")))
+    assert(!out.contains((0L, 4L)))
+    // every token of doc 0 appears in at least one chunk
+    val covered = out.collect { case ((0L, _), (_, c)) => c.split(' ') }.flatten.toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+    // 3-token doc -> one short chunk; empty doc -> nothing
+    assert(out((1L, 0L)) === ((3L, "a b c")))
+    assert(!out.keys.exists(_._1 == 2L))
+  }
+
   test("split is deterministic, complete, and ~80/10/10") {
     val n = 10000
     val d = spark.range(n).select(Sampling.split(col("id")).as("s"))
