@@ -61,8 +61,11 @@ object Bench {
     val loadAfter = loadAvg
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val starts = results.map { case (k, _, s0) => f"""\"$k\":$s0%.2f""" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f"" interpolator uses the default locale, which in
+    // e.g. de_DE renders a comma decimal separator and corrupts the JSON
+    val starts = results.map { case (k, _, s0) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(s0))
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum

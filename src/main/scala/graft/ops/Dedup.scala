@@ -47,7 +47,7 @@ object Dedup {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // trailing-empty parity with string_split
           if (toks.length < n) Iterator.empty
           else {
             val seen = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -69,9 +69,12 @@ object Lookups {
     */
   def networkNameExprPacked(cidrs: Seq[(String, String)], ipLong: Column,
                             defaultName: String = "other"): Column = {
+    // longest prefix first; equal-length overlaps tie-break to the
+    // lexicographically smallest name — the pinned contract shared with
+    // networkNameJoin (listing order would not survive a join re-plan)
     val ordered = cidrs
       .map { case (cidr, name) => (Net.parseCidr(cidr), cidr.split("/")(1).toInt, name) }
-      .sortBy(-_._2)
+      .sortBy { case (_, pfx, name) => (-pfx, name) }
     ordered.foldRight(lit(defaultName)) { case (((net, mask), _, name), els) =>
       when(ipLong.bitwiseAND(lit(mask)) === lit(net), lit(name)).otherwise(els)
     }
@@ -162,10 +165,12 @@ object Lookups {
     val joined = withId.join(broadcast(dim),
       withId("__nn_ip").bitwiseAND(dim("__nn_mask")) === dim("__nn_net"), "left")
     val firstCols = factCols.map(c => first(col(s"`$c`")).as(c))
+    // min over (-prefixLen, name) structs = longest prefix, ties to the
+    // smallest name — identical to the compiled chain's pinned ordering
     joined.groupBy("__nn_rid")
       .agg(firstCols.head, firstCols.tail :+
-        max(when(col("__nn_name").isNotNull,
-          struct(col("__nn_pfx"), col("__nn_name").as("n")))).as("__nn_best"): _*)
+        min(when(col("__nn_name").isNotNull,
+          struct((-col("__nn_pfx")).as("np"), col("__nn_name").as("n")))).as("__nn_best"): _*)
       .withColumn(as, coalesce(col("__nn_best.n"), lit(defaultName)))
       .drop("__nn_rid", "__nn_best")
   }

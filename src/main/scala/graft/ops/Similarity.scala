@@ -157,22 +157,26 @@ object Similarity {
                          tau: Double, blocks: Int = 0): DataFrame = {
     val spark = em.sparkSession
     import spark.implicits._
+    // persist the projected+quantized frame FIRST: the auto-derive stats
+    // aggregate then materializes the same cache the block build reuses —
+    // ONE scan of the input total, not a separate stats read of the corpus
+    val q = CacheRegistry.persist(
+      em.select(col(idCol).cast("long").as("__id"), quantize(col(embCol)).as("__q")))
     val nBlocks =
       if (blocks > 0) blocks
       else {
         // 8 bytes per quantized element + ~24 of id/norm/array headers
-        val stats = em.agg(count(lit(1)).as("n"),
-          avg(size(col(embCol)) * 8 + 24).as("b")).head()
+        val stats = q.agg(count(lit(1)).as("n"),
+          avg(size(col("__q")) * 8 + 24).as("b")).head()
         val n = stats.getLong(0)
         val avgBytes = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
         deriveBlocks(n, avgBytes, spark.sparkContext.defaultParallelism)
       }
     // persist: both sides of the block-pair join reference this plan, and
-    // without the cache the scan + quantize + shuffle + block build would
+    // without the cache the quantized read + shuffle + block build would
     // execute twice per invocation
     val blocked = CacheRegistry.persist(
-      em.select(col(idCol).cast("long"), quantize(col(embCol)))
-        .as[(Long, Array[Long])]
+      q.as[(Long, Array[Long])]
         .groupByKey(r => (((r._1 % nBlocks) + nBlocks) % nBlocks).toInt)
         .mapGroups { (b: Int, it: Iterator[(Long, Array[Long])]) =>
           val arr = it.map { case (id, v) =>

@@ -215,7 +215,9 @@ object TextAnalysis {
     df.mapPartitions { it =>
       it.map { row =>
         val text = if (row.isNullAt(idx)) null else row.getString(idx)
-        val toks = if (text == null) Array.empty[String] else text.split(' ')
+        // limit -1 keeps trailing empty tokens — parity with Spark's
+        // split() and DuckDB's string_split on dirty input
+        val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
         val counts = new java.util.HashMap[String, Integer]()
         var top2 = 0
         var i = 0
@@ -257,7 +259,7 @@ object TextAnalysis {
       .flatMap { case (id, text) =>
         if (text == null || text.isEmpty) Iterator.empty
         else {
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // keep trailing empties (engine parity)
           // starts: 0, step, 2*step, ... while the window still adds a NEW
           // token (the previous chunk already covers up to s + overlap)
           Iterator.from(0).map(_ * step)

@@ -139,6 +139,7 @@ object EventQueries {
       val sink = s"$root/out"; val ckpt = s"$root/ckpt"
       // streaming sources need a pinned schema — one metadata-only batch
       // read supplies it (S4's schema-union inference, never first-row)
+      Tables.ensureNanosConf(s) // schema probe hits TIMESTAMP(NANOS) too
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // the file source wants a directory; glob-filter it to the events table
       val stream = s.readStream.schema(rawSchema)
@@ -177,6 +178,7 @@ object EventQueries {
     val out = streamDedupPaths.getOrElseUpdate(dir, {
       val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
       val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.ensureNanosConf(s) // schema probe hits TIMESTAMP(NANOS) too
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

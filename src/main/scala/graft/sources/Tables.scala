@@ -24,13 +24,18 @@ object Tables {
     * division would corrupt ~1.7e18 nanosecond values (2^53 < 1.7e18).
     * DuckDB truncates ns->us the same way, so oracles agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // GraftSession.builder sets this at session build; the guard below is
-    // only a fallback for externally-built sessions, and never mutates a
-    // session that is already configured (no global side effect on the
-    // hot read path).
+  /** GraftSession.builder sets the nanos conf at session build; this
+    * guard is the fallback for externally-built sessions, and never
+    * mutates a session that is already configured (no global side effect
+    * on the hot read path). Every reader that touches events.parquet —
+    * including streaming-source schema probes — must go through it.
+    */
+  def ensureNanosConf(spark: SparkSession): Unit =
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureNanosConf(spark)
     read(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

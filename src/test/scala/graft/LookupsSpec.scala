@@ -93,4 +93,17 @@ class LookupsSpec extends SparkSpec {
     assert(viaJoin === viaChain)
     assert(viaJoin.map(_._2) === Seq("corp", "dmz", "lab", "other", "other"))
   }
+
+  test("networkNameJoin tie-break on equal-length overlaps == compiled chain") {
+    // two /8 entries covering the same IP: both paths must pick the
+    // lexicographically smallest name (the pinned tie contract)
+    val table = Seq(("10.0.0.0/8", "beta"), ("10.0.0.0/8", "alpha")).toDF("cidr", "name")
+    val facts = Seq(("a", "10.1.2.3")).toDF("id", "ip")
+    val viaJoin = Lookups.networkNameJoin(facts, table, "ip", "n")
+      .select("n").head().getString(0)
+    val viaChain = Lookups.networkName(facts, table, "ip", "n")
+      .select("n").head().getString(0)
+    assert(viaJoin === "alpha")
+    assert(viaChain === "alpha")
+  }
 }

@@ -54,7 +54,9 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "a b c d e f g h"),
       (2L, "w w w w w w"),
       (3L, "solo"),
-      (4L, "")).toDF("doc_id", "text")
+      (4L, ""),
+      (5L, "a b "), // trailing space: both tokenizers must keep the empty token
+      (6L, "a  b")).toDF("doc_id", "text")
     val typed = graft.ops.TextAnalysis.repetitionStats(df, "text")
       .select("doc_id", "n2", "top2", "n5", "d5")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
