@@ -204,7 +204,48 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** S9 PUSH PARITY — the HttpPushSink transport chain executed for real:
+    * every partition's JSON payload is gzipped executor-side and handed to
+    * a file-backed [[graft.streaming.HttpPushSink.Transport]] (the local
+    * stand-in for the HTTP POST — same bytes, same call contract), landed
+    * once per sfDir. The parity read decompresses every landed payload
+    * and re-aggregates — proving serialize -> gzip -> transport -> decode
+    * round-trips the data exactly, under the driver's DuckDB gate.
+    */
+  private val pushParityPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pushedEvents(s: SparkSession, dir: String): String =
+    pushParityPaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_push_parity_").toString
+      val transport: graft.streaming.HttpPushSink.Transport = (batchId, pid, payload) => {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, s"b${batchId}_p$pid.gz"), payload)
+        200
+      }
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      graft.streaming.HttpPushSink.pushBatch(ev, batchId = 0L, transport)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9 end-to-end: landed gzip payloads decompressed and re-aggregated;
+    // the oracle is the plain batch aggregate of the source table.
+    "q_s9_push_parity" -> ((s, dir) => {
+      import s.implicits._
+      val outDir = pushedEvents(s, dir)
+      s.read.format("binaryFile").load(s"$outDir/*.gz")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { gz =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(gz))
+          val text = new String(in.readAllBytes(), "UTF-8")
+          in.close()
+          text.split('\n').iterator.filter(_.nonEmpty)
+        }
+        .toDF("line")
+        .select(get_json_object(col("line"), "$.event_type").as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
     // T1-T3: the streaming path under the driver's batch oracle — the
     // structured-streaming rollup's landed output must hash-match the
     // batch hourly rollup SQL exactly (see [[streamedHourly]]).
@@ -723,6 +764,10 @@ object EventQueries {
 
       "q_t3_streaming_dedup" ->
         """SELECT event_type, count(DISTINCT event_id % 997) AS n_keys
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q_s9_push_parity" ->
+        """SELECT event_type, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin,
 
       "q_j1_categoryname" -> cte(
