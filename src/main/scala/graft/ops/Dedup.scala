@@ -183,13 +183,19 @@ object Dedup {
     * signature agrees on ALL rows of at least one band. Output: (i, j).
     */
   def lshCandidates(sig: DataFrame, idCol: String,
-                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    lshCandidatesImpl(sig, idCol, bands, rowsPerBand, rightFilter = lit(true))
+
+  private def lshCandidatesImpl(sig: DataFrame, idCol: String,
+                                bands: Int, rowsPerBand: Int,
+                                rightFilter: org.apache.spark.sql.Column): DataFrame = {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }: _*)
     val exploded = sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "key")))
     val l = exploded.select(col(idCol).as("i"), col("band"), col("key"))
-    val r = exploded.select(col(idCol).as("j"), col("band"), col("key"))
+    val r = exploded.filter(rightFilter)
+      .select(col(idCol).as("j"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
       .select("i", "j").distinct()
   }
@@ -199,13 +205,39 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      tau: Double = 0.5): DataFrame = {
+                      tau: Double = 0.5): DataFrame =
+    minhashLshPairsImpl(df, idCol, textCol, n, numHashes, bands, tau,
+      rightFilter = lit(true))
+
+  /** Incremental MinHash+LSH: near-dup pairs whose NEWER side (`j`) is in
+    * the delta — doc ids >= `deltaFrom`, ids being arrival-ordered. The
+    * band join keeps the whole corpus on the left but only DELTA
+    * signatures on the right, so candidate volume is O(corpus x delta)
+    * and verify work is delta-bounded, never the O(corpus^2) of a full
+    * re-dedup. This is the production shape for deduping a new crawl
+    * batch against an already-indexed corpus: a deployment persists the
+    * corpus signatures and scans only the delta; recomputing signatures
+    * from the shared testdata table is the fixture stand-in, the JOIN
+    * topology is the real thing. Old-old pairs are (by construction)
+    * absent from the result; delta-delta and corpus-delta pairs match
+    * the full pipeline's exactly.
+    */
+  def minhashLshPairsDelta(df: DataFrame, idCol: String, textCol: String,
+                           deltaFrom: Long, n: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4, tau: Double = 0.5): DataFrame =
+    minhashLshPairsImpl(df, idCol, textCol, n, numHashes, bands, tau,
+      rightFilter = col(idCol) >= deltaFrom)
+
+  private def minhashLshPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, numHashes: Int, bands: Int,
+                                  tau: Double,
+                                  rightFilter: org.apache.spark.sql.Column): DataFrame = {
     // Signatures are computed scan-side in one typed pass (no shingle
     // shuffle); the shingle table is only needed to verify candidates.
     val sh = CacheRegistry.persist(shingles(df, idCol, textCol, n))
     val sig = CacheRegistry.persist(
       minhashSignaturesDirect(df, idCol, textCol, n, numHashes))
-    val cands = lshCandidates(sig, idCol, bands, numHashes / bands)
+    val cands = lshCandidatesImpl(sig, idCol, bands, numHashes / bands, rightFilter)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Verify ONLY the candidates: expand each candidate pair with the left
     // doc's shingles, then probe the right doc's set — O(candidates x set)

@@ -221,6 +221,34 @@ object DocQueries {
           sum(TA.nTokens(col("toks"))).as("total_tokens"))
     }),
 
+    // Incremental dedup: a new crawl batch (the newest 20% of arrival-
+    // ordered ids; boundary from one metadata aggregate, the deriveBlocks
+    // pattern) deduped against the already-indexed corpus. Candidate
+    // volume is O(corpus x delta), never a full re-dedup.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      Dedup.minhashLshPairsDelta(docs, "doc_id", "text",
+        deltaFrom = (maxId + 1) * 4 / 5,
+        n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+    }),
+
+    // Quantile-threshold curation: keep documents above the corpus's 70th
+    // quality percentile. The threshold is an aggregate broadcast back
+    // over the scan (crossJoin of a 1-row frame) — no driver round-trip
+    // in the plan, and the exact-percentile parity is the one proven by
+    // q_agg_percentiles.
+    "q_curation_topfrac" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("score", TA.qualityScore(col("toks")))
+      val thr = d.agg(expr("percentile(score, 0.7)").as("thr"))
+      d.crossJoin(broadcast(thr)).filter(col("score") >= col("thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TA.nTokens(col("toks")).cast("long")).as("kept_tokens"))
+    }),
+
     // Cluster-granular dedup: LSH pairs -> connected components -> one
     // canonical survivor per component (min id). The oracle replays the
     // closure with a recursive CTE.
@@ -408,6 +436,20 @@ object DocQueries {
       "q_dedup_minhash_lsh" ->
         s"""WITH ${sqlLshPairCtesFrom("documents")}
            |SELECT i, j, jac FROM lshpairs""".stripMargin,
+
+      // delta restriction: same LSH pipeline, pairs whose newer side is in
+      // the newest-20% id range (candidate banding is unaffected for them)
+      "q_dedup_incremental" ->
+        s"""WITH ${sqlLshPairCtesFrom("documents")}
+           |SELECT i, j, jac FROM lshpairs
+           |WHERE j >= (SELECT ((max(doc_id) + 1) * 4) // 5 FROM documents)""".stripMargin,
+
+      "q_curation_topfrac" ->
+        s"""WITH d AS (SELECT lang, ${TA.sqlQualityScore} AS score,
+           |  CAST(${TA.sqlNTokens} AS BIGINT) AS n FROM documents)
+           |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS kept_tokens
+           |FROM d WHERE score >= (SELECT quantile_cont(score, 0.7) FROM d)
+           |GROUP BY 1""".stripMargin,
 
       "q_dedup_simhash" -> {
         val bitSums = (0 until 60).map(i =>

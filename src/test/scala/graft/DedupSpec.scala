@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
 
+  test("incremental LSH == full pairs restricted to the delta's newer side") {
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      numHashes = 16, bands = 4, tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val deltaFrom = 2L
+    val delta = Dedup.minhashLshPairsDelta(docs, "doc_id", "text", deltaFrom,
+      n = 3, numHashes = 16, bands = 4, tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(delta === full.filter(_._2 >= deltaFrom))
+    assert(delta.forall(_._2 >= deltaFrom)) // no old-old pair survives
+  }
+
   test("scan-side direct signatures == aggregate-path signatures, bit for bit") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val viaAgg = Dedup.minhashSignatures(sh, "doc_id", 16)
