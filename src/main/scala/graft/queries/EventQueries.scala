@@ -278,6 +278,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // S5/P2: the dynamic custom-property path — `props` arrives as a JSON
+    // string (QRadar custom properties, reference: etl.py:16-22) and is
+    // parsed in-plan with from_json + a pinned schema. The parse is a
+    // codegen'd per-row expression; no schema inference pass at query time.
+    "q_s5_props_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+    }),
+
     // P1/P2: projection with aliases over schema-on-read columns.
     "q_p1_projection" -> ((s, dir) => {
       se(s, dir).filter(col("event_type") === "purchase")
@@ -768,6 +782,15 @@ object EventQueries {
 
       "q_s9_push_parity" ->
         """SELECT event_type, count(*) AS n
+          |FROM events GROUP BY 1""".stripMargin,
+
+      // independent extraction path (regex, not JSON machinery) so the
+      // oracle does not share the implementation's parser
+      "q_s5_props_json" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k,
+          |  CAST(sum(CASE WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
           |FROM events GROUP BY 1""".stripMargin,
 
       "q_j1_categoryname" -> cte(

@@ -215,6 +215,22 @@ object PipelineQueries {
         trainedCentroids = Some(cents.toSeq))
     }),
 
+    // ---- ragged-schema union ----
+
+    // Schema-drift union (the reference's first-row-inference bug done
+    // right): two batches with different column sets combined by NAME
+    // with missing columns null-filled — unionByName(allowMissing), the
+    // S4 schema-union contract as a relational operator.
+    "q_union_ragged" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), col("lang"))
+      val b = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- passage chunking ----
 
     // Overlapping 64-token windows advancing by 48 (16-token overlap),
@@ -434,6 +450,14 @@ object PipelineQueries {
          |  FROM scored) r
          |WHERE rnk <= 5""".stripMargin
     },
+
+    "q_union_ragged" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q_chunk_passages" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
