@@ -226,7 +226,60 @@ object EventQueries {
       out
     })
 
+  /** STREAMING SESSIONS PARITY — the `flatMapGroupsWithState` sessionizer
+    * driven to EXACT batch equality. Two levers make that possible:
+    *  - one far-future sentinel event per user (global max ts + 1 day,
+    *    beyond any gap) closes every real session via the in-batch gap
+    *    split, so no real session is left open at drain time;
+    *  - the watermark horizon exceeds the data span, so the sentinel
+    *    sessions' own event-time timeouts can never fire — they stay
+    *    open and are never emitted.
+    * The landed closed-session set is then exactly the batch
+    * gaps-and-islands result.
+    */
+  private val streamSessionPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedSessions(s: SparkSession, dir: String): DataFrame = {
+    val out = streamSessionPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_sess_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L)
+      val sentinels = ev.select("user_id").distinct()
+        .withColumn("ts", lit(sentinelTs))
+      ev.union(sentinels).write.parquet(src)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .parquet(src)
+      val sessions = graft.streaming.StatefulSessionize
+        .sessionize(s, stream, gapSeconds = 1800L, lateness = "87600 hours")
+      val q = sessions.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T7/T2 custom state end-to-end: flatMapGroupsWithState sessions ==
+    // the batch gaps-and-islands oracle (see [[streamedSessions]]).
+    "q_t7_streaming_sessions" -> ((s, dir) => {
+      streamedSessions(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(unix_micros(col("end_ts")) - unix_micros(col("start_ts"))).as("max_span_us"))
+    }),
+
     // S9 end-to-end: landed gzip payloads decompressed and re-aggregated;
     // the oracle is the plain batch aggregate of the source table.
     "q_s9_push_parity" -> ((s, dir) => {
@@ -783,6 +836,27 @@ object EventQueries {
       "q_s9_push_parity" ->
         """SELECT event_type, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_t7_streaming_sessions" ->
+        """WITH marked AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sessions AS (
+          |  SELECT user_id, ts,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM marked),
+          |per_session AS (
+          |  SELECT user_id, session_id, count(*) AS n_events,
+          |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+          |  FROM sessions GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_sessions,
+          |  CAST(sum(n_events) AS BIGINT) AS n_events,
+          |  max(span_us) AS max_span_us
+          |FROM per_session GROUP BY 1""".stripMargin,
 
       // independent extraction path (regex, not JSON machinery) so the
       // oracle does not share the implementation's parser

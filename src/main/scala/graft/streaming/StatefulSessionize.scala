@@ -35,10 +35,16 @@ object StatefulSessionize {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
 
+    // Timestamp.getTime is MILLIS — using it would silently truncate the
+    // microsecond component and break exact batch parity; Spark's own
+    // util converts Timestamp <-> micros losslessly.
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
     def fn(userId: Long, batch: Iterator[Event],
            state: GroupState[SessionState]): Iterator[ClosedSession] = {
       def close(s: SessionState) = ClosedSession(userId,
-        new Timestamp(s.startUs / 1000), new Timestamp(s.lastUs / 1000), s.n)
+        DateTimeUtils.toJavaTimestamp(s.startUs),
+        DateTimeUtils.toJavaTimestamp(s.lastUs), s.n)
 
       if (state.hasTimedOut) {
         val out = state.getOption.map(close).iterator
@@ -47,7 +53,7 @@ object StatefulSessionize {
       } else {
         // micro-batch arrival order is not time order: sort, then fold each
         // event into the open session, splitting at gaps
-        val sorted = batch.map(e => e.ts.getTime * 1000L).toArray.sorted
+        val sorted = batch.map(e => DateTimeUtils.fromJavaTimestamp(e.ts)).toArray.sorted
         var open = state.getOption
         val closed = Vector.newBuilder[ClosedSession]
         sorted.foreach { tUs =>
