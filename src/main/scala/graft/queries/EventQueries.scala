@@ -269,7 +269,56 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** STREAM-STREAM JOIN PARITY — the watermarked interval join landed and
+    * compared to the batch join. Inner-join matches append as soon as
+    * both sides have arrived (no watermark wait on emission), and the
+    * over-horizon watermark means no buffered row is ever evicted before
+    * its partner shows up — so an AvailableNow drain lands exactly the
+    * batch join's pair set.
+    */
+  private val streamJoinPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = streamJoinPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_join_").toString
+      val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.ensureNanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def side(eventType: String, key: String, ts: String) =
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === eventType)
+          .select(col("user_id").as(key), col("ts").as(ts))
+      val joined = graft.streaming.StreamingJoins.intervalJoin(
+        side("purchase", "u", "pts"), side("signup", "su", "sts"),
+        keyL = "u", keyR = "su", tsL = "pts", tsR = "sts",
+        windowSec = 3600L, lateness = "87600 hours")
+      val q = joined.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T4/J-streaming end-to-end: watermarked stream-stream interval join
+    // == the batch interval join (see [[streamedIntervalJoin]]).
+    "q_t4_streaming_join" -> ((s, dir) => {
+      streamedIntervalJoin(s, dir)
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("pts")) - unix_micros(col("sts"))).as("sum_gap_us"))
+    }),
+
     // T7/T2 custom state end-to-end: flatMapGroupsWithState sessions ==
     // the batch gaps-and-islands oracle (see [[streamedSessions]]).
     "q_t7_streaming_sessions" -> ((s, dir) => {
@@ -836,6 +885,15 @@ object EventQueries {
       "q_s9_push_parity" ->
         """SELECT event_type, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_t4_streaming_join" ->
+        """SELECT p.user_id, count(*) AS n_pairs,
+          |  CAST(sum(epoch_us(p.ts) - epoch_us(s.ts)) AS BIGINT) AS sum_gap_us
+          |FROM events p JOIN events s
+          |  ON p.user_id = s.user_id
+          |  AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts
+          |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+          |GROUP BY 1""".stripMargin,
 
       "q_t7_streaming_sessions" ->
         """WITH marked AS (
