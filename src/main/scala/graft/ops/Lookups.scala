@@ -168,7 +168,7 @@ object Lookups {
     // min over (-prefixLen, name) structs = longest prefix, ties to the
     // smallest name — identical to the compiled chain's pinned ordering
     joined.groupBy("__nn_rid")
-      .agg(firstCols.head, firstCols.tail :+
+      .agg(firstCols.head, firstCols.toIndexedSeq.tail :+
         min(when(col("__nn_name").isNotNull,
           struct((-col("__nn_pfx")).as("np"), col("__nn_name").as("n")))).as("__nn_best"): _*)
       .withColumn(as, coalesce(col("__nn_best.n"), lit(defaultName)))

@@ -80,7 +80,7 @@ object Normalize {
       .replace(")", "_").replace(",", "_")
 
   def cleanColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(cleanColumnName): _*)
+    df.toDF(df.columns.toIndexedSeq.map(cleanColumnName): _*)
 
   /** F6: customer/table-name sanitizer — strips ` ' " & _`
     * (reference: etl.py:68-77).

@@ -58,7 +58,7 @@ object Rollup {
   def saltedSum(df: DataFrame, keys: Seq[String], measureCol: String,
                 sumColName: String = "sum_value",
                 saltBuckets: Int = 16): DataFrame = {
-    val salt = pmod(hash(df.columns.map(c => col(s"`$c`")): _*), lit(saltBuckets))
+    val salt = pmod(hash(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*), lit(saltBuckets))
     df.withColumn("__salt", salt)
       .groupBy((keys.map(c => col(s"`$c`")) :+ col("__salt")): _*)
       .agg(sum(col(s"`$measureCol`")).as("__partial"))

@@ -415,7 +415,7 @@ object Similarity {
     */
   private def assignCells(q: DataFrame,
                           cents: Array[(Long, Array[Long])]): DataFrame = {
-    val candidates = array(cents.map { case (cid, cv) =>
+    val candidates = array(cents.toIndexedSeq.map { case (cid, cv) =>
       val carr = typedLit(cv.toSeq)
       struct(
         aggregate(zip_with(col("q"), carr, (x, y) => (x - y) * (x - y)),
