@@ -309,7 +309,61 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** KAFKA-SHAPE DECODE PARITY — the topic round-trip without a broker:
+    * events serialized to one JSON payload per record (`to_json`, exactly
+    * the producer's wire shaping — reference: mykafka/producer.py:7-20),
+    * landed as a text "topic", streamed back through
+    * [[graft.streaming.KafkaSource.decodeJson]] (the same decode the
+    * kafka wiring uses), and appended to parquet. Double values
+    * round-trip exactly (shortest-repr JSON formatting), so the decoded
+    * aggregate hash-matches the batch oracle.
+    */
+  private val streamJsonPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedJsonDecode(s: SparkSession, dir: String): DataFrame = {
+    val out = streamJsonPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_json_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))).as("value"))
+        .write.text(src)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.text(src), schema)
+      val q = decoded.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6/S8-analog end-to-end: JSON topic round-trip through the Kafka
+    // decode path == the batch aggregate (see [[streamedJsonDecode]]).
+    "q_s6_streaming_json" -> ((s, dir) => {
+      streamedJsonDecode(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // T4/J-streaming end-to-end: watermarked stream-stream interval join
     // == the batch interval join (see [[streamedIntervalJoin]]).
     "q_t4_streaming_join" -> ((s, dir) => {
@@ -884,6 +938,11 @@ object EventQueries {
 
       "q_s9_push_parity" ->
         """SELECT event_type, count(*) AS n
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q_s6_streaming_json" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+          |count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1""".stripMargin,
 
       "q_t4_streaming_join" ->
