@@ -233,17 +233,20 @@ object DocQueries {
         n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
     }),
 
-    // Quantile-threshold curation: keep documents above the corpus's 70th
-    // quality percentile. The threshold is an aggregate broadcast back
-    // over the scan (crossJoin of a 1-row frame) — no driver round-trip
-    // in the plan, and the exact-percentile parity is the one proven by
-    // q_agg_percentiles.
+    // Top-fraction curation: keep exactly the top 30% of documents by
+    // quality, rank-based with an integer tie-break (score desc, doc_id)
+    // — NO float threshold compare anywhere, so a 1-ulp percentile
+    // divergence between engines can never flip a boundary doc. Scores
+    // are micro-unit integers (bit-identical doubles -> identical
+    // rounding); k comes from one count aggregate (column-pruned — no
+    // text read); selection is orderBy+limit = TakeOrderedAndProject.
     "q_curation_topfrac" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("toks", TA.tokens(col("text")))
-        .withColumn("score", TA.qualityScore(col("toks")))
-      val thr = d.agg(expr("percentile(score, 0.7)").as("thr"))
-      d.crossJoin(broadcast(thr)).filter(col("score") >= col("thr"))
+        .withColumn("score_i",
+          round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long"))
+      val k = d.count() * 3 / 10
+      d.orderBy(col("score_i").desc, col("doc_id")).limit(k.toInt)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(TA.nTokens(col("toks")).cast("long")).as("kept_tokens"))
@@ -445,10 +448,13 @@ object DocQueries {
            |WHERE j >= (SELECT ((max(doc_id) + 1) * 4) // 5 FROM documents)""".stripMargin,
 
       "q_curation_topfrac" ->
-        s"""WITH d AS (SELECT lang, ${TA.sqlQualityScore} AS score,
-           |  CAST(${TA.sqlNTokens} AS BIGINT) AS n FROM documents)
+        s"""WITH d AS (SELECT doc_id, lang,
+           |  CAST(round(${TA.sqlQualityScore} * 1000000.0) AS BIGINT) AS score_i,
+           |  CAST(${TA.sqlNTokens} AS BIGINT) AS n FROM documents),
+           |ranked AS (SELECT lang, n,
+           |  row_number() OVER (ORDER BY score_i DESC, doc_id) AS rn FROM d)
            |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS kept_tokens
-           |FROM d WHERE score >= (SELECT quantile_cont(score, 0.7) FROM d)
+           |FROM ranked WHERE rn <= (SELECT count(*) * 3 // 10 FROM documents)
            |GROUP BY 1""".stripMargin,
 
       "q_dedup_simhash" -> {

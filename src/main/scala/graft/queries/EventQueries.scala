@@ -116,6 +116,30 @@ object EventQueries {
     s.read.parquet(path)
   }
 
+  /** Shared streaming-parity landing: drain `stream` into `sink` as
+    * checkpointed parquet with one AvailableNow run; `withBatchId` tags
+    * rows for Update-mode latest-emission compaction on read. Returns
+    * the number of micro-batches that carried input rows (parity paths
+    * with cross-batch emission hazards assert on it).
+    */
+  private def landAvailableNow(stream: DataFrame, sink: String, ckpt: String,
+                               mode: org.apache.spark.sql.streaming.OutputMode,
+                               withBatchId: Boolean = false): Int = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = if (withBatchId) batch.withColumn("batch_id", lit(batchId)) else batch
+        b.write.mode("append").parquet(sink)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0)
+  }
+
   /** T1-T3 end-to-end parity store: the hourly rollup computed BY THE
     * STREAMING PATH — file source -> watermarked 1h window aggregation ->
     * Update-mode foreachBatch parquet append — landed once per sfDir in
@@ -148,18 +172,9 @@ object EventQueries {
         timestamp_micros(expr("ts div 1000"))) // nanos Long -> µs, as Tables.events
       val roll = graft.streaming.StreamingRollup.hourly(ev, "ts", "value",
         dims = Seq("event_type"), lateness = "87600 hours", sumColName = "sum_value")
-      val q = roll.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      landAvailableNow(roll,
+        sink, ckpt, org.apache.spark.sql.streaming.OutputMode.Update,
+        withBatchId = true)
       sink
     })
     s.read.parquet(out)
@@ -188,17 +203,8 @@ object EventQueries {
           concat(col("event_type"), lit("#"), (col("event_id") % 997).cast("string")))
       val dd = graft.streaming.StreamingDedup.exact(ev, "ts", "content",
         lateness = "87600 hours")
-      val q = dd.select("event_type", "content").writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          batch.write.mode("append").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      landAvailableNow(dd.select("event_type", "content"),
+        sink, ckpt, org.apache.spark.sql.streaming.OutputMode.Append)
       sink
     })
     s.read.parquet(out)
@@ -247,23 +253,23 @@ object EventQueries {
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000L)
       val sentinels = ev.select("user_id").distinct()
         .withColumn("ts", lit(sentinelTs))
-      ev.union(sentinels).write.parquet(src)
+      // one file -> the file source delivers one batch (asserted below)
+      ev.union(sentinels).coalesce(1).write.parquet(src)
       val stream = s.readStream
         .schema(ev.schema)
         .parquet(src)
       val sessions = graft.streaming.StatefulSessionize
         .sessionize(s, stream, gapSeconds = 1800L, lateness = "87600 hours")
-      val q = sessions.toDF().writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          batch.write.mode("append").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val dataBatches = landAvailableNow(sessions.toDF(),
+        sink, ckpt, org.apache.spark.sql.streaming.OutputMode.Append)
+      // exact parity additionally needs all input in ONE batch: a session
+      // split across batches whose bridging event arrives later cannot be
+      // retracted once emitted. The source is written as a single file so
+      // the file source delivers one batch — assert it stayed that way.
+      if (dataBatches > 1)
+        throw new IllegalStateException(
+          s"session parity store saw $dataBatches input batches (expected 1); " +
+            "cross-batch emission voids exact batch equality")
       sink
     })
     s.read.parquet(out)
@@ -293,17 +299,8 @@ object EventQueries {
         side("purchase", "u", "pts"), side("signup", "su", "sts"),
         keyL = "u", keyR = "su", tsL = "pts", tsR = "sts",
         windowSec = 3600L, lateness = "87600 hours")
-      val q = joined.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          batch.write.mode("append").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      landAvailableNow(joined,
+        sink, ckpt, org.apache.spark.sql.streaming.OutputMode.Append)
       sink
     })
     s.read.parquet(out)
@@ -327,28 +324,12 @@ object EventQueries {
         .select(to_json(struct(col("event_id"), col("user_id"),
           col("event_type"), col("value"))).as("value"))
         .write.text(src)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       val decoded = graft.streaming.KafkaSource.decodeJson(
         s.readStream.text(src), schema)
-      val q = decoded.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          batch.write.mode("append").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      landAvailableNow(decoded,
+        sink, ckpt, org.apache.spark.sql.streaming.OutputMode.Append)
       sink
     })
     s.read.parquet(out)
@@ -976,13 +957,19 @@ object EventQueries {
           |FROM per_session GROUP BY 1""".stripMargin,
 
       // independent extraction path (regex, not JSON machinery) so the
-      // oracle does not share the implementation's parser
+      // oracle does not share the implementation's parser; anchored on the
+      // "k" key + TRY_CAST so a digit elsewhere, a negative value, or a
+      // k-less payload degrades to NULL like from_json, never to a wrong
+      // number or a hard conversion error
       "q_s5_props_json" ->
-        """SELECT event_type, count(*) AS n,
-          |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
-          |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k,
-          |  CAST(sum(CASE WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-          |FROM events GROUP BY 1""".stripMargin,
+        """WITH p AS (SELECT event_type,
+          |  TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+          |  FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  max(k) AS max_k,
+          |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+          |FROM p GROUP BY 1""".stripMargin,
 
       "q_j1_categoryname" -> cte(
         """SELECT cl.cat_name AS "Low Level Category",
