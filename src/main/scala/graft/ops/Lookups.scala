@@ -115,19 +115,85 @@ object Lookups {
 
   /** networkNameExpr over a `(cidr, name)` DataFrame: the hierarchy is
     * collected once at plan-build time (it is a small config table, like the
-    * reference's QRadar network hierarchy) and compiled into the expression.
-    * Refuses hierarchies larger than [[MaxCompiledHierarchy]] — callers
-    * with genuinely large CIDR tables must use [[networkNameJoin]].
+    * reference's QRadar network hierarchy). Hierarchies up to
+    * [[MaxCompiledHierarchy]] compile into the when-chain; larger ones
+    * switch to the sorted-interval binary-search expression
+    * ([[networkNameIntervalExprPacked]]) — same pinned semantics, still
+    * zero joins and zero shuffles at any hierarchy size.
     */
   def networkName(fact: DataFrame, cidrTable: DataFrame,
                   ipCol: String, as: String,
                   defaultName: String = "other"): DataFrame = {
     val entries = cidrTable.select("cidr", "name").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    require(entries.size <= MaxCompiledHierarchy,
-      s"network hierarchy has ${entries.size} entries (> $MaxCompiledHierarchy): " +
-        "the compiled when-chain would exceed codegen limits — use networkNameJoin")
-    fact.withColumn(as, networkNameExpr(entries, col(s"`$ipCol`"), defaultName))
+    val ipLong = graft.plans.GraftFunctions.ipToLongNative(col(s"`$ipCol`"))
+    val e =
+      if (entries.size <= MaxCompiledHierarchy)
+        networkNameExprPacked(entries, ipLong, defaultName)
+      else networkNameIntervalExprPacked(entries, ipLong, defaultName)
+    fact.withColumn(as, e)
+  }
+
+  /** Longest-prefix match pre-resolved to disjoint [lo, hi) intervals over
+    * the IPv4 space: a driver-side sweep over the CIDR boundary points
+    * assigns every elementary segment its winning entry (longest prefix,
+    * ties to the smallest name — the same pinned contract as the compiled
+    * chain), merging equal-label neighbours. O(n log n) at plan build for n
+    * hierarchy entries; the result is ≤ 2n+1 intervals.
+    *
+    * Returned `names` are null on uncovered gaps (→ defaultName at probe).
+    */
+  private[graft] def flattenHierarchy(
+      entries: Seq[(String, String)]): (Array[Long], Array[String]) = {
+    val top = 1L << 32
+    final case class R(lo: Long, hi: Long, pfx: Int, name: String)
+    val rs = entries.map { case (cidr, name) =>
+      val (net, mask) = Net.parseCidr(cidr)
+      val pfx = java.lang.Long.bitCount(mask)
+      R(net, net + (top >>> pfx), pfx, name)
+    }
+    val starts = rs.groupBy(_.lo)
+    val ends = rs.groupBy(_.hi)
+    val points = (rs.flatMap(r => Seq(r.lo, r.hi)) :+ 0L)
+      .distinct.sorted.filter(_ < top)
+    // active multiset of covering entries, ordered by (-prefixLen, name):
+    // head = the winner under the pinned tie contract
+    val active = scala.collection.mutable.TreeMap.empty[(Int, String), Int]
+    val los = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (p <- points) {
+      ends.getOrElse(p, Nil).foreach { r =>
+        val k = (-r.pfx, r.name)
+        val n = active(k) - 1
+        if (n == 0) active.remove(k) else active(k) = n
+      }
+      starts.getOrElse(p, Nil).foreach { r =>
+        val k = (-r.pfx, r.name)
+        active(k) = active.getOrElse(k, 0) + 1
+      }
+      val win = active.headOption.map(_._1._2).orNull
+      if (los.isEmpty || names.last != win) { los += p; names += win }
+    }
+    (los.toArray, names.toArray)
+  }
+
+  /** FULLNETWORKNAME as one binary-search probe per row — the scale path
+    * for hierarchies beyond [[MaxCompiledHierarchy]]: no join, no Exchange,
+    * no per-row allocation; the interval table rides to executors inside
+    * the generated class (16 B + name per interval). This replaces the
+    * full-fact `groupBy(rid)` shuffle that [[networkNameJoin]] pays.
+    */
+  def networkNameIntervalExprPacked(entries: Seq[(String, String)],
+                                    ipLong: Column,
+                                    defaultName: String = "other"): Column = {
+    val (los, names) = flattenHierarchy(entries)
+    val utf8 = names.map(n =>
+      if (n == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(n))
+    coalesce(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.IntervalLookup(
+        org.apache.spark.sql.GraftColumnBridge.expression(ipLong), los, utf8)),
+      lit(defaultName))
   }
 
   /** Longest-prefix match as a broadcast theta-join — the scale path for

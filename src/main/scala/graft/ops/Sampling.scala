@@ -61,8 +61,12 @@ object Sampling {
 
   // ---- DuckDB oracle fragments (keep in lock-step) ----
 
-  def sqlHashBucket(keyExpr: String, buckets: Int, salt: String = ""): String =
-    s"((${Hashing.sqlMd5Long(s"CAST($keyExpr AS VARCHAR) || '$salt'")}) % $buckets + $buckets) % $buckets"
+  def sqlHashBucket(keyExpr: String, buckets: Int, salt: String = ""): String = {
+    // the salt lands inside a single-quoted SQL literal — double any quotes
+    // so an adversarial salt can't corrupt the oracle text
+    val lit = salt.replace("'", "''")
+    s"((${Hashing.sqlMd5Long(s"CAST($keyExpr AS VARCHAR) || '$lit'")}) % $buckets + $buckets) % $buckets"
+  }
 
   def sqlSplit(keyExpr: String, trainPct: Int = 80, valPct: Int = 10,
                salt: String = ""): String = {

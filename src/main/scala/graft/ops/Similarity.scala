@@ -427,12 +427,18 @@ object Similarity {
         col("best.cid").as("cell"), col("best.dist").as("dist"))
   }
 
-  /** `iters` Lloyd rounds from the k lowest-id seed. */
+  /** `iters` Lloyd rounds seeded from the k lowest-id vectors. */
   private def lloydLoop(q: DataFrame, k: Int, iters: Int,
                         dim: Int): Array[(Long, Array[Long])] = {
-    var cents: Array[(Long, Array[Long])] = q.filter(col("id") < k)
-      .orderBy("id").collect()
+    // orderBy(id).limit(k) honours the documented "k lowest-id vectors"
+    // contract even when ids are sparse or offset (filter(id < k) would
+    // silently seed fewer than k clusters on such corpora).
+    var cents: Array[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.length == k,
+      s"k-means needs at least k=$k vectors to seed; corpus has ${cents.length}")
+    require(cents.forall(_._2.length == dim),
+      s"dim=$dim does not match the corpus vector length ${cents.head._2.length}")
     for (_ <- 1 to iters) {
       val sums = (1 to dim).map(d => sum(element_at(col("q"), d)).as(s"s$d"))
       val byCell = assignCells(q, cents).groupBy("cell")

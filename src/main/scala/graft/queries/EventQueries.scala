@@ -345,6 +345,27 @@ object EventQueries {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // S1 end-to-end: the whole WHERE (IN + range + inequality conjuncts)
+    // is pushed into the graft-events DSv2 connector and evaluated
+    // source-side — rows failing it never leave the source, the QRadar
+    // submit-the-AQL contract. Dsv2SourceSpec pins the plan shape (all
+    // conjuncts in pushedFilters, pruned read schema, no Spark-side
+    // Filter); this query pins the answer against the parquet oracle.
+    "q_s1_dsv2" -> ((s, dir) => {
+      import graft.sources.EventsApi
+      s.read.format("graft-events").load(EventsApi.landing(s, dir))
+        .filter(col("event_type").isin("view", "click", "purchase") &&
+          col("value") > 10.0 &&
+          col("ts_nanos") >= 1704412800000000000L && // 2024-01-05T00:00Z
+          col("ts_nanos") < 1706140800000000000L)    // 2024-01-25T00:00Z
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          max(col("user_id")).as("max_user"),
+          // µs truncation for the cross-engine hash: DuckDB reads the
+          // TIMESTAMP(NANOS) parquet µs-truncated, so raw nanos can't match
+          min(expr("ts_nanos div 1000")).as("min_ts_us"))
+    }),
+
     // T4/J-streaming end-to-end: watermarked stream-stream interval join
     // == the batch interval join (see [[streamedIntervalJoin]]).
     "q_t4_streaming_join" -> ((s, dir) => {
@@ -926,6 +947,14 @@ object EventQueries {
           |count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1""".stripMargin,
 
+      "q_s1_dsv2" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+          |  max(user_id) AS max_user, min(epoch_us(ts)) AS min_ts_us
+          |FROM events
+          |WHERE event_type IN ('view', 'click', 'purchase') AND value > 10.0
+          |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+          |GROUP BY 1""".stripMargin,
+
       "q_t4_streaming_join" ->
         """SELECT p.user_id, count(*) AS n_pairs,
           |  CAST(sum(epoch_us(p.ts) - epoch_us(s.ts)) AS BIGINT) AS sum_gap_us
@@ -957,13 +986,13 @@ object EventQueries {
           |FROM per_session GROUP BY 1""".stripMargin,
 
       // independent extraction path (regex, not JSON machinery) so the
-      // oracle does not share the implementation's parser; anchored on the
-      // "k" key + TRY_CAST so a digit elsewhere, a negative value, or a
-      // k-less payload degrades to NULL like from_json, never to a wrong
-      // number or a hard conversion error
+      // oracle does not share the implementation's parser; the integer is
+      // anchored on its JSON value terminator ([,}] — RE2 has no lookahead)
+      // so a fractional ("k": 12.5), exponent, or quoted value degrades to
+      // NULL exactly like from_json('k BIGINT'), never to a truncated number
       "q_s5_props_json" ->
         """WITH p AS (SELECT event_type,
-          |  TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+          |  TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)\s*[,}]', 1) AS BIGINT) AS k
           |  FROM events)
           |SELECT event_type, count(*) AS n,
           |  CAST(sum(k) AS BIGINT) AS sum_k,

@@ -303,7 +303,12 @@ object PipelineQueries {
       s"""ex$i AS (SELECT a.cid, t.i, a.q[t.i] AS v
          |        FROM a$i a, unnest(generate_series(1, $dim)) AS t(i)),
          |cs$i AS (SELECT cid, i,
-         |           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |           -- exact Math.floorDiv: DuckDB // truncates toward zero,
+         |           -- so adjust negative non-exact quotients down by one
+         |           -- (double floor would lose exactness as |sum| nears 2^53)
+         |           CAST(CASE WHEN sum(v) >= 0 OR sum(v) % count(*) = 0
+         |                THEN sum(v) // count(*)
+         |                ELSE sum(v) // count(*) - 1 END AS BIGINT) AS cv
          |         FROM ex$i GROUP BY 1, 2),
          |cn$i AS (SELECT cid, list(cv ORDER BY i) AS q FROM cs$i GROUP BY cid),
          |cents$i AS (SELECT cid, q FROM cn$i

@@ -67,6 +67,24 @@ object ViewQueries {
         ev.filter(col("event_type") === "purchase" && col("action") === "deny"),
         "ts", "event_count",
         dims = Seq("domain_id", "mitre_tactic"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "CREEvents" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("event_type") === "click"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "mitre_technique"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "UBA" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("action") === "monitor"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "source_geo"),
+        hourColName = "hour", sumColName = "sum_event_count")),
+    "GroupModificationAzureActiveDirectory" -> (ev =>
+      Rollup.hourly(
+        ev.filter(col("event_type") === "purchase" && col("action") === "permit"),
+        "ts", "event_count",
+        dims = Seq("domain_id", "dest_geo"),
         hourColName = "hour", sumColName = "sum_event_count")))
 
   /** Materialized-store paths, one per sfDir, written on first access in
@@ -152,7 +170,16 @@ object ViewQueries {
         "2024-01-08", "2024-01-31"), "device_type")),
     "q_gv_groupmod" -> ((s, dir) =>
       shape(scanView(s, dir, "GroupModification", "NATION_5",
-        "2024-01-04", "2024-01-27"), "mitre_tactic")))
+        "2024-01-04", "2024-01-27"), "mitre_tactic")),
+    "q_gv_creevents" -> ((s, dir) =>
+      shape(scanView(s, dir, "CREEvents", "NATION_9",
+        "2024-01-06", "2024-01-23"), "mitre_technique")),
+    "q_gv_uba" -> ((s, dir) =>
+      shape(scanView(s, dir, "UBA", "NATION_15",
+        "2024-01-03", "2024-01-21"), "source_geo")),
+    "q_gv_groupmod_aad" -> ((s, dir) =>
+      shape(scanView(s, dir, "GroupModificationAzureActiveDirectory", "NATION_2",
+        "2024-01-09", "2024-01-30"), "dest_geo")))
 
   /** SELECT *-equivalent projection with engine-stable column shapes
     * (timestamp rendered as string for the cross-engine hash; partition
@@ -174,5 +201,11 @@ object ViewQueries {
     "q_gv_logontype" -> sqlScan("event_type = 'view'", "device_type",
       "NATION_22", "2024-01-08", "2024-01-31"),
     "q_gv_groupmod" -> sqlScan("event_type = 'purchase' AND action = 'deny'", "mitre_tactic",
-      "NATION_5", "2024-01-04", "2024-01-27"))
+      "NATION_5", "2024-01-04", "2024-01-27"),
+    "q_gv_creevents" -> sqlScan("event_type = 'click'", "mitre_technique",
+      "NATION_9", "2024-01-06", "2024-01-23"),
+    "q_gv_uba" -> sqlScan("action = 'monitor'", "source_geo",
+      "NATION_15", "2024-01-03", "2024-01-21"),
+    "q_gv_groupmod_aad" -> sqlScan("event_type = 'purchase' AND action = 'permit'", "dest_geo",
+      "NATION_2", "2024-01-09", "2024-01-30"))
 }

@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.{Filter => V1Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 made demonstrable: a DataSource V2 connector whose SOURCE evaluates
+  * the pushed WHERE — the engine-side analog of the reference submitting
+  * its entire AQL predicate to QRadar's search API and only shipping
+  * matching rows back (reference: qradar/qradarconnector.py:108-122, the
+  * POSTed query carries the whole WHERE; SURVEY §4 "whole-WHERE pushdown
+  * into source").
+  *
+  * The "remote search service" here is a JSON-lines event store (the same
+  * wire shape the reference streams: one JSON event per record,
+  * etl.py:16-22). Spark's V2ScanRelationPushDown hands the scan builder
+  * the WHERE conjuncts and the SELECT list:
+  *
+  *  - [[SupportsPushDownFilters]]: every conjunct this source can evaluate
+  *    is accepted and REMOVED from the Spark plan (unlike the parquet v1
+  *    path, which re-evaluates pushed filters, a V2 source is trusted for
+  *    filters it does not hand back) — rows that fail the WHERE never
+  *    leave the source, the QRadar contract.
+  *  - [[SupportsPushDownRequiredColumns]]: only the SELECT-list columns
+  *    are materialized into rows — the reference's projection-at-source.
+  *  - [[SupportsPushDownLimit]]: a LIMIT caps rows per partition at the
+  *    source — the reference's ranged `Range: items=a-b` fetch
+  *    (etl.py:57-65).
+  *
+  * Scale shape: one [[InputPartition]] per landed file (≙ one Range slice
+  * per executor); filter evaluation is per-row inside the partition
+  * reader, so selective predicates cut network/deserialization exactly
+  * where a 1000-executor cluster needs it — at the source.
+  */
+object EventsApi {
+
+  /** The event record schema the "search API" serves. `ts_nanos` is the
+    * raw epoch-nanos Long (the parquet physical form) — callers derive
+    * timestamps downstream exactly as [[Tables.events]] does.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_nanos", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The landed JSON-lines store backing the connector, one per sfDir per
+    * JVM (same memoized-fixture pattern as the P8 day store). Four files
+    * so the scan genuinely plans multiple input partitions.
+    */
+  private val landings = TrieMap.empty[String, String]
+  def landing(s: SparkSession, dir: String): String =
+    landings.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_events_").toString + "/events"
+      Tables.ensureNanosConf(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumnRenamed("ts", "ts_nanos")
+        .repartition(4)
+        .write.json(out)
+      out
+    })
+
+  // ---- source-side predicate evaluation (the "remote engine") ----
+
+  private val colType: Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Column type lookup for the partition reader's record accessor. */
+  def colTypeOf(name: String): DataType = colType(name)
+
+  /** Can the source evaluate this conjunct? Anything here is accepted in
+    * `pushFilters` and never re-checked by Spark.
+    */
+  def supported(f: V1Filter): Boolean = f match {
+    case EqualTo(a, _)            => colType.contains(a)
+    case EqualNullSafe(a, _)      => colType.contains(a)
+    case GreaterThan(a, _)        => colType.contains(a)
+    case GreaterThanOrEqual(a, _) => colType.contains(a)
+    case LessThan(a, _)           => colType.contains(a)
+    case LessThanOrEqual(a, _)    => colType.contains(a)
+    case In(a, _)                 => colType.contains(a)
+    case IsNull(a)                => colType.contains(a)
+    case IsNotNull(a)             => colType.contains(a)
+    case StringStartsWith(a, _)   => colType.get(a).contains(StringType)
+    case StringEndsWith(a, _)     => colType.get(a).contains(StringType)
+    case StringContains(a, _)     => colType.get(a).contains(StringType)
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case Not(c)                   => supported(c)
+    case _                        => false
+  }
+
+  private def cmp(name: String, v: Any, lit: Any): Int = colType(name) match {
+    case LongType   => java.lang.Long.compare(
+      v.asInstanceOf[Number].longValue(), lit.asInstanceOf[Number].longValue())
+    case DoubleType => java.lang.Double.compare(
+      v.asInstanceOf[Number].doubleValue(), lit.asInstanceOf[Number].doubleValue())
+    case _          => v.asInstanceOf[String].compareTo(String.valueOf(lit))
+  }
+
+  /** SQL three-valued logic: None = UNKNOWN. The WHERE keeps TRUE only. */
+  def eval(f: V1Filter, rec: String => Any): Option[Boolean] = {
+    def tri(a: String, v: Any)(p: Any => Boolean): Option[Boolean] = {
+      val x = rec(a)
+      if (x == null || v == null) None else Some(p(x))
+    }
+    f match {
+      case EqualTo(a, v)            => tri(a, v)(cmp(a, _, v) == 0)
+      case GreaterThan(a, v)        => tri(a, v)(cmp(a, _, v) > 0)
+      case GreaterThanOrEqual(a, v) => tri(a, v)(cmp(a, _, v) >= 0)
+      case LessThan(a, v)           => tri(a, v)(cmp(a, _, v) < 0)
+      case LessThanOrEqual(a, v)    => tri(a, v)(cmp(a, _, v) <= 0)
+      case EqualNullSafe(a, v)      =>
+        val x = rec(a)
+        Some(if (x == null || v == null) x == null && v == null
+             else cmp(a, x, v) == 0)
+      case In(a, vs) =>
+        val x = rec(a)
+        if (x == null) None
+        else if (vs.exists(v => v != null && cmp(a, x, v) == 0)) Some(true)
+        else if (vs.contains(null)) None
+        else Some(false)
+      case IsNull(a)    => Some(rec(a) == null)
+      case IsNotNull(a) => Some(rec(a) != null)
+      case StringStartsWith(a, p) =>
+        Option(rec(a)).map(_.asInstanceOf[String].startsWith(p))
+      case StringEndsWith(a, p) =>
+        Option(rec(a)).map(_.asInstanceOf[String].endsWith(p))
+      case StringContains(a, p) =>
+        Option(rec(a)).map(_.asInstanceOf[String].contains(p))
+      case And(l, r) => (eval(l, rec), eval(r, rec)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (eval(l, rec), eval(r, rec)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(c) => eval(c, rec).map(!_)
+      case _      => None // unreachable: unsupported filters are never pushed
+    }
+  }
+}
+
+/** `spark.read.format("graft-events").load(path)` — registered via
+  * META-INF/services so the short name resolves like any built-in format.
+  */
+class GraftEventsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-events"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventsApi.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftEventsTable(properties.get("path"))
+}
+
+class GraftEventsTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-events needs a path: .load(<landing dir>)")
+  override def name(): String = s"graft_events($path)"
+  override def schema(): StructType = EventsApi.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftEventsScanBuilder(path)
+}
+
+class GraftEventsScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+  private var pushed: Array[V1Filter] = Array.empty
+  private var required: StructType = EventsApi.schema
+  private var limit: Int = Int.MaxValue
+
+  /** Accept every conjunct the source can evaluate; hand back only the
+    * rest for Spark-side evaluation. For the AQL corpus's predicates
+    * (IN, ranges, equality, boolean algebra) the rest is empty — the
+    * whole WHERE runs in the source.
+    */
+  override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
+    val (ok, rest) = filters.partition(EventsApi.supported)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[V1Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def build(): Scan = new GraftEventsScan(path, pushed, required, limit)
+}
+
+class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
+                      required: StructType, limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftEventsScan path=$path, " +
+      s"PushedFilters=[${pushedFilters.mkString(", ")}], " +
+      s"ReadSchema=[${required.fieldNames.mkString(", ")}]" +
+      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "")
+
+  /** One partition per landed file — the Range-slice analog. Listed via
+    * Hadoop FS so the same code plans against HDFS/object stores.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+      .map(f => EventsFilePartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(pushedFilters, required, limit)
+}
+
+case class EventsFilePartition(file: String) extends InputPartition
+
+class EventsReaderFactory(pushed: Array[V1Filter], required: StructType,
+                          limit: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EventsPartitionReader(
+      partition.asInstanceOf[EventsFilePartition].file, pushed, required, limit)
+}
+
+/** Executor-side reader: streams one JSON-lines file, evaluates the pushed
+  * WHERE per record (three-valued, TRUE-only survives), materializes only
+  * the pruned columns, stops at the pushed limit. O(1) memory per record —
+  * the incremental-parse shape of the reference's ijson loop (etl.py:16-22).
+  */
+class EventsPartitionReader(file: String, pushed: Array[V1Filter],
+                            required: StructType, limit: Int)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val fs = new org.apache.hadoop.fs.Path(file)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    fs.open(new org.apache.hadoop.fs.Path(file)), java.nio.charset.StandardCharsets.UTF_8))
+  private var row: InternalRow = _
+  private var emitted = 0
+
+  private def extract(node: com.fasterxml.jackson.databind.JsonNode,
+                      name: String, dt: DataType): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType   => java.lang.Long.valueOf(v.asLong())
+      case DoubleType => java.lang.Double.valueOf(v.asDouble())
+      case _          => v.asText()
+    }
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= limit) return false
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val rec: String => Any =
+          name => extract(node, name, EventsApi.colTypeOf(name))
+        if (pushed.forall(f => EventsApi.eval(f, rec).getOrElse(false))) {
+          val vals = required.fields.map { f =>
+            extract(node, f.name, f.dataType) match {
+              case s: String => UTF8String.fromString(s)
+              case other     => other
+            }
+          }
+          row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          emitted += 1
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

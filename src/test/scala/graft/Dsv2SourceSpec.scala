@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.sources.{EventsApi, GraftEventsScan}
+
+/** S1 pushdown parity: the graft-events DSv2 connector must receive the
+  * whole WHERE and the pruned SELECT list — the plan-shape half of the
+  * q_s1_dsv2 oracle query (which pins the answer).
+  */
+class Dsv2SourceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def read(): DataFrame =
+    spark.read.format("graft-events").load(EventsApi.landing(spark, sf))
+
+  private def scanOf(df: DataFrame): GraftEventsScan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.length == 1, df.queryExecution.optimizedPlan.toString)
+    scans.head.asInstanceOf[GraftEventsScan]
+  }
+
+  test("the whole AQL-shaped WHERE lands in pushedFilters; no Spark-side Filter remains") {
+    val df = read()
+      .filter(col("event_type").isin("view", "click") &&
+        col("value") > 10.0 &&
+        col("ts_nanos") >= 1704412800000000000L &&
+        col("ts_nanos") < 1706140800000000000L)
+      .groupBy("event_type").agg(sum("value").as("s"))
+    val scan = scanOf(df)
+    val pushed = scan.pushedFilters.toSet
+
+    assert(pushed.contains(In("event_type", Array("view", "click"))), pushed)
+    assert(pushed.contains(GreaterThan("value", 10.0)), pushed)
+    assert(pushed.contains(GreaterThanOrEqual("ts_nanos", 1704412800000000000L)), pushed)
+    assert(pushed.contains(LessThan("ts_nanos", 1706140800000000000L)), pushed)
+
+    // fully pushed => the optimizer removed the Filter node entirely: the
+    // source is trusted, rows failing the WHERE never leave it
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.isEmpty, residual.mkString("\n"))
+  }
+
+  test("column pruning reaches the source: only SELECT-list columns are read") {
+    val df = read().filter(col("value") > 50.0)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val scan = scanOf(df)
+    // value is fully pushed, so it is NOT part of the read schema — the
+    // source materializes just the grouping column
+    assert(scan.readSchema().fieldNames.toSeq == Seq("event_type"),
+      scan.readSchema().treeString)
+  }
+
+  test("connector answers match the parquet path bit-for-bit") {
+    import graft.sources.Tables
+    val viaConnector = read()
+      .filter(col("event_type").isin("view", "click") && col("value") > 10.0)
+      .select("event_id", "user_id", "event_type", "value")
+    val viaParquet = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click") && col("value") > 10.0)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(viaConnector.exceptAll(viaParquet).isEmpty &&
+      viaParquet.exceptAll(viaConnector).isEmpty)
+    assert(viaConnector.count() > 0)
+  }
+
+  test("unsupported predicates stay Spark-side and still answer correctly") {
+    // rlike has no V1 Filter form -> must NOT be pushed, must still filter
+    val df = read().filter(col("event_type").rlike("^(vi|cl)") && col("value") > 10.0)
+    val scan = scanOf(df)
+    assert(scan.pushedFilters.contains(GreaterThan("value", 10.0)))
+    // the rlike conjunct is not V1-translatable, so a Spark-side Filter
+    // node must survive to evaluate it post-scan
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.nonEmpty)
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").rlike("^(vi|cl)") && col("value") > 10.0).count()
+    assert(df.count() == expected)
+  }
+
+  test("limit pushdown caps source emission") {
+    val df = read().limit(7)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedLimit=7"), scan.description())
+    assert(df.count() == 7)
+  }
+
+  test("multiple input partitions are planned (one per landed file)") {
+    val scan = scanOf(read().filter(col("value") > 0)
+      .select("event_id"))
+    assert(scan.planInputPartitions().length == 4)
+  }
+}

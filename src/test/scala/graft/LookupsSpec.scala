@@ -67,14 +67,65 @@ class LookupsSpec extends SparkSpec {
     assert(got === Seq("corp", "dmz", "lab", "other"))
   }
 
-  test("networkName refuses hierarchies past the codegen-safe bound") {
-    val big = (0 until Lookups.MaxCompiledHierarchy + 1)
-      .map(i => (s"10.${i / 256}.${i % 256}.0/24", s"net_$i")).toDF("cidr", "name")
-    val facts = Seq("10.0.1.9").toDF("ip")
-    val e = intercept[IllegalArgumentException] {
-      Lookups.networkName(facts, big, "ip", "n")
+  test("networkName past the codegen bound: interval path == compiled chain, no Exchange") {
+    // > MaxCompiledHierarchy entries with nesting, an equal-prefix tie, and
+    // gaps: the auto-dispatched interval path must agree with the compiled
+    // when-chain (built directly, ignoring the cap) entry for entry
+    val n = Lookups.MaxCompiledHierarchy + 40
+    val entries = (0 until n)
+      .map(i => (s"10.${i / 256}.${i % 256}.0/24", s"net_$i")) ++
+      Seq("10.0.0.0/8" -> "corp",          // umbrella under every /24
+        "10.0.7.0/24" -> "aaa_tie",        // equal-prefix tie vs net_7 -> smallest name
+        "192.168.0.0/16" -> "lab")
+    val big = entries.toDF("cidr", "name")
+    val ips = (0 until 400).map(i => s"10.${i % 4}.${(i * 7) % 256}.${i % 250}") ++
+      Seq("192.168.9.9", "8.8.8.8", "266.1.1.1", "10.0.7.200")
+    val facts = ips.zipWithIndex.map { case (ip, i) => (i, ip) }.toDF("id", "ip")
+
+    val viaInterval = Lookups.networkName(facts, big, "ip", "n")
+    // independent driver-side oracle (a when-chain this size overflows the
+    // Column converter — the reason the 512 cap exists in the first place)
+    def refMatch(ip: String): String = {
+      val parts = ip.split("\\.")
+      val packed =
+        if (parts.length != 4 || parts.exists(p => p.isEmpty || p.toLong > 255)) -1L
+        else parts.map(_.toLong).reduce(_ * 256 + _)
+      if (packed < 0) "other"
+      else entries.flatMap { case (cidr, name) =>
+        val (net, mask) = graft.functions.Net.parseCidr(cidr)
+        if ((packed & mask) == net)
+          Some((-java.lang.Long.bitCount(mask), name)) else None
+      }.minOption.map(_._2).getOrElse("other")
     }
-    assert(e.getMessage.contains("networkNameJoin"))
+    val a = viaInterval.orderBy("id").select("n").collect().map(_.getString(0)).toSeq
+    val b = ips.map(refMatch)
+    assert(a === b)
+    assert(a.contains("corp") && a.contains("aaa_tie") && a.contains("other"))
+
+    // the scale property: no join, no shuffle — one codegen'd probe per row.
+    // (a file-backed fact side: the local-relation form above constant-folds
+    // into a LocalTableScan, which would make this assertion vacuous)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivl_plan_").toString
+    facts.write.mode("overwrite").parquet(tmp)
+    val onFiles = Lookups.networkName(spark.read.parquet(tmp), big, "ip", "n")
+    val plan = onFiles.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    assert(plan.contains("graft_interval_lookup"), plan)
+    assert(onFiles.orderBy("id").select("n").collect().map(_.getString(0)).toSeq === b)
+  }
+
+  test("flattenHierarchy resolves longest-prefix winners over disjoint intervals") {
+    val (los, names) = Lookups.flattenHierarchy(Seq(
+      "10.0.0.0/8" -> "corp",
+      "10.99.0.0/16" -> "dmz",
+      "10.0.0.0/8" -> "beta")) // equal-prefix duplicate -> smallest name wins
+    assert(los.head == 0L && names.head == null) // gap before 10/8
+    assert(los.toSeq == Seq(0L,
+      10L * 16777216,                      // 10.0.0.0 -> beta (tie: beta < corp)
+      10L * 16777216 + 99L * 65536,        // 10.99.0.0 -> dmz
+      10L * 16777216 + 100L * 65536,       // back to beta
+      11L * 16777216))                     // gap after 10/8
+    assert(names.toSeq == Seq(null, "beta", "dmz", "beta", null))
   }
 
   test("networkNameJoin == compiled chain (longest prefix, default, malformed)") {
