@@ -179,25 +179,64 @@ object Dedup {
         (0 until k).map(s => element_at(col("_2"), s + 1).as(s"h$s")): _*)
   }
 
+  /** Default LSH bucket cap: a band bucket holding more members than this
+    * is pathological (boilerplate, templated spam, an adversarial corpus —
+    * near-identical signatures), and its all-pairs expansion would be the
+    * one place the band design goes quadratic: candidates from one bucket
+    * are O(size²), so a single 10M-doc bucket at 100 TB would emit 50T
+    * pairs. Above the cap the bucket contributes a sorted-adjacent CHAIN
+    * (id₁-id₂, id₂-id₃, …) instead — O(size) pairs that keep every member
+    * connected, so downstream clustering ([[dedupClusters]]) still merges
+    * the group while the verify stage stays linear. Bounded worst case:
+    * ≤ bands × (cap × n_buckets + chain lengths) ≈ O(corpus × cap).
+    */
+  val DefaultMaxBucket: Int = 4096
+
   /** LSH candidate pairs from banded minhash signatures: docs whose
     * signature agrees on ALL rows of at least one band. Output: (i, j).
+    * Buckets larger than `maxBucket` are chain-linked, not all-paired —
+    * see [[DefaultMaxBucket]] for the bound.
     */
   def lshCandidates(sig: DataFrame, idCol: String,
-                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    lshCandidatesImpl(sig, idCol, bands, rowsPerBand, rightFilter = lit(true))
+                    bands: Int = 4, rowsPerBand: Int = 4,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshCandidatesImpl(sig, idCol, bands, rowsPerBand, rightFilter = lit(true),
+      maxBucket = maxBucket)
 
   private def lshCandidatesImpl(sig: DataFrame, idCol: String,
                                 bands: Int, rowsPerBand: Int,
-                                rightFilter: org.apache.spark.sql.Column): DataFrame = {
+                                rightFilter: org.apache.spark.sql.Column,
+                                maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }: _*)
     val exploded = sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "key")))
-    val l = exploded.select(col(idCol).as("i"), col("band"), col("key"))
-    val r = exploded.filter(rightFilter)
-      .select(col(idCol).as("j"), col("band"), col("key"))
-    l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
-      .select("i", "j").distinct()
+    if (maxBucket == Int.MaxValue) {
+      val l = exploded.select(col(idCol).as("i"), col("band"), col("key"))
+      val r = exploded.filter(rightFilter)
+        .select(col(idCol).as("j"), col("band"), col("key"))
+      l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
+        .select("i", "j").distinct()
+    } else {
+      // bucket sizes ride the same (band, key) partitioning the join needs,
+      // so the guard costs one window pass, not an extra shuffle pattern
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+      val sized = CacheRegistry.persist(
+        exploded.withColumn("bsz", count(lit(1)).over(w)))
+      val normal = sized.filter(col("bsz") <= maxBucket)
+      val l = normal.select(col(idCol).as("i"), col("band"), col("key"))
+      val r = normal.filter(rightFilter)
+        .select(col(idCol).as("j"), col("band"), col("key"))
+      val paired = l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
+        .select("i", "j")
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "key").orderBy(col(idCol))
+      val chained = sized.filter(col("bsz") > maxBucket)
+        .withColumn("j", lead(col(idCol), 1).over(wo))
+        .filter(col("j").isNotNull)
+        .select(col(idCol).as("i"), col("j"))
+      paired.union(chained).distinct()
+    }
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band-join ->
@@ -205,9 +244,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      tau: Double = 0.5): DataFrame =
+                      tau: Double = 0.5,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashLshPairsImpl(df, idCol, textCol, n, numHashes, bands, tau,
-      rightFilter = lit(true))
+      rightFilter = lit(true), maxBucket = maxBucket)
 
   /** Incremental MinHash+LSH: near-dup pairs whose NEWER side (`j`) is in
     * the delta — doc ids >= `deltaFrom`, ids being arrival-ordered. The
@@ -231,13 +271,15 @@ object Dedup {
   private def minhashLshPairsImpl(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, numHashes: Int, bands: Int,
                                   tau: Double,
-                                  rightFilter: org.apache.spark.sql.Column): DataFrame = {
+                                  rightFilter: org.apache.spark.sql.Column,
+                                  maxBucket: Int = Int.MaxValue): DataFrame = {
     // Signatures are computed scan-side in one typed pass (no shingle
     // shuffle); the shingle table is only needed to verify candidates.
     val sh = CacheRegistry.persist(shingles(df, idCol, textCol, n))
     val sig = CacheRegistry.persist(
       minhashSignaturesDirect(df, idCol, textCol, n, numHashes))
-    val cands = lshCandidatesImpl(sig, idCol, bands, numHashes / bands, rightFilter)
+    val cands = lshCandidatesImpl(sig, idCol, bands, numHashes / bands,
+      rightFilter, maxBucket)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Verify ONLY the candidates: expand each candidate pair with the left
     // doc's shingles, then probe the right doc's set — O(candidates x set)

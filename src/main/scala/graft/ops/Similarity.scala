@@ -492,4 +492,39 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("cand_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Multi-band sign-LSH top-k — the recall-recovery path [[lshTopK]]'s
+    * scaladoc promises: a candidate survives if it shares ANY band's
+    * bucket with the query, so miss probability compounds as
+    * (1 - r)^bands instead of (1 - r). One scan per side computes every
+    * band key (posexplode of the band array — no per-band re-scan), the
+    * join shuffles on (band, bucket), and duplicate (query, cand) pairs
+    * from multi-band collisions collapse in a partial-aggregated groupBy
+    * before ranking. Candidate volume ≈ bands × n/2^planes per query —
+    * still bucket-bounded, never all-pairs.
+    */
+  def lshTopKBands(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, embCol: String, k: Int,
+                   bands: Seq[Seq[Int]], dim: Int = 64): DataFrame = {
+    def withBands(df: DataFrame, id: String, q: String, n: String) =
+      df.select(col(idCol).as(id), quantize(col(embCol)).as(q),
+          array(bands.map(d => signBucket(col(embCol), d)): _*).as("bb"))
+        .withColumn(n, sqrt(dotQ(col(q), col(q)).cast("double")))
+        .select(col(id), col(q), col(n),
+          posexplode(col("bb")).as(Seq("band", "bucket")))
+    val c = withBands(corpus, "cand_id", "qc", "nc")
+    val qs = withBands(queries, "query_id", "qq", "nq")
+    val scored = c.join(broadcast(qs), Seq("band", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotQ(col("qq"), col("qc")).cast("double") / (col("nq") * col("nc")))
+      .groupBy("query_id", "cand_id").agg(max(col("cos")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("cand_id"),
+        round(col("cos"), 4).as("cos"))
+  }
 }

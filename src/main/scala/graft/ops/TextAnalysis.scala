@@ -82,6 +82,96 @@ object TextAnalysis {
   val BpePattern = "[a-z]{1,4}|[0-9]+"
   def bpePieceCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
+  // ---- merge-table BPE (the real tokenizer; bpePieceCount above is the
+  // regex budget approximation kept for scaling comparisons) ----
+
+  /** Pinned BPE merge table in rank order (rank = index + 1). WELL-FORMED:
+    * every operand is a single character or the product of an earlier
+    * merge — the property real trained merge tables have by construction,
+    * and what makes leftmost-best-rank iterative merging identical to the
+    * classic merge-all-occurrences-of-the-best-pair-per-step algorithm
+    * (a newly created pair can never outrank the pair that created it).
+    * `TextAnalysisSpec` asserts the property.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "an" -> "d", "o" -> "r", "e" -> "n",
+    "a" -> "t", "s" -> "t", "t" -> "o", "in" -> "g", "i" -> "t",
+    "o" -> "u", "e" -> "s", "a" -> "r", "i" -> "s", "e" -> "d",
+    "a" -> "l", "c" -> "o", "s" -> "e", "n" -> "o", "l" -> "e",
+    "m" -> "a", "d" -> "e", "u" -> "s", "th" -> "at", "f" -> "or")
+
+  private lazy val bpeRank: Map[(String, String), Int] =
+    BpeMerges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
+  /** Segment one lowercase word by the merge table: repeatedly merge the
+    * best-rank (leftmost on ties) adjacent pair until none applies.
+    * Deterministic and engine-independent — the DuckDB oracle replays it
+    * with a recursive CTE, bit for bit.
+    */
+  def bpeSegmentWord(word: String): Array[String] = {
+    var toks: Array[String] = word.map(_.toString).toArray
+    var done = false
+    while (!done && toks.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = bpeRank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else toks = (toks.take(bestI) :+ (toks(bestI) + toks(bestI + 1))) ++
+        toks.drop(bestI + 2)
+    }
+    toks
+  }
+
+  /** Per-document BPE statistics as ONE typed pass (the HOF/Generate trap
+    * documented on [[repetitionStats]] applies here too): words are
+    * `[A-Za-z]+` runs lowercased ASCII-wise (locale-free on both engines),
+    * each segmented by [[bpeSegmentWord]] with a per-partition word memo
+    * (Zipf makes the memo hit rate high — the same reason trained BPE
+    * caches word segmentations). `piece_checksum` sums the 60-bit md5 of
+    * every emitted piece mod 1e6+3, so ANY segmentation difference breaks
+    * the cross-engine hash — the oracle reproduces the merges bit-for-bit
+    * or the query fails.
+    */
+  def bpeStats(df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val word = java.util.regex.Pattern.compile("[A-Za-z]+")
+    df.select(col(langCol), col(textCol)).as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pieceHash(p: String): Long = {
+          val d = md.digest(p.getBytes("UTF-8"))
+          var hx = 0L
+          var j = 0
+          while (j < 8) { hx = (hx << 8) | (d(j) & 0xFFL); j += 1 }
+          (hx >>> 4) % 1000003L // top 60 bits == first 15 md5 hex chars
+        }
+        val memo = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        it.map { case (lang, text) =>
+          var nWords = 0L; var nPieces = 0L; var cks = 0L
+          if (text != null) {
+            val m = word.matcher(text)
+            while (m.find()) {
+              val w = m.group().map(c =>
+                if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+              val (np, c) = memo.getOrElseUpdate(w, {
+                val pieces = bpeSegmentWord(w)
+                (pieces.length.toLong, pieces.map(pieceHash).sum)
+              })
+              nWords += 1; nPieces += np; cks += c
+            }
+          }
+          (lang, nWords, nPieces, cks)
+        }
+      }.toDF(langCol, "n_words", "n_pieces", "piece_checksum")
+  }
+
   /** Polynomial rolling hash of the text (Horner, base 257 mod 2^31-1):
     * the streaming-friendly fingerprint — extendable one character at a
     * time, O(1) state. Computed as a codegen'd higher-order aggregate over

@@ -29,6 +29,12 @@ object DocQueries {
 
   // ---- shared DuckDB fragments ----
 
+  /** The pinned merge table as a VALUES literal — one source of truth
+    * ([[TA.BpeMerges]]) feeds both the typed pass and the oracle.
+    */
+  private def sqlBpeMerges: String = TA.BpeMerges.zipWithIndex
+    .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(", ")
+
   /** Distinct 3-word shingles + per-doc set sizes over `src` (mirrors
     * Dedup.shingles).
     */
@@ -93,10 +99,20 @@ object DocQueries {
   private val sqlCos =
     "(list_dot_product(a.q, b.q) / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
 
-  private def sqlBucket(embExpr: String): String =
-    LshDims.zipWithIndex.map { case (d, i) =>
+  private def sqlBucket(embExpr: String): String = sqlBucketDims(embExpr, LshDims)
+
+  private def sqlBucketDims(embExpr: String, dims: Seq[Int]): String =
+    dims.zipWithIndex.map { case (d, i) =>
       s"(CASE WHEN $embExpr[$d] >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** 4 bands × 4 hyperplanes for the multi-band LSH query — a candidate
+    * qualifies on ANY band agreement (OR across bands oracle-side ==
+    * union + dedup engine-side).
+    */
+  private val LshBands: Seq[Seq[Int]] = Seq(
+    Seq(1, 9, 17, 25), Seq(33, 41, 49, 57),
+    Seq(2, 10, 18, 26), Seq(34, 42, 50, 58))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -138,6 +154,15 @@ object DocQueries {
       d.groupBy("lang").agg(
         sum(TA.nTokens(col("toks"))).as("ws_tokens"),
         sum(TA.bpePieceCount(col("text"))).as("bpe_pieces"))
+    }),
+
+    // Merge-table BPE (the real tokenizer): the piece checksum makes the
+    // DuckDB recursive-CTE oracle replay every merge decision bit-for-bit.
+    "q_txt_tokens_bpe2" -> ((s, dir) => {
+      TA.bpeStats(Tables.documents(s, dir), "lang", "text")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"),
+          sum("piece_checksum").as("piece_checksum"))
     }),
 
     // Winnowed k-gram fingerprints: per-doc selection stats. The trailing-
@@ -304,6 +329,12 @@ object DocQueries {
         "vec_id", "embedding", k = 5, dims = LshDims)
     }),
 
+    "q_sim_lsh_bands" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.lshTopKBands(em, em.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, bands = LshBands)
+    }),
+
     // ---- multimodal ----
 
     // Full multimodal stage chain: binary media -> resize -> frame-sample ->
@@ -387,6 +418,47 @@ object DocQueries {
            |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
            |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
            |FROM documents GROUP BY 1""".stripMargin,
+
+      // independent replay of the merge loop: a recursive CTE segments each
+      // DISTINCT word (merge best rank, leftmost on ties, until none applies)
+      // and the per-piece md5 checksum pins the exact segmentation
+      "q_txt_tokens_bpe2" ->
+        s"""WITH RECURSIVE
+           |m(rank, l, r) AS (VALUES $sqlBpeMerges),
+           |w0 AS (SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w
+           |       FROM documents),
+           |wi AS (SELECT lang, lower(w) AS word FROM w0),
+           |uw AS (SELECT DISTINCT word FROM wi),
+           |bpe AS (
+           |  SELECT word, string_split(word, '') AS toks FROM uw
+           |  UNION ALL
+           |  SELECT word,
+           |    toks[1:struct_extract(best,'i')-1]
+           |      || [toks[struct_extract(best,'i')] || toks[struct_extract(best,'i')+1]]
+           |      || toks[struct_extract(best,'i')+2:]
+           |  FROM (
+           |    SELECT word, toks,
+           |      (SELECT min({'r': m.rank, 'i': i})
+           |       FROM unnest(generate_series(1, len(toks)-1)) AS t(i)
+           |       JOIN m ON m.l = toks[i] AND m.r = toks[i+1]) AS best
+           |    FROM bpe) s
+           |  WHERE best IS NOT NULL),
+           |fin AS (
+           |  SELECT word, toks FROM bpe b
+           |  WHERE (SELECT count(*)
+           |         FROM unnest(generate_series(1, len(toks)-1)) AS t(i)
+           |         JOIN m ON m.l = toks[i] AND m.r = toks[i+1]) = 0),
+           |stats AS (
+           |  SELECT word, len(toks) AS np,
+           |    (SELECT CAST(sum((('0x' || substring(md5(p),1,15))::BIGINT) % 1000003)
+           |            AS BIGINT)
+           |     FROM unnest(toks) AS u(p)) AS cks
+           |  FROM fin)
+           |SELECT lang, count(*) AS n_words,
+           |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+           |  CAST(sum(s.cks) AS BIGINT) AS piece_checksum
+           |FROM wi JOIN stats s USING (word)
+           |GROUP BY 1""".stripMargin,
 
       "q_txt_winnow" ->
         s"""WITH g AS (
@@ -586,6 +658,20 @@ object DocQueries {
            |  FROM em a, em b
            |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id
            |    AND ${sqlBucket("a.embedding")} = ${sqlBucket("b.embedding")})
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 5""".stripMargin,
+
+      "q_sim_lsh_bands" ->
+        s"""WITH $sqlQuantCte,
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a, em b
+           |  WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id
+           |    AND (${LshBands.map(d =>
+                      s"${sqlBucketDims("a.embedding", d)} = ${sqlBucketDims("b.embedding", d)}")
+                      .mkString("\n          OR ")}))
            |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
            |  FROM scored) r

@@ -97,8 +97,21 @@ object StreamingRollup {
   /** S1/S3-analog streaming source: a file-drop JSON source with a pinned
     * schema (streaming requires one — the batch-side inference of
     * Tables.readJsonUnioned supplies it).
+    *
+    * T5 backpressure: `maxFilesPerTrigger` bounds each micro-batch's input
+    * at the source — the file-source analog of Kafka's
+    * `maxOffsetsPerTrigger` and of the reference's synchronous chunk pull
+    * (etl.py:57-90, one HTTP Range slice in flight at a time). Honoured by
+    * AvailableNow too: a backlog drains as a SEQUENCE of bounded batches
+    * instead of one unbounded one — the property that keeps executor
+    * memory flat when a stream restarts into a deep backlog at scale.
+    * `StreamingRollupSpec` pins the per-batch bound via
+    * StreamingQueryProgress.numInputRows.
     */
   def jsonFileSource(spark: SparkSession, path: String,
-                     schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).json(path)
+                     schema: org.apache.spark.sql.types.StructType,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).json(path)
+  }
 }

@@ -162,4 +162,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("dist"))).toMap
     assert(d((1L, 3L)) < d((1L, 4L)))
   }
+
+  test("adversarial hot band bucket: candidates capped to a connected chain") {
+    // 120 identical docs -> identical signatures -> every band has one
+    // pathologically hot bucket; unbounded LSH goes quadratic there
+    val corpus = ((0 until 120).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      Seq((500L, "completely different text about another topic entirely")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesDirect(corpus, "doc_id", "text")
+
+    val unbounded = Dedup.lshCandidates(sig, "doc_id", maxBucket = Int.MaxValue).count()
+    assert(unbounded === 120L * 119 / 2) // the clique: O(size²)
+
+    val capped = Dedup.lshCandidates(sig, "doc_id", maxBucket = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length === 119) // the chain: O(size)
+
+    // connectivity preserved: union-find over the capped edges still joins
+    // all 120 members into one component (what dedupClusters consumes)
+    val parent = scala.collection.mutable.Map(
+      (0 until 120).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    capped.foreach { case (i, j) => parent(find(i)) = find(j) }
+    assert((0 until 120).map(i => find(i.toLong)).toSet.size === 1)
+
+    // chained candidates still pass through the exact-Jaccard verify
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", maxBucket = 16)
+    assert(pairs.count() === 119)
+    graft.ops.CacheRegistry.drain()
+  }
 }

@@ -100,4 +100,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.get((2, 2)).isEmpty)
     assert(out((2, 0)) === 'x'.toLong && out((2, 1)) === 'y'.toLong)
   }
+
+  test("BPE merge table is well-formed (operands are chars or earlier merges)") {
+    // the property that makes leftmost-best-rank merging == classic BPE
+    val built = scala.collection.mutable.Set.empty[String]
+    TA.BpeMerges.foreach { case (l, r) =>
+      assert(l.length == 1 || built.contains(l), s"left operand '$l' not derivable")
+      assert(r.length == 1 || built.contains(r), s"right operand '$r' not derivable")
+      built += (l + r)
+    }
+  }
+
+  test("bpeSegmentWord follows merge ranks, leftmost on ties") {
+    assert(TA.bpeSegmentWord("the").toSeq === Seq("the"))
+    assert(TA.bpeSegmentWord("that").toSeq === Seq("that")) // th+at via rank 29
+    assert(TA.bpeSegmentWord("thin").toSeq === Seq("th", "in"))
+    assert(TA.bpeSegmentWord("and").toSeq === Seq("and"))
+    assert(TA.bpeSegmentWord("for").toSeq === Seq("for"))
+    assert(TA.bpeSegmentWord("erer").toSeq === Seq("er", "er")) // leftmost first
+    assert(TA.bpeSegmentWord("x").toSeq === Seq("x"))
+    assert(TA.bpeSegmentWord("zqzq").toSeq === Seq("z", "q", "z", "q")) // no merges
+  }
+
+  test("bpeStats counts words/pieces and checksums segmentations") {
+    val got = TA.bpeStats(
+      Seq(("en", "The THIN cat, that cat!"), ("en", null)).toDF("lang", "text"),
+      "lang", "text").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // words: the, thin, cat, that, cat -> pieces: 1 + 2 + 2 (c|at) + 1 + 2 = 8
+    assert(got.toSet.map((t: (String, Long, Long, Long)) => (t._1, t._2, t._3)) ===
+      Set(("en", 5L, 8L), ("en", 0L, 0L)))
+    // checksum is deterministic: both 'cat' instances contribute equally
+    val full = got.find(_._2 == 5L).get
+    assert(full._4 > 0L)
+  }
 }
