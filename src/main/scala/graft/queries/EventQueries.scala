@@ -366,6 +366,23 @@ object EventQueries {
           min(expr("ts_nanos div 1000")).as("min_ts_us"))
     }),
 
+    // S1 with the GROUP BY ALSO run by the source (aggregate pushdown) —
+    // the reference's searches return pre-aggregated result sets (QRadar
+    // computes the AQL GROUP BY; the SUM_eventCount columns of
+    // clickhouse/helpers.py:26). Dsv2SourceSpec pins that the scan output
+    // is groups+aggregates, not raw rows; min-then-truncate == truncate-
+    // then-min (monotone), so the µs contract of q_s1_dsv2 holds.
+    "q_s1_dsv2_agg" -> ((s, dir) => {
+      import graft.sources.EventsApi
+      s.read.format("graft-events").load(EventsApi.landing(s, dir))
+        .filter(col("event_type").isin("view", "click", "error") &&
+          col("user_id") < 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          max(col("user_id")).as("max_user"),
+          expr("min(ts_nanos) div 1000").as("min_ts_us"))
+    }),
+
     // T4/J-streaming end-to-end: watermarked stream-stream interval join
     // == the batch interval join (see [[streamedIntervalJoin]]).
     "q_t4_streaming_join" -> ((s, dir) => {
@@ -953,6 +970,13 @@ object EventQueries {
           |FROM events
           |WHERE event_type IN ('view', 'click', 'purchase') AND value > 10.0
           |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+          |GROUP BY 1""".stripMargin,
+
+      "q_s1_dsv2_agg" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+          |  max(user_id) AS max_user, min(epoch_us(ts)) AS min_ts_us
+          |FROM events
+          |WHERE event_type IN ('view', 'click', 'error') AND user_id < 100
           |GROUP BY 1""".stripMargin,
 
       "q_t4_streaming_join" ->

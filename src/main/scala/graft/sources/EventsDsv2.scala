@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.sources.{Filter => V1Filter}
@@ -82,6 +83,56 @@ object EventsApi {
 
   /** Column type lookup for the partition reader's record accessor. */
   def colTypeOf(name: String): DataType = colType(name)
+
+  // ---- source-side aggregation (the "remote GROUP BY") ----
+
+  /** One pushed aggregate: `fn` ∈ count_star | count | sum | min | max,
+    * `col` empty only for count_star.
+    */
+  final case class AggOp(fn: String, col: String) {
+    def resultType: DataType = fn match {
+      case "count_star" | "count" => LongType
+      case _                      => colType(col)
+    }
+    def name: String = if (fn == "count_star") "count(*)" else s"$fn($col)"
+  }
+
+  /** The pushed GROUP BY: grouping columns + aggregate ops. */
+  final case class PushedAgg(groupCols: Seq[String], ops: Seq[AggOp]) {
+    /** Scan output after pushdown: group columns first, then aggregates
+      * (the positional contract V2ScanRelationPushDown aligns on).
+      */
+    def schema: StructType = StructType(
+      groupCols.map(c => StructField(c, colType(c))) ++
+        ops.map(op => StructField(op.name, op.resultType)))
+  }
+
+  private def singleFieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        colType.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Translate Spark's connector [[Aggregation]] to a [[PushedAgg]] the
+    * source can run: plain-column grouping; COUNT(*) / non-distinct
+    * COUNT / SUM / MIN / MAX on plain columns. Anything else declines the
+    * push and Spark aggregates the raw rows itself.
+    */
+  def translateAggregation(agg: Aggregation): Option[PushedAgg] = {
+    val groups = agg.groupByExpressions.toSeq.map(singleFieldName)
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar               => Some(AggOp("count_star", ""))
+      case c: Count if !c.isDistinct  => singleFieldName(c.column).map(AggOp("count", _))
+      case s: Sum if !s.isDistinct    => singleFieldName(s.column).map(AggOp("sum", _))
+      case m: Min                     => singleFieldName(m.column).map(AggOp("min", _))
+      case m: Max                     => singleFieldName(m.column).map(AggOp("max", _))
+      case _                          => None
+    }
+    if (groups.forall(_.isDefined) && ops.forall(_.isDefined) && ops.nonEmpty)
+      Some(PushedAgg(groups.flatten, ops.flatten))
+    else None
+  }
 
   /** Can the source evaluate this conjunct? Anything here is accepted in
     * `pushFilters` and never re-checked by Spark.
@@ -183,10 +234,11 @@ class GraftEventsTable(path: String) extends Table with SupportsRead {
 
 class GraftEventsScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var pushed: Array[V1Filter] = Array.empty
   private var required: StructType = EventsApi.schema
   private var limit: Int = Int.MaxValue
+  private var agg: Option[EventsApi.PushedAgg] = None
 
   /** Accept every conjunct the source can evaluate; hand back only the
     * rest for Spark-side evaluation. For the AQL corpus's predicates
@@ -202,18 +254,41 @@ class GraftEventsScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan = new GraftEventsScan(path, pushed, required, limit)
+
+  /** S1's server-side GROUP BY: the reference's searches return
+    * pre-aggregated result sets (the `SUM_eventCount` columns QRadar
+    * computes — reference: clickhouse/helpers.py:26, the AQL corpus's
+    * GROUP BY runs inside QRadar). PARTIAL pushdown: each partition
+    * returns its own aggregated groups and Spark's final merge combines
+    * them — the map-side-combine contract, which is why this scales where
+    * a complete push (forcing one partition) would not.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val t = EventsApi.translateAggregation(aggregation)
+    agg = t
+    t.isDefined
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def build(): Scan =
+    new GraftEventsScan(path, pushed, agg.map(_.schema).getOrElse(required),
+      limit, agg)
 }
 
 class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
-                      required: StructType, limit: Int) extends Scan with Batch {
+                      required: StructType, limit: Int,
+                      val pushedAggregation: Option[EventsApi.PushedAgg] = None)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftEventsScan path=$path, " +
       s"PushedFilters=[${pushedFilters.mkString(", ")}], " +
       s"ReadSchema=[${required.fieldNames.mkString(", ")}]" +
-      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "")
+      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "") +
+      pushedAggregation.fold("")(a =>
+        s", PushedAggregation=[groupBy=(${a.groupCols.mkString(",")}), " +
+          s"${a.ops.map(_.name).mkString(", ")}]")
 
   /** One partition per landed file — the Range-slice analog. Listed via
     * Hadoop FS so the same code plans against HDFS/object stores.
@@ -228,16 +303,124 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
       .map(f => EventsFilePartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsReaderFactory(pushedFilters, required, limit)
+    new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation)
 }
 
 case class EventsFilePartition(file: String) extends InputPartition
 
 class EventsReaderFactory(pushed: Array[V1Filter], required: StructType,
-                          limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EventsPartitionReader(
-      partition.asInstanceOf[EventsFilePartition].file, pushed, required, limit)
+                          limit: Int, agg: Option[EventsApi.PushedAgg])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[EventsFilePartition].file
+    agg match {
+      case Some(a) => new EventsAggPartitionReader(file, pushed, a)
+      case None    => new EventsPartitionReader(file, pushed, required, limit)
+    }
+  }
+}
+
+/** Executor-side aggregating reader: streams the file once, applies the
+  * pushed WHERE, folds each surviving record into an in-memory group map,
+  * then emits ONE partial row per group — O(groups) memory, the same
+  * bound as Spark's own partial HashAggregate. Null semantics follow SQL:
+  * count/sum/min/max ignore nulls; sum over zero non-null inputs is null.
+  * With no grouping columns the reader always emits exactly one partial
+  * row (count 0 / null sums on an empty slice).
+  */
+class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
+                               agg: EventsApi.PushedAgg)
+    extends PartitionReader[InternalRow] {
+  import EventsApi.AggOp
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new org.apache.hadoop.fs.Path(file)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new org.apache.hadoop.fs.Path(file)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          def field(name: String): Any = {
+            val v = node.get(name)
+            if (v == null || v.isNull) null
+            else EventsApi.colTypeOf(name) match {
+              case LongType   => java.lang.Long.valueOf(v.asLong())
+              case DoubleType => java.lang.Double.valueOf(v.asDouble())
+              case _          => v.asText()
+            }
+          }
+          if (pushed.forall(f => EventsApi.eval(f, field).getOrElse(false))) {
+            val key = agg.groupCols.map(field)
+            val buf = groups.getOrElseUpdate(key,
+              Array.fill[Any](agg.ops.length)(null))
+            var i = 0
+            while (i < agg.ops.length) {
+              buf(i) = fold(agg.ops(i), buf(i), field)
+              i += 1
+            }
+          }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    if (groups.isEmpty && agg.groupCols.isEmpty)
+      groups(Seq.empty) = agg.ops.map(zero).toArray
+    groups.iterator.map { case (key, buf) =>
+      val vals = (key ++ buf).map {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }.toArray
+      new GenericInternalRow(vals): InternalRow
+    }
+  }
+
+  private def zero(op: AggOp): Any = op.fn match {
+    case "count_star" | "count" => java.lang.Long.valueOf(0L)
+    case _                      => null
+  }
+
+  private def fold(op: AggOp, acc: Any, field: String => Any): Any = op.fn match {
+    case "count_star" =>
+      java.lang.Long.valueOf(if (acc == null) 1L else acc.asInstanceOf[Long] + 1L)
+    case "count" =>
+      val v = field(op.col)
+      val base = if (acc == null) 0L else acc.asInstanceOf[Long]
+      java.lang.Long.valueOf(if (v == null) base else base + 1L)
+    case "sum" =>
+      val v = field(op.col)
+      if (v == null) acc
+      else if (acc == null) v
+      else (acc, v) match {
+        case (a: java.lang.Long, b: java.lang.Long)     => java.lang.Long.valueOf(a + b)
+        case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.valueOf(a + b)
+        case _ => acc
+      }
+    case "min" | "max" =>
+      val v = field(op.col)
+      if (v == null) acc
+      else if (acc == null) v
+      else {
+        val c = (acc, v) match {
+          case (a: java.lang.Long, b: java.lang.Long)     => java.lang.Long.compare(a, b)
+          case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
+          case (a: String, b: String)                     => a.compareTo(b)
+          case _                                          => 0
+        }
+        if ((op.fn == "min" && c <= 0) || (op.fn == "max" && c >= 0)) acc else v
+      }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Executor-side reader: streams one JSON-lines file, evaluates the pushed

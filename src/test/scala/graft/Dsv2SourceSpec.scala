@@ -50,11 +50,11 @@ class Dsv2SourceSpec extends SparkSpec {
 
   test("column pruning reaches the source: only SELECT-list columns are read") {
     val df = read().filter(col("value") > 50.0)
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select("event_type", "event_id")
     val scan = scanOf(df)
     // value is fully pushed, so it is NOT part of the read schema — the
-    // source materializes just the grouping column
-    assert(scan.readSchema().fieldNames.toSeq == Seq("event_type"),
+    // source materializes just the projected columns
+    assert(scan.readSchema().fieldNames.toSet == Set("event_type", "event_id"),
       scan.readSchema().treeString)
   }
 
@@ -98,5 +98,50 @@ class Dsv2SourceSpec extends SparkSpec {
     val scan = scanOf(read().filter(col("value") > 0)
       .select("event_id"))
     assert(scan.planInputPartitions().length == 4)
+  }
+
+  test("aggregate pushdown: the source runs the GROUP BY, Spark merges partials") {
+    def shaped(df: DataFrame) = df
+      .filter(col("value") > 10.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+        max("user_id").as("mu"), min("ts_nanos").as("mt"))
+    val df = shaped(read())
+    val scan = scanOf(df)
+    assert(scan.pushedAggregation.isDefined, scan.description())
+    assert(scan.description().contains("PushedAggregation"), scan.description())
+    // scan output is groups + aggregates, not raw rows
+    assert(scan.readSchema().fieldNames.length === 5, scan.readSchema().treeString)
+
+    val viaParquet = {
+      import graft.sources.Tables
+      Tables.read(spark, sf, "events").withColumnRenamed("ts", "ts_nanos")
+        .transform(shaped)
+    }
+    val a = df.collect().map(r => (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2) * 100), r.getLong(3), r.getLong(4))).toSet
+    val b = viaParquet.collect().map(r => (r.getString(0), r.getLong(1),
+      math.round(r.getDouble(2) * 100), r.getLong(3), r.getLong(4))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("non-translatable aggregates decline the push and still answer") {
+    val df = read().groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("du"))
+    val scan = scanOf(df)
+    assert(scan.pushedAggregation.isEmpty, scan.description())
+    val expected = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("du"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet === expected)
+  }
+
+  test("global aggregate (no grouping) survives empty partition slices") {
+    val df = read().filter(col("value") > 1e18) // nothing matches
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
   }
 }
