@@ -180,6 +180,30 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** S1 LIVE-SOURCE PARITY — the graft-events DSv2 connector driven as a
+    * micro-batch stream (offset = slices consumed, admission-controlled
+    * to one slice per batch — the reference's Range-pagination cadence)
+    * and drained through a stateless projection into parquet, once per
+    * sfDir. The oracle is the batch aggregate over the same predicate:
+    * cursor pagination must neither drop nor duplicate a slice.
+    */
+  private val dsv2StreamPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedDsv2(s: SparkSession, dir: String): DataFrame = {
+    val out = dsv2StreamPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2_stream_").toString
+      val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val stream = s.readStream.format("graft-events")
+        .option("maxFilesPerMicroBatch", 1)
+        .load(graft.sources.EventsApi.landing(s, dir))
+        .filter(col("event_type") =!= "error")
+        .select("event_type", "user_id", "value")
+      landAvailableNow(stream, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      sink
+    })
+    s.read.parquet(out)
+  }
+
   /** STREAMING DEDUP PATH — file source -> watermarked
     * dropDuplicatesWithinWatermark on a content key -> Append-mode parquet
     * landing, once per sfDir in this JVM. Every content key survives
@@ -381,6 +405,15 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
           max(col("user_id")).as("max_user"),
           expr("min(ts_nanos) div 1000").as("min_ts_us"))
+    }),
+
+    // S1 live path end-to-end: connector stream -> one-slice micro-batches
+    // -> parquet landing == the batch aggregate (see [[streamedDsv2]]).
+    "q_s1_dsv2_stream" -> ((s, dir) => {
+      streamedDsv2(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
     }),
 
     // T4/J-streaming end-to-end: watermarked stream-stream interval join
@@ -977,6 +1010,12 @@ object EventQueries {
           |  max(user_id) AS max_user, min(epoch_us(ts)) AS min_ts_us
           |FROM events
           |WHERE event_type IN ('view', 'click', 'error') AND user_id < 100
+          |GROUP BY 1""".stripMargin,
+
+      "q_s1_dsv2_stream" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM events WHERE event_type <> 'error'
           |GROUP BY 1""".stripMargin,
 
       "q_t4_streaming_join" ->

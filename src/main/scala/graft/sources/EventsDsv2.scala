@@ -84,6 +84,19 @@ object EventsApi {
   /** Column type lookup for the partition reader's record accessor. */
   def colTypeOf(name: String): DataType = colType(name)
 
+  /** Stable sorted listing of landed slice files (Hadoop FS, so the same
+    * code lists HDFS/object stores). Shared by the batch scan and the
+    * micro-batch stream — the offset contract depends on this order.
+    */
+  def listFiles(path: String): Array[String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted.toArray
+  }
+
   // ---- source-side aggregation (the "remote GROUP BY") ----
 
   /** One pushed aggregate: `fn` ∈ count_star | count | sum | min | max,
@@ -227,12 +240,14 @@ class GraftEventsTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_events($path)"
   override def schema(): StructType = EventsApi.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftEventsScanBuilder(path)
+    new GraftEventsScanBuilder(path,
+      options.getInt("maxFilesPerMicroBatch", Int.MaxValue))
 }
 
-class GraftEventsScanBuilder(path: String) extends ScanBuilder
+class GraftEventsScanBuilder(path: String, maxFilesPerMicroBatch: Int = Int.MaxValue)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var pushed: Array[V1Filter] = Array.empty
@@ -272,12 +287,13 @@ class GraftEventsScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan =
     new GraftEventsScan(path, pushed, agg.map(_.schema).getOrElse(required),
-      limit, agg)
+      limit, agg, maxFilesPerMicroBatch)
 }
 
 class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
                       required: StructType, limit: Int,
-                      val pushedAggregation: Option[EventsApi.PushedAgg] = None)
+                      val pushedAggregation: Option[EventsApi.PushedAgg] = None,
+                      maxFilesPerMicroBatch: Int = Int.MaxValue)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -293,17 +309,88 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
   /** One partition per landed file — the Range-slice analog. Listed via
     * Hadoop FS so the same code plans against HDFS/object stores.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
-      .map(f => EventsFilePartition(f): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    EventsApi.listFiles(path).map(f => EventsFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation)
+
+  /** S1 as a LIVE source: the reference's poll loop fetches a completed
+    * search in `Range: items=a-b` slices (etl.py:57-65,
+    * qradar/qradarconnector.py:124-137); here each landed file is one
+    * slice and the stream's Offset is "slices consumed". NOTE: Spark's
+    * V2ScanRelationPushDown is batch-only — on the streaming path the
+    * WHERE executes in the first Spark stage above the source (still
+    * inside the same whole-stage-codegen pipeline as the scan), not
+    * inside the reader; the source-side contracts a stream DOES keep are
+    * admission control (bounded slices per micro-batch) and the offset
+    * cursor. Dsv2SourceSpec pins both.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftEventsMicroBatchStream(path, pushedFilters, required,
+      maxFilesPerMicroBatch)
+}
+
+/** Offset = number of landed files consumed (files are appended and listed
+  * in stable sorted order, so the prefix is immutable — the cursor
+  * contract of the reference's `current_record_count` Range pagination).
+  */
+case class EventsFileOffset(n: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over the landed JSON slices with admission control:
+  * `maxFilesPerMicroBatch` bounds each batch (T5 backpressure on the
+  * custom source — the analog of the file source's maxFilesPerTrigger),
+  * and AvailableNow pins the end offset at prepare time so a drain run
+  * terminates even while new slices keep landing.
+  */
+class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
+                                  required: StructType, maxFiles: Int)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  @volatile private var availableNowCap: Option[Long] = None
+  private def total: Long =
+    availableNowCap.getOrElse(EventsApi.listFiles(path).length.toLong)
+
+  override def initialOffset(): Offset = EventsFileOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    EventsFileOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFiles == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFiles)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventsFileOffset].n
+    val cap = limit match {
+      case mf: ReadMaxFiles => s + mf.maxFiles()
+      case _                => Long.MaxValue
+    }
+    EventsFileOffset(math.min(total, cap))
+  }
+  override def reportLatestOffset(): Offset = EventsFileOffset(total)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(EventsApi.listFiles(path).length.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    EventsApi.listFiles(path)
+      .slice(start.asInstanceOf[EventsFileOffset].n.toInt,
+        end.asInstanceOf[EventsFileOffset].n.toInt)
+      .map(f => EventsFilePartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(pushed, required, Int.MaxValue, None)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftEventsStream(path=$path, " +
+      s"PushedFilters=[${pushed.mkString(", ")}], " +
+      s"ReadSchema=[${required.fieldNames.mkString(", ")}]" +
+      (if (maxFiles != Int.MaxValue) s", maxFilesPerMicroBatch=$maxFiles" else "") + ")"
 }
 
 case class EventsFilePartition(file: String) extends InputPartition

@@ -144,4 +144,34 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(r.getLong(0) === 0L)
     assert(r.isNullAt(1))
   }
+
+  test("micro-batch stream: offset-paginated slices, admission control, pushdown") {
+    val landing = EventsApi.landing(spark, sf) // 4 slice files
+    val stream = spark.readStream.format("graft-events")
+      .option("maxFilesPerMicroBatch", 1)
+      .load(landing)
+      .filter(col("event_type") === "view" && col("value") > 10.0)
+    val q = stream.writeStream
+      .format("memory").queryName("dsv2_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // one micro-batch per slice (the Range-pagination contract), each
+    // bounded by admission control — never one unbounded drain batch
+    val withInput = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withInput.length == 4, q.recentProgress.map(_.numInputRows).mkString(","))
+
+    // admission control is part of the stream's identity (Spark's
+    // pushdown rule is batch-only, so the WHERE runs in the stage above
+    // the source on the streaming path — see toMicroBatchStream scaladoc)
+    val desc = withInput.last.sources(0).description
+    assert(desc.contains("maxFilesPerMicroBatch=1"), desc)
+
+    // and the landed result equals the batch path under the same predicate
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view" && col("value") > 10.0).count()
+    assert(spark.table("dsv2_stream").count() === expected)
+    assert(expected > 0)
+  }
 }
