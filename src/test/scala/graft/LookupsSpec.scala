@@ -128,6 +128,63 @@ class LookupsSpec extends SparkSpec {
     assert(names.toSeq == Seq(null, "beta", "dmz", "beta", null))
   }
 
+  test("property: flattenHierarchy == reference longest-prefix match on random hierarchies") {
+    import org.scalacheck.Gen
+    val cidrGen = for {
+      p <- Gen.chooseNum(4, 30)
+      ip <- Gen.chooseNum(0L, 4294967295L)
+    } yield {
+      val mask = (0xFFFFFFFFL << (32 - p)) & 0xFFFFFFFFL
+      val net = ip & mask
+      s"${net >> 24 & 255}.${net >> 16 & 255}.${net >> 8 & 255}.${net & 255}/$p"
+    }
+    def ref(entries: Seq[(String, String)], ip: Long): String =
+      entries.flatMap { case (cidr, name) =>
+        val (net, mask) = graft.functions.Net.parseCidr(cidr)
+        if ((ip & mask) == net)
+          Some((-java.lang.Long.bitCount(mask), name)) else None
+      }.minOption.map(_._2).orNull
+    for (trial <- 0 until 25) {
+      val entries = Gen.listOfN(40, cidrGen).sample.get.zipWithIndex
+        .map { case (c, i) => (c, s"n${(i * 7 + trial) % 13}") } // name ties on purpose
+      val (los, names) = graft.ops.Lookups.flattenHierarchy(entries)
+      // probe every boundary region: lo-1, lo, hi-1, hi of every entry,
+      // plus a spread of arbitrary points
+      val bounds = entries.flatMap { case (cidr, _) =>
+        val (net, mask) = graft.functions.Net.parseCidr(cidr)
+        val size = (1L << 32) >>> java.lang.Long.bitCount(mask)
+        Seq(net - 1, net, net + size - 1, net + size)
+      }.filter(p => p >= 0 && p < (1L << 32))
+      val spread = Gen.listOfN(100, Gen.chooseNum(0L, 4294967295L)).sample.get
+      (bounds ++ spread).foreach { ip =>
+        val idx = graft.plans.IntervalLookup.floorIndex(los, ip)
+        val got = if (idx < 0) null else names(idx)
+        assert(got == ref(entries, ip),
+          s"trial $trial ip $ip: interval=$got ref=${ref(entries, ip)}")
+      }
+    }
+  }
+
+  test("interval FULLNETWORKNAME enriches a stream (pure expression, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // > 512 entries so the auto-dispatch picks the interval expression
+    val big = ((0 until 600).map(i => (s"10.${i / 256}.${i % 256}.0/24", s"net_$i")) :+
+      ("192.168.0.0/16" -> "lab")).toDF("cidr", "name")
+    val in = MemoryStream[String]
+    val enriched = Lookups.networkName(in.toDF().toDF("ip"), big, "ip", "n")
+    val q = enriched.writeStream.format("memory")
+      .queryName("ivl_stream").outputMode("append").start()
+    try {
+      in.addData("10.0.5.9", "192.168.1.1", "8.8.8.8", "bogus")
+      q.processAllAvailable()
+      val got = spark.table("ivl_stream").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === Map("10.0.5.9" -> "net_5", "192.168.1.1" -> "lab",
+        "8.8.8.8" -> "other", "bogus" -> "other"))
+    } finally q.stop()
+  }
+
   test("networkNameJoin == compiled chain (longest prefix, default, malformed)") {
     val table = Seq(
       ("10.0.0.0/8", "corp"),
