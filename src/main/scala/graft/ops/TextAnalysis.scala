@@ -104,12 +104,17 @@ object TextAnalysis {
   private lazy val bpeRank: Map[(String, String), Int] =
     BpeMerges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
-  /** Segment one lowercase word by the merge table: repeatedly merge the
-    * best-rank (leftmost on ties) adjacent pair until none applies.
+  /** Segment one lowercase word by the pinned merge table. */
+  def bpeSegmentWord(word: String): Array[String] =
+    bpeSegmentWith(word, bpeRank)
+
+  /** Segment one lowercase word by an arbitrary rank map: repeatedly merge
+    * the best-rank (leftmost on ties) adjacent pair until none applies.
     * Deterministic and engine-independent — the DuckDB oracle replays it
     * with a recursive CTE, bit for bit.
     */
-  def bpeSegmentWord(word: String): Array[String] = {
+  def bpeSegmentWith(word: String,
+                     rank: Map[(String, String), Int]): Array[String] = {
     var toks: Array[String] = word.map(_.toString).toArray
     var done = false
     while (!done && toks.length > 1) {
@@ -117,7 +122,7 @@ object TextAnalysis {
       var bestI = -1
       var i = 0
       while (i < toks.length - 1) {
-        val r = bpeRank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
         if (r < bestRank) { bestRank = r; bestI = i }
         i += 1
       }
@@ -126,6 +131,69 @@ object TextAnalysis {
         toks.drop(bestI + 2)
     }
     toks
+  }
+
+  /** BPE VOCABULARY TRAINING as distributed aggregation — the operation
+    * that builds the merge table a tokenizer ships with, run the way a
+    * 100 TB corpus demands:
+    *
+    *  1. ONE corpus pass reduces text to the distinct-word frequency
+    *     table (the only corpus-scale shuffle; Zipf makes the word table
+    *     orders of magnitude smaller than the corpus).
+    *  2. Each training round is one scan of the word table: segment every
+    *     word under the merges so far (a broadcast-scale list, like the
+    *     CIDR hierarchy), emit adjacent token pairs weighted by word
+    *     frequency, partial+final aggregate, and take the argmax — max
+    *     count, ties to the lexicographically smallest (left, right).
+    *
+    * The driver holds only the merge list (the model being trained), the
+    * same loop discipline as [[Similarity.kmeansTrain]]. Returns
+    * (left, right, weightedCount) in rank order. Tables this produces are
+    * well-formed by construction (every operand is a char or an earlier
+    * merge product), so [[bpeSegmentWith]] application is exact.
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+               nMerges: Int): Seq[(String, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val word = java.util.regex.Pattern.compile("[A-Za-z]+")
+    val wf = CacheRegistry.persist(
+      df.select(col(textCol)).as[String]
+        .flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            val m = word.matcher(t)
+            Iterator.continually(if (m.find()) m.group() else null)
+              .takeWhile(_ != null)
+              .map(_.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+          }
+        }
+        .toDF("word")
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var merges = Vector.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to nMerges if !exhausted) {
+      val rank = merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+      val win = wf.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          val toks = bpeSegmentWith(w, rank)
+          (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val row = win(0)
+        merges :+= ((row.getString(0), row.getString(1)))
+        out += ((row.getString(0), row.getString(1), row.getLong(2)))
+      }
+    }
+    CacheRegistry.release(wf)
+    out.toSeq
   }
 
   /** Per-document BPE statistics as ONE typed pass (the HOF/Generate trap

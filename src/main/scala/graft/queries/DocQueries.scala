@@ -35,6 +35,69 @@ object DocQueries {
   private def sqlBpeMerges: String = TA.BpeMerges.zipWithIndex
     .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(", ")
 
+  /** Oracle replay of BPE TRAINING: n unrolled stages, each one a
+    * pair-count + argmax over the word table segmented under the merges
+    * won SO FAR — data-dependent iteration in pure SQL. Segmentation is
+    * itself unrolled to `steps` apply-one-best-merge CTE steps (identity
+    * when nothing applies): a word of length L fully segments in ≤ L-1
+    * steps, and the fixture vocabulary caps at 8 chars, so 11 steps carry
+    * ample headroom. DELIBERATELY NON-RECURSIVE with every stage
+    * MATERIALIZED: recursive-CTE segmentation is correct only with ZERO
+    * materialization (DuckDB evaluates a computed merge-table CTE as
+    * empty inside a recursive term when anything downstream is
+    * MATERIALIZED — measured, words silently dropped mid-merge), and the
+    * unmaterialized form re-inlines the whole stage prefix into every
+    * correlated probe (exponential: 2.6 s at 5 stages, 86 s at 7). The
+    * unrolled+materialized form replays 12 stages in ~1 s, bit-equal to
+    * the independent reference implementation.
+    */
+  private def sqlBpeTrain(n: Int, steps: Int = 11): String = {
+    def step(name: String, src: String, m: String): String =
+      s"$name AS MATERIALIZED (\n" +
+        "  SELECT word, freq,\n" +
+        "    CASE WHEN best IS NULL THEN toks\n" +
+        "         ELSE toks[1:struct_extract(best,'i')-1]\n" +
+        "              || [toks[struct_extract(best,'i')] || toks[struct_extract(best,'i')+1]]\n" +
+        "              || toks[struct_extract(best,'i')+2:] END AS toks\n" +
+        "  FROM (SELECT word, freq, toks,\n" +
+        "          (SELECT min({'r': m.rank, 'i': i})\n" +
+        "           FROM unnest(generate_series(1, len(toks)-1)) AS t(i)\n" +
+        s"           JOIN $m m ON m.l = toks[i] AND m.r = toks[i+1]) AS best\n" +
+        s"        FROM $src))"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "wf AS MATERIALIZED (\n" +
+        "  SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS freq\n" +
+        "  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w\n" +
+        "        FROM documents)\n" +
+        "  GROUP BY 1),\n" +
+        "seg0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS toks FROM wf)")
+    var prev = "seg0"
+    for (k <- 1 to n) {
+      parts += (
+        s"p$k AS MATERIALIZED (\n" +
+          "  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt\n" +
+          s"  FROM $prev, unnest(generate_series(1, len(toks)-1)) AS t(i)\n" +
+          "  GROUP BY 1, 2),\n" +
+          s"w$k(rank, l, r, cnt) AS MATERIALIZED (\n" +
+          s"  SELECT CAST($k AS BIGINT), l, r, cnt FROM p$k\n" +
+          "  ORDER BY cnt DESC, l, r LIMIT 1),\n" +
+          s"m$k(rank, l, r) AS MATERIALIZED (" +
+          (1 to k).map(j => s"SELECT rank, l, r FROM w$j").mkString(" UNION ALL ") + ")")
+      if (k < n) {
+        var src = "seg0"
+        for (j <- 1 to steps) {
+          parts += step(s"s${k}_$j", src, s"m$k")
+          src = s"s${k}_$j"
+        }
+        prev = src
+      }
+    }
+    "WITH\n" + parts.mkString(",\n") + "\n" +
+      "SELECT rank, l AS merge_l, r AS merge_r, cnt\n" +
+      s"FROM (${(1 to n).map(j => s"SELECT * FROM w$j").mkString(" UNION ALL ")})\n" +
+      "ORDER BY rank"
+  }
+
   /** Distinct 3-word shingles + per-doc set sizes over `src` (mirrors
     * Dedup.shingles).
     */
@@ -154,6 +217,19 @@ object DocQueries {
       d.groupBy("lang").agg(
         sum(TA.nTokens(col("toks"))).as("ws_tokens"),
         sum(TA.bpePieceCount(col("text"))).as("bpe_pieces"))
+    }),
+
+    // BPE vocabulary TRAINING as distributed aggregation: one corpus
+    // shuffle to the word-frequency table, then one scan + partial/final
+    // pair-count aggregate per merge round; the driver holds only the
+    // merge list. Oracle replays the data-dependent training in unrolled
+    // SQL stages (see sqlBpeTrain).
+    "q_txt_bpe_train" -> ((s, dir) => {
+      val trained = TA.bpeTrain(Tables.documents(s, dir), "text", nMerges = 12)
+      import s.implicits._
+      trained.zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+        .toDF("rank", "merge_l", "merge_r", "cnt")
     }),
 
     // Merge-table BPE (the real tokenizer): the piece checksum makes the
@@ -418,6 +494,8 @@ object DocQueries {
            |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
            |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
            |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_bpe_train" -> sqlBpeTrain(12),
 
       // independent replay of the merge loop: a recursive CTE segments each
       // DISTINCT word (merge best rank, leftmost on ties, until none applies)

@@ -174,4 +174,30 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.table("dsv2_stream").count() === expected)
     assert(expected > 0)
   }
+
+  test("stream restart over the checkpoint replays nothing (offset round-trip)") {
+    val landing = EventsApi.landing(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("dsv2_restart_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_restart_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-events")
+        .option("maxFilesPerMicroBatch", 2)
+        .load(landing)
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    val first = spark.read.parquet(out.toString).count()
+    // restart: initialOffset is read back via deserializeOffset — committed
+    // slices must not be re-emitted (exactly-once vs the reference's
+    // at-least-once replay double-count)
+    drain()
+    assert(spark.read.parquet(out.toString).count() === first)
+    assert(first === spark.read.parquet(s"$sf/events.parquet").count())
+  }
 }

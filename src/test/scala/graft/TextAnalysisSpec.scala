@@ -122,6 +122,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TA.bpeSegmentWord("zqzq").toSeq === Seq("z", "q", "z", "q")) // no merges
   }
 
+  test("bpeTrain: weighted pair argmax, pinned tie-break, stops when exhausted") {
+    // aaab×2, xy×1. r1: (a,a) 2 occurrences × freq 2 = 4 wins.
+    // r2: aaab segments [aa,a,b] -> (aa,a)=2 ties (a,b)=2 -> smaller left
+    // operand 'a' wins. r3: [aa,ab] -> (aa,ab)=2. r4: (x,y)=1.
+    // r5: nothing left -> training stops early.
+    val corpus = Seq("aaab AAAB xy").toDF("text")
+    val got = TA.bpeTrain(corpus, "text", nMerges = 8)
+    assert(got === Seq(("a", "a", 4L), ("a", "b", 2L),
+      ("aa", "ab", 2L), ("x", "y", 1L)))
+  }
+
   test("bpeStats counts words/pieces and checksums segmentations") {
     val got = TA.bpeStats(
       Seq(("en", "The THIN cat, that cat!"), ("en", null)).toDF("lang", "text"),
