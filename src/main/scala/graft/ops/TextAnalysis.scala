@@ -240,6 +240,40 @@ object TextAnalysis {
       }.toDF(langCol, "n_words", "n_pieces", "piece_checksum")
   }
 
+  /** Bigram-LM fluency scoring — the CCNet/Gopher-style quality dimension
+    * where a language model TRAINED ON THE CORPUS scores each document:
+    * well-formed text repeats the corpus's common transitions, boilerplate
+    * and shuffled spam do not.
+    *
+    * Scale shape (two corpus-vocab-scale shuffles, no driver state):
+    *  1. one typed pass emits (doc, w1, w2) bigram occurrences;
+    *  2. transition counts c2(w1,w2) and left-context counts c1(w1) are
+    *     partial+final aggregates of that frame (c1 sums bigram-left
+    *     occurrences, so Σ_w2 c2 = c1 — a proper conditional);
+    *  3. the ratio table r = c2·10⁶ div c1 joins back on the bigram key
+    *     and each doc re-aggregates its occurrences' ratios.
+    * The score is integer-quantized conditional probability mass — exact,
+    * engine-independent (a float log-prob would not hash across engines).
+    * Docs with no bigram (≤1 token) emit no row, like the SQL inner join.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val big = graft.ops.CacheRegistry.persist(
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+          (0 until t.length - 1).iterator.map(i => (id, t(i), t(i + 1)))
+        }.toDF(idCol, "w1", "w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val ratio = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("(c2 * 1000000) div c1").as("r"))
+    big.join(ratio, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("r").as("lm_score"))
+  }
+
   /** Polynomial rolling hash of the text (Horner, base 257 mod 2^31-1):
     * the streaming-friendly fingerprint — extendable one character at a
     * time, O(1) state. Computed as a codegen'd higher-order aggregate over

@@ -232,6 +232,13 @@ object DocQueries {
         .toDF("rank", "merge_l", "merge_r", "cnt")
     }),
 
+    // Corpus-trained bigram-LM fluency score per doc (integer-quantized
+    // conditional probability mass) — the quality dimension a
+    // perplexity filter uses, minus the non-portable float log.
+    "q_txt_lm_score" -> ((s, dir) => {
+      TA.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // Merge-table BPE (the real tokenizer): the piece checksum makes the
     // DuckDB recursive-CTE oracle replay every merge decision bit-for-bit.
     "q_txt_tokens_bpe2" -> ((s, dir) => {
@@ -496,6 +503,19 @@ object DocQueries {
            |FROM documents GROUP BY 1""".stripMargin,
 
       "q_txt_bpe_train" -> sqlBpeTrain(12),
+
+      "q_txt_lm_score" ->
+        """WITH big AS (
+          |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |       unnest(generate_series(1, len(t)-1)) AS u(i)),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+          |r AS (SELECT c2.w1, c2.w2, CAST((c2.c2 * 1000000) // c1.c1 AS BIGINT) AS r
+          |      FROM c2 JOIN c1 USING (w1))
+          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(r) AS BIGINT) AS lm_score
+          |FROM big JOIN r USING (w1, w2)
+          |GROUP BY 1""".stripMargin,
 
       // independent replay of the merge loop: a recursive CTE segments each
       // DISTINCT word (merge best rank, leftmost on ties, until none applies)

@@ -122,6 +122,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TA.bpeSegmentWord("zqzq").toSeq === Seq("z", "q", "z", "q")) // no merges
   }
 
+  test("bigramLmScore: corpus-conditional ratios, integer-exact; short docs drop") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"), (4L, null))
+      .toDF("doc_id", "text")
+    val got = TA.bigramLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 b=1
+    // r(a,b)=2e6 div 3=666666, r(b,a)=1e6, r(a,c)=333333
+    assert(got === Map(
+      1L -> ((3L, 666666L + 1000000L + 333333L)),
+      2L -> ((1L, 666666L))))
+    graft.ops.CacheRegistry.drain()
+  }
+
   test("bpeTrain: weighted pair argmax, pinned tie-break, stops when exhausted") {
     // aaab×2, xy×1. r1: (a,a) 2 occurrences × freq 2 = 4 wins.
     // r2: aaab segments [aa,a,b] -> (aa,a)=2 ties (a,b)=2 -> smaller left
