@@ -180,6 +180,29 @@ object PipelineQueries {
         .filter(col("n_overlap") >= 3)
     }),
 
+    // The APPLY step: drop the contaminated docs from the training corpus
+    // (broadcast anti-join on the flagged id set — flagged sets are tiny
+    // relative to the corpus, so the corpus side never shuffles) and
+    // account for what survived per source. Completes the contamination
+    // loop the way q_dedup_apply completes dedup: detection is useless
+    // until the pipeline actually removes what it found.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5).select("shingle").distinct()
+      val flagged = Dedup.shingles(docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", n = 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+        .select("doc_id")
+      docs.filter(col("source") =!= "src0")
+        .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // ---- embedding compression / centroid training ----
 
     // Symmetric per-vector int8 quantization; min/max/sum/norm of the
@@ -414,6 +437,22 @@ object PipelineQueries {
         |FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
         |WHERE d.source <> 'src0'
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+        |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+        |      WHERE source = 'src0'),
+        |flagged AS (
+        |  SELECT sh.doc_id FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
+        |  WHERE d.source <> 'src0'
+        |  GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY 1""".stripMargin,
 
     "q_emb_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
