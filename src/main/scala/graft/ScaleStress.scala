@@ -25,7 +25,11 @@ object ScaleStress {
 
   val Queries: Seq[String] = Seq(
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_jaccard",
-    "q_sim_ivf_trained", "q_contamination")
+    "q_sim_ivf_trained", "q_contamination",
+    // round-5 additions: the training loop sees a 10× vocabulary (replica
+    // prefixes multiply distinct words), the LM scorer a 10× bigram table,
+    // the banded LSH a 10× corpus against fixed queries
+    "q_txt_bpe_train", "q_txt_lm_score", "q_sim_lsh_bands")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
