@@ -39,9 +39,13 @@ object ScaleStress {
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        // letters-only replica tag fused onto every token: '[A-Za-z]+'
+        // tokenizers (bpeTrain, lm words) must see a genuinely 10× larger
+        // vocabulary, which an 'r3_'-style prefix would NOT give them (the
+        // digit/underscore splits off and the vocab collapses back)
         when(col("rep") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("r"), col("rep"), lit("_$1")))).as("text"),
+            concat(lit("q"), expr("char(97 + rep)"), lit("$1")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -185,10 +185,18 @@ object Dedup {
     * one place the band design goes quadratic: candidates from one bucket
     * are O(size²), so a single 10M-doc bucket at 100 TB would emit 50T
     * pairs. Above the cap the bucket contributes a sorted-adjacent CHAIN
-    * (id₁-id₂, id₂-id₃, …) instead — O(size) pairs that keep every member
-    * connected, so downstream clustering ([[dedupClusters]]) still merges
-    * the group while the verify stage stays linear. Bounded worst case:
-    * ≤ bands × (cap × n_buckets + chain lengths) ≈ O(corpus × cap).
+    * (id₁-id₂, id₂-id₃, …) instead — O(size) candidates. Bounded worst
+    * case: ≤ bands × (cap × n_buckets + chain lengths) ≈ O(corpus × cap).
+    *
+    * Semantics of the trade, stated precisely: chained candidates still
+    * pass the exact-Jaccard verify, so when a hot bucket holds genuinely
+    * near-identical content (the overwhelmingly common cause) adjacent
+    * pairs clear τ and [[dedupClusters]] merges the whole group via
+    * transitivity. A hot bucket of merely signature-colliding docs can
+    * lose non-adjacent true pairs (i–k surviving τ while i–j and j–k do
+    * not) — that recall trade is the price of the bound and is why the
+    * cap defaults high. Fixture buckets sit far below 4096, so the
+    * all-pairs DuckDB oracles still pin the capped default exactly.
     */
   val DefaultMaxBucket: Int = 4096
 
@@ -218,23 +226,29 @@ object Dedup {
       l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
         .select("i", "j").distinct()
     } else {
-      // bucket sizes ride the same (band, key) partitioning the join needs,
-      // so the guard costs one window pass, not an extra shuffle pattern
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-      val sized = CacheRegistry.persist(
-        exploded.withColumn("bsz", count(lit(1)).over(w)))
-      val normal = sized.filter(col("bsz") <= maxBucket)
+      // the hot-key set is tiny BY DEFINITION (each key exceeds the cap,
+      // so there can be at most corpus/cap of them) — aggregate it and
+      // broadcast, so the common no-hot-bucket case costs one extra agg
+      // over the (already persisted upstream) signature scan instead of
+      // caching and window-scanning the full exploded table
+      val hotKeys = exploded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucket)
+        .select("band", "key")
+      val normal = exploded.join(broadcast(hotKeys), Seq("band", "key"), "left_anti")
       val l = normal.select(col(idCol).as("i"), col("band"), col("key"))
       val r = normal.filter(rightFilter)
         .select(col(idCol).as("j"), col("band"), col("key"))
       val paired = l.join(r, Seq("band", "key")).filter(col("i") < col("j"))
         .select("i", "j")
+      // chain pairs link each FILTER-PASSING member to its predecessor
+      // (any member), preserving the rightFilter contract on the j side
+      // exactly like the normal path
       val wo = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "key").orderBy(col(idCol))
-      val chained = sized.filter(col("bsz") > maxBucket)
-        .withColumn("j", lead(col(idCol), 1).over(wo))
-        .filter(col("j").isNotNull)
-        .select(col(idCol).as("i"), col("j"))
+      val chained = exploded.join(broadcast(hotKeys), Seq("band", "key"), "left_semi")
+        .withColumn("__nn_prev", lag(col(idCol), 1).over(wo))
+        .filter(rightFilter && col("__nn_prev").isNotNull)
+        .select(col("__nn_prev").as("i"), col(idCol).as("j"))
       paired.union(chained).distinct()
     }
   }
@@ -264,9 +278,10 @@ object Dedup {
     */
   def minhashLshPairsDelta(df: DataFrame, idCol: String, textCol: String,
                            deltaFrom: Long, n: Int = 3, numHashes: Int = 16,
-                           bands: Int = 4, tau: Double = 0.5): DataFrame =
+                           bands: Int = 4, tau: Double = 0.5,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashLshPairsImpl(df, idCol, textCol, n, numHashes, bands, tau,
-      rightFilter = col(idCol) >= deltaFrom)
+      rightFilter = col(idCol) >= deltaFrom, maxBucket = maxBucket)
 
   private def minhashLshPairsImpl(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, numHashes: Int, bands: Int,

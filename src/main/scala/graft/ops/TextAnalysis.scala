@@ -255,6 +255,11 @@ object TextAnalysis {
     * The score is integer-quantized conditional probability mass — exact,
     * engine-independent (a float log-prob would not hash across engines).
     * Docs with no bigram (≤1 token) emit no row, like the SQL inner join.
+    *
+    * The bigram frame is persisted through [[CacheRegistry]] and stays
+    * registered (the returned plan reads it three ways); the caller's
+    * harness reclaims it via `CacheRegistry.drain()` after the action —
+    * the same contract as [[Similarity.kmeansLloyd]].
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -29,6 +29,22 @@ case class IntervalLookup(child: Expression, los: Array[Long],
   require(los.length == names.length && los.length > 0,
     "interval table must be non-empty and aligned")
 
+  // Array fields compare by reference under case-class equality, which
+  // would make two identical lookups semantically unequal — defeating
+  // Catalyst canonicalization (common-subexpression elimination, exchange
+  // reuse). Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case that: IntervalLookup =>
+      child == that.child &&
+        java.util.Arrays.equals(los, that.los) &&
+        java.util.Arrays.equals(names.asInstanceOf[Array[AnyRef]],
+          that.names.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(los)) +
+      java.util.Arrays.hashCode(names.asInstanceOf[Array[AnyRef]])
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -243,6 +243,10 @@ object DocQueries {
     // DuckDB recursive-CTE oracle replay every merge decision bit-for-bit.
     "q_txt_tokens_bpe2" -> ((s, dir) => {
       TA.bpeStats(Tables.documents(s, dir), "lang", "text")
+        // wordless docs carry no pieces; dropping them here matches the
+        // oracle's inner join, where a lang whose EVERY doc is wordless
+        // yields no row at all
+        .filter(col("n_words") > 0)
         .groupBy("lang")
         .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"),
           sum("piece_checksum").as("piece_checksum"))

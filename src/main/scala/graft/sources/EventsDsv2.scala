@@ -84,6 +84,22 @@ object EventsApi {
   /** Column type lookup for the partition reader's record accessor. */
   def colTypeOf(name: String): DataType = colType(name)
 
+  /** Jackson node -> typed value per the table schema. ONE implementation
+    * shared by the raw-row and aggregating readers — divergent copies
+    * would silently skew pushed-aggregate results against raw-row results
+    * for the same query.
+    */
+  def decode(node: com.fasterxml.jackson.databind.JsonNode,
+             name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else colType(name) match {
+      case LongType   => java.lang.Long.valueOf(v.asLong())
+      case DoubleType => java.lang.Double.valueOf(v.asDouble())
+      case _          => v.asText()
+    }
+  }
+
   /** Stable sorted listing of landed slice files (Hadoop FS, so the same
     * code lists HDFS/object stores). Shared by the batch scan and the
     * micro-batch stream — the offset contract depends on this order.
@@ -312,7 +328,9 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
   override def planInputPartitions(): Array[InputPartition] =
     EventsApi.listFiles(path).map(f => EventsFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation)
+    new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   /** S1 as a LIVE source: the reference's poll loop fetches a completed
     * search in `Range: items=a-b` slices (etl.py:57-65,
@@ -383,7 +401,9 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
         end.asInstanceOf[EventsFileOffset].n.toInt)
       .map(f => EventsFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsReaderFactory(pushed, required, Int.MaxValue, None)
+    new EventsReaderFactory(pushed, required, Int.MaxValue, None,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String =
@@ -396,13 +416,14 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
 case class EventsFilePartition(file: String) extends InputPartition
 
 class EventsReaderFactory(pushed: Array[V1Filter], required: StructType,
-                          limit: Int, agg: Option[EventsApi.PushedAgg])
+                          limit: Int, agg: Option[EventsApi.PushedAgg],
+                          conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[EventsFilePartition].file
     agg match {
-      case Some(a) => new EventsAggPartitionReader(file, pushed, a)
-      case None    => new EventsPartitionReader(file, pushed, required, limit)
+      case Some(a) => new EventsAggPartitionReader(file, pushed, a, conf.value)
+      case None    => new EventsPartitionReader(file, pushed, required, limit, conf.value)
     }
   }
 }
@@ -416,14 +437,14 @@ class EventsReaderFactory(pushed: Array[V1Filter], required: StructType,
   * row (count 0 / null sums on an empty slice).
   */
 class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
-                               agg: EventsApi.PushedAgg)
+                               agg: EventsApi.PushedAgg,
+                               conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import EventsApi.AggOp
 
   private val rows: Iterator[InternalRow] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val fs = new org.apache.hadoop.fs.Path(file)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(new org.apache.hadoop.fs.Path(file)),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -433,15 +454,7 @@ class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
       while (line != null) {
         if (line.nonEmpty) {
           val node = mapper.readTree(line)
-          def field(name: String): Any = {
-            val v = node.get(name)
-            if (v == null || v.isNull) null
-            else EventsApi.colTypeOf(name) match {
-              case LongType   => java.lang.Long.valueOf(v.asLong())
-              case DoubleType => java.lang.Double.valueOf(v.asDouble())
-              case _          => v.asText()
-            }
-          }
+          val field: String => Any = EventsApi.decode(node, _)
           if (pushed.forall(f => EventsApi.eval(f, field).getOrElse(false))) {
             val key = agg.groupCols.map(field)
             val buf = groups.getOrElseUpdate(key,
@@ -516,26 +529,15 @@ class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
   * the incremental-parse shape of the reference's ijson loop (etl.py:16-22).
   */
 class EventsPartitionReader(file: String, pushed: Array[V1Filter],
-                            required: StructType, limit: Int)
+                            required: StructType, limit: Int,
+                            conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val fs = new org.apache.hadoop.fs.Path(file)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
     fs.open(new org.apache.hadoop.fs.Path(file)), java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _
   private var emitted = 0
-
-  private def extract(node: com.fasterxml.jackson.databind.JsonNode,
-                      name: String, dt: DataType): Any = {
-    val v = node.get(name)
-    if (v == null || v.isNull) null
-    else dt match {
-      case LongType   => java.lang.Long.valueOf(v.asLong())
-      case DoubleType => java.lang.Double.valueOf(v.asDouble())
-      case _          => v.asText()
-    }
-  }
 
   override def next(): Boolean = {
     if (emitted >= limit) return false
@@ -543,11 +545,10 @@ class EventsPartitionReader(file: String, pushed: Array[V1Filter],
     while (line != null) {
       if (line.nonEmpty) {
         val node = mapper.readTree(line)
-        val rec: String => Any =
-          name => extract(node, name, EventsApi.colTypeOf(name))
+        val rec: String => Any = EventsApi.decode(node, _)
         if (pushed.forall(f => EventsApi.eval(f, rec).getOrElse(false))) {
           val vals = required.fields.map { f =>
-            extract(node, f.name, f.dataType) match {
+            EventsApi.decode(node, f.name) match {
               case s: String => UTF8String.fromString(s)
               case other     => other
             }
