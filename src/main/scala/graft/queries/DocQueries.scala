@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
@@ -331,6 +331,39 @@ object DocQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.nTokens(col("toks"))).as("total_tokens"))
+    }),
+
+    // THE WHOLE PIPELINE, one lazy plan: quality/lang gate -> benchmark
+    // decontamination -> LSH near-dup removal -> deterministic split ->
+    // token accounting. Stage order is the scale design: the cheap
+    // per-row gates prune BEFORE any pair work, the benchmark shingle set
+    // and the flagged/dup id sets ride as broadcasts (corpus side never
+    // shuffles for a removal), and the split is a pure expression in the
+    // final scan. Catalyst fuses the per-row stages into the scans —
+    // exactly what composing these operators is supposed to buy.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
+      val kept = docs
+        .filter(col("source") =!= "src0")
+        .filter(TA.predictedLang(col("toks")) === "en")
+        .filter(TA.qualityScore(col("toks")) >= lit(0.5))
+      val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5).select("shingle").distinct()
+      val flagged = Dedup.shingles(kept, "doc_id", "text", n = 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+        .select("doc_id")
+      val clean = kept.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      val drop = Dedup.minhashLshPairs(clean, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+        .select(col("j").as("doc_id")).distinct()
+      clean.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.split(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.nTokens(col("toks"))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
     }),
 
     // Incremental dedup: a new crawl batch (the newest 20% of arrival-
@@ -670,6 +703,31 @@ object DocQueries {
            |${sqlLshPairCtesFrom("filtered")}
            |SELECT source, count(*) AS n_docs, CAST(sum(${t.sqlNTokens}) AS BIGINT) AS total_tokens
            |FROM filtered
+           |WHERE doc_id NOT IN (SELECT j FROM lshpairs)
+           |GROUP BY 1""".stripMargin,
+
+      "q_pipeline_e2e" ->
+        s"""WITH kept AS (
+           |  SELECT * FROM documents
+           |  WHERE source <> 'src0'
+           |    AND ${t.sqlPredictedLang()} = 'en' AND ${t.sqlQualityScore} >= 0.5),
+           |btoks AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |          FROM documents WHERE source = 'src0'),
+           |bsh AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+           |        FROM btoks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+           |ktoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+           |ksh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+           |        FROM ktoks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+           |flagged AS (
+           |  SELECT ksh.doc_id FROM ksh JOIN bsh USING (shingle)
+           |  GROUP BY 1 HAVING count(*) >= 3),
+           |clean AS (SELECT * FROM kept
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |${sqlLshPairCtesFrom("clean")}
+           |SELECT ${Sampling.sqlSplit("doc_id")} AS split, count(*) AS n_docs,
+           |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM clean
            |WHERE doc_id NOT IN (SELECT j FROM lshpairs)
            |GROUP BY 1""".stripMargin,
 
