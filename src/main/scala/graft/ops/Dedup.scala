@@ -452,4 +452,49 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")
   }
+
+  /** Corpus-level boilerplate scrub — the C4/RefinedWeb "line dedup" shape
+    * (drop any line occurring verbatim in many documents), adapted to a
+    * corpus without line boundaries: documents are segmented into fixed
+    * `segTokens`-token windows (a deterministic segmenter), segment
+    * document-frequency is counted corpus-wide, and segments present in
+    * >= `dfThreshold` distinct documents are removed from every document
+    * before the text is reassembled in order.
+    *
+    * Two O(n) shuffles, no pair work: (1) segment -> distinct-doc count
+    * (map-side partial; the hot set that survives `dfThreshold` is bounded
+    * by totalSegments/dfThreshold, broadcast to the anti-join), (2) the
+    * doc-id group-back that reassembles text. Documents whose every segment
+    * is boilerplate drop out entirely (both here and in the oracle).
+    * Returns (idCol, scrubbed, n_kept_tokens).
+    */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+                       segTokens: Int, dfThreshold: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens $segTokens must be positive")
+    require(dfThreshold > 1, s"dfThreshold $dfThreshold must exceed 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Typed segmentation pass: one split per document (the Generate/
+    // CollapseProject trap re-splits per output row if done with explode).
+    val segs = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.split(" ", -1).grouped(segTokens).zipWithIndex.map {
+          case (seg, i) => (id, i.toLong, seg.mkString(" "), seg.length.toLong)
+        }
+      }.toDF(idCol, "seg_idx", "seg", "n_seg_tokens")
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= dfThreshold)
+      .select("seg")
+    segs.join(broadcast(hot), Seq("seg"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))).as("sl"),
+        sum(col("n_seg_tokens")).as("n_kept_tokens"))
+      .select(col(idCol),
+        expr("array_join(transform(sl, x -> x.seg), ' ')").as("scrubbed"),
+        col("n_kept_tokens"))
+  }
 }

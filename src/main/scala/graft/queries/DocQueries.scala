@@ -212,6 +212,15 @@ object DocQueries {
           countDistinct(col("fp")).as("n_distinct_fp"))
     }),
 
+    // Corpus-level boilerplate scrub (C4/RefinedWeb line-dedup shape over a
+    // deterministic fixed-width segmenter): segments present in >= 2 docs
+    // vanish from every doc; text reassembled in order. Two O(n) shuffles,
+    // hot set broadcast, no pair work.
+    "q_txt_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateScrub(Tables.documents(s, dir), "doc_id", "text",
+        segTokens = 5, dfThreshold = 2)
+    }),
+
     "q_txt_tokens_bpe" -> ((s, dir) => {
       val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
       d.groupBy("lang").agg(
@@ -429,6 +438,17 @@ object DocQueries {
         "vec_id", "embedding", k = 10)
     }),
 
+    // Filtered ANN: top-k within a metadata slice (the hybrid-search shape —
+    // predicate + similarity compose). The label filter prunes the corpus
+    // BEFORE the scoring kernel, so candidate volume shrinks with filter
+    // selectivity; at scale the filter rides the corpus scan (pushdown),
+    // not a post-score discard.
+    "q_sim_filtered" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(em.filter(col("label") === 3),
+        em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
     "q_sim_ivf" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       Similarity.ivfTopK(em, em.filter(col("vec_id") < 20),
@@ -538,6 +558,18 @@ object DocQueries {
            |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
            |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
            |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_txt_boilerplate" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |segs AS (SELECT doc_id, i - 1 AS seg_idx,
+          |    array_to_string(t[(i-1)*5+1:i*5], ' ') AS seg,
+          |    len(t[(i-1)*5+1:i*5]) AS n_seg_tokens
+          |  FROM toks, unnest(generate_series(1, CAST(ceil(len(t)/5.0) AS BIGINT))) AS g(i)),
+          |hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+          |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot))
+          |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS scrubbed,
+          |  CAST(sum(n_seg_tokens) AS BIGINT) AS n_kept_tokens
+          |FROM kept GROUP BY 1""".stripMargin,
 
       "q_txt_bpe_train" -> sqlBpeTrain(12),
 
@@ -763,6 +795,17 @@ object DocQueries {
            |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
            |  FROM em a, em b
            |  WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id)
+           |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored) r
+           |WHERE rnk <= 10""".stripMargin,
+
+      "q_sim_filtered" ->
+        s"""WITH $sqlQuantCte,
+           |scored AS (
+           |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $sqlCos AS cos
+           |  FROM em a JOIN embeddings ea ON ea.vec_id = a.vec_id, em b
+           |  WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id AND ea.label = 3)
            |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
            |  FROM scored) r

@@ -851,6 +851,45 @@ object EventQueries {
         .filter(col("est_distinct").isNotNull)
     }),
 
+    // HyperLogLog registers (p=9, 512 registers over the 60-bit md5 hash):
+    // the sketch IS the groupBy — max(rho) per (group, register) is one
+    // shuffle whose map-side partial is the register merge, O(m) state per
+    // group regardless of input size, and sketches from disjoint partitions
+    // merge by a further max (the reference's saved-aggregate re-agg shape,
+    // max-of-maxes instead of sum-of-sums). Every register value is an
+    // exact integer the oracle reproduces bit-for-bit.
+    "q_agg_hll_registers" -> ((s, dir) => {
+      import graft.functions.{Hashing, Hll}
+      val h = Hashing.md5Long(col("user_id").cast("string"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), Hll.regIdx(h).as("reg_idx"))
+        .agg(max(Hll.rho(h)).as("rho"))
+    }),
+
+    // HLL estimate: the harmonic sum rides scaled by 2^52 so it is an exact
+    // BIGINT on both engines; the only floating point is the final scalar
+    // formula built from the same two integers by the same expression tree
+    // (linear counting fires at this cardinality; the raw branch is
+    // spec-covered at n >> 2.5m in HllSpec).
+    "q_agg_hll_estimate" -> ((s, dir) => {
+      import graft.functions.{Hashing, Hll}
+      val h = Hashing.md5Long(col("user_id").cast("string"))
+      val regs = Tables.events(s, dir)
+        .groupBy(col("event_type"), Hll.regIdx(h).as("reg_idx"))
+        .agg(max(Hll.rho(h)).as("rho"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      regs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_present"),
+          sum(Hll.registerTerm("rho")).as("s_present"))
+        .select(col("event_type"),
+          (lit(Hll.M.toLong) - col("n_present")).as("n_zero"),
+          Hll.harmonicS(col("n_present"), col("s_present")).as("harmonic_s"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_zero"), col("harmonic_s"),
+          Hll.estimate(col("n_zero"), col("harmonic_s")).as("est_distinct"))
+    }),
+
     // §2.6 superset: frame-bounded sliding window + lag — per-user 3-row
     // moving sum and inter-event gap, one shuffle on the partition key
     // (both windows share the (user_id, ts) sort). Integer measures keep
@@ -864,6 +903,20 @@ object EventQueries {
         sum(col("destination_port")).over(frame).as("mv_sum"),
         (unix_micros(col("ts")) -
           unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+    }),
+
+    // §2.6 superset: time-RANGE window frame (not row-count) — per-user
+    // trailing-1h event count and port sum, the rolling temporal-feature
+    // shape. One shuffle on user_id; the frame is value-based over epoch
+    // micros so timestamp ties land in the same frame on both engines.
+    "q_window_range_1h" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      se(s, dir).select(
+        col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("destination_port")).over(w).as("sum_port_1h"))
     }),
 
     // Sessionization: per-user activity sessions split at 30-minute gaps;
@@ -1244,12 +1297,49 @@ object EventQueries {
           |FROM r JOIN ex USING (event_type)
           |WHERE rk = 32""".stripMargin,
 
+      "q_agg_hll_registers" -> {
+        import graft.functions.Hll
+        s"""WITH h AS (SELECT event_type,
+           |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           |  FROM events)
+           |SELECT event_type, ${Hll.sqlRegIdx("h")} AS reg_idx,
+           |  CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+           |FROM h GROUP BY 1, 2""".stripMargin
+      },
+
+      "q_agg_hll_estimate" -> {
+        import graft.functions.Hll
+        val zero = s"(${Hll.M} - n_present)"
+        val harmonic = s"(s_present + (${Hll.M} - n_present) * ${Hll.Pow52})"
+        s"""WITH h AS (SELECT event_type,
+           |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           |  FROM events),
+           |regs AS (SELECT event_type, ${Hll.sqlRegIdx("h")} AS reg_idx,
+           |    CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+           |  FROM h GROUP BY 1, 2),
+           |agg AS (SELECT event_type, count(*) AS n_present,
+           |    CAST(sum(${Hll.sqlRegisterTerm("rho")}) AS BIGINT) AS s_present
+           |  FROM regs GROUP BY 1),
+           |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+           |SELECT a.event_type, ex.n_exact, $zero AS n_zero,
+           |  $harmonic AS harmonic_s,
+           |  ${Hll.sqlEstimate(zero, harmonic)} AS est_distinct
+           |FROM agg a JOIN ex USING (event_type)""".stripMargin
+      },
+
       "q_window_moving_sum" -> cte(
         """SELECT event_id,
           |  CAST(sum(destination_port) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_sum,
           |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
           |FROM e""".stripMargin),
+
+      "q_window_range_1h" -> cte(
+        """SELECT event_id,
+          |  count(*) OVER w AS n_1h,
+          |  CAST(sum(destination_port) OVER w AS BIGINT) AS sum_port_1h
+          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
       "q_sessionize" -> (s"WITH e AS (\n${Enrich.sqlCte}\n),\n" +
         """marked AS (

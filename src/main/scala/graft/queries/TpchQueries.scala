@@ -217,6 +217,27 @@ object TpchQueries {
         .join(li.select("l_orderkey").distinct(), col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Bloom-filter semi-join reduction: the ~750-key dim side is compiled
+    // into a 2^16-bit bitmap (one tiny agg, 8 KiB literal) and the fact
+    // scan is prefiltered by a pure-codegen membership test BEFORE the
+    // join — at scale only candidate rows reach the join/shuffle (the
+    // deterministic analog of AQE's runtime bloom filter; fpp ~4e-6 at
+    // n=750/k=4). The exact semi join after it makes false positives
+    // semantically invisible, which is why the plain semi-join SQL is the
+    // oracle. BloomSpec pins zero false negatives + the prefilter's
+    // reduction; the build collect is config-scale (1024 words).
+    "q_join_bloom" -> ((s, dir) => {
+      import graft.functions.Bloom
+      val dim = Tables.orders(s, dir).filter(col("o_totalprice") > 475000.0)
+        .select("o_orderkey")
+      val bm = Bloom.build(dim, col("o_orderkey").cast("string"), k = 4, mBits = 1 << 16)
+      Tables.lineitem(s, dir)
+        .filter(Bloom.mightContain(col("l_orderkey").cast("string"), bm, k = 4, mBits = 1 << 16))
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     })
   )
 
@@ -326,6 +347,13 @@ object TpchQueries {
         |FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
+        |GROUP BY 1""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 475000)
         |GROUP BY 1""".stripMargin
   )
 }

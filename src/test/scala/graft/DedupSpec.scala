@@ -193,4 +193,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 119)
     graft.ops.CacheRegistry.drain()
   }
+
+  test("boilerplateScrub drops cross-doc hot segments and reassembles in order") {
+    val d = Seq(
+      (1L, "h1 h2 h3 h4 h5 a b c d e"),  // hot 5-token prefix + unique tail
+      (2L, "h1 h2 h3 h4 h5 f g h i j"),
+      (3L, "h1 h2 h3 h4 h5"),            // all-boilerplate -> drops out
+      (4L, "p q r s t u v"))             // untouched (5 + 2 token segments)
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateScrub(d, "doc_id", "text", segTokens = 5, dfThreshold = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === (("a b c d e", 5L)))
+    assert(out(2L) === (("f g h i j", 5L)))
+    assert(out(4L) === (("p q r s t u v", 7L)))
+  }
+
+  test("boilerplateScrub keeps >10 segments numerically ordered") {
+    // 60 unique tokens = 12 segments; a lexicographic seg_idx sort would
+    // reorder (10, 11, ...) before 2 — the reassembly must be numeric.
+    val text = (0 until 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text), (2L, "unrelated words here")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateScrub(d, "doc_id", "text", segTokens = 5, dfThreshold = 2)
+      .filter(col("doc_id") === 1L).head()
+    assert(out.getString(1) === text)
+    assert(out.getLong(2) === 60L)
+  }
 }
