@@ -359,6 +359,40 @@ object EventQueries {
     s.read.parquet(out)
   }
 
+  /** HLL registers computed BY THE STREAMING PATH: JSON topic -> decode ->
+    * streaming `groupBy(event_type, reg_idx).agg(max(rho))` in Update mode,
+    * drained AvailableNow over a multi-file backlog (maxFilesPerTrigger=1
+    * forces cross-batch merging). rho per group is MONOTONE non-decreasing
+    * across batches, so the read-side compaction of Update-mode re-emissions
+    * is a plain `max` — the sketch's mergeability is exactly what makes the
+    * streaming landing idempotent (no batch_id bookkeeping needed, unlike
+    * the additive hourly rollup).
+    */
+  private val streamHllPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedHllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val out = streamHllPaths.getOrElseUpdate(dir, {
+      import graft.functions.{Hashing, Hll}
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_hll_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("user_id"), col("event_type"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val h = Hashing.md5Long(col("user_id").cast("string"))
+      val regs = decoded
+        .groupBy(col("event_type"), Hll.regIdx(h).as("reg_idx"))
+        .agg(max(Hll.rho(h)).as("rho"))
+      landAvailableNow(regs, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out)
+      .groupBy("event_type", "reg_idx").agg(max(col("rho")).as("rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6/S8-analog end-to-end: JSON topic round-trip through the Kafka
     // decode path == the batch aggregate (see [[streamedJsonDecode]]).
@@ -890,6 +924,40 @@ object EventQueries {
           Hll.estimate(col("n_zero"), col("harmonic_s")).as("est_distinct"))
     }),
 
+    // T-family + sketch compose: the SAME HLL registers computed by a
+    // watermark-free Update-mode streaming aggregation over a multi-batch
+    // backlog hash-match the batch registers (see [[streamedHllRegisters]]).
+    "q_t8_streaming_hll" -> ((s, dir) => streamedHllRegisters(s, dir)),
+
+    // Histogram-sketch quantiles: ONE metadata aggregate for [lo, hi], ONE
+    // binned count (mergeable by addition — the sum-of-sums re-agg shape),
+    // cumulative walk over <=256 rows/group. The 100 TB percentile plan:
+    // no sort, no full shuffle of values; error bounded by bin width.
+    // Rank selection is exact integer math; bin arithmetic shares its
+    // expression shape with the oracle bit-for-bit.
+    "q_agg_hist_quantiles" -> ((s, dir) => {
+      import graft.functions.Histogram
+      val ev = Tables.events(s, dir)
+      val r = ev.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val hist = ev.groupBy(col("event_type"),
+          Histogram.bin(col("value"), lo, hi, 256).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      def pick(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("n"), col("bin"))).as(s"b$p")
+      hist.select(col("event_type"), col("bin"),
+          sum(col("cnt")).over(wc).as("cum"), sum(col("cnt")).over(wn).as("n"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"), pick(50), pick(95), pick(99))
+        .select(col("event_type"), col("n"),
+          Histogram.binValue(col("b50"), lo, hi, 256).as("p50_est"),
+          Histogram.binValue(col("b95"), lo, hi, 256).as("p95_est"),
+          Histogram.binValue(col("b99"), lo, hi, 256).as("p99_est"))
+    }),
+
     // §2.6 superset: frame-bounded sliding window + lag — per-user 3-row
     // moving sum and inter-event gap, one shuffle on the partition key
     // (both windows share the (user_id, ts) sort). Integer measures keep
@@ -1325,6 +1393,40 @@ object EventQueries {
            |  $harmonic AS harmonic_s,
            |  ${Hll.sqlEstimate(zero, harmonic)} AS est_distinct
            |FROM agg a JOIN ex USING (event_type)""".stripMargin
+      },
+
+      // Streaming HLL == batch HLL: the oracle is the batch register SQL.
+      "q_t8_streaming_hll" -> {
+        import graft.functions.Hll
+        s"""WITH h AS (SELECT event_type,
+           |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           |  FROM events)
+           |SELECT event_type, ${Hll.sqlRegIdx("h")} AS reg_idx,
+           |  CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+           |FROM h GROUP BY 1, 2""".stripMargin
+      },
+
+      "q_agg_hist_quantiles" -> {
+        import graft.functions.Histogram
+        s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |hist AS (SELECT event_type,
+           |    ${Histogram.sqlBin("value", "s.lo", "s.hi", 256)} AS bin,
+           |    count(*) AS cnt
+           |  FROM events, s GROUP BY 1, 2),
+           |cum AS (SELECT event_type, bin, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM hist),
+           |picked AS (SELECT event_type, max(n) AS n,
+           |    min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS b50,
+           |    min(CASE WHEN cum * 100 >= 95 * n THEN bin END) AS b95,
+           |    min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS b99
+           |  FROM cum GROUP BY 1)
+           |SELECT event_type, n,
+           |  ${Histogram.sqlBinValue("b50", "s.lo", "s.hi", 256)} AS p50_est,
+           |  ${Histogram.sqlBinValue("b95", "s.lo", "s.hi", 256)} AS p95_est,
+           |  ${Histogram.sqlBinValue("b99", "s.lo", "s.hi", 256)} AS p99_est
+           |FROM picked, s""".stripMargin
       },
 
       "q_window_moving_sum" -> cte(
