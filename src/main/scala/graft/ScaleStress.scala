@@ -29,7 +29,14 @@ object ScaleStress {
     // round-5 additions: the training loop sees a 10× vocabulary (replica
     // prefixes multiply distinct words), the LM scorer a 10× bigram table,
     // the banded LSH a 10× corpus against fixed queries
-    "q_txt_bpe_train", "q_txt_lm_score", "q_sim_lsh_bands")
+    "q_txt_bpe_train", "q_txt_lm_score", "q_sim_lsh_bands",
+    // second-wave additions: the full curation pipeline (gates ->
+    // decontaminate -> LSH -> split), corpus-level boilerplate scrub
+    // (segment df + hot-set anti-join), HLL registers / histogram
+    // quantiles over 10× events with 10× distinct users, and the
+    // value-RANGE window over 10× user partitions
+    "q_pipeline_e2e", "q_txt_boilerplate",
+    "q_agg_hll_registers", "q_agg_hist_quantiles", "q_window_range_1h")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
@@ -59,6 +66,24 @@ object ScaleStress {
         col("label"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // Events replicated with shifted ids: the raw TIMESTAMP(NANOS) column
+    // reads as a nanos Long (legacy conf) and is written back as plain
+    // BIGINT — Tables.events' `ts div 1000` handles both encodings. Each
+    // replica shifts user_id, so distinct-user cardinality (what HLL
+    // sketches) and window partition count grow ×replicas while per-user
+    // history stays the original's.
+    Tables.ensureNanosConf(spark)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("rep") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
 

@@ -987,6 +987,19 @@ object EventQueries {
         sum(col("destination_port")).over(w).as("sum_port_1h"))
     }),
 
+    // Z-order layout: the Morton interleave of (user_id, destination_port)
+    // as a pure codegen bit-interleave — the clustering key zorderWrite
+    // sorts by so parquet min/max stats localize BOTH dimensions per file
+    // (LayoutSpec measures the pruning-area claim; this query pins the
+    // z-value arithmetic against the oracle's independent shift algebra).
+    "q_layout_zorder" -> ((s, dir) => {
+      import graft.ops.Layout
+      se(s, dir)
+        .select(Layout.zValue2(col("user_id"), col("destination_port")).as("z"))
+        .groupBy(shiftright(col("z"), 24).as("z_tile"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+    }),
+
     // Sessionization: per-user activity sessions split at 30-minute gaps;
     // session stats prove the island numbering end-to-end.
     "q_sessionize" -> ((s, dir) => {
@@ -1435,6 +1448,12 @@ object EventQueries {
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_sum,
           |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
           |FROM e""".stripMargin),
+
+      "q_layout_zorder" -> cte(
+        s"""SELECT (z >> 24) AS z_tile, count(*) AS n, min(z) AS z_min, max(z) AS z_max
+           |FROM (SELECT ${graft.ops.Layout.sqlZValue2("user_id", "destination_port")} AS z
+           |      FROM e) t
+           |GROUP BY 1""".stripMargin),
 
       "q_window_range_1h" -> cte(
         """SELECT event_id,

@@ -89,6 +89,39 @@ class SketchSpec extends SparkSpec {
     assert(withBloom === exact)
   }
 
+  test("histogram bin clamps, handles the degenerate domain, and estimates within bin width") {
+    import graft.functions.Histogram
+    val vals = (0 until 10000).map(_.toDouble)
+    val df = vals.toDF("v")
+    // bins clamp to [0, 255]
+    val bins = df.select(Histogram.bin(col("v"), 0.0, 9999.0, 256).as("b"))
+      .agg(min("b"), max("b")).head()
+    assert(bins.getInt(0) === 0 && bins.getInt(1) === 255)
+    // degenerate lo==hi domain maps everything to bin 0
+    assert(df.select(Histogram.bin(col("v"), 5.0, 5.0, 256).as("b"))
+      .filter(col("b") =!= 0).count() === 0L)
+    // p95 estimate of uniform [0, 9999] lands within one bin width of 9500
+    val hist = df.groupBy(Histogram.bin(col("v"), 0.0, 9999.0, 256).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val b95 = hist.select(col("bin"), sum("cnt").over(w).as("cum"))
+      .filter(col("cum") * 100 >= lit(95) * 10000).agg(min("bin")).head().getInt(0)
+    val est = 0.0 + b95 * 9999.0 / 256.0
+    assert(math.abs(est - 9500.0) <= 9999.0 / 256.0 + 1e-9, s"p95 estimate $est")
+  }
+
+  test("histograms from disjoint partitions merge by adding counts") {
+    import graft.functions.Histogram
+    val (a, b) = (0 until 8000).map(_.toDouble).splitAt(3000)
+    def histOf(vs: Seq[Double]): Map[Int, Long] =
+      vs.toDF("v").groupBy(Histogram.bin(col("v"), 0.0, 7999.0, 256).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = (histOf(a).toSeq ++ histOf(b).toSeq)
+      .groupBy(_._1).map { case (k, kv) => k -> kv.map(_._2).sum }
+    assert(merged === histOf(a ++ b))
+  }
+
   test("bloom membership test stays a scan-side filter upstream of the join") {
     // A file-backed fact: over a LocalRelation the optimizer folds the
     // filter away entirely, which would hide the plan shape under test.
