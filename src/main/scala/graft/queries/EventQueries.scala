@@ -441,6 +441,20 @@ object EventQueries {
           expr("min(ts_nanos) div 1000").as("min_ts_us"))
     }),
 
+    // S1 with the ORDER BY + LIMIT ALSO run by the source (top-N pushdown,
+    // partial): each partition ships its N best rows under the pushed sort
+    // keys (O(N) reader memory) and Spark's TakeOrdered merges the
+    // winners — the reference's server-side `ORDER BY ... LIMIT`. The
+    // event_id tie-break makes the top-20 SET deterministic.
+    "q_s1_dsv2_topn" -> ((s, dir) => {
+      import graft.sources.EventsApi
+      s.read.format("graft-events").load(EventsApi.landing(s, dir))
+        .filter(col("event_type") === "purchase")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value_r"))
+    }),
+
     // S1 live path end-to-end: connector stream -> one-slice micro-batches
     // -> parquet landing == the batch aggregate (see [[streamedDsv2]]).
     "q_s1_dsv2_stream" -> ((s, dir) => {
@@ -1151,6 +1165,11 @@ object EventQueries {
           |  count(DISTINCT user_id) AS n_users
           |FROM events WHERE event_type <> 'error'
           |GROUP BY 1""".stripMargin,
+
+      "q_s1_dsv2_topn" ->
+        """SELECT event_id, user_id, round(value, 2) AS value_r
+          |FROM events WHERE event_type = 'purchase'
+          |ORDER BY value DESC, event_id LIMIT 20""".stripMargin,
 
       "q_t4_streaming_join" ->
         """SELECT p.user_id, count(*) AS n_pairs,

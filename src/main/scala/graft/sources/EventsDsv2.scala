@@ -163,6 +163,49 @@ object EventsApi {
     else None
   }
 
+  // ---- source-side ORDER BY + LIMIT (the "remote top-N") ----
+
+  /** One pushed sort key: plain column, direction, null placement. */
+  final case class SortCol(col: String, descending: Boolean, nullsFirst: Boolean)
+
+  /** The pushed top-N: sort keys + row cap. Partial contract: each
+    * partition returns its own N best rows and Spark keeps the final
+    * Sort+Limit — the TakeOrdered map-side story, same reason the
+    * aggregate push stays partial.
+    */
+  final case class PushedTopN(keys: Seq[SortCol], n: Int)
+
+  /** Translate connector [[org.apache.spark.sql.connector.expressions.SortOrder]]s;
+    * plain columns only, anything else declines the push.
+    */
+  def translateSortOrders(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder]): Option[Seq[SortCol]] = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val keys = orders.toSeq.map { so =>
+      singleFieldName(so.expression()).map(c => SortCol(c,
+        so.direction() == SortDirection.DESCENDING,
+        so.nullOrdering() == NullOrdering.NULLS_FIRST))
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten) else None
+  }
+
+  /** "a sorts strictly before b" under the pushed keys (ties = false). */
+  def sortsBefore(keys: Seq[SortCol], a: String => Any, b: String => Any): Boolean = {
+    keys.foreach { k =>
+      val (x, y) = (a(k.col), b(k.col))
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (k.nullsFirst) -1 else 1 }
+        else if (y == null) { if (k.nullsFirst) 1 else -1 }
+        else {
+          val raw = cmp(k.col, x, y)
+          if (k.descending) -raw else raw
+        }
+      if (c != 0) return c < 0
+    }
+    false
+  }
+
   /** Can the source evaluate this conjunct? Anything here is accepted in
     * `pushFilters` and never re-checked by Spark.
     */
@@ -265,11 +308,13 @@ class GraftEventsTable(path: String) extends Table with SupportsRead {
 class GraftEventsScanBuilder(path: String, maxFilesPerMicroBatch: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
   private var pushed: Array[V1Filter] = Array.empty
   private var required: StructType = EventsApi.schema
   private var limit: Int = Int.MaxValue
   private var agg: Option[EventsApi.PushedAgg] = None
+  private var topN: Option[EventsApi.PushedTopN] = None
 
   /** Accept every conjunct the source can evaluate; hand back only the
     * rest for Spark-side evaluation. For the AQL corpus's predicates
@@ -301,15 +346,33 @@ class GraftEventsScanBuilder(path: String, maxFilesPerMicroBatch: Int = Int.MaxV
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
+  /** S1's server-side ORDER BY + LIMIT — the reference's searches return
+    * result sets the server already ordered and capped (the AQL corpus's
+    * `ORDER BY ... LIMIT` runs inside QRadar). PARTIAL push (each
+    * partition ships its own N best rows, Spark keeps the final
+    * Sort+Limit), so the network carries O(partitions × N) rows instead
+    * of every WHERE survivor.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean =
+    if (agg.isDefined) false
+    else EventsApi.translateSortOrders(orders) match {
+      case Some(keys) => topN = Some(EventsApi.PushedTopN(keys, n)); true
+      case None       => false
+    }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
     new GraftEventsScan(path, pushed, agg.map(_.schema).getOrElse(required),
-      limit, agg, maxFilesPerMicroBatch)
+      limit, agg, maxFilesPerMicroBatch, topN)
 }
 
 class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
                       required: StructType, limit: Int,
                       val pushedAggregation: Option[EventsApi.PushedAgg] = None,
-                      maxFilesPerMicroBatch: Int = Int.MaxValue)
+                      maxFilesPerMicroBatch: Int = Int.MaxValue,
+                      val pushedTopN: Option[EventsApi.PushedTopN] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -320,7 +383,10 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
       (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "") +
       pushedAggregation.fold("")(a =>
         s", PushedAggregation=[groupBy=(${a.groupCols.mkString(",")}), " +
-          s"${a.ops.map(_.name).mkString(", ")}]")
+          s"${a.ops.map(_.name).mkString(", ")}]") +
+      pushedTopN.fold("")(t =>
+        s", PushedTopN=[${t.keys.map(k => k.col +
+          (if (k.descending) " DESC" else " ASC")).mkString(", ")} LIMIT ${t.n}]")
 
   /** One partition per landed file — the Range-slice analog. Listed via
     * Hadoop FS so the same code plans against HDFS/object stores.
@@ -330,7 +396,7 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), pushedTopN)
 
   /** S1 as a LIVE source: the reference's poll loop fetches a completed
     * search in `Range: items=a-b` slices (etl.py:57-65,
@@ -417,15 +483,76 @@ case class EventsFilePartition(file: String) extends InputPartition
 
 class EventsReaderFactory(pushed: Array[V1Filter], required: StructType,
                           limit: Int, agg: Option[EventsApi.PushedAgg],
-                          conf: org.apache.spark.util.SerializableConfiguration)
+                          conf: org.apache.spark.util.SerializableConfiguration,
+                          topN: Option[EventsApi.PushedTopN] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[EventsFilePartition].file
-    agg match {
-      case Some(a) => new EventsAggPartitionReader(file, pushed, a, conf.value)
-      case None    => new EventsPartitionReader(file, pushed, required, limit, conf.value)
+    (agg, topN) match {
+      case (Some(a), _)    => new EventsAggPartitionReader(file, pushed, a, conf.value)
+      case (None, Some(t)) => new EventsTopNPartitionReader(file, pushed, required, t, conf.value)
+      case _               => new EventsPartitionReader(file, pushed, required, limit, conf.value)
     }
   }
+}
+
+/** Executor-side top-N reader: streams the file once, applies the pushed
+  * WHERE, and keeps only the N best rows under the pushed sort keys in a
+  * bounded heap — O(N) memory however large the slice. Emits its survivors
+  * unordered; the partial-push contract leaves the final Sort+Limit to
+  * Spark, which is what merges partition winners correctly.
+  */
+class EventsTopNPartitionReader(file: String, pushed: Array[V1Filter],
+                                required: StructType, topN: EventsApi.PushedTopN,
+                                conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new org.apache.hadoop.fs.Path(file)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    // Max-heap under the sort order: head = worst surviving row, evicted
+    // whenever a better row arrives with the heap full.
+    case class Entry(key: Map[String, Any], vals: Array[Any])
+    val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) =>
+      if (EventsApi.sortsBefore(topN.keys, a.key, b.key)) -1
+      else if (EventsApi.sortsBefore(topN.keys, b.key, a.key)) 1
+      else 0
+    val heap = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          val rec: String => Any = EventsApi.decode(node, _)
+          if (pushed.forall(f => EventsApi.eval(f, rec).getOrElse(false))) {
+            val key = topN.keys.map(k => k.col -> rec(k.col)).toMap
+            val e = Entry(key, required.fields.map(f => rec(f.name)))
+            if (heap.size < topN.n) heap.enqueue(e)
+            else if (EventsApi.sortsBefore(topN.keys, e.key, heap.head.key)) {
+              heap.dequeue(); heap.enqueue(e)
+            }
+          }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    heap.iterator.map { e =>
+      val vals = e.vals.map {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]]): InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Executor-side aggregating reader: streams the file once, applies the

@@ -94,6 +94,36 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("top-N pushdown: the source ships each partition's N best, Spark merges") {
+    val df = read().filter(col("event_type") === "view")
+      .orderBy(col("value").desc, col("event_id")).limit(5)
+      .select("event_id", "value")
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedTopN=[value DESC, event_id ASC LIMIT 5]"),
+      scan.description())
+    val viaParquet = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .orderBy(col("value").desc, col("event_id")).limit(5)
+      .select("event_id", "value")
+    assert(df.collect().toSeq === viaParquet.collect().toSeq)
+    // partial contract: Spark's final Sort+Limit is still in the plan to
+    // merge per-partition winners
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("top-N declines non-column sort keys and still answers correctly") {
+    val df = read().filter(col("event_type") === "view")
+      .orderBy((col("value") * -1).asc, col("event_id")).limit(5)
+      .select("event_id", "value")
+    val scan = scanOf(df)
+    assert(!scan.description().contains("PushedTopN"), scan.description())
+    val viaParquet = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .orderBy((col("value") * -1).asc, col("event_id")).limit(5)
+      .select("event_id", "value")
+    assert(df.collect().toSeq === viaParquet.collect().toSeq)
+  }
+
   test("multiple input partitions are planned (one per landed file)") {
     val scan = scanOf(read().filter(col("value") > 0)
       .select("event_id"))
