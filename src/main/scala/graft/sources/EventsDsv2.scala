@@ -61,7 +61,10 @@ object EventsApi {
 
   /** The landed JSON-lines store backing the connector, one per sfDir per
     * JVM (same memoized-fixture pattern as the P8 day store). Four files
-    * so the scan genuinely plans multiple input partitions.
+    * so the scan genuinely plans multiple input partitions —
+    * RANGE-partitioned on ts_nanos so each slice covers a disjoint time
+    * range (the reference's searches are time-bounded ranged scans, S3),
+    * with a per-slice min/max/count stats sidecar the scan prunes against.
     */
   private val landings = TrieMap.empty[String, String]
   def landing(s: SparkSession, dir: String): String =
@@ -71,10 +74,116 @@ object EventsApi {
       Tables.ensureNanosConf(s)
       s.read.parquet(s"$dir/events.parquet")
         .withColumnRenamed("ts", "ts_nanos")
-        .repartition(4)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("ts_nanos"))
         .write.json(out)
+      writeStats(s, out)
       out
     })
+
+  /** Per-slice statistics (numeric min/max + row count), the connector's
+    * analog of parquet footer stats / the search API's slice metadata.
+    * One small driver-side JSON keyed by file name; [[listFiles]] skips it
+    * (no `part-` prefix).
+    */
+  val StatsFile = "_graft_stats.json"
+  private val statCols = Seq("event_id", "ts_nanos", "user_id", "value")
+
+  private def writeStats(s: SparkSession, out: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val rows = s.read.schema(schema).json(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .collect()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    rows.foreach { r =>
+      val name = r.getString(0).split('/').last
+      val node = root.putObject(name)
+      node.put("n", r.getLong(1))
+      statCols.zipWithIndex.foreach { case (c, i) =>
+        val (lo, hi) = (r.get(2 + 2 * i), r.get(3 + 2 * i))
+        if (lo != null && hi != null) {
+          val rng = node.putArray(c)
+          (lo, hi) match {
+            case (a: java.lang.Long, b: java.lang.Long)     => rng.add(a.longValue()); rng.add(b.longValue())
+            case (a: java.lang.Double, b: java.lang.Double) => rng.add(a.doubleValue()); rng.add(b.doubleValue())
+            case _ => ()
+          }
+        }
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, StatsFile), mapper.writeValueAsString(root))
+  }
+
+  /** Slice stats: file name -> (rowCount, numeric col -> [lo, hi]). Range
+    * endpoints keep the column's own type (a Long column's bounds as
+    * Double would lose precision above 2^53 — ts_nanos is ~1.7e18 — and
+    * could prune a slice that actually matches).
+    */
+  final case class SliceStats(n: Long, ranges: Map[String, (Any, Any)])
+
+  def readStats(path: String): Map[String, SliceStats] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path, StatsFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val out = scala.collection.mutable.Map.empty[String, SliceStats]
+      root.fields().forEachRemaining { e =>
+        val ranges: Map[String, (Any, Any)] = statCols.flatMap { c =>
+          val a = e.getValue.get(c)
+          if (a == null || !a.isArray || a.size() != 2) None
+          else colType(c) match {
+            case LongType => Some(c ->
+              ((java.lang.Long.valueOf(a.get(0).asLong()): Any,
+                java.lang.Long.valueOf(a.get(1).asLong()): Any)))
+            case _        => Some(c ->
+              ((java.lang.Double.valueOf(a.get(0).asDouble()): Any,
+                java.lang.Double.valueOf(a.get(1).asDouble()): Any)))
+          }
+        }.toMap
+        out(e.getKey) = SliceStats(e.getValue.get("n").asLong(), ranges)
+      }
+      out.toMap
+    }
+  }
+
+  /** Can a slice with these stats possibly satisfy the conjunct? Pure
+    * interval logic via the schema-typed [[cmp]], CONSERVATIVE: anything
+    * not provably empty scans. Mirrors parquet row-group pruning; absence
+    * of a range means "don't prune".
+    */
+  def slicePossible(f: V1Filter, ranges: Map[String, (Any, Any)]): Boolean = {
+    def check(a: String, v: Any)(p: ((Any, Any)) => Boolean): Boolean =
+      (ranges.get(a), v) match {
+        case (Some(r), _: Number) => p(r)
+        case _                    => true
+      }
+    f match {
+      case EqualTo(a, v)            => check(a, v) { case (lo, hi) =>
+        cmp(a, v, lo) >= 0 && cmp(a, v, hi) <= 0 }
+      case GreaterThan(a, v)        => check(a, v) { case (_, hi) => cmp(a, hi, v) > 0 }
+      case GreaterThanOrEqual(a, v) => check(a, v) { case (_, hi) => cmp(a, hi, v) >= 0 }
+      case LessThan(a, v)           => check(a, v) { case (lo, _) => cmp(a, lo, v) < 0 }
+      case LessThanOrEqual(a, v)    => check(a, v) { case (lo, _) => cmp(a, lo, v) <= 0 }
+      case In(a, vs) => ranges.get(a) match {
+        case Some((lo, hi)) => vs.exists {
+          case v: Number => cmp(a, v, lo) >= 0 && cmp(a, v, hi) <= 0
+          case _         => true
+        }
+        case None => true
+      }
+      case And(l, r) => slicePossible(l, ranges) && slicePossible(r, ranges)
+      case Or(l, r)  => slicePossible(l, ranges) || slicePossible(r, ranges)
+      case _         => true
+    }
+  }
 
   // ---- source-side predicate evaluation (the "remote engine") ----
 
@@ -111,6 +220,16 @@ object EventsApi {
     fs.listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted.toArray
+  }
+
+  /** Byte sizes of the landed slices (for [[SupportsReportStatistics]]). */
+  def fileSizes(path: String): Map[String, Long] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
   }
 
   // ---- source-side aggregation (the "remote GROUP BY") ----
@@ -373,9 +492,37 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
                       val pushedAggregation: Option[EventsApi.PushedAgg] = None,
                       maxFilesPerMicroBatch: Int = Int.MaxValue,
                       val pushedTopN: Option[EventsApi.PushedTopN] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Slice pruning against the landing's stats sidecar — the ranged-scan
+    * analog (S3/T6): a slice whose [min, max] provably contradicts the
+    * pushed WHERE is never planned, so its bytes are never opened.
+    * CONSERVATIVE interval logic; a missing sidecar scans everything.
+    * Batch-only: the micro-batch stream's offset is POSITIONAL over the
+    * full slice list, so the stream never prunes (pruning would remap
+    * offsets across restarts).
+    */
+  private lazy val sliceStats = EventsApi.readStats(path)
+  private[sources] lazy val survivingFiles: Array[String] =
+    EventsApi.listFiles(path).filter { f =>
+      val name = f.split('/').last
+      sliceStats.get(name).forall(st =>
+        pushedFilters.forall(EventsApi.slicePossible(_, st.ranges)))
+    }
+
+  /** Post-pruning size/row estimates for Catalyst (join-strategy input). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val sizes = EventsApi.fileSizes(path)
+    private val names = survivingFiles.map(_.split('/').last)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(names.map(sizes.getOrElse(_, 0L)).sum)
+    override def numRows(): java.util.OptionalLong =
+      if (names.forall(sliceStats.contains))
+        java.util.OptionalLong.of(names.map(sliceStats(_).n).sum)
+      else java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"GraftEventsScan path=$path, " +
       s"PushedFilters=[${pushedFilters.mkString(", ")}], " +
@@ -386,13 +533,15 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
           s"${a.ops.map(_.name).mkString(", ")}]") +
       pushedTopN.fold("")(t =>
         s", PushedTopN=[${t.keys.map(k => k.col +
-          (if (k.descending) " DESC" else " ASC")).mkString(", ")} LIMIT ${t.n}]")
+          (if (k.descending) " DESC" else " ASC")).mkString(", ")} LIMIT ${t.n}]") +
+      s", PlannedSlices=${survivingFiles.length}/${EventsApi.listFiles(path).length}"
 
-  /** One partition per landed file — the Range-slice analog. Listed via
-    * Hadoop FS so the same code plans against HDFS/object stores.
+  /** One partition per SURVIVING landed file (see [[survivingFiles]]) —
+    * the Range-slice analog with stats pruning. Listed via Hadoop FS so
+    * the same code plans against HDFS/object stores.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    EventsApi.listFiles(path).map(f => EventsFilePartition(f): InputPartition)
+    survivingFiles.map(f => EventsFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsReaderFactory(pushedFilters, required, limit, pushedAggregation,
       new org.apache.spark.util.SerializableConfiguration(

@@ -130,6 +130,42 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(scan.planInputPartitions().length == 4)
   }
 
+  test("slice stats prune time-bounded scans; pruned answers match parquet") {
+    // The landing is range-partitioned on ts_nanos, so a tight time bound
+    // must plan fewer than the 4 slices — the ranged-scan analog: pruned
+    // slices' bytes are never opened.
+    val loTs = graft.sources.Tables.events(spark, sf)
+      .agg(min(expr("unix_micros(ts) * 1000"))).head().getLong(0)
+    val pred = col("ts_nanos") <= loTs + 1000000000L // first second only
+    val df = read().filter(pred).select("event_id", "user_id")
+    val scan = scanOf(df)
+    val planned = scan.planInputPartitions().length
+    assert(planned < 4 && planned >= 1, s"planned $planned slices")
+    val viaParquet = graft.sources.Tables.events(spark, sf)
+      .filter(expr("unix_micros(ts) * 1000") <= loTs + 1000000000L)
+      .select("event_id", "user_id")
+    assert(df.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(df).isEmpty)
+    // a string-only predicate has no numeric stats: nothing prunes
+    val unpruned = scanOf(read().filter(col("event_type") === "view")
+      .select("event_id"))
+    assert(unpruned.planInputPartitions().length == 4)
+  }
+
+  test("the scan reports post-pruning statistics (rows + bytes)") {
+    val all = scanOf(read().filter(col("value") > 0).select("event_id"))
+    val allStats = all.estimateStatistics()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(allStats.numRows.getAsLong === total)
+    assert(allStats.sizeInBytes.getAsLong > 0)
+    val loTs = graft.sources.Tables.events(spark, sf)
+      .agg(min(expr("unix_micros(ts) * 1000"))).head().getLong(0)
+    val pruned = scanOf(read().filter(col("ts_nanos") <= loTs + 1000000000L)
+      .select("event_id"))
+    val prunedStats = pruned.estimateStatistics()
+    assert(prunedStats.numRows.getAsLong < total)
+    assert(prunedStats.sizeInBytes.getAsLong < allStats.sizeInBytes.getAsLong)
+  }
+
   test("aggregate pushdown: the source runs the GROUP BY, Spark merges partials") {
     def shaped(df: DataFrame) = df
       .filter(col("value") > 10.0)
