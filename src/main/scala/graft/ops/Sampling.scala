@@ -59,6 +59,37 @@ object Sampling {
     }
   }
 
+  /** Domain-mix reweighting: down-sample each group so the surviving
+    * corpus hits the target mix `targets` (permille per group, summing
+    * 1000) at MAXIMUM volume — the data-mixing step of a training
+    * pipeline ("30% web, 25% code, ..."). The derivation is pure integer
+    * floor division, so the oracle reproduces rates bit-for-bit:
+    *
+    *   T      = min_g (n_g * 1000 / f_g)   largest total the mix admits
+    *   rate_g = f_g * T / n_g              permille keep-rate per group
+    *
+    * One metadata aggregate collects the per-group counts (config-scale
+    * driver state — groups are domains, not rows; the deriveBlocks
+    * pattern), the rates compile into a when-chain, and the apply pass is
+    * a pure hash-threshold predicate riding the scan — no join, no
+    * shuffle, streaming-safe.
+    */
+  def mixReweight(df: org.apache.spark.sql.DataFrame, grp: Column, key: Column,
+                  targets: Map[Long, Long], salt: String = "m"): org.apache.spark.sql.DataFrame = {
+    require(targets.values.sum == 1000L, s"target permilles must sum to 1000: $targets")
+    require(targets.values.forall(_ > 0), s"every target must be positive: $targets")
+    val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(counts.keySet == targets.keySet,
+      s"groups ${counts.keySet} != targets ${targets.keySet}")
+    val t = targets.map { case (g, f) => counts(g) * 1000L / f }.min
+    val rates = targets.map { case (g, f) => g -> f * t / counts(g) }
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (els, (g, r)) => when(grp === lit(g), lit(r)).otherwise(els)
+    }
+    df.filter(hashBucket(key, 1000, salt) < rateCol)
+  }
+
   // ---- DuckDB oracle fragments (keep in lock-step) ----
 
   def sqlHashBucket(keyExpr: String, buckets: Int, salt: String = ""): String = {

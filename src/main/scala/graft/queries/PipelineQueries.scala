@@ -68,6 +68,9 @@ object PipelineQueries {
 
   private val StratRates = Map("en" -> 250, "es" -> 500)
 
+  /** Target domain mix for q_mix_reweight (permille per derived group). */
+  private val MixTargets = Map(0L -> 500L, 1L -> 250L, 2L -> 150L, 3L -> 100L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- PII scrubbing ----
@@ -149,6 +152,19 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
+    // Domain-mix reweighting: 4 derived domain groups rebalanced to a
+    // 500/250/150/100 permille target at maximum volume. Rates come from
+    // pure integer floor division over the per-group counts (one
+    // config-scale metadata aggregate), the apply pass is a hash-threshold
+    // predicate riding the scan — the "30% web / 25% code" mixing step.
+    "q_mix_reweight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("grp", expr("CAST(substring(source, 4) AS BIGINT) % 4"))
+      Sampling.mixReweight(docs, col("grp"), col("doc_id"), MixTargets, salt = "mix")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
     }),
 
     // ---- sequence packing ----
@@ -414,6 +430,22 @@ object PipelineQueries {
       s"""SELECT lang, count(*) AS n_total,
          |  CAST(sum(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1""".stripMargin
+    },
+
+    "q_mix_reweight" -> {
+      val values = MixTargets.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"($g, $f)" }.mkString(", ")
+      s"""WITH d AS (SELECT *, CAST(substring(source, 4) AS BIGINT) % 4 AS grp
+         |  FROM documents),
+         |counts AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+         |tgt AS (SELECT * FROM (VALUES $values) AS t(grp, f)),
+         |tt AS (SELECT min(n * 1000 // f) AS t FROM counts JOIN tgt USING (grp)),
+         |rates AS (SELECT grp, (f * t) // n AS rate
+         |  FROM counts JOIN tgt USING (grp), tt)
+         |SELECT d.grp, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM d JOIN rates USING (grp)
+         |WHERE ${Sampling.sqlHashBucket("doc_id", 1000, "mix")} < rate
+         |GROUP BY 1""".stripMargin
     },
 
     "q_pack_sequences" ->

@@ -209,4 +209,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === assign(cents))
     assert(got.values.toSet.size === 2)
   }
+
+  test("mixReweight rebalances to the target mix at maximum volume") {
+    import graft.ops.Sampling
+    // 1000 docs of group 0, 100 of group 1; target 50/50. The mix admits
+    // T = 200 docs: group 1 keeps EVERYTHING (rate 1000), group 0 keeps
+    // ~10% (rate 100).
+    val df = ((0 until 1000).map(i => (i.toLong, 0L)) ++
+      (1000 until 1100).map(i => (i.toLong, 1L))).toDF("id", "g")
+    val kept = Sampling.mixReweight(df, col("g"), col("id"),
+      Map(0L -> 500L, 1L -> 500L), salt = "t")
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byG(1L) === 100L) // rate 1000 keeps the scarce group whole
+    // hash-threshold keeps ~rate/1000 of the big group (exact count is
+    // deterministic but hash-dependent; bound it near 10%)
+    assert(byG(0L) >= 70L && byG(0L) <= 130L, s"group0 kept ${byG(0L)}")
+    // deterministic: a second run selects the identical survivor set
+    val again = Sampling.mixReweight(df, col("g"), col("id"),
+      Map(0L -> 500L, 1L -> 500L), salt = "t")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // invalid targets are rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixReweight(df, col("g"), col("id"), Map(0L -> 500L, 1L -> 400L))
+    }
+  }
 }
