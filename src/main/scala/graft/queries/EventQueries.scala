@@ -393,6 +393,40 @@ object EventQueries {
       .groupBy("event_type", "reg_idx").agg(max(col("rho")).as("rho"))
   }
 
+  /** Histogram bins computed BY THE STREAMING PATH: the [lo, hi] domain
+    * comes from one batch metadata aggregate (the deriveBlocks pattern —
+    * a production stream pins the domain from config or a calibration
+    * window), then the stream counts per (event_type, bin) in Update mode.
+    * Per-group counts are MONOTONE non-decreasing across batches, so —
+    * exactly like the HLL registers — read-side compaction of Update
+    * re-emissions is a plain max, no batch_id bookkeeping.
+    */
+  private val streamHistPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedHistogram(s: SparkSession, dir: String): DataFrame = {
+    val out = streamHistPaths.getOrElseUpdate(dir, {
+      import graft.functions.Histogram
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_hist_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val r = Tables.events(s, dir).agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_type"), col("value"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, value DOUBLE")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val hist = decoded
+        .groupBy(col("event_type"), Histogram.bin(col("value"), lo, hi, 256).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      landAvailableNow(hist, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out)
+      .groupBy("event_type", "bin").agg(max(col("cnt")).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6/S8-analog end-to-end: JSON topic round-trip through the Kafka
     // decode path == the batch aggregate (see [[streamedJsonDecode]]).
@@ -943,6 +977,12 @@ object EventQueries {
     // backlog hash-match the batch registers (see [[streamedHllRegisters]]).
     "q_t8_streaming_hll" -> ((s, dir) => streamedHllRegisters(s, dir)),
 
+    // The addition-mergeable sketch streamed: per-(group, bin) counts from
+    // the streaming path hash-match the batch histogram (see
+    // [[streamedHistogram]]) — together with q_t8 this pins BOTH sketch
+    // merge disciplines (max-of-maxes, sum-of-sums) as streaming-safe.
+    "q_t9_streaming_hist" -> ((s, dir) => streamedHistogram(s, dir)),
+
     // Histogram-sketch quantiles: ONE metadata aggregate for [lo, hi], ONE
     // binned count (mergeable by addition — the sum-of-sums re-agg shape),
     // cumulative walk over <=256 rows/group. The 100 TB percentile plan:
@@ -1012,6 +1052,21 @@ object EventQueries {
         .select(Layout.zValue2(col("user_id"), col("destination_port")).as("z"))
         .groupBy(shiftright(col("z"), 24).as("z_tile"))
         .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+    }),
+
+    // CDC snapshot read: the events table treated as a changelog, latest
+    // version per key by (ts, event_id) — the ReplacingMergeTree read rule
+    // the streaming landings apply internally, exposed as a standalone
+    // operator (upsert-view over an append-only store). One shuffle on the
+    // key; the deterministic tie-break makes the snapshot reproducible.
+    "q_cdc_latest" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), round(col("value"), 2).as("last_value"))
     }),
 
     // Sessionization: per-user activity sessions split at 30-minute gaps;
@@ -1438,6 +1493,15 @@ object EventQueries {
            |FROM h GROUP BY 1, 2""".stripMargin
       },
 
+      "q_t9_streaming_hist" -> {
+        import graft.functions.Histogram
+        s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+           |SELECT event_type,
+           |  ${Histogram.sqlBin("value", "s.lo", "s.hi", 256)} AS bin,
+           |  count(*) AS cnt
+           |FROM events, s GROUP BY 1, 2""".stripMargin
+      },
+
       "q_agg_hist_quantiles" -> {
         import graft.functions.Histogram
         s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
@@ -1467,6 +1531,14 @@ object EventQueries {
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_sum,
           |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
           |FROM e""".stripMargin),
+
+      "q_cdc_latest" ->
+        """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          |  round(value, 2) AS last_value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events) t
+          |WHERE rn = 1""".stripMargin,
 
       "q_layout_zorder" -> cte(
         s"""SELECT (z >> 24) AS z_tile, count(*) AS n, min(z) AS z_min, max(z) AS z_max
