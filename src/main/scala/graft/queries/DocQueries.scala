@@ -509,6 +509,31 @@ object DocQueries {
     // folds) -> per-doc elementwise floor-mean pooling -> per-modality
     // aggregate. Every stage is the production operator shape; only the
     // encoder body is stubbed.
+    // The full multimodal RETRIEVAL chain: media -> resize -> frame-sample
+    // -> embed -> mean-pool -> similarity search against a probe document.
+    // Scores are integer dot products over the pooled vectors (exact on
+    // both engines; the per-dim join — not an array zip — keeps ragged
+    // vectors correct: docs with missing trailing dims score over the
+    // shared dims). Probe side is <= 8 rows, broadcast; top-k via
+    // TakeOrdered with a doc_id tie-break.
+    "q_mm_search" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
+        .toDF().select("doc_id", "kind", "media")
+      val frames = Multimodal.frameSampleStub(s, resized, frameBytes = 64, stride = 2)
+      val fe = Multimodal.embedStub(s, frames.toDF(), dim = 8).toDF()
+      val pooled = fe.groupBy(col("doc_id"), col("dim"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("pv"))
+      val probe = pooled.filter(col("doc_id") === 0)
+        .select(col("dim"), col("pv").as("qv"))
+      pooled.filter(col("doc_id") =!= 0)
+        .join(broadcast(probe), Seq("dim"))
+        .groupBy("doc_id")
+        .agg(sum(col("pv") * col("qv")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "q_mm_embed" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
@@ -935,6 +960,29 @@ object DocQueries {
           |       ELSE 'video' END AS kind,
           |  dim, count(*) AS n_docs, CAST(sum(pv) AS BIGINT) AS sum_pv
           |FROM pooled GROUP BY 1, 2""".stripMargin,
+
+      "q_mm_search" ->
+        """WITH base AS (
+          |  SELECT doc_id, substr(text, 1, 256) AS payload FROM documents),
+          |chars AS (
+          |  SELECT doc_id,
+          |    (i - 1) // 64 AS frame_idx,
+          |    (i - 1) % 8 AS dim,
+          |    ascii(substr(payload, i, 1)) AS b
+          |  FROM base, unnest(generate_series(1, length(payload))) AS t(i)),
+          |fe AS (
+          |  SELECT doc_id, frame_idx, dim, CAST(sum(b) AS BIGINT) AS v
+          |  FROM chars WHERE frame_idx % 2 = 0 GROUP BY 1, 2, 3),
+          |pooled AS (
+          |  SELECT doc_id, dim,
+          |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pv
+          |  FROM fe GROUP BY 1, 2),
+          |vq AS (SELECT dim, pv AS qv FROM pooled WHERE doc_id = 0)
+          |SELECT p.doc_id, CAST(sum(p.pv * vq.qv) AS BIGINT) AS score
+          |FROM pooled p JOIN vq USING (dim)
+          |WHERE p.doc_id <> 0
+          |GROUP BY 1
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
       // head CASE mirrors the Spark stub's empty-payload sentinel (-1):
       // DuckDB's ascii('') is 0, not -1.
