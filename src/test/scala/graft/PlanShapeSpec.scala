@@ -44,4 +44,30 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_txt_boilerplate: hot-set removal is a broadcast anti-join, no SMJ") {
+    val p = plan("q_txt_boilerplate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_agg_hist_quantiles: windows run over aggregated bins, not raw rows") {
+    val p = plan("q_agg_hist_quantiles")
+    // the cumulative-walk Window must sit ABOVE the binned HashAggregate
+    // (tree prints root-first: Window line before the first HashAggregate
+    // would mean it consumed aggregated input)
+    val w = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate")
+    assert(w >= 0 && agg >= 0, p)
+    // raw-row windows would shuffle the full scan; the plan's only
+    // exchanges must be hash-partitioned on aggregate/bin keys, tiny
+    assert(!p.contains("rangepartitioning"), p) // no global sort anywhere
+  }
+
+  test("q_mm_search: probe side broadcasts; top-k is TakeOrdered") {
+    val p = plan("q_mm_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
