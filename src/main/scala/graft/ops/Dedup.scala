@@ -453,6 +453,79 @@ object Dedup {
       .select("i", "j", "dist")
   }
 
+  /** Positional n-grams: (id, pos, gram) with pos 0-based — the shingle
+    * variant that keeps WHERE a gram occurs (exact-substring dedup needs
+    * positions to chain matches into runs; [[shingles]] dedupes them away).
+    */
+  def gramsWithPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else toks.sliding(n).zipWithIndex.map { case (w, i) =>
+            (id, i.toLong, w.mkString(" "))
+          }
+        }
+      }.toDF(idCol, "pos", "gram")
+  }
+
+  /** Exact-substring duplicate detection (the "Deduplicating Training Data
+    * Makes Language Models Better" family): document pairs sharing a
+    * VERBATIM run of >= `minRun` tokens, with the length of their longest
+    * shared run. Declarative formulation of the suffix-array method:
+    *
+    *  1. positional `gramTokens`-grams, blocked by gram equality (a shared
+    *     run of length >= gramTokens implies a shared gram — the
+    *     suffix-array seed match);
+    *  2. corpus-relative stop-gram cap (df > frac·corpus drops the gram)
+    *     kills the O(df²) hot-gram blowup exactly as in [[jaccardPairs]];
+    *  3. seed matches chain into runs on the DIAGONAL (posA - posB): k
+    *     consecutive seeds = a shared run of gramTokens + k - 1 tokens.
+    *     Islands per (pair, diagonal) via the rownum-difference trick —
+    *     the window is partitioned by (pair, diagonal), bounded by
+    *     document length, never corpus-wide.
+    *
+    * The cap can split a run that contains a corpus-hot gram (the blind
+    * spot of any seeded method once seeds are capped); the oracle applies
+    * the identical cap, so parity stays exact.
+    *
+    * Returns (i, j, max_run) with i < j, max_run >= minRun.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    gramTokens: Int = 8, minRun: Int = 12,
+                    stopGramFrac: Double = 0.05): DataFrame = {
+    require(minRun >= gramTokens, s"minRun $minRun must be >= gramTokens $gramTokens")
+    val grams = gramsWithPos(df, idCol, textCol, gramTokens)
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val cap = math.max(2L, (nDocs * stopGramFrac).toLong)
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > cap)
+      .select("gram")
+    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val l = kept.select(col("gram"), col(idCol).as("i"), col("pos").as("pa"))
+    val r = kept.select(col("gram"), col(idCol).as("j"), col("pos").as("pb"))
+    // (i, pa) and (j, pb) are unique per side, so seed rows are already
+    // distinct — no dedup shuffle needed before the island window.
+    val seeds = l.join(r, Seq("gram")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i", "j", "diag").orderBy("pa")
+    seeds
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("i", "j", "island")
+      .agg((count(lit(1)) + lit(gramTokens.toLong - 1)).as("run"))
+      .groupBy("i", "j")
+      .agg(max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+  }
+
   /** Corpus-level boilerplate scrub — the C4/RefinedWeb "line dedup" shape
     * (drop any line occurring verbatim in many documents), adapted to a
     * corpus without line boundaries: documents are segmented into fixed

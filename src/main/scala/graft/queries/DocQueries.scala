@@ -212,6 +212,17 @@ object DocQueries {
           countDistinct(col("fp")).as("n_distinct_fp"))
     }),
 
+    // Exact-substring duplicate detection (the suffix-array dedup family,
+    // declaratively): pairs sharing a verbatim run of >= 12 tokens, with
+    // the longest shared run. Positional 8-gram seeds blocked by equality,
+    // corpus-relative stop-gram cap, diagonal-island chaining; the window
+    // is per (pair, diagonal) — bounded by document length, never
+    // corpus-wide.
+    "q_dedup_substring" -> ((s, dir) => {
+      Dedup.substringRuns(Tables.documents(s, dir), "doc_id", "text",
+        gramTokens = 8, minRun = 12, stopGramFrac = 0.05)
+    }),
+
     // Corpus-level boilerplate scrub (C4/RefinedWeb line-dedup shape over a
     // deterministic fixed-width segmenter): segments present in >= 2 docs
     // vanish from every doc; text reassembled in order. Two O(n) shuffles,
@@ -583,6 +594,27 @@ object DocQueries {
            |  CAST(sum(${t.sqlNTokens}) AS BIGINT) AS ws_tokens,
            |  CAST(sum(len(regexp_extract_all(text, '${t.BpePattern}'))) AS BIGINT) AS bpe_pieces
            |FROM documents GROUP BY 1""".stripMargin,
+
+      // cap = max(2, floor(nDocs * 0.05)): floor, not CAST (DuckDB CAST
+      // rounds; Scala .toLong truncates).
+      "q_dedup_substring" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+          |  FROM toks, unnest(generate_series(1, len(t)-7)) AS g(i)),
+          |cap AS (SELECT GREATEST(2, CAST(floor(count(DISTINCT doc_id) * 0.05) AS BIGINT)) AS c
+          |  FROM documents),
+          |hot AS (SELECT gram FROM grams, cap GROUP BY gram, c
+          |  HAVING count(DISTINCT doc_id) > c),
+          |kept AS (SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)),
+          |seeds AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa,
+          |    a.pos - b.pos AS diag
+          |  FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id),
+          |isl AS (SELECT i, j, diag,
+          |    pa - row_number() OVER (PARTITION BY i, j, diag ORDER BY pa) AS island
+          |  FROM seeds),
+          |runs AS (SELECT i, j, count(*) + 7 AS run FROM isl GROUP BY i, j, island)
+          |SELECT i, j, max(run) AS max_run FROM runs
+          |GROUP BY 1, 2 HAVING max(run) >= 12""".stripMargin,
 
       "q_txt_boilerplate" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

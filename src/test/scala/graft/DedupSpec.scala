@@ -194,6 +194,27 @@ class DedupSpec extends SparkSpec {
     graft.ops.CacheRegistry.drain()
   }
 
+  test("substringRuns finds the longest verbatim shared run, not just any seed") {
+    import graft.ops.Dedup
+    // docs 1 and 2 share tokens s0..s20 verbatim (21 tokens) at different
+    // offsets; doc 3 shares nothing that long; doc 4 shares two separate
+    // 10-token runs with doc 1 (each < one 12-token minRun after chaining
+    // only 3 seeds: 8 + 3 - 1 = 10) -> excluded.
+    val shared = (0 until 21).map(i => s"s$i").mkString(" ")
+    val runA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val runB = (0 until 10).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"x1 x2 $shared y1 y2 $runA z1 $runB"),
+      (2L, s"p1 p2 p3 p4 $shared q1"),
+      (3L, "entirely unrelated words all over this document here"),
+      (4L, s"m1 $runA m2 m3 $runB m4"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRuns(d, "doc_id", "text",
+        gramTokens = 8, minRun = 12, stopGramFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 2L) -> 21L))
+  }
+
   test("boilerplateScrub drops cross-doc hot segments and reassembles in order") {
     val d = Seq(
       (1L, "h1 h2 h3 h4 h5 a b c d e"),  // hot 5-token prefix + unique tail
