@@ -36,7 +36,10 @@ object ScaleStress {
     // quantiles over 10× events with 10× distinct users, and the
     // value-RANGE window over 10× user partitions
     "q_pipeline_e2e", "q_txt_boilerplate",
-    "q_agg_hll_registers", "q_agg_hist_quantiles", "q_window_range_1h")
+    "q_agg_hll_registers", "q_agg_hist_quantiles", "q_window_range_1h",
+    // exact-substring dedup: the pair family's newest member — gram-seed
+    // join volume must grow with the data, not its square
+    "q_dedup_substring")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_scale10_").toString

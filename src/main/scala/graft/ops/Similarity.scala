@@ -397,6 +397,18 @@ object Similarity {
     assignCells(q, cents).select(col("id"), col("cell"), col("dist"))
   }
 
+  /** Assignment of arbitrary vectors to PRE-TRAINED centroids — the
+    * serving side of the IVF build. Stateless per row (centroids ride as
+    * a k×dim broadcast literal inside the argmin expression), so the same
+    * plan runs identically in batch and streaming. Returns (id, cell,
+    * dist) with dist the exact squared integer distance.
+    */
+  def assignWithCentroids(em: DataFrame, idCol: String, embCol: String,
+                          cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
+    assignCells(q, cents.toArray).select(col("id"), col("cell"), col("dist"))
+  }
+
   /** Train and return the final centroids only (for feeding [[ivfTopK]]'s
     * `trainedCentroids` — the production IVF build: train, then index).
     */

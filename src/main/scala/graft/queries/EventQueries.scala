@@ -124,21 +124,8 @@ object EventQueries {
     */
   private def landAvailableNow(stream: DataFrame, sink: String, ckpt: String,
                                mode: org.apache.spark.sql.streaming.OutputMode,
-                               withBatchId: Boolean = false): Int = {
-    val q = stream.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       batchId: Long) =>
-        val b = if (withBatchId) batch.withColumn("batch_id", lit(batchId)) else batch
-        b.write.mode("append").parquet(sink)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.count(_.numInputRows > 0)
-  }
+                               withBatchId: Boolean = false): Int =
+    graft.streaming.Landing.availableNow(stream, sink, ckpt, mode, withBatchId)
 
   /** T1-T3 end-to-end parity store: the hourly rollup computed BY THE
     * STREAMING PATH — file source -> watermarked 1h window aggregation ->

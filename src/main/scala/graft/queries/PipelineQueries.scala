@@ -254,6 +254,17 @@ object PipelineQueries {
         trainedCentroids = Some(cents.toSeq))
     }),
 
+    // IVF index MAINTENANCE as a stream: vectors arrive as a JSON topic
+    // (float arrays round-trip exactly through shortest-repr JSON), are
+    // assigned to the pre-trained centroids by the same broadcast-literal
+    // argmin expression the batch path uses (stateless per row — identical
+    // plans), and per-cell membership counts/inertia accumulate in an
+    // Update-mode streaming aggregate. Counts and summed non-negative
+    // distances are monotone across batches, so read-side compaction is a
+    // plain max — the incremental ANN-index bookkeeping a production
+    // pipeline runs on every new embedding batch.
+    "q_t10_streaming_ivf" -> ((s, dir) => streamedIvfAssign(s, dir)),
+
     // ---- ragged-schema union ----
 
     // Schema-drift union (the reference's first-row-inference bug done
@@ -325,6 +336,42 @@ object PipelineQueries {
     * distances, centroid update via per-dimension floor(sum/n), empty
     * cells inherit the previous centroid.
     */
+  /** Landing for [[queries q_t10_streaming_ivf]] (one per sfDir per JVM,
+    * the memoized-fixture pattern): train centroids batch-side, stream the
+    * embeddings topic through the same assignment expression, land the
+    * Update-mode per-cell aggregate, compact with a read-side max.
+    */
+  private val streamIvfPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val out = streamIvfPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ivf_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val em = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      em.select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      // same output shape as q_emb_kmeans: every measure (count, id
+      // checksum, inertia) is a monotone non-negative accumulator, so the
+      // read-side max compaction is exact
+      val counts = Similarity
+        .assignWithCentroids(decoded, "vec_id", "embedding", cents.toSeq)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"),
+          sum(col("dist")).as("inertia"))
+      graft.streaming.Landing.availableNow(counts, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("cell")
+      .agg(max(col("n_members")).as("n_members"),
+        max(col("id_checksum")).as("id_checksum"),
+        max(col("inertia")).as("inertia"))
+  }
+
   private def sqlKmeansAssign(name: String, cents: String): String =
     s"""$name AS (SELECT vec_id, q, cid, dist FROM (
        |  SELECT vec_id, q, cid, dist,
@@ -501,6 +548,9 @@ object PipelineQueries {
         |FROM q""".stripMargin,
 
     "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64),
+
+    // streaming IVF maintenance == the batch k-means assignment aggregate
+    "q_t10_streaming_ivf" -> sqlKmeans(k = 8, iters = 2, dim = 64),
 
     "q_sim_ivf_trained" -> {
       val cos = "(list_dot_product(a.q, b.q) / " +
