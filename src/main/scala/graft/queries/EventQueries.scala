@@ -1041,6 +1041,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
     }),
 
+    // The SQL front door: the same engine driven through `spark.sql` over
+    // a registered view — a user can run the surface in pure ANSI SQL and
+    // Catalyst plans it identically to the DataFrame builders (F8's
+    // templating reduced to SQL text).
+    "q_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, unix_micros(date_trunc('HOUR', ts)) AS hour_us,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events_v
+          |WHERE event_type IN ('view', 'click') AND value > 5.0
+          |GROUP BY 1, 2""".stripMargin)
+    }),
+
     // CDC snapshot read: the events table treated as a changelog, latest
     // version per key by (ts, event_id) — the ReplacingMergeTree read rule
     // the streaming landings apply internally, exposed as a standalone
@@ -1518,6 +1532,13 @@ object EventQueries {
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_sum,
           |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
           |FROM e""".stripMargin),
+
+      "q_sql_surface" ->
+        """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events
+          |WHERE event_type IN ('view', 'click') AND value > 5.0
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_cdc_latest" ->
         """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
