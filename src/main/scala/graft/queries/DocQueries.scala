@@ -428,6 +428,30 @@ object DocQueries {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
+    // Quality-aware dedup: the survivor of each duplicate cluster is the
+    // HIGHEST-QUALITY member, not the lowest id — the retention policy a
+    // curation pipeline actually wants (dedup should discard the worse
+    // copy). Clusters from the LSH path; survivor by integer-quantized
+    // quality with a doc_id tie-break; the per-cluster window is bounded
+    // by cluster size, never corpus-wide.
+    "q_dedup_quality_survivor" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("score_i",
+          round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+      val clusters = Dedup.dedupClusters(pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("score_i").desc, col("id"))
+      clusters
+        .join(docs.select(col("doc_id").as("id"), col("score_i")), Seq("id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("id").as("survivor_id"),
+          col("score_i").as("survivor_score"))
+    }),
+
     // blocks auto-derived from corpus stats (memory ceiling + parallelism
     // floor) — the call site carries no scale-sensitive constant
     "q_dedup_embed_cosine" -> ((s, dir) => {
@@ -831,6 +855,24 @@ object DocQueries {
            |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a)
            |SELECT cluster, count(*) AS n_members, max(a) AS max_id
            |FROM lab GROUP BY 1""".stripMargin,
+
+      "q_dedup_quality_survivor" ->
+        s"""WITH RECURSIVE ${sqlLshPairCtesFrom("documents")},
+           |syme AS (SELECT i AS a, j AS b FROM lshpairs
+           |         UNION SELECT j, i FROM lshpairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM syme
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN syme e ON r.b = e.a),
+           |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |scored AS (SELECT lab.a, lab.cluster,
+           |    CAST(round(${TA.sqlQualityScore} * 1000000.0) AS BIGINT) AS score_i
+           |  FROM lab JOIN documents d ON d.doc_id = lab.a),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY score_i DESC, a) AS rn FROM scored)
+           |SELECT cluster, a AS survivor_id, score_i AS survivor_score
+           |FROM ranked WHERE rn = 1""".stripMargin,
 
       "q_dedup_embed_cosine" ->
         s"""WITH $sqlQuantCte
