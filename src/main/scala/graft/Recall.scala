@@ -56,8 +56,7 @@ object Recall {
         recallOf(Similarity.lshTopK(em, queries, "vec_id", "embedding", k, lshDims.take(4)))),
       ("sign-LSH, 4 bands × 4 hyperplanes", "union of 4 × 1/16 buckets",
         recallOf(Similarity.lshTopKBands(em, queries, "vec_id", "embedding", k,
-          bands = Seq(Seq(1, 9, 17, 25), Seq(33, 41, 49, 57),
-            Seq(2, 10, 18, 26), Seq(34, 42, 50, 58)))))
+          bands = Similarity.DefaultLshBands)))
     ) ++ (1 to 4).map { np =>
       (s"IVF-$nCentroids (trained, 2 Lloyd iters), nprobe=$np",
         f"~${np.toDouble / nCentroids * 100}%.0f%% of corpus scanned/query",

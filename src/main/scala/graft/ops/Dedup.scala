@@ -500,14 +500,19 @@ object Dedup {
                     gramTokens: Int = 8, minRun: Int = 12,
                     stopGramFrac: Double = 0.05): DataFrame = {
     require(minRun >= gramTokens, s"minRun $minRun must be >= gramTokens $gramTokens")
-    val grams = gramsWithPos(df, idCol, textCol, gramTokens)
+    // grams feeds the hot-gram aggregate AND both join sides; kept feeds
+    // both sides — persist both or the tokenize+n-gram flatMap re-runs
+    // over the corpus up to four times (CacheRegistry so the bench drains
+    // the storage between queries).
+    val grams = CacheRegistry.persist(gramsWithPos(df, idCol, textCol, gramTokens))
     val nDocs = df.select(col(idCol)).distinct().count()
     val cap = math.max(2L, (nDocs * stopGramFrac).toLong)
     val hot = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > cap)
       .select("gram")
-    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val kept = CacheRegistry.persist(
+      grams.join(broadcast(hot), Seq("gram"), "left_anti"))
     val l = kept.select(col("gram"), col(idCol).as("i"), col("pos").as("pa"))
     val r = kept.select(col("gram"), col(idCol).as("j"), col("pos").as("pb"))
     // (i, pa) and (j, pb) are unique per side, so seed rows are already
@@ -549,14 +554,15 @@ object Dedup {
     import spark.implicits._
     // Typed segmentation pass: one split per document (the Generate/
     // CollapseProject trap re-splits per output row if done with explode).
-    val segs = df.select(col(idCol).cast("long"), col(textCol))
+    // Persisted — segs feeds the df-count aggregate AND the anti-join.
+    val segs = CacheRegistry.persist(df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else text.split(" ", -1).grouped(segTokens).zipWithIndex.map {
           case (seg, i) => (id, i.toLong, seg.mkString(" "), seg.length.toLong)
         }
-      }.toDF(idCol, "seg_idx", "seg", "n_seg_tokens")
+      }.toDF(idCol, "seg_idx", "seg", "n_seg_tokens"))
     val hot = segs.groupBy("seg")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= dfThreshold)

@@ -515,9 +515,17 @@ object Similarity {
     * before ranking. Candidate volume ≈ bands × n/2^planes per query —
     * still bucket-bounded, never all-pairs.
     */
+  /** The 4×4 hyperplane banding shared by the q_sim_lsh_bands query, its
+    * oracle, and the RECALL.md harness — one definition so the published
+    * recall table always describes what the engine runs.
+    */
+  val DefaultLshBands: Seq[Seq[Int]] = Seq(
+    Seq(1, 9, 17, 25), Seq(33, 41, 49, 57),
+    Seq(2, 10, 18, 26), Seq(34, 42, 50, 58))
+
   def lshTopKBands(corpus: DataFrame, queries: DataFrame,
                    idCol: String, embCol: String, k: Int,
-                   bands: Seq[Seq[Int]], dim: Int = 64): DataFrame = {
+                   bands: Seq[Seq[Int]]): DataFrame = {
     def withBands(df: DataFrame, id: String, q: String, n: String) =
       df.select(col(idCol).as(id), quantize(col(embCol)).as(q),
           array(bands.map(d => signBucket(col(embCol), d)): _*).as("bb"))

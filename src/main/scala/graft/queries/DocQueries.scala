@@ -171,11 +171,11 @@ object DocQueries {
 
   /** 4 bands × 4 hyperplanes for the multi-band LSH query — a candidate
     * qualifies on ANY band agreement (OR across bands oracle-side ==
-    * union + dedup engine-side).
+    * union + dedup engine-side). One shared definition
+    * ([[Similarity.DefaultLshBands]]) keeps query, oracle, and the
+    * RECALL.md harness describing the same configuration.
     */
-  private val LshBands: Seq[Seq[Int]] = Seq(
-    Seq(1, 9, 17, 25), Seq(33, 41, 49, 57),
-    Seq(2, 10, 18, 26), Seq(34, 42, 50, 58))
+  private val LshBands: Seq[Seq[Int]] = Similarity.DefaultLshBands
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1046,13 +1046,16 @@ object EventQueries {
     // Catalyst plans it identically to the DataFrame builders (F8's
     // templating reduced to SQL text).
     "q_sql_surface" -> ((s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      // view name scoped per sfDir: a fixed name would race when two
+      // invocations for different dirs interleave on the shared session
+      val view = "events_v_" + java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir).createOrReplaceTempView(view)
       s.sql(
-        """SELECT event_type, unix_micros(date_trunc('HOUR', ts)) AS hour_us,
-          |  count(*) AS n, round(sum(value), 2) AS sum_value
-          |FROM events_v
-          |WHERE event_type IN ('view', 'click') AND value > 5.0
-          |GROUP BY 1, 2""".stripMargin)
+        s"""SELECT event_type, unix_micros(date_trunc('HOUR', ts)) AS hour_us,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM $view
+           |WHERE event_type IN ('view', 'click') AND value > 5.0
+           |GROUP BY 1, 2""".stripMargin)
     }),
 
     // CDC snapshot read: the events table treated as a changelog, latest

@@ -308,10 +308,15 @@ object EventsApi {
     if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten) else None
   }
 
-  /** "a sorts strictly before b" under the pushed keys (ties = false). */
-  def sortsBefore(keys: Seq[SortCol], a: String => Any, b: String => Any): Boolean = {
-    keys.foreach { k =>
-      val (x, y) = (a(k.col), b(k.col))
+  /** "a sorts strictly before b" under the pushed keys (ties = false).
+    * Keys are positional arrays aligned with `keys` — the reader's
+    * per-row hot loop avoids any map/hash allocation.
+    */
+  def sortsBefore(keys: Seq[SortCol], a: Array[Any], b: Array[Any]): Boolean = {
+    var i = 0
+    while (i < keys.length) {
+      val k = keys(i)
+      val (x, y) = (a(i), b(i))
       val c =
         if (x == null && y == null) 0
         else if (x == null) { if (k.nullsFirst) -1 else 1 }
@@ -321,6 +326,7 @@ object EventsApi {
           if (k.descending) -raw else raw
         }
       if (c != 0) return c < 0
+      i += 1
     }
     false
   }
@@ -564,9 +570,14 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
       maxFilesPerMicroBatch)
 }
 
-/** Offset = number of landed files consumed (files are appended and listed
-  * in stable sorted order, so the prefix is immutable — the cursor
-  * contract of the reference's `current_record_count` Range pagination).
+/** Offset = number of landed files consumed — the cursor contract of the
+  * reference's `current_record_count` Range pagination over a COMPLETED
+  * search (an immutable result set). A positional cursor is only sound if
+  * the already-consumed listing prefix never changes; generic Spark part
+  * files do NOT guarantee that (a later write job's `part-00000-<uuid>`
+  * can sort into the middle), so the stream VERIFIES the prefix on every
+  * listing and fails loudly on a violation instead of silently
+  * duplicating/dropping slices (see `GraftEventsMicroBatchStream.listStable`).
   */
 case class EventsFileOffset(n: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -587,8 +598,25 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   @volatile private var availableNowCap: Option[Long] = None
-  private def total: Long =
-    availableNowCap.getOrElse(EventsApi.listFiles(path).length.toLong)
+
+  /** Sorted listing with the positional-cursor guard: the previously-seen
+    * prefix must be unchanged (append-only, append-after-sorted-end) or
+    * the offsets no longer address the same slices — fail loudly rather
+    * than re-emit or skip data.
+    */
+  @volatile private var knownFiles: Array[String] = Array.empty
+  private def listStable(): Array[String] = synchronized {
+    val now = EventsApi.listFiles(path)
+    require(now.length >= knownFiles.length && now.startsWith(knownFiles),
+      s"graft-events stream at $path: slice listing changed under the " +
+        "positional offset cursor (a previously-consumed slice was removed " +
+        "or a new file sorted into the consumed prefix). The cursor needs " +
+        "append-only slices sorting after existing ones; re-land the store " +
+        "or restart from a fresh checkpoint.")
+    knownFiles = now
+    now
+  }
+  private def total: Long = availableNowCap.getOrElse(listStable().length.toLong)
 
   override def initialOffset(): Offset = EventsFileOffset(0)
   override def deserializeOffset(json: String): Offset =
@@ -609,9 +637,9 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
   }
   override def reportLatestOffset(): Offset = EventsFileOffset(total)
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(EventsApi.listFiles(path).length.toLong)
+    availableNowCap = Some(listStable().length.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    EventsApi.listFiles(path)
+    listStable()
       .slice(start.asInstanceOf[EventsFileOffset].n.toInt,
         end.asInstanceOf[EventsFileOffset].n.toInt)
       .map(f => EventsFilePartition(f): InputPartition)
@@ -663,8 +691,9 @@ class EventsTopNPartitionReader(file: String, pushed: Array[V1Filter],
       fs.open(new org.apache.hadoop.fs.Path(file)),
       java.nio.charset.StandardCharsets.UTF_8))
     // Max-heap under the sort order: head = worst surviving row, evicted
-    // whenever a better row arrives with the heap full.
-    case class Entry(key: Map[String, Any], vals: Array[Any])
+    // whenever a better row arrives with the heap full. Keys are flat
+    // positional arrays — no per-row map/hash allocation in the hot loop.
+    case class Entry(key: Array[Any], vals: Array[Any])
     val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) =>
       if (EventsApi.sortsBefore(topN.keys, a.key, b.key)) -1
       else if (EventsApi.sortsBefore(topN.keys, b.key, a.key)) 1
@@ -677,7 +706,7 @@ class EventsTopNPartitionReader(file: String, pushed: Array[V1Filter],
           val node = mapper.readTree(line)
           val rec: String => Any = EventsApi.decode(node, _)
           if (pushed.forall(f => EventsApi.eval(f, rec).getOrElse(false))) {
-            val key = topN.keys.map(k => k.col -> rec(k.col)).toMap
+            val key = topN.keys.map(k => rec(k.col)).toArray
             val e = Entry(key, required.fields.map(f => rec(f.name)))
             if (heap.size < topN.n) heap.enqueue(e)
             else if (EventsApi.sortsBefore(topN.keys, e.key, heap.head.key)) {

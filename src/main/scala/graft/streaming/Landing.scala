@@ -12,8 +12,18 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * instead). Returns the number of micro-batches that carried input rows.
   */
 object Landing {
+
+  /** A drain that outlives this has hung — fail loudly, don't block CI. */
+  private val DrainTimeoutMs = 15 * 60 * 1000L
+
   def availableNow(stream: DataFrame, sink: String, ckpt: String,
                    mode: OutputMode, withBatchId: Boolean = false): Int = {
+    // recentProgress is a ring buffer (numRecentProgressUpdates, default
+    // 100): a deeper backlog would silently under-count the returned
+    // input-batch number that parity paths assert on. Raise it well past
+    // any drain this engine runs.
+    stream.sparkSession.conf.set(
+      "spark.sql.streaming.numRecentProgressUpdates", "10000")
     val q = stream.writeStream
       .outputMode(mode)
       .option("checkpointLocation", ckpt)
@@ -24,7 +34,11 @@ object Landing {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    if (!q.awaitTermination(DrainTimeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"AvailableNow drain to $sink did not terminate within ${DrainTimeoutMs / 1000}s")
+    }
     q.recentProgress.count(_.numInputRows > 0)
   }
 }
