@@ -181,6 +181,22 @@ object TpchQueries {
           col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
     }),
 
+    // §2.6 superset: distribution window functions — ntile quartiles and
+    // cume_dist per nation (both engines implement the SQL-standard
+    // larger-first ntile split and rows<=current/n cume_dist). One shuffle
+    // on the partition key shared by both windows.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(round(col("c_acctbal"), 2), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .groupBy("c_nationkey", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("cd")), 4).as("max_cd"),
+          round(sum(round(col("c_acctbal"), 2)), 2).as("sum_bal"))
+    }),
+
     // §2.4 superset: multi-level ROLLUP (region -> nation -> total) in one
     // pass — Catalyst expands grouping sets before the single shuffle.
     "q_agg_rollup" -> ((s, dir) => {
@@ -354,6 +370,18 @@ object TpchQueries {
         |FROM lineitem l
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 475000)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_ntile" ->
+      """WITH t AS (
+        |  SELECT c_nationkey,
+        |    ntile(4) OVER w AS quartile,
+        |    round(cume_dist() OVER w, 4) AS cd,
+        |    round(c_acctbal, 2) AS bal
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2), c_custkey))
+        |SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+        |  round(max(cd), 4) AS max_cd, round(sum(bal), 2) AS sum_bal
+        |FROM t GROUP BY 1, 2""".stripMargin
   )
 }
