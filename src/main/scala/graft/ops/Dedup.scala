@@ -531,6 +531,38 @@ object Dedup {
       .filter(col("max_run") >= minRun)
   }
 
+  /** INTRA-document segment dedup: repeated fixed-width segments within
+    * one document keep only their first occurrence (the self-repetition
+    * pathology of web text — q_txt_repetition MEASURES it, this APPLIES
+    * the fix). Pure per-row typed map: no shuffle at any scale — the
+    * deliberate contrast to [[boilerplateScrub]]'s corpus-wide df count.
+    * Returns (idCol, scrubbed, n_kept_tokens, n_dropped_segs) for every
+    * document.
+    */
+  def selfDedup(df: DataFrame, idCol: String, textCol: String,
+                segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens $segTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (text == null) (id, null: String, 0L, 0L)
+        else {
+          val segs = text.split(" ", -1).grouped(segTokens).toVector
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val kept = Vector.newBuilder[Array[String]]
+          var dropped = 0L
+          segs.foreach { s =>
+            if (seen.add(s.mkString(" "))) kept += s else dropped += 1
+          }
+          val ks = kept.result()
+          (id, ks.map(_.mkString(" ")).mkString(" "),
+            ks.map(_.length.toLong).sum, dropped)
+        }
+      }.toDF(idCol, "scrubbed", "n_kept_tokens", "n_dropped_segs")
+  }
+
   /** Corpus-level boilerplate scrub — the C4/RefinedWeb "line dedup" shape
     * (drop any line occurring verbatim in many documents), adapted to a
     * corpus without line boundaries: documents are segmented into fixed

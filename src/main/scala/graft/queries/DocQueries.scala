@@ -223,6 +223,14 @@ object DocQueries {
         gramTokens = 8, minRun = 12, stopGramFrac = 0.05)
     }),
 
+    // Intra-document self-dedup: repeated 3-token segments within one doc
+    // keep only their first occurrence — a pure per-row typed map, zero
+    // shuffle at any scale (the deliberate contrast to the corpus-wide
+    // boilerplate scrub). PlanShapeSpec pins the no-Exchange plan.
+    "q_txt_selfdedup" -> ((s, dir) => {
+      Dedup.selfDedup(Tables.documents(s, dir), "doc_id", "text", segTokens = 3)
+    }),
+
     // Corpus-level boilerplate scrub (C4/RefinedWeb line-dedup shape over a
     // deterministic fixed-width segmenter): segments present in >= 2 docs
     // vanish from every doc; text reassembled in order. Two O(n) shuffles,
@@ -412,6 +420,36 @@ object DocQueries {
           round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long"))
       val k = d.count() * 3 / 10
       d.orderBy(col("score_i").desc, col("doc_id")).limit(k.toInt)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TA.nTokens(col("toks")).cast("long")).as("kept_tokens"))
+    }),
+
+    // Histogram-driven curation cut: the "drop the bottom ~30% by quality"
+    // threshold derived from the 256-bin SKETCH of quantized scores — no
+    // sort, no exact rank (the contrast to q_curation_topfrac's exact
+    // top-k): one metadata aggregate for [lo, hi], one binned count, a
+    // 256-row driver-side cumulative walk picks the threshold bin, and the
+    // apply pass is `bin > b*` riding the scan. Resolution is one bin —
+    // stated sketch semantics, deterministic on both engines.
+    "q_curation_histcut" -> ((s, dir) => {
+      import graft.functions.Histogram
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("score_i",
+          round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long"))
+      val r = d.agg(min(col("score_i")), max(col("score_i"))).head()
+      val (lo, hi) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      val binned = d.withColumn("bin",
+        Histogram.bin(col("score_i").cast("double"), lo, hi, 256))
+      val bins = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .collect().map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1)
+      val n = bins.map(_._2).sum
+      var cum = 0L
+      val bStar = bins.collectFirst {
+        case (b, c) if { cum += c; cum * 100 >= 30 * n } => b
+      }.get
+      binned.filter(col("bin") > bStar)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(TA.nTokens(col("toks")).cast("long")).as("kept_tokens"))
@@ -640,6 +678,20 @@ object DocQueries {
           |SELECT i, j, max(run) AS max_run FROM runs
           |GROUP BY 1, 2 HAVING max(run) >= 12""".stripMargin,
 
+      "q_txt_selfdedup" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |segs AS (SELECT doc_id, i - 1 AS seg_idx,
+          |    array_to_string(t[(i-1)*3+1:i*3], ' ') AS seg,
+          |    len(t[(i-1)*3+1:i*3]) AS n_seg_tokens
+          |  FROM toks, unnest(generate_series(1, CAST(ceil(len(t)/3.0) AS BIGINT))) AS g(i)),
+          |f AS (SELECT *, row_number() OVER (PARTITION BY doc_id, seg
+          |        ORDER BY seg_idx) AS rn FROM segs)
+          |SELECT doc_id,
+          |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS scrubbed,
+          |  CAST(sum(CASE WHEN rn = 1 THEN n_seg_tokens ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_segs
+          |FROM f GROUP BY 1""".stripMargin,
+
       "q_txt_boilerplate" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |segs AS (SELECT doc_id, i - 1 AS seg_idx,
@@ -776,6 +828,23 @@ object DocQueries {
            |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS kept_tokens
            |FROM ranked WHERE rn <= (SELECT count(*) * 3 // 10 FROM documents)
            |GROUP BY 1""".stripMargin,
+
+      "q_curation_histcut" -> {
+        import graft.functions.Histogram
+        s"""WITH d AS (SELECT doc_id, lang,
+           |  CAST(round(${TA.sqlQualityScore} * 1000000.0) AS BIGINT) AS score_i,
+           |  CAST(${TA.sqlNTokens} AS BIGINT) AS n FROM documents),
+           |s AS (SELECT CAST(min(score_i) AS DOUBLE) AS lo,
+           |             CAST(max(score_i) AS DOUBLE) AS hi FROM d),
+           |b AS (SELECT d.*, ${Histogram.sqlBin("CAST(score_i AS DOUBLE)", "s.lo", "s.hi", 256)} AS bin
+           |  FROM d, s),
+           |hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+           |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+           |               sum(cnt) OVER () AS n FROM hist),
+           |thr AS (SELECT min(bin) AS bstar FROM cum WHERE cum * 100 >= 30 * n)
+           |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS kept_tokens
+           |FROM b, thr WHERE bin > bstar GROUP BY 1""".stripMargin
+      },
 
       "q_dedup_simhash" -> {
         val bitSums = (0 until 60).map(i =>

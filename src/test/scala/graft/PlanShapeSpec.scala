@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("per-row statistics plan with no shuffle exchange") {
-    for (q <- Seq("q_txt_repetition", "q_emb_quantize_int8", "q_txt_pii_scrub")) {
+    for (q <- Seq("q_txt_repetition", "q_emb_quantize_int8", "q_txt_pii_scrub",
+        "q_txt_selfdedup")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffled:\n$p")
     }
