@@ -1058,6 +1058,51 @@ object EventQueries {
            |GROUP BY 1, 2""".stripMargin)
     }),
 
+    // Statistical outlier gating (z-score style, feature-cleaning shape):
+    // per-group mean/variance from EXACT integer sums of 2-decimal values
+    // scaled to cents (round fixes the float scaling error; sums stay
+    // far under 2^63), flag |v - mu| > 2*sigma by the shared-form double
+    // expression (dev^2 > 4*var — no sqrt). Two passes: one partial+final
+    // stats aggregate (config-scale groups, broadcast back), one scan.
+    "q_feat_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v100", round(col("value") * 100).cast("long"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v100")).as("s1"),
+          sum(col("v100") * col("v100")).as("s2"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("va",
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("n")).cast("double"))
+        .withColumn("dev", col("v100").cast("double") - col("mu"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(when(col("dev") * col("dev") > lit(4.0) * col("va"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
+    // Pearson correlation per group over exact integer sums (Σx, Σy, Σxy,
+    // Σx², Σy² in BIGINT; only the final r expression is floating point,
+    // with the subtractions done in integers and each factor sqrt'd
+    // separately). One shuffle, map-side partials. n·Σy² stays under 2^63
+    // through sf1-scale groups; beyond that the sums move to DECIMAL(38)
+    // — the shape (exact sums, one final float expression) is unchanged.
+    "q_feat_corr" -> ((s, dir) => {
+      val ev = se(s, dir)
+        .withColumn("x", round(col("value") * 100).cast("long"))
+        .withColumn("y", col("destination_port").cast("long"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))), 4)
+            .as("pearson_r"))
+    }),
+
     // CDC snapshot read: the events table treated as a changelog, latest
     // version per key by (ts, event_id) — the ReplacingMergeTree read rule
     // the streaming landings apply internally, exposed as a standalone
@@ -1542,6 +1587,30 @@ object EventQueries {
           |FROM events
           |WHERE event_type IN ('view', 'click') AND value > 5.0
           |GROUP BY 1, 2""".stripMargin,
+
+      "q_feat_outliers" ->
+        """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100
+          |  FROM events),
+          |st AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(v100) AS BIGINT) AS s1,
+          |    CAST(sum(v100 * v100) AS BIGINT) AS s2
+          |  FROM ev GROUP BY 1)
+          |SELECT ev.event_type, max(n) AS n,
+          |  CAST(sum(CASE WHEN
+          |      (CAST(v100 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) *
+          |      (CAST(v100 AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+          |      > 4.0 * (CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM ev JOIN st USING (event_type) GROUP BY 1""".stripMargin,
+
+      "q_feat_corr" -> cte(
+        """SELECT event_type, count(*) AS n,
+          |  round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+          |    (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) *
+          |     sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))), 4) AS pearson_r
+          |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+          |        CAST(destination_port AS BIGINT) AS y FROM e) t
+          |GROUP BY 1""".stripMargin),
 
       "q_cdc_latest" ->
         """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
