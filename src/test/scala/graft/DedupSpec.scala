@@ -215,6 +215,19 @@ class DedupSpec extends SparkSpec {
     assert(out === Map((1L, 2L) -> 21L))
   }
 
+  test("selfDedup keeps first occurrences in order, independent per doc") {
+    import graft.ops.Dedup
+    val d = Seq(
+      (1L, "a b c a b c d e f a b c"),  // segment 'a b c' repeats at idx 0, 1, 3
+      (2L, "a b c x y z"))              // same segment in ANOTHER doc is untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.selfDedup(d, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f", 6L, 2L)))
+    assert(out(2L) === (("a b c x y z", 6L, 0L)))
+  }
+
   test("boilerplateScrub drops cross-doc hot segments and reassembles in order") {
     val d = Seq(
       (1L, "h1 h2 h3 h4 h5 a b c d e"),  // hot 5-token prefix + unique tail
