@@ -219,6 +219,21 @@ object PipelineQueries {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // Contamination flagged ON INGEST: the same flags computed by the
+    // STREAMING path (topic -> typed shingling -> broadcast benchmark join
+    // -> Update-mode per-doc counts), then the identical apply step. The
+    // oracle is q_decontaminate's SQL verbatim — streaming curation ==
+    // batch curation.
+    "q_t11_streaming_decon" -> ((s, dir) => {
+      val flagged = streamedContaminationFlags(s, dir)
+        .filter(col("n_overlap") >= 3).select("doc_id")
+      Tables.documents(s, dir).filter(col("source") =!= "src0")
+        .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // ---- embedding compression / centroid training ----
 
     // Symmetric per-vector int8 quantization; min/max/sum/norm of the
@@ -336,6 +351,39 @@ object PipelineQueries {
     * distances, centroid update via per-dimension floor(sum/n), empty
     * cells inherit the previous centroid.
     */
+  /** Landing for q_t11_streaming_decon: the training corpus streams in as
+    * a JSON topic, is shingled by the SAME typed pass the batch path uses
+    * (typed flatMap is stream-safe), joined against the static broadcast
+    * benchmark shingle set, and each doc's overlap count lands from an
+    * Update-mode aggregate — contamination flagged ON INGEST, the
+    * production curation shape. Counts are monotone (each doc arrives in
+    * exactly one batch), so compaction is the usual read-side max.
+    */
+  private val streamDeconPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedContaminationFlags(s: SparkSession, dir: String): DataFrame = {
+    val out = streamDeconPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_decon_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val docs = Tables.documents(s, dir)
+      val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5).select("shingle").distinct()
+      docs.filter(col("source") =!= "src0")
+        .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val flags = Dedup.shingles(decoded, "doc_id", "text", n = 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      graft.streaming.Landing.availableNow(flags, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("doc_id").agg(max(col("n_overlap")).as("n_overlap"))
+  }
+
   /** Landing for [[queries q_t10_streaming_ivf]] (one per sfDir per JVM,
     * the memoized-fixture pattern): train centroids batch-side, stream the
     * embeddings topic through the same assignment expression, land the
@@ -518,6 +566,22 @@ object PipelineQueries {
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+        |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+        |      WHERE source = 'src0'),
+        |flagged AS (
+        |  SELECT sh.doc_id FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
+        |  WHERE d.source <> 'src0'
+        |  GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY 1""".stripMargin,
+
+    "q_t11_streaming_decon" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
         |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
