@@ -546,8 +546,10 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        if (text == null) (id, null: String, 0L, 0L)
+      .flatMap { case (id, text) =>
+        // null-text docs drop out entirely — the same contract (and the
+        // same oracle shape) as boilerplateScrub
+        if (text == null) Iterator.empty
         else {
           val segs = text.split(" ", -1).grouped(segTokens).toVector
           val seen = scala.collection.mutable.HashSet.empty[String]
@@ -557,8 +559,8 @@ object Dedup {
             if (seen.add(s.mkString(" "))) kept += s else dropped += 1
           }
           val ks = kept.result()
-          (id, ks.map(_.mkString(" ")).mkString(" "),
-            ks.map(_.length.toLong).sum, dropped)
+          Iterator.single((id, ks.map(_.mkString(" ")).mkString(" "),
+            ks.map(_.length.toLong).sum, dropped))
         }
       }.toDF(idCol, "scrubbed", "n_kept_tokens", "n_dropped_segs")
   }

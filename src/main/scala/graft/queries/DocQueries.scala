@@ -434,10 +434,13 @@ object DocQueries {
     // stated sketch semantics, deterministic on both engines.
     "q_curation_histcut" -> ((s, dir) => {
       import graft.functions.Histogram
-      val d = Tables.documents(s, dir)
+      import graft.ops.CacheRegistry
+      // persisted: the tokenize+score projection feeds three actions
+      // (min/max metadata agg, bin counts, the final aggregate)
+      val d = CacheRegistry.persist(Tables.documents(s, dir)
         .withColumn("toks", TA.tokens(col("text")))
         .withColumn("score_i",
-          round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long"))
+          round(TA.qualityScore(col("toks")) * lit(1000000.0)).cast("long")))
       val r = d.agg(min(col("score_i")), max(col("score_i"))).head()
       val (lo, hi) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
       val binned = d.withColumn("bin",
@@ -445,10 +448,10 @@ object DocQueries {
       val bins = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
         .collect().map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1)
       val n = bins.map(_._2).sum
-      var cum = 0L
-      val bStar = bins.collectFirst {
-        case (b, c) if { cum += c; cum * 100 >= 30 * n } => b
-      }.get
+      // cumulative walk as an explicit scan — no mutation inside a
+      // pattern guard (whose evaluation count is a stdlib detail)
+      val bStar = bins.zip(bins.scanLeft(0L)(_ + _._2).tail)
+        .collectFirst { case ((b, _), cum) if cum * 100 >= 30 * n => b }.get
       binned.filter(col("bin") > bStar)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),

@@ -212,11 +212,7 @@ object PipelineQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 3)
         .select("doc_id")
-      docs.filter(col("source") =!= "src0")
-        .join(broadcast(flagged), Seq("doc_id"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          max(col("doc_id")).as("max_doc"))
+      decontaminateApply(s, dir, flagged)
     }),
 
     // Contamination flagged ON INGEST: the same flags computed by the
@@ -227,11 +223,7 @@ object PipelineQueries {
     "q_t11_streaming_decon" -> ((s, dir) => {
       val flagged = streamedContaminationFlags(s, dir)
         .filter(col("n_overlap") >= 3).select("doc_id")
-      Tables.documents(s, dir).filter(col("source") =!= "src0")
-        .join(broadcast(flagged), Seq("doc_id"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          max(col("doc_id")).as("max_doc"))
+      decontaminateApply(s, dir, flagged)
     }),
 
     // ---- embedding compression / centroid training ----
@@ -351,6 +343,34 @@ object PipelineQueries {
     * distances, centroid update via per-dimension floor(sum/n), empty
     * cells inherit the previous centroid.
     */
+  /** ONE apply step and ONE oracle shared by q_decontaminate (batch flags)
+    * and q_t11_streaming_decon (streamed flags) — the streaming == batch
+    * equivalence is a single definition, not two copies that can drift.
+    */
+  private def decontaminateApply(s: SparkSession, dir: String,
+                                 flagged: DataFrame): DataFrame =
+    Tables.documents(s, dir).filter(col("source") =!= "src0")
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+
+  private val sqlDecontaminate: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
+      |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+      |      WHERE source = 'src0'),
+      |flagged AS (
+      |  SELECT sh.doc_id FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
+      |  WHERE d.source <> 'src0'
+      |  GROUP BY 1 HAVING count(*) >= 3)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  max(doc_id) AS max_doc
+      |FROM documents
+      |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      |GROUP BY 1""".stripMargin
+
   /** Landing for q_t11_streaming_decon: the training corpus streams in as
     * a JSON topic, is shingled by the SAME typed pass the batch path uses
     * (typed flatMap is stream-safe), joined against the static broadcast
@@ -565,37 +585,9 @@ object PipelineQueries {
         |WHERE d.source <> 'src0'
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
-        |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
-        |      WHERE source = 'src0'),
-        |flagged AS (
-        |  SELECT sh.doc_id FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
-        |  WHERE d.source <> 'src0'
-        |  GROUP BY 1 HAVING count(*) >= 3)
-        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  max(doc_id) AS max_doc
-        |FROM documents
-        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
-        |GROUP BY 1""".stripMargin,
+    "q_decontaminate" -> sqlDecontaminate,
 
-    "q_t11_streaming_decon" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        |       FROM toks, unnest(generate_series(1, len(toks)-4)) AS t(i)),
-        |b AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
-        |      WHERE source = 'src0'),
-        |flagged AS (
-        |  SELECT sh.doc_id FROM sh JOIN documents d USING (doc_id) JOIN b USING (shingle)
-        |  WHERE d.source <> 'src0'
-        |  GROUP BY 1 HAVING count(*) >= 3)
-        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  max(doc_id) AS max_doc
-        |FROM documents
-        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
-        |GROUP BY 1""".stripMargin,
+    "q_t11_streaming_decon" -> sqlDecontaminate,
 
     "q_emb_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
