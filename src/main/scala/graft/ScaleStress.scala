@@ -42,6 +42,9 @@ object ScaleStress {
     "q_dedup_substring")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
+    // the replica token tag is two base-26 letters — beyond 26*26 a third
+    // digit would be needed and the tag would silently stop being letters
+    require(replicas <= 676, s"replicas=$replicas exceeds the 2-letter base-26 tag space (676)")
     val out = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
     val docs = Tables.documents(spark, src)
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -55,7 +58,8 @@ object ScaleStress {
         // digit/underscore splits off and the vocab collapses back)
         when(col("rep") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("q"), expr("char(97 + rep)"), lit("$1")))).as("text"),
+            concat(lit("q"), expr("char(97 + rep div 26)"),
+              expr("char(97 + rep % 26)"), lit("$1")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

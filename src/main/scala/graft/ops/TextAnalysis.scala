@@ -172,27 +172,28 @@ object TextAnalysis {
         .groupBy("word")
         .agg(count(lit(1)).as("freq")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var merges = Vector.empty[(String, String)]
-    var exhausted = false
-    for (_ <- 1 to nMerges if !exhausted) {
-      val rank = merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
-      val win = wf.as[(String, Long)]
-        .flatMap { case (w, f) =>
-          val toks = bpeSegmentWith(w, rank)
-          (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), f))
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      for (_ <- 1 to nMerges if !exhausted) {
+        val rank = merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+        val win = wf.as[(String, Long)]
+          .flatMap { case (w, f) =>
+            val toks = bpeSegmentWith(w, rank)
+            (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), f))
+          }
+          .toDF("l", "r", "f")
+          .groupBy("l", "r").agg(sum("f").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (win.isEmpty) exhausted = true
+        else {
+          val row = win(0)
+          merges :+= ((row.getString(0), row.getString(1)))
+          out += ((row.getString(0), row.getString(1), row.getLong(2)))
         }
-        .toDF("l", "r", "f")
-        .groupBy("l", "r").agg(sum("f").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (win.isEmpty) exhausted = true
-      else {
-        val row = win(0)
-        merges :+= ((row.getString(0), row.getString(1)))
-        out += ((row.getString(0), row.getString(1), row.getLong(2)))
       }
-    }
-    CacheRegistry.release(wf)
+    } finally CacheRegistry.release(wf) // a failed round must not leak the cache
     out.toSeq
   }
 

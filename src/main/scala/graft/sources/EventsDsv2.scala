@@ -358,7 +358,12 @@ object EventsApi {
       v.asInstanceOf[Number].longValue(), lit.asInstanceOf[Number].longValue())
     case DoubleType => java.lang.Double.compare(
       v.asInstanceOf[Number].doubleValue(), lit.asInstanceOf[Number].doubleValue())
-    case _          => v.asInstanceOf[String].compareTo(String.valueOf(lit))
+    // UTF8String binary (UTF-8 byte) order, matching Spark's string
+    // comparison semantics — Java String.compareTo (UTF-16 code units)
+    // disagrees for supplementary-plane characters, and pushed filters are
+    // trusted by Spark, never re-checked.
+    case _          => UTF8String.fromString(v.asInstanceOf[String])
+      .compareTo(UTF8String.fromString(String.valueOf(lit)))
   }
 
   /** SQL three-valued logic: None = UNKNOWN. The WHERE keeps TRUE only. */
@@ -814,7 +819,9 @@ class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
         val c = (acc, v) match {
           case (a: java.lang.Long, b: java.lang.Long)     => java.lang.Long.compare(a, b)
           case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
-          case (a: String, b: String)                     => a.compareTo(b)
+          case (a: String, b: String)                     =>
+            // binary UTF-8 order — must match Spark's min/max over strings
+            UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
           case _                                          => 0
         }
         if ((op.fn == "min" && c <= 0) || (op.fn == "max" && c >= 0)) acc else v

@@ -20,25 +20,32 @@ object Landing {
                    mode: OutputMode, withBatchId: Boolean = false): Int = {
     // recentProgress is a ring buffer (numRecentProgressUpdates, default
     // 100): a deeper backlog would silently under-count the returned
-    // input-batch number that parity paths assert on. Raise it well past
-    // any drain this engine runs.
-    stream.sparkSession.conf.set(
-      "spark.sql.streaming.numRecentProgressUpdates", "10000")
-    val q = stream.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val b = if (withBatchId) batch.withColumn("batch_id", lit(batchId)) else batch
-        b.write.mode("append").parquet(sink)
-        ()
+    // input-batch number that parity paths assert on. Raise it for this
+    // drain only — the session conf is shared, so restore it after.
+    val conf = stream.sparkSession.conf
+    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProgress = conf.getOption(progressKey)
+    conf.set(progressKey, "10000")
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val b = if (withBatchId) batch.withColumn("batch_id", lit(batchId)) else batch
+          b.write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(DrainTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"AvailableNow drain to $sink did not terminate within ${DrainTimeoutMs / 1000}s")
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(DrainTimeoutMs)) {
-      q.stop()
-      throw new IllegalStateException(
-        s"AvailableNow drain to $sink did not terminate within ${DrainTimeoutMs / 1000}s")
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally prevProgress match {
+      case Some(v) => conf.set(progressKey, v)
+      case None    => conf.unset(progressKey)
     }
-    q.recentProgress.count(_.numInputRows > 0)
   }
 }
