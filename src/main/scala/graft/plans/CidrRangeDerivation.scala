@@ -77,5 +77,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CidrRangeDerivation)
     ext.injectOptimizerRule(_ => NanosRangeDerivation)
+    ext.injectOptimizerRule(_ => StreamingScanFilterPushdown)
   }
 }

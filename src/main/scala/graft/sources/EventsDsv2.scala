@@ -561,13 +561,16 @@ class GraftEventsScan(path: String, val pushedFilters: Array[V1Filter],
   /** S1 as a LIVE source: the reference's poll loop fetches a completed
     * search in `Range: items=a-b` slices (etl.py:57-65,
     * qradar/qradarconnector.py:124-137); here each landed file is one
-    * slice and the stream's Offset is "slices consumed". NOTE: Spark's
-    * V2ScanRelationPushDown is batch-only — on the streaming path the
-    * WHERE executes in the first Spark stage above the source (still
-    * inside the same whole-stage-codegen pipeline as the scan), not
-    * inside the reader; the source-side contracts a stream DOES keep are
-    * admission control (bounded slices per micro-batch) and the offset
-    * cursor. Dsv2SourceSpec pins both.
+    * slice and the stream's Offset is "slices consumed". Spark's
+    * V2ScanRelationPushDown is batch-only, so `pushedFilters` here is
+    * always empty on the streaming path — instead
+    * [[graft.plans.StreamingScanFilterPushdown]] pushes the WHERE into the
+    * live stream per micro-batch and the partition reader filters
+    * source-side (the reference's server-filtered streamed results),
+    * while the Spark-side Filter remains as the correctness check.
+    * The other source-side stream contracts are admission control
+    * (bounded slices per micro-batch) and the offset cursor.
+    * Dsv2SourceSpec pins all three.
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -603,6 +606,24 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   @volatile private var availableNowCap: Option[Long] = None
+
+  /** Streaming-path WHERE pushdown (S1 parity — the reference's streamed
+    * results are already server-filtered: qradar/qradarconnector.py:108-122
+    * feeds etl.py:57-65). Spark's V2ScanRelationPushDown is batch-only, so
+    * the constructor's `pushed` is always empty on this path; instead
+    * [[graft.plans.StreamingScanFilterPushdown]] runs in the per-micro-batch
+    * optimizer, translates the residual WHERE conjuncts above this relation,
+    * and hands the supported subset here BEFORE the batch's reader factory
+    * is created. The Spark-side Filter node is left in place, so rows are
+    * re-checked above the source — pushing here prunes source emission (the
+    * reader drops non-matching records before materializing them), it is
+    * never trusted for correctness the way batch pushdown is.
+    */
+  @volatile private var streamPushed: Array[V1Filter] = Array.empty
+  private[graft] def pushStreamingFilters(fs: Array[V1Filter]): Unit =
+    streamPushed = fs
+  private[graft] def streamingPushedFilters: Array[V1Filter] = streamPushed
+  private def effectivePushed: Array[V1Filter] = (pushed ++ streamPushed).distinct
 
   /** Sorted listing with the positional-cursor guard: the previously-seen
     * prefix must be unchanged (append-only, append-after-sorted-end) or
@@ -649,14 +670,14 @@ class GraftEventsMicroBatchStream(path: String, pushed: Array[V1Filter],
         end.asInstanceOf[EventsFileOffset].n.toInt)
       .map(f => EventsFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsReaderFactory(pushed, required, Int.MaxValue, None,
+    new EventsReaderFactory(effectivePushed, required, Int.MaxValue, None,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String =
     s"GraftEventsStream(path=$path, " +
-      s"PushedFilters=[${pushed.mkString(", ")}], " +
+      s"PushedFilters=[${effectivePushed.mkString(", ")}], " +
       s"ReadSchema=[${required.fieldNames.mkString(", ")}]" +
       (if (maxFiles != Int.MaxValue) s", maxFilesPerMicroBatch=$maxFiles" else "") + ")"
 }

@@ -228,9 +228,7 @@ class Dsv2SourceSpec extends SparkSpec {
     val withInput = q.recentProgress.filter(_.numInputRows > 0)
     assert(withInput.length == 4, q.recentProgress.map(_.numInputRows).mkString(","))
 
-    // admission control is part of the stream's identity (Spark's
-    // pushdown rule is batch-only, so the WHERE runs in the stage above
-    // the source on the streaming path — see toMicroBatchStream scaladoc)
+    // admission control is part of the stream's identity
     val desc = withInput.last.sources(0).description
     assert(desc.contains("maxFilesPerMicroBatch=1"), desc)
 
@@ -239,6 +237,39 @@ class Dsv2SourceSpec extends SparkSpec {
       .filter(col("event_type") === "view" && col("value") > 10.0).count()
     assert(spark.table("dsv2_stream").count() === expected)
     assert(expected > 0)
+  }
+
+  test("streaming WHERE is pushed into the live stream: the source emits only matching rows") {
+    // Spark's V2ScanRelationPushDown is batch-only; the graft
+    // StreamingScanFilterPushdown optimizer rule closes the gap by handing
+    // the WHERE to the running GraftEventsMicroBatchStream each batch. The
+    // pin is numInputRows: it counts rows EMITTED BY THE SOURCE, so with
+    // source-side filtering the stream's input is the filtered row count,
+    // not the slice's full contents.
+    val landing = EventsApi.landing(spark, sf)
+    val stream = spark.readStream.format("graft-events")
+      .option("maxFilesPerMicroBatch", 1)
+      .load(landing)
+      .filter(col("event_type") === "purchase" && col("value") > 50.0)
+    val q = stream.writeStream
+      .format("memory").queryName("dsv2_stream_pushdown")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value") > 50.0).count()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    val streamedIn = q.recentProgress.map(_.numInputRows).sum
+    assert(expected > 0 && expected < total)
+    // fewer rows left the source than exist in the slices...
+    assert(streamedIn === expected, s"numInputRows=$streamedIn expected=$expected total=$total")
+    // ...and the answer still matches the batch path exactly
+    assert(spark.table("dsv2_stream_pushdown").count() === expected)
+    // the stream advertises what it pushed (progress carries its toString)
+    val desc = q.recentProgress.filter(_.numInputRows > 0).last.sources(0).description
+    assert(desc.contains("EqualTo(event_type,purchase)") &&
+      desc.contains("GreaterThan(value,50.0)"), desc)
   }
 
   test("stream restart over the checkpoint replays nothing (offset round-trip)") {
