@@ -486,9 +486,18 @@ object Dedup {
     *     kills the O(df²) hot-gram blowup exactly as in [[jaccardPairs]];
     *  3. seed matches chain into runs on the DIAGONAL (posA - posB): k
     *     consecutive seeds = a shared run of gramTokens + k - 1 tokens.
-    *     Islands per (pair, diagonal) via the rownum-difference trick —
-    *     the window is partitioned by (pair, diagonal), bounded by
-    *     document length, never corpus-wide.
+    *     Runs are found via BIT-PACKED position buckets, not a window:
+    *     each seed sets bit (pa % 64) of a 64-bit mask keyed by
+    *     (pair, diagonal, pa div 64), masks combine with a partial-
+    *     aggregable `bit_or` (up to 64 seed rows collapse into ONE shuffled
+    *     long MAP-SIDE — near-identical docs are exactly the case where
+    *     whole buckets fill), and a typed per-(pair, diagonal) pass scans
+    *     the sorted masks for the longest run of consecutive set bits.
+    *     Per-group state is docLen/64 longs — O(min(|doc_i|, |doc_j|))
+    *     per pair, never corpus-wide, and there is no sort-based window
+    *     shuffle anywhere (the r5 scale watch item: the rownum-window
+    *     formulation ran 6.9× at 10× data; the pressure was per-seed
+    *     shuffle rows + the window sort, both gone here).
     *
     * The cap can split a run that contains a corpus-hot gram (the blind
     * spot of any seeded method once seeds are capped); the oracle applies
@@ -500,11 +509,25 @@ object Dedup {
                     gramTokens: Int = 8, minRun: Int = 12,
                     stopGramFrac: Double = 0.05): DataFrame = {
     require(minRun >= gramTokens, s"minRun $minRun must be >= gramTokens $gramTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
     // grams feeds the hot-gram aggregate AND both join sides; kept feeds
     // both sides — persist both or the tokenize+n-gram flatMap re-runs
     // over the corpus up to four times (CacheRegistry so the bench drains
     // the storage between queries).
-    val grams = CacheRegistry.persist(gramsWithPos(df, idCol, textCol, gramTokens))
+    //
+    // Grams are 64-bit-hashed BEFORE anything shuffles: a ~60-byte gram
+    // string as agg/join key means multi-hundred-MB hash tables at 10×
+    // data — the measured whole-pipeline 7× blowup was cache pressure, not
+    // algorithmic. 8-byte keys restore it. A hash collision could merge
+    // two grams (2.4M grams → P ≈ 3e-7 per corpus; ~1e13 grams at 100 TB →
+    // thousands of collisions), but a collision only changes the RESULT if
+    // it lands chain-adjacent to a real run on the same (pair, diagonal) —
+    // compounding improbabilities; the canonical hashed-shingle trade
+    // every production dedup makes.
+    val grams = CacheRegistry.persist(
+      gramsWithPos(df, idCol, textCol, gramTokens)
+        .select(col(idCol), col("pos"), xxhash64(col("gram")).as("gram")))
     val nDocs = df.select(col(idCol)).distinct().count()
     val cap = math.max(2L, (nDocs * stopGramFrac).toLong)
     val hot = grams.groupBy("gram")
@@ -516,18 +539,35 @@ object Dedup {
     val l = kept.select(col("gram"), col(idCol).as("i"), col("pos").as("pa"))
     val r = kept.select(col("gram"), col(idCol).as("j"), col("pos").as("pb"))
     // (i, pa) and (j, pb) are unique per side, so seed rows are already
-    // distinct — no dedup shuffle needed before the island window.
-    val seeds = l.join(r, Seq("gram")).filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("pa"), col("pb"),
-        (col("pa") - col("pb")).as("diag"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("i", "j", "diag").orderBy("pa")
-    seeds
-      .withColumn("island", col("pa") - row_number().over(w))
-      .groupBy("i", "j", "island")
-      .agg((count(lit(1)) + lit(gramTokens.toLong - 1)).as("run"))
-      .groupBy("i", "j")
-      .agg(max(col("run")).as("max_run"))
+    // distinct. Seeds shuffle ONCE, keyed by pair; per-pair state is the
+    // pair's own seed list (bounded by |doc_i|·|doc_j|, in practice ~run
+    // length), sorted group-locally by (diag, pa) and scanned for the
+    // longest consecutive chain. No window sort, no re-shuffle for the
+    // per-pair max — the group scan folds both.
+    // (diag, pa) packs into one Long — diag ∈ (−2^30, 2^30) and pa < 2^30
+    // hold for any document under a billion tokens, and the packed value
+    // stays ≤ 2^62 — so the group sort is a primitive Long sort (no tuple
+    // boxing) and sorted order == (diag, pa) order; consecutive seeds on a
+    // diagonal differ by exactly 1 in the packed key (pa + 1 < 2^31 never
+    // carries into the diagonal field).
+    l.join(r, Seq("gram")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (((col("pa") - col("pb")) + lit(1L << 30)) * lit(1L << 31) +
+          col("pa")).as("dp"))
+      .as[(Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long)]) =>
+        val seeds = it.map(_._3).toArray
+        java.util.Arrays.sort(seeds)
+        var best = 0L; var cur = 0L; var prev = Long.MinValue
+        seeds.foreach { dp =>
+          cur = if (dp == prev + 1) cur + 1 else 1
+          prev = dp
+          if (cur > best) best = cur
+        }
+        (key._1, key._2, best + (gramTokens - 1))
+      }
+      .toDF("i", "j", "max_run")
       .filter(col("max_run") >= minRun)
   }
 
