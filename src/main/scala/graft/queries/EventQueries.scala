@@ -523,6 +523,29 @@ object EventQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
 
+    // S8 minus the broker wire (no Kafka jar exists in this container —
+    // COVERAGE.md records the dependency audit): the exact record contract
+    // the Kafka sink ships, kafkaPayload's (key, value) shaping, must
+    // round-trip through KafkaSource.decodeJson back to the rollup it
+    // encodes. This pins the serialization fidelity half of S8 — field-
+    // named JSON values, null-safe keys, double shortest-repr round-trip —
+    // under the DuckDB oracle computing the rollup directly; the wire half
+    // (produce→broker→consume) is the built-in connector's contract.
+    "q_s8_payload_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val rollup = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+          col("event_type"))
+        .agg(sum("value").as("sum_value"))
+      val payload = graft.streaming.StreamingRollup.kafkaPayload(
+        rollup, keyCols = Seq("hour", "event_type"))
+      val schema = StructType(Seq(StructField("hour", StringType),
+        StructField("event_type", StringType), StructField("sum_value", DoubleType)))
+      graft.streaming.KafkaSource.decodeJson(payload.select(col("value")), schema)
+        .select(col("hour"), col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // T1-T3: the streaming path under the driver's batch oracle — the
     // structured-streaming rollup's landed output must hash-match the
     // batch hourly rollup SQL exactly (see [[streamedHourly]]).
@@ -1255,6 +1278,12 @@ object EventQueries {
           |FROM e LEFT JOIN part p ON e.qid = p.p_partkey
           |WHERE e.device_type = 2
           |GROUP BY 1""".stripMargin),
+
+      // the payload round-trip must land exactly back on the direct rollup
+      "q_s8_payload_roundtrip" ->
+        """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+          |round(sum(value),2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       // raw events, no enrichment: the streaming rollup reads the source
       // table directly, so its oracle does too
