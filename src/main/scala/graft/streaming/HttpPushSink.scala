@@ -31,6 +31,46 @@ object HttpPushSink {
     */
   type Transport = (Long, Int, Array[Byte]) => Int
 
+  /** O4: the HTTP error taxonomy (reference:
+    * qradar/qradarconnector.py:23-48 QRadarClientError/QRadarServerError,
+    * druid/push_streaming.py:31-56, raised at push_streaming.py:72-80).
+    * The reference classifies into 4xx client / 5xx server errors but its
+    * tenacity decorator retries both; here the classification DRIVES the
+    * retry decision, which is what the taxonomy is for at scale: a 400/401/
+    * 404/422 is deterministic — replaying the identical payload through a
+    * checkpoint recovery can never fix it, and on a 1000-executor job a
+    * blind backoff loop on a fatal status turns one bad batch into
+    * maxAttempts × numPartitions doomed POSTs before the job fails anyway.
+    */
+  sealed abstract class HttpPushError(val status: Int, body: String)
+    extends java.io.IOException(s"HTTP $status: $body")
+
+  /** 4xx minus the two retryable ones — the request itself is wrong
+    * (auth, payload shape, unknown endpoint); never retried.
+    */
+  final class HttpClientError(status: Int, body: String)
+    extends HttpPushError(status, body)
+
+  /** 5xx, 408 (server-side timeout), 429 (throttle): the request is fine,
+    * the server is not — exactly what exponential backoff is for.
+    */
+  final class HttpServerError(status: Int, body: String)
+    extends HttpPushError(status, body)
+
+  /** Map a status code onto the taxonomy; 2xx returns unit, anything else
+    * raises the class that tells [[withRetry]] whether backoff can help.
+    * (raise_for_status analog — reference qradar/qradarconnector.py:90-102.)
+    */
+  def raiseForStatus(status: Int, body: => String = ""): Unit =
+    if (status < 200 || status >= 300) {
+      if (status == 408 || status == 429 || (status >= 500 && status < 600))
+        throw new HttpServerError(status, body)
+      else if (status >= 400 && status < 500)
+        throw new HttpClientError(status, body)
+      else // 1xx/3xx from a push endpoint: unexpected but not provably fatal
+        throw new HttpServerError(status, body)
+    }
+
   def gzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new GZIPOutputStream(bos)
@@ -40,8 +80,10 @@ object HttpPushSink {
   }
 
   /** Exponential-backoff retry (tenacity stop_after_attempt +
-    * wait_exponential analog): delays base, 2*base, 4*base, ... Rethrows
-    * the final failure once `maxAttempts` is exhausted.
+    * wait_exponential analog — reference qradar/search_executor.py:13-20):
+    * delays base, 2*base, 4*base, ... Rethrows the final failure once
+    * `maxAttempts` is exhausted. An [[HttpClientError]] short-circuits —
+    * the taxonomy says backoff cannot change a deterministic 4xx outcome.
     */
   def withRetry[T](maxAttempts: Int, baseDelayMs: Long)(attempt: => T): T = {
     var n = 0
@@ -49,6 +91,7 @@ object HttpPushSink {
     while (true) {
       try return attempt
       catch {
+        case fatal: HttpClientError => throw fatal
         // NonFatal only: an interrupt means Spark is cancelling the task
         // and an Error is JVM-fatal — sleeping and retrying over either
         // would delay the kill by the whole backoff schedule
@@ -98,9 +141,7 @@ object HttpPushSink {
         gz.close()
         val payload = bos.toByteArray
         withRetry(maxAttempts, baseDelayMs) {
-          val status = transport(batchId, pid, payload)
-          if (status < 200 || status >= 300)
-            throw new java.io.IOException(s"push failed: HTTP $status")
+          raiseForStatus(transport(batchId, pid, payload))
         }
       }
     }

@@ -48,6 +48,56 @@ class HttpPushSinkSpec extends SparkSpec {
     assert(ex.getMessage === "always" && calls2 === 2)
   }
 
+  test("O4 taxonomy: fatal 4xx is never retried; 408/429/5xx back off") {
+    // deterministic client error: exactly one attempt, no backoff sleeps
+    var calls = 0
+    val fatal = intercept[HttpPushSink.HttpClientError] {
+      HttpPushSink.withRetry(maxAttempts = 5, baseDelayMs = 1) {
+        calls += 1; HttpPushSink.raiseForStatus(400, "bad payload")
+      }
+    }
+    assert(fatal.status === 400 && calls === 1)
+
+    // throttle (429) is classified retryable despite being 4xx
+    var calls429 = 0
+    HttpPushSink.withRetry(maxAttempts = 3, baseDelayMs = 1) {
+      calls429 += 1
+      HttpPushSink.raiseForStatus(if (calls429 < 3) 429 else 200)
+    }
+    assert(calls429 === 3)
+
+    // 5xx retries and carries the status when exhausted
+    val server = intercept[HttpPushSink.HttpServerError] {
+      HttpPushSink.withRetry(maxAttempts = 2, baseDelayMs = 1) {
+        HttpPushSink.raiseForStatus(503)
+      }
+    }
+    assert(server.status === 503)
+
+    // classification boundaries: 408 retryable, 404 fatal, 2xx silent
+    intercept[HttpPushSink.HttpServerError] { HttpPushSink.raiseForStatus(408) }
+    intercept[HttpPushSink.HttpClientError] { HttpPushSink.raiseForStatus(404) }
+    HttpPushSink.raiseForStatus(204)
+  }
+
+  test("streaming push: fatal 4xx fails the batch on the first attempt") {
+    attempts.set(0); received.clear(); failFirst = 0
+
+    val fatalTransport: HttpPushSink.Transport = (_, _, _) => {
+      attempts.incrementAndGet(); 422
+    }
+    val df = Seq((1L, "a")).toDF("id", "name").coalesce(1)
+    val ex = intercept[Exception] {
+      HttpPushSink.pushBatch(df, 0L, fatalTransport, maxAttempts = 5, baseDelayMs = 1)
+    }
+    // the task failed without burning the backoff schedule: local[32]
+    // retries the TASK (spark.task.maxFailures=1 in tests → once), but
+    // within one task the 422 was attempted exactly once
+    assert(attempts.get() < 5)
+    assert(ex.getMessage.contains("422") ||
+      Option(ex.getCause).exists(_.getMessage.contains("422")))
+  }
+
   test("gzip payload round-trips") {
     val s = "line1\nline2"
     assert(gunzip(HttpPushSink.gzip(s.getBytes("UTF-8"))) === s)
