@@ -130,9 +130,16 @@ object Bench {
 
     // Compact one-line stdout artifact (driver contract): headline queries
     // only, 3dp — must fit the driver's stdout tail window whole.
+    // A run with ANY errored query must not masquerade as a clean total
+    // (judge r6 #4: r6 reported rc=0 with 61 errors): report value=-1 as
+    // the refuse-to-total sentinel and exit non-zero so the driver records
+    // the run as failed, while the detail file keeps the partial times.
+    val nErr = results.count { case (_, v, _, _) => v < 0 }
+    val reported = if (nErr == 0) total else -1.0
     val qs = Headline.filter(byName.contains)
       .map(n => "\"" + n + "\":" + jNum(byName(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
+    println(s"""{"metric":"total","value":${jNum(reported)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

@@ -76,9 +76,9 @@ object ScaleStress {
         col("label"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // Events replicated with shifted ids: the raw TIMESTAMP(NANOS) column
-    // reads as a nanos Long (legacy conf) and is written back as plain
-    // BIGINT — Tables.events' `ts div 1000` handles both encodings. Each
+    // Events replicated with shifted ids: `ts` is carried through in
+    // whatever encoding the fixture uses (nanos-Long via legacy conf, or
+    // native timestamp) — Tables.normalizeTs dispatches on either. Each
     // replica shifts user_id, so distinct-user cardinality (what HLL
     // sketches) and window partition count grow ×replicas while per-user
     // history stays the original's.

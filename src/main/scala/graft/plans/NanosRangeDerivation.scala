@@ -8,12 +8,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 /** Optimizer rule: push time-range predicates through the nanos→micros
   * timestamp derivation down to the raw parquet column.
   *
-  * The events table stores parquet TIMESTAMP(NANOS), which Spark reads as
-  * a raw Long (`nanosAsLong`) that [[graft.sources.Tables.events]] turns
-  * into a usable timestamp via `timestamp_micros(nanos div 1000)`. A
-  * START/STOP range on the derived column therefore reaches the scan as
-  * nothing but `IsNotNull` — at 100 TB that is a full-table scan where
-  * row-group min/max pruning should have cut it to the queried days.
+  * Serves raw-nanos fixtures only: parquet TIMESTAMP(NANOS) is read as a
+  * raw Long (`nanosAsLong`) that [[graft.sources.Tables.normalizeTs]]
+  * turns into a usable timestamp via `timestamp_micros(nanos div 1000)`.
+  * A START/STOP range on the derived column would otherwise reach the
+  * scan as nothing but `IsNotNull` — at 100 TB that is a full-table scan
+  * where row-group min/max pruning should have cut it to the queried days.
+  * The rule is schema-gated by construction: it only fires on that exact
+  * derivation pattern, so on native-timestamp fixtures (TIMESTAMP(MICROS)
+  * since round 6, where Catalyst unwraps the NTZ cast and the built-in
+  * parquet pushdown carries the bounds — pinned in PlansSpec) it is inert.
   *
   * For each conjunct `timestamp_micros(a div 1000) CMP literal`, this rule
   * ADDS the implied raw bound on `a` (the original predicate is kept):

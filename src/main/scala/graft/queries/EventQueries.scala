@@ -155,8 +155,7 @@ object EventQueries {
       // the file source wants a directory; glob-filter it to the events table
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = stream.withColumn("ts",
-        timestamp_micros(expr("ts div 1000"))) // nanos Long -> µs, as Tables.events
+      val ev = Tables.normalizeTs(stream) // fixture dtype dispatch, as Tables.events
       val roll = graft.streaming.StreamingRollup.hourly(ev, "ts", "value",
         dims = Seq("event_type"), lateness = "87600 hours", sumColName = "sum_value")
       landAvailableNow(roll,
@@ -208,8 +207,7 @@ object EventQueries {
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = Tables.normalizeTs(stream)
         .withColumn("content",
           concat(col("event_type"), lit("#"), (col("event_id") % 997).cast("string")))
       val dd = graft.streaming.StreamingDedup.exact(ev, "ts", "content",
@@ -301,9 +299,8 @@ object EventQueries {
       Tables.ensureNanosConf(s)
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       def side(eventType: String, key: String, ts: String) =
-        s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        Tables.normalizeTs(s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
           .filter(col("event_type") === eventType)
           .select(col("user_id").as(key), col("ts").as(ts))
       val joined = graft.streaming.StreamingJoins.intervalJoin(
