@@ -149,6 +149,12 @@ object ScaleStress {
       "(sub-quadratic bound: every pair stage is bucketed — LSH bands, " +
       "shingle blocking, IVF cells — so candidate volume grows with the " +
       "data, not its square).\n")
+    sb.append("\nReading this table: the RATIO column is the scaling " +
+      "signal; optimizations can move ABSOLUTE time without moving the " +
+      "ratio (the substringRuns 64-bit gram-key rework roughly halved the " +
+      "10× absolute time — ~17 s → ~8 s — while the ratio stayed near " +
+      "7× because both scales sped up). Quote ratio and absolute " +
+      "separately when claiming wins.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(sb.toString)
     spark.stop()
