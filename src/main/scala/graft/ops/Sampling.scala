@@ -90,6 +90,69 @@ object Sampling {
     df.filter(hashBucket(key, 1000, salt) < rateCol)
   }
 
+  /** Exact per-group token-budget selection — "keep 2B tokens of code,
+    * 1B of web": docs are consumed in a deterministic hash-randomized
+    * priority order (md5 bucket, then key) and each group keeps the
+    * longest prefix whose token sum fits its budget.
+    *
+    * The naive form is a corpus-wide window cumsum per group — one task
+    * per group at 100 TB. This implementation is exact with only
+    * config-scale coordination:
+    *   1. one partial+final aggregate of (group, bucket) token sums —
+    *      `groups × buckets` rows to the driver (the mixReweight /
+    *      k-centroid metadata pattern, NOT a data collect);
+    *   2. per group, the driver finds the boundary bucket b* where the
+    *      cumulative sum crosses the budget; buckets < b* are wholly
+    *      kept by a pure scan predicate (no shuffle);
+    *   3. ONLY the boundary bucket's rows (≈ 1/buckets of the group)
+    *      pay an intra-bucket window cumsum.
+    * Raise `buckets` until corpus/buckets fits one task — the window
+    * never sees more than that.
+    *
+    * Selection is identical to the global-window definition, which is
+    * what the DuckDB oracle replays (`ORDER BY bucket, key`).
+    */
+  def tokenBudgetKeep(df: org.apache.spark.sql.DataFrame, grp: Column, key: Column,
+                      tokens: Column, budgets: Map[Long, Long],
+                      buckets: Int = 64, salt: String = "tb"): org.apache.spark.sql.DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be non-negative: $budgets")
+    val b = hashBucket(key, buckets, salt)
+    val perBucket = df.groupBy(grp.as("__g"), b.as("__b"))
+      .agg(sum(tokens).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val grps = perBucket.keySet.map(_._1)
+    require(grps.subsetOf(budgets.keySet),
+      s"groups $grps not covered by budgets ${budgets.keySet}")
+    // boundary bucket + remaining budget inside it, per group
+    val bounds: Map[Long, (Long, Long)] = grps.map { g =>
+      var cum = 0L
+      var bstar = buckets.toLong
+      var rem = 0L
+      var i = 0L
+      while (i < buckets && bstar == buckets.toLong) {
+        val t = perBucket.getOrElse((g, i), 0L)
+        if (cum + t > budgets(g)) { bstar = i; rem = budgets(g) - cum }
+        cum += t
+        i += 1
+      }
+      g -> (bstar, rem)
+    }.toMap
+    val bstarCol = bounds.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (els, (g, (bs, _))) => when(grp === lit(g), lit(bs)).otherwise(els)
+    }
+    val remCol = bounds.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (els, (g, (_, r))) => when(grp === lit(g), lit(r)).otherwise(els)
+    }
+    val wholly = df.filter(b < bstarCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp).orderBy(key)
+    val boundary = df.filter(b === bstarCol)
+      .withColumn("__cum", sum(tokens).over(w))
+      .filter(col("__cum") <= remCol)
+      .drop("__cum")
+    wholly.union(boundary)
+  }
+
   // ---- DuckDB oracle fragments (keep in lock-step) ----
 
   def sqlHashBucket(keyExpr: String, buckets: Int, salt: String = ""): String = {

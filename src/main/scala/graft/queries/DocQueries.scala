@@ -469,6 +469,30 @@ object DocQueries {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
+    // LEAKAGE-SAFE train/val/test split: the hash split keys off the
+    // near-dup CLUSTER representative, not the document, so two near-
+    // duplicates can never straddle train and test (the eval-leakage
+    // failure a doc-level split permits by construction). n_moved counts
+    // docs whose naive doc-level assignment differed — the leakage the
+    // operator prevented. Cluster membership covers only the duplicate
+    // subset, so the label join broadcasts; everything else is the same
+    // pure per-row split expression as q_sample_split.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+      val lab = Dedup.dedupClusters(pairs).withColumnRenamed("id", "doc_id")
+      docs.join(broadcast(lab), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("split", Sampling.split(col("rep"), salt = "leak"))
+        .withColumn("naive", Sampling.split(col("doc_id"), salt = "leak"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
+    }),
+
     // Quality-aware dedup: the survivor of each duplicate cluster is the
     // HIGHEST-QUALITY member, not the lowest id — the retention policy a
     // curation pipeline actually wants (dedup should discard the worse
@@ -927,6 +951,27 @@ object DocQueries {
            |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a)
            |SELECT cluster, count(*) AS n_members, max(a) AS max_id
            |FROM lab GROUP BY 1""".stripMargin,
+
+      "q_split_leakage_safe" ->
+        s"""WITH RECURSIVE ${sqlLshPairCtesFrom("documents")},
+           |syme AS (SELECT i AS a, j AS b FROM lshpairs
+           |         UNION SELECT j, i FROM lshpairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM syme
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN syme e ON r.b = e.a),
+           |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |assigned AS (SELECT d.doc_id, d.n_chars,
+           |    COALESCE(lab.cluster, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.a),
+           |sp AS (SELECT *, ${Sampling.sqlSplit("rep", salt = "leak")} AS split,
+           |    ${Sampling.sqlSplit("doc_id", salt = "leak")} AS naive
+           |  FROM assigned)
+           |SELECT split, count(*) AS n_docs,
+           |  CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           |FROM sp GROUP BY 1""".stripMargin,
 
       "q_dedup_quality_survivor" ->
         s"""WITH RECURSIVE ${sqlLshPairCtesFrom("documents")},

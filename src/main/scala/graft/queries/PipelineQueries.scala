@@ -71,6 +71,32 @@ object PipelineQueries {
   /** Target domain mix for q_mix_reweight (permille per derived group). */
   private val MixTargets = Map(0L -> 500L, 1L -> 250L, 2L -> 150L, 3L -> 100L)
 
+  /** Per-domain token budgets for q_mix_token_budget: group 0 is
+    * deliberately uncapped (exercises the no-boundary path), the rest cap
+    * progressively harder at every fixture scale.
+    */
+  private val TokenBudgets = Map(0L -> 1000000000L, 1L -> 5000L, 2L -> 2500L, 3L -> 1500L)
+
+  /** Gopher gate features + flag expressions, shared VERBATIM by the
+    * per-source gate accounting (q_curation_gopher) and the ordered
+    * retention funnel (q_curation_funnel) — divergent copies would let
+    * the two reports silently disagree on what a gate means.
+    */
+  private def gopherFeatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = TA.tokens(col("text"))
+    repCols(Tables.documents(s, dir))
+      .withColumn("n", size(toks).cast("long"))
+      .withColumn("sumlen",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("nstop", TA.nStopwords(toks).cast("long"))
+  }
+  private def failLen = !(col("n") >= 20 && col("n") <= 1000)
+  private def failWordlen = !(col("sumlen") >= col("n") * 2 && col("sumlen") <= col("n") * 10)
+  private def failStop = col("nstop") === 0
+  private def failRep = (col("n5") - col("d5")) * 2 > col("n5")
+  private def failTop = col("top2") * 10 > col("n2") * 3
+  private def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- PII scrubbing ----
@@ -105,19 +131,8 @@ object PipelineQueries {
     // pass/fail accounting. Fractional thresholds are cross-multiplied to
     // integers so pass/fail is exact on both engines.
     "q_curation_gopher" -> ((s, dir) => {
-      val toks = TA.tokens(col("text"))
-      val d = repCols(Tables.documents(s, dir))
-        .withColumn("n", size(toks).cast("long"))
-        .withColumn("sumlen",
-          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
-        .withColumn("nstop", TA.nStopwords(toks).cast("long"))
-      val failLen = !(col("n") >= 20 && col("n") <= 1000)
-      val failWordlen = !(col("sumlen") >= col("n") * 2 && col("sumlen") <= col("n") * 10)
-      val failStop = col("nstop") === 0
-      val failRep = (col("n5") - col("d5")) * 2 > col("n5")
-      val failTop = col("top2") * 10 > col("n2") * 3
+      val d = gopherFeatures(s, dir)
       val pass = !failLen && !failWordlen && !failStop && !failRep && !failTop
-      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         cnt(pass).as("n_pass"),
@@ -126,6 +141,34 @@ object PipelineQueries {
         cnt(failStop).as("n_fail_stop"),
         cnt(failRep).as("n_fail_rep"),
         cnt(failTop).as("n_fail_top"))
+    }),
+
+    // Retention FUNNEL through the same gate cascade, in gate ORDER: per
+    // stage, how many docs entered, survived, and were rejected BY THAT
+    // GATE (attrition attribution — the gopher query counts each gate's
+    // failures independently; the funnel counts them cumulatively, which
+    // is what a pipeline report shows). One pass: all five cumulative
+    // survivor counts are conditional sums inside a single aggregate —
+    // the per-stage rows are unstacked from the one-row result, so the
+    // corpus is scanned once and nothing but six counters moves.
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = gopherFeatures(s, dir)
+      val p1 = !failLen
+      val p2 = p1 && !failWordlen
+      val p3 = p2 && !failStop
+      val p4 = p3 && !failRep
+      val p5 = p4 && !failTop
+      d.agg(count(lit(1)).as("n0"), cnt(p1).as("s1"), cnt(p2).as("s2"),
+          cnt(p3).as("s3"), cnt(p4).as("s4"), cnt(p5).as("s5"))
+        .selectExpr(
+          """stack(5,
+            |  CAST(1 AS BIGINT), 'len',     n0, s1,
+            |  CAST(2 AS BIGINT), 'wordlen', s1, s2,
+            |  CAST(3 AS BIGINT), 'stop',    s2, s3,
+            |  CAST(4 AS BIGINT), 'rep',     s3, s4,
+            |  CAST(5 AS BIGINT), 'top',     s4, s5
+            |) AS (stage, gate, entered, survived)""".stripMargin)
+        .withColumn("rejected", col("entered") - col("survived"))
     }),
 
     // ---- deterministic splits / sampling ----
@@ -165,6 +208,25 @@ object PipelineQueries {
       Sampling.mixReweight(docs, col("grp"), col("doc_id"), MixTargets, salt = "mix")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Token-BUDGET capping per domain — "keep 5000 tokens of group 1":
+    // where q_mix_reweight rebalances RATES, this cuts each group to an
+    // absolute token budget, exactly, in a deterministic hash-priority
+    // order. Scale shape (Sampling.tokenBudgetKeep): one config-scale
+    // (group × bucket) metadata aggregate to the driver, a pure scan
+    // predicate for wholly-kept buckets, and an intra-bucket window over
+    // ONLY the boundary bucket (≈1/buckets of one group) — never a
+    // corpus-wide single-task cumsum. The oracle replays the equivalent
+    // global-window definition.
+    "q_mix_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("grp", expr("CAST(substring(source, 4) AS BIGINT) % 4"))
+        .withColumn("n_tokens", size(TA.tokens(col("text"))).cast("long"))
+      Sampling.tokenBudgetKeep(docs, col("grp"), col("doc_id"), col("n_tokens"),
+          TokenBudgets, buckets = 16, salt = "tb")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
     // ---- sequence packing ----
@@ -528,6 +590,52 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
          |  CAST(sum(CASE WHEN fail_top THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top
          |FROM flags GROUP BY 1""".stripMargin,
+
+    "q_curation_funnel" ->
+      s"""WITH $sqlRepCtes,
+         |feat AS (SELECT d.source, r.n2, r.top2, r.n5, r.d5,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(string_split(d.text, ' '), t -> len(t))) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(string_split(d.text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS nstop
+         |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id),
+         |flags AS (SELECT
+         |    NOT (n >= 20 AND n <= 1000) AS fail_len,
+         |    NOT (sumlen >= n * 2 AND sumlen <= n * 10) AS fail_wordlen,
+         |    nstop = 0 AS fail_stop,
+         |    (n5 - d5) * 2 > n5 AS fail_rep,
+         |    top2 * 10 > n2 * 3 AS fail_top
+         |  FROM feat),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |  CAST(sum(CASE WHEN NOT fail_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(sum(CASE WHEN NOT fail_len AND NOT fail_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |  CAST(sum(CASE WHEN NOT fail_len AND NOT fail_wordlen AND NOT fail_stop
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |  CAST(sum(CASE WHEN NOT fail_len AND NOT fail_wordlen AND NOT fail_stop
+         |            AND NOT fail_rep THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |  CAST(sum(CASE WHEN NOT fail_len AND NOT fail_wordlen AND NOT fail_stop
+         |            AND NOT fail_rep AND NOT fail_top THEN 1 ELSE 0 END) AS BIGINT) AS s5
+         |  FROM flags)
+         |SELECT CAST(1 AS BIGINT) AS stage, 'len' AS gate, n0 AS entered,
+         |       s1 AS survived, n0 - s1 AS rejected FROM s
+         |UNION ALL SELECT 2, 'wordlen', s1, s2, s1 - s2 FROM s
+         |UNION ALL SELECT 3, 'stop', s2, s3, s2 - s3 FROM s
+         |UNION ALL SELECT 4, 'rep', s3, s4, s3 - s4 FROM s
+         |UNION ALL SELECT 5, 'top', s4, s5, s4 - s5 FROM s""".stripMargin,
+
+    "q_mix_token_budget" -> {
+      val values = TokenBudgets.toSeq.sortBy(_._1)
+        .map { case (g, b) => s"(CAST($g AS BIGINT), CAST($b AS BIGINT))" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(substring(source, 4) AS BIGINT) % 4 AS grp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${Sampling.sqlHashBucket("doc_id", 16, "tb")} AS b
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY b, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t),
+         |bud AS (SELECT * FROM (VALUES $values) AS v(grp, budget))
+         |SELECT grp, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c JOIN bud USING (grp) WHERE cum <= budget GROUP BY 1""".stripMargin
+    },
 
     "q_sample_split" ->
       s"""SELECT ${Sampling.sqlSplit("doc_id")} AS split, lang,
