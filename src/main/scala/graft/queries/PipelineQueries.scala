@@ -77,6 +77,12 @@ object PipelineQueries {
     */
   private val TokenBudgets = Map(0L -> 1000000000L, 1L -> 5000L, 2L -> 2500L, 3L -> 1500L)
 
+  /** Cosine threshold for q_dedup_semantic — same dial as the blocked
+    * all-pairs kernel (DocQueries.CosineTau) so the two operators'
+    * outputs are comparable.
+    */
+  private val SemanticTau = 0.44
+
   /** Gopher gate features + flag expressions, shared VERBATIM by the
     * per-source gate accounting (q_curation_gopher) and the ordered
     * retention funnel (q_curation_funnel) — divergent copies would let
@@ -311,6 +317,39 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_members"),
           sum(col("id")).as("id_checksum"),
           sum(col("dist")).as("inertia"))
+    }),
+
+    // SemDeDup-style SEMANTIC dedup: cluster the embedding space (2 Lloyd
+    // rounds, deterministic), then search for near-duplicate pairs ONLY
+    // WITHIN each cell — the scale path for embedding dedup. The blocked
+    // all-pairs kernel (q_dedup_embed_cosine) touches every pair; here
+    // candidate volume is sum over cells of |cell|^2, and k grows with
+    // the corpus so cells stay bounded — the same bucketed-pair posture
+    // as LSH bands. Cosine is computed from exact milli-quantized integer
+    // dot products with an identically-shaped float expression on both
+    // engines (cast, sqrt, multiply, divide — each correctly rounded, so
+    // the tau compare is bit-identical).
+    "q_dedup_semantic" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      val q = em.select(col("vec_id").cast("long").as("id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      val assigned = Similarity.assignWithCentroids(em, "vec_id", "embedding", cents.toSeq)
+        .select(col("id"), col("cell"))
+      val m = q.join(assigned, Seq("id"))
+      def dot(a: org.apache.spark.sql.Column, bc: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, bc, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val a = m.select(col("cell"), col("id").as("i"), col("q").as("qa"))
+      val b = m.select(col("cell"), col("id").as("j"), col("q").as("qb"))
+      val na = dot(col("qa"), col("qa"))
+      val nb = dot(col("qb"), col("qb"))
+      val cos = dot(col("qa"), col("qb")).cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+      a.join(b, a("cell") === b("cell") && col("i") < col("j"))
+        .filter(na > 0L && nb > 0L)
+        .withColumn("c", cos)
+        .filter(col("c") >= SemanticTau)
+        .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
     }),
 
     // The production IVF build: TRAIN centroids (2 Lloyd rounds), then
@@ -712,6 +751,19 @@ object PipelineQueries {
         |FROM q""".stripMargin,
 
     "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64),
+
+    "q_dedup_semantic" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
+         |${sqlKmeansAssign("af", "cents2")},
+         |m AS (SELECT vec_id AS id, q, cid AS cell FROM af),
+         |p AS (SELECT a.id AS i, b.id AS j,
+         |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS c
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE list_dot_product(a.q, a.q) > 0
+         |    AND list_dot_product(b.q, b.q) > 0)
+         |SELECT i, j, round(c, 4) AS cos FROM p WHERE c >= $SemanticTau""".stripMargin,
 
     // streaming IVF maintenance == the batch k-means assignment aggregate
     "q_t10_streaming_ivf" -> sqlKmeans(k = 8, iters = 2, dim = 64),

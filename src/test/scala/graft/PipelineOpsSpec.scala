@@ -280,6 +280,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("survived") === gopherPass)
   }
 
+  test("semantic dedup == all-pairs cosine restricted to shared cells") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val em = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+    val assigned = Similarity.assignWithCentroids(em, "vec_id", "embedding", cents.toSeq)
+    val cellOf = assigned.select("id", "cell").as[(Long, Long)].collect().toMap
+    // unbucketed reference: same quantization, same tau, ALL pairs
+    val q = em.select(col("vec_id").cast("long").as("id"),
+      Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val all = for {
+      (i, qa) <- q; (j, qb) <- q
+      if i < j && dot(qa, qa) > 0 && dot(qb, qb) > 0
+      c = dot(qa, qb).toDouble /
+        (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble))
+      if c >= 0.44
+    } yield (i, j)
+    val expected = all.filter { case (i, j) => cellOf(i) == cellOf(j) }.toSet
+    val got = graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // the bucketing is a real restriction AND a real recall story on this
+    // fixture: some pairs exist, and the within-cell subset is non-empty
+    assert(all.nonEmpty)
+    assert(got.nonEmpty, "fixture should place some near-dup pairs in one cell")
+  }
+
   test("leakage-safe split never splits a near-dup cluster") {
     import graft.ops.Dedup
     import graft.sources.Tables
