@@ -71,4 +71,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_semantic: pair join is keyed on the cell, never cartesian") {
+    val p = plan("q_dedup_semantic")
+    // an equi-join on cell (any strategy) with the i<j residual — a
+    // cartesian would mean the bucketing silently stopped restricting
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+  }
+
+  test("q_split_leakage_safe: cluster labels broadcast, no corpus shuffle join") {
+    val p = plan("q_split_leakage_safe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_mix_token_budget: window sits only on the boundary-bucket subset") {
+    val p = plan("q_mix_token_budget")
+    // the intra-bucket cumsum window partitions by the group key
+    assert(p.contains("windowspecdefinition(grp") ||
+      "Window .*\\[grp".r.findFirstIn(p).isDefined, p)
+    // and no global sort anywhere (a corpus-wide rank would rangepartition)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }
