@@ -84,14 +84,19 @@ object Recall {
       .filter(col("i") < col("j") && naC > 0L && nbC > 0L && cosC >= semTau)
       .select(col("i"), col("j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val semRows = Seq(4, 8, 16, 32).map { kc =>
+    val semRows = Seq(4, 8, 16, 32).flatMap { kc =>
       val c = Similarity.kmeansTrain(em, "vec_id", "embedding", kc, iters = 2)
-      val cellOf = Similarity.assignWithCentroids(em, "vec_id", "embedding", c.toSeq)
-        .select(col("id"), col("cell"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val caught = allDupPairs.count { case (i, j) => cellOf(i) == cellOf(j) }
-      CacheRegistry.drain()
-      (kc, caught, allDupPairs.size)
+      Seq(1, 2).map { p =>
+        val cellsOf = Similarity
+          .assignWithCentroidsTopP(em, "vec_id", "embedding", c.toSeq, p)
+          .select(col("id"), col("cell"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+        val caught = allDupPairs.count { case (i, j) =>
+          cellsOf(i).exists(cellsOf(j)) }
+        CacheRegistry.drain()
+        (kc, p, caught, allDupPairs.size)
+      }
     }
 
     val sb = new StringBuilder
@@ -108,19 +113,23 @@ object Recall {
       "LSH trades bucket width (fewer hyperplanes = bigger buckets) for " +
       "recall. All variants join on bucket/cell keys — never all-pairs — " +
       "so candidate volume, not corpus size, is the cost driver.\n")
-    sb.append("\n## Semantic-dedup pair recall (q_dedup_semantic's k dial)\n\n")
+    sb.append("\n## Semantic-dedup pair recall (q_dedup_semantic's k and probe dials)\n\n")
     sb.append(s"Ground truth: all near-dup pairs at milli-quantized cosine >= " +
-      s"$semTau (${semRows.head._3} pairs on this corpus). The bucketed " +
-      "operator sees only intra-cell pairs; k trades candidate volume " +
-      "(~corpus²/k before the tau cut) for pair recall:\n\n")
-    sb.append("| k (cells) | intra-cell dup pairs | pair recall |\n|---|---|---|\n")
-    semRows.foreach { case (kc, caught, total) =>
-      sb.append(f"| $kc | $caught/$total | ${caught.toDouble / total}%.3f |\n")
+      s"$semTau (${semRows.head._4} pairs on this corpus). The bucketed " +
+      "operator sees only pairs whose probe sets intersect; k trades " +
+      "candidate volume (~corpus²/k per probe before the tau cut) for " +
+      "pair recall, and multi-probe (each vector indexed into its p " +
+      "nearest cells — q_dedup_semantic_probe2) buys recall back at ~p× " +
+      "candidates:\n\n")
+    sb.append("| k (cells) | probes | caught dup pairs | pair recall |\n|---|---|---|---|\n")
+    semRows.foreach { case (kc, p, caught, total) =>
+      sb.append(f"| $kc | $p | $caught/$total | ${caught.toDouble / total}%.3f |\n")
     }
     sb.append("\nAt 100 TB, k grows with the corpus to keep cells bounded; " +
       "this table is the measured recall cost of that bucketing on the " +
       "fixture (SemDeDup-style pipelines accept <1.0 pair recall as the " +
-      "price of escaping the corpus-squared kernel).\n")
+      "price of escaping the corpus-squared kernel; probes is the cheap " +
+      "recall dial at fixed k).\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(sb.toString)
     spark.stop()

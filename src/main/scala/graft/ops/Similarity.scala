@@ -421,22 +421,43 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment: argmin over k centroids via array_min on
-    * (dist, cid) structs — lexicographic struct ordering gives min
-    * distance, ties to the lowest centroid id.
+  /** (dist, cid) struct candidates vs every centroid — the shared kernel
+    * of single and multi-probe assignment. Lexicographic struct ordering
+    * = min distance, ties to the lowest centroid id.
     */
-  private def assignCells(q: DataFrame,
-                          cents: Array[(Long, Array[Long])]): DataFrame = {
-    val candidates = array(cents.toIndexedSeq.map { case (cid, cv) =>
+  private def centroidCandidates(cents: Array[(Long, Array[Long])]): Column =
+    array(cents.toIndexedSeq.map { case (cid, cv) =>
       val carr = typedLit(cv.toSeq)
       struct(
         aggregate(zip_with(col("q"), carr, (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x).as("dist"),
         lit(cid).as("cid"))
     }: _*)
-    q.withColumn("best", array_min(candidates))
+
+  /** Nearest-centroid assignment (argmin via array_min on the candidate
+    * structs).
+    */
+  private def assignCells(q: DataFrame,
+                          cents: Array[(Long, Array[Long])]): DataFrame =
+    q.withColumn("best", array_min(centroidCandidates(cents)))
       .select(col("id"), col("q"),
         col("best.cid").as("cell"), col("best.dist").as("dist"))
+
+  /** MULTI-PROBE assignment: each vector lands in its `p` nearest cells —
+    * the IVF-nprobe idea applied to the indexing side. A bucketed pair
+    * operator over this assignment sees any pair sharing AT LEAST ONE of
+    * the p cells, trading ~p× candidate volume for pair recall (measured
+    * in RECALL.md). One row per (vector, probed cell); stateless per row,
+    * centroids ride as a broadcast literal exactly like the top-1 path.
+    */
+  def assignWithCentroidsTopP(em: DataFrame, idCol: String, embCol: String,
+                              cents: Seq[(Long, Array[Long])], p: Int): DataFrame = {
+    require(p >= 1 && p <= cents.length, s"p=$p out of range 1..${cents.length}")
+    val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
+    q.withColumn("probe",
+        explode(slice(array_sort(centroidCandidates(cents.toArray)), 1, p)))
+      .select(col("id"), col("q"),
+        col("probe.cid").as("cell"), col("probe.dist").as("dist"))
   }
 
   /** `iters` Lloyd rounds seeded from the k lowest-id vectors. */

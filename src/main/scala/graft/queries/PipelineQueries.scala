@@ -83,6 +83,35 @@ object PipelineQueries {
     */
   private val SemanticTau = 0.44
 
+  /** Shared kernel of q_dedup_semantic / q_dedup_semantic_probe2: Lloyd
+    * cells (k=8, 2 iters, deterministic), each vector indexed into its
+    * `probes` nearest cells, cosine pairs computed ONLY where probe sets
+    * intersect. Cosine is exact-integer dots under an identically-shaped
+    * float expression on both engines, so the tau compare and the
+    * multi-probe distinct are bit-stable.
+    */
+  private def semanticPairs(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val em = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+    val m = Similarity.assignWithCentroidsTopP(em, "vec_id", "embedding",
+      cents.toSeq, probes)
+    def dot(a: org.apache.spark.sql.Column, bc: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, bc, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val a = m.select(col("cell"), col("id").as("i"), col("q").as("qa"))
+    val b = m.select(col("cell"), col("id").as("j"), col("q").as("qb"))
+    val na = dot(col("qa"), col("qa"))
+    val nb = dot(col("qb"), col("qb"))
+    val cos = dot(col("qa"), col("qb")).cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    val pairs = a.join(b, a("cell") === b("cell") && col("i") < col("j"))
+      .filter(na > 0L && nb > 0L)
+      .withColumn("c", cos)
+      .filter(col("c") >= SemanticTau)
+      .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
+    // p=1: a pair can share at most one cell — no dedup pass needed
+    if (probes == 1) pairs else pairs.distinct()
+  }
+
   /** Gopher gate features + flag expressions, shared VERBATIM by the
     * per-source gate accounting (q_curation_gopher) and the ordered
     * retention funnel (q_curation_funnel) — divergent copies would let
@@ -329,28 +358,16 @@ object PipelineQueries {
     // dot products with an identically-shaped float expression on both
     // engines (cast, sqrt, multiply, divide — each correctly rounded, so
     // the tau compare is bit-identical).
-    "q_dedup_semantic" -> ((s, dir) => {
-      val em = Tables.embeddings(s, dir)
-      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
-      val q = em.select(col("vec_id").cast("long").as("id"),
-        Similarity.quantize(col("embedding")).as("q"))
-      val assigned = Similarity.assignWithCentroids(em, "vec_id", "embedding", cents.toSeq)
-        .select(col("id"), col("cell"))
-      val m = q.join(assigned, Seq("id"))
-      def dot(a: org.apache.spark.sql.Column, bc: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, bc, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      val a = m.select(col("cell"), col("id").as("i"), col("q").as("qa"))
-      val b = m.select(col("cell"), col("id").as("j"), col("q").as("qb"))
-      val na = dot(col("qa"), col("qa"))
-      val nb = dot(col("qb"), col("qb"))
-      val cos = dot(col("qa"), col("qb")).cast("double") /
-        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-      a.join(b, a("cell") === b("cell") && col("i") < col("j"))
-        .filter(na > 0L && nb > 0L)
-        .withColumn("c", cos)
-        .filter(col("c") >= SemanticTau)
-        .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
-    }),
+    "q_dedup_semantic" -> ((s, dir) => semanticPairs(s, dir, probes = 1)),
+
+    // MULTI-PROBE semantic dedup: each vector indexes into its TWO
+    // nearest cells (the IVF-nprobe idea applied to the indexing side) —
+    // a pair is a candidate if the probe sets intersect. ~2× candidate
+    // volume buys back a large slice of the pair recall the k=8
+    // bucketing gives up (measured in RECALL.md); pairs matched in both
+    // shared cells are collapsed by a distinct over the (exact, so
+    // bit-stable) output row.
+    "q_dedup_semantic_probe2" -> ((s, dir) => semanticPairs(s, dir, probes = 2)),
 
     // The production IVF build: TRAIN centroids (2 Lloyd rounds), then
     // index + probe with them — k-means feeding ivfTopK end-to-end.
@@ -757,6 +774,24 @@ object PipelineQueries {
          |${sqlKmeansAssign("af", "cents2")},
          |m AS (SELECT vec_id AS id, q, cid AS cell FROM af),
          |p AS (SELECT a.id AS i, b.id AS j,
+         |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS c
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE list_dot_product(a.q, a.q) > 0
+         |    AND list_dot_product(b.q, b.q) > 0)
+         |SELECT i, j, round(c, 4) AS cos FROM p WHERE c >= $SemanticTau""".stripMargin,
+
+    "q_dedup_semantic_probe2" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
+         |m AS (SELECT vec_id AS id, q, cid AS cell FROM (
+         |  SELECT vec_id, q, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.q, c.cid,
+         |          CAST(list_dot_product(e.q, e.q) - 2*list_dot_product(e.q, c.q)
+         |               + list_dot_product(c.q, c.q) AS BIGINT) AS dist
+         |        FROM em e CROSS JOIN cents2 c)) WHERE rn <= 2),
+         |p AS (SELECT DISTINCT a.id AS i, b.id AS j,
          |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
          |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
          |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS c

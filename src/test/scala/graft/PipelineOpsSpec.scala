@@ -311,6 +311,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should place some near-dup pairs in one cell")
   }
 
+  test("multi-probe semantic dedup: == ground truth restricted to intersecting probe sets") {
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val em = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+    val cellsOf = Similarity
+      .assignWithCentroidsTopP(em, "vec_id", "embedding", cents.toSeq, p = 2)
+      .select("id", "cell").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val q = em.select(col("vec_id").cast("long").as("id"),
+      Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val all = (for {
+      (i, qa) <- q; (j, qb) <- q
+      if i < j && dot(qa, qa) > 0 && dot(qb, qb) > 0
+      c = dot(qa, qb).toDouble /
+        (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble))
+      if c >= 0.44
+    } yield (i, j)).toSet
+    val expected = all.filter { case (i, j) => cellsOf(i).exists(cellsOf(j)) }
+    val got2 = graft.SparkEntry.queries("q_dedup_semantic_probe2")(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val got1 = graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got2 === expected)
+    assert(got1.subsetOf(got2), "top-1 pairs must survive multi-probe")
+    assert(got2.subsetOf(all), "bucketing must never fabricate a pair")
+  }
+
   test("leakage-safe split never splits a near-dup cluster") {
     import graft.ops.Dedup
     import graft.sources.Tables
