@@ -95,18 +95,42 @@ object PipelineQueries {
     val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
     val m = Similarity.assignWithCentroidsTopP(em, "vec_id", "embedding",
       cents.toSeq, probes)
-    def dot(a: org.apache.spark.sql.Column, bc: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, bc, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val a = m.select(col("cell"), col("id").as("i"), col("q").as("qa"))
-    val b = m.select(col("cell"), col("id").as("j"), col("q").as("qb"))
-    val na = dot(col("qa"), col("qa"))
-    val nb = dot(col("qb"), col("qb"))
-    val cos = dot(col("qa"), col("qb")).cast("double") /
-      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-    val pairs = a.join(b, a("cell") === b("cell") && col("i") < col("j"))
-      .filter(na > 0L && nb > 0L)
-      .withColumn("c", cos)
-      .filter(col("c") >= SemanticTau)
+    // Per-VECTOR norm once, before the pair join (N×probes rows) — inside
+    // the pair kernel it would be recomputed per candidate. The pair dot
+    // product itself is ONE Row-typed mapPartitions pass: the Column-HOF
+    // form (aggregate over zip_with) evaluates interpreted and every
+    // reference re-evaluates it (the round-4 Generate/CollapseProject
+    // lesson — measured 15 s/51 s at sf0.1 for probe 1/2; typed kernel
+    // ~20× less). Float shape (cast, sqrt, multiply, divide — each
+    // correctly rounded) matches the oracle expression exactly.
+    val withNorm = m.withColumn("nrm",
+      aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+    val a = withNorm.select(col("cell"), col("id").as("i"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = withNorm.select(col("cell"), col("id").as("j"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val joined = a.join(b, a("cell") === b("cell") && col("i") < col("j"))
+      .filter(col("na") > 0L && col("nb") > 0L)
+      .select("i", "j", "qa", "qb", "na", "nb")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.DoubleType)))
+    val tau = SemanticTau
+    val pairs = joined.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val qa = r.getSeq[Long](2)
+        val qb = r.getSeq[Long](3)
+        var dot = 0L
+        var k = 0
+        val n = qa.length
+        while (k < n) { dot += qa(k) * qb(k); k += 1 }
+        val c = dot.toDouble /
+          (math.sqrt(r.getLong(4).toDouble) * math.sqrt(r.getLong(5).toDouble))
+        if (c >= tau) Iterator.single(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), c))
+        else Iterator.empty
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
     // p=1: a pair can share at most one cell — no dedup pass needed
     if (probes == 1) pairs else pairs.distinct()
