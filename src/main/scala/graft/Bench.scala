@@ -14,7 +14,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q_a1_hourly_rollup", "q_allowed_inbound", "q_s1_dsv2",
     "q_dedup_minhash_lsh", "q_dedup_jaccard", "q_dedup_clusters",
-    "q_dedup_substring", "q_dedup_exact", "q_pipeline_e2e",
+    "q_dedup_substring", "q_dedup_exact", "q_dedup_semantic", "q_pipeline_e2e",
     "q_sim_topk", "q_sim_ivf_trained", "q_emb_kmeans",
     "q_txt_bpe_train", "q_txt_boilerplate", "q_decontaminate",
     "q_join_bloom", "q_agg_hll_registers", "q_window_range_1h",
