@@ -83,6 +83,12 @@ object PipelineQueries {
     */
   private val SemanticTau = 0.44
 
+  /** Per-group row counts for q_sample_fixed_n: one group asks for more
+    * rows than it has at small fixtures (kept whole — the budget is an
+    * upper bound), the rest cut exactly.
+    */
+  private val FixedNTargets = Map(0L -> 1000000L, 1L -> 40L, 2L -> 25L, 3L -> 10L)
+
   /** Shared kernel of q_dedup_semantic / q_dedup_semantic_probe2: Lloyd
     * cells (k=8, 2 iters, deterministic), each vector indexed into its
     * `probes` nearest cells, cosine pairs computed ONLY where probe sets
@@ -286,6 +292,23 @@ object PipelineQueries {
           TokenBudgets, buckets = 16, salt = "tb")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // Exact fixed-N-per-group sampling — "exactly 40 eval docs per
+    // domain, deterministically": tokenBudgetKeep with UNIT weights, so
+    // the budget IS the row count. Same scale shape (metadata aggregate +
+    // boundary-bucket window, no per-group single-task rank); the output
+    // pins both the exact count and the md5 fingerprint of the chosen id
+    // set, so the oracle verifies WHICH docs were picked, not just how
+    // many.
+    "q_sample_fixed_n" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("grp", expr("CAST(substring(source, 4) AS BIGINT) % 4"))
+      Sampling.tokenBudgetKeep(docs, col("grp"), col("doc_id"), lit(1L),
+          FixedNTargets, buckets = 16, salt = "fn")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_fp"))
     }),
 
     // ---- sequence packing ----
@@ -715,6 +738,21 @@ object PipelineQueries {
          |bud AS (SELECT * FROM (VALUES $values) AS v(grp, budget))
          |SELECT grp, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c JOIN bud USING (grp) WHERE cum <= budget GROUP BY 1""".stripMargin
+    },
+
+    "q_sample_fixed_n" -> {
+      val values = FixedNTargets.toSeq.sortBy(_._1)
+        .map { case (g, n) => s"(CAST($g AS BIGINT), CAST($n AS BIGINT))" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(substring(source, 4) AS BIGINT) % 4 AS grp,
+         |    ${Sampling.sqlHashBucket("doc_id", 16, "fn")} AS b
+         |  FROM documents),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY b, doc_id) AS rn
+         |  FROM t),
+         |tgt AS (SELECT * FROM (VALUES $values) AS v(grp, n))
+         |SELECT grp, count(*) AS n_kept,
+         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_fp
+         |FROM c JOIN tgt USING (grp) WHERE rn <= n GROUP BY 1""".stripMargin
     },
 
     "q_sample_split" ->

@@ -311,6 +311,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should place some near-dup pairs in one cell")
   }
 
+  test("fixed-N sampling: exact counts, capped groups cut, small groups whole") {
+    val rows = graft.SparkEntry.queries("q_sample_fixed_n")(
+        spark, "/root/testdata/sf0.01")
+      .select("grp", "n_kept").as[(Long, Long)].collect().toMap
+    // capped groups keep EXACTLY their target
+    assert(rows(1L) === 40L && rows(2L) === 25L && rows(3L) === 10L, rows.toString)
+    // the uncapped group keeps everything it has
+    val g0 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(expr("CAST(substring(source, 4) AS BIGINT) % 4 = 0")).count()
+    assert(rows(0L) === g0)
+  }
+
   test("multi-probe semantic dedup: == ground truth restricted to intersecting probe sets") {
     import graft.ops.Similarity
     import graft.sources.Tables
