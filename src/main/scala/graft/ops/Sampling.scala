@@ -110,7 +110,10 @@ object Sampling {
     * never sees more than that.
     *
     * Selection is identical to the global-window definition, which is
-    * what the DuckDB oracle replays (`ORDER BY bucket, key`).
+    * what the DuckDB oracle replays (`ORDER BY bucket, key`). `key` must
+    * be UNIQUE within each group (it is the deterministic priority
+    * order): the cumsum runs over a ROWS frame, and ties would make the
+    * kept prefix engine-arbitrary.
     */
   def tokenBudgetKeep(df: org.apache.spark.sql.DataFrame, grp: Column, key: Column,
                       tokens: Column, budgets: Map[Long, Long],
@@ -144,8 +147,16 @@ object Sampling {
       case (els, (g, (_, r))) => when(grp === lit(g), lit(r)).otherwise(els)
     }
     val wholly = df.filter(b < bstarCol)
+    // ROWS frame, not the default RANGE: RANGE peer-sums duplicate keys,
+    // so a tie group straddling the budget would be dropped wholesale
+    // where the ROWS/row_number oracle keeps a prefix. Selection among
+    // EQUAL keys is engine-arbitrary either way — `key` must be unique
+    // per group (doc_id here), which the deterministic priority order
+    // already requires.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(grp).orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val boundary = df.filter(b === bstarCol)
       .withColumn("__cum", sum(tokens).over(w))
       .filter(col("__cum") <= remCol)

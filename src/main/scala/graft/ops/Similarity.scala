@@ -460,6 +460,113 @@ object Similarity {
         col("probe.cid").as("cell"), col("probe.dist").as("dist"))
   }
 
+  /** Default cap on one cell's pair expansion in [[cellPairsCapped]] —
+    * same bound, same rationale, and same value as
+    * [[Dedup.DefaultMaxBucket]]: an intra-cell all-pairs join is the one
+    * place the cell design goes quadratic, and a single dominant embedding
+    * cluster (boilerplate corpus, adversarial near-identical vectors) puts
+    * a data-sized cell under it. Above the cap a cell contributes a
+    * sorted-adjacent chain — O(size) candidates — instead of O(size²).
+    */
+  val DefaultMaxCell: Int = 4096
+
+  /** Cell count for the SemDeDup-family semantic dedup, derived from the
+    * corpus vector count: cube-root rule clamped to [8, 1024]. The shape
+    * of the trade: more cells → fewer intra-cell candidates (Σ|cell|²
+    * shrinks ~1/k for balanced cells) but a wider per-row argmin (the
+    * centroids ride as a k-way broadcast literal, so k is a PLAN cost,
+    * not just a training cost) and a bigger driver-held centroid set.
+    * cbrt grows k slowly enough that the argmin expression stays codegen-
+    * friendly to ~10⁹ vectors, and the 1024 ceiling keeps the broadcast
+    * literal bounded past that — beyond the ceiling, per-cell candidate
+    * volume is bounded by the [[cellPairsCapped]] chain cap, not by k.
+    * At the 500-vector verify fixture this derives exactly 8, which the
+    * DuckDB oracles pin (a fixture-size drift trips SemanticDedupSpec,
+    * not a silent oracle mismatch).
+    */
+  def deriveK(nVectors: Long): Int =
+    math.max(8, math.min(1024, math.round(math.cbrt(nVectors.toDouble)).toInt))
+
+  /** Max sign bits used to split a hot cell in [[cellPairsCapped]]:
+    * 2^16 subcells bounds the split fan-out, and the probed dimensions
+    * (1 + 4·i, i < 16 — spread across a 64-dim embedding) stay inside
+    * the vector.
+    */
+  val MaxSplitBits: Int = 16
+
+  /** Intra-cell candidate pairs with a hot-cell cap — the cell analog of
+    * the LSH band-bucket bound in `Dedup.lshCandidatesImpl`, made
+    * SPATIAL. Input: one row per (cell, id, q, nrm) assignment
+    * (multi-probe assignments contribute one row per probed cell);
+    * output: (i, j, qa, qb, na, nb) candidate pairs carrying both
+    * vectors, i < j within every pair.
+    *
+    * Cells at or under `maxCell` are all-paired (exact). A hotter cell is
+    * NOT id-chained directly — a k-means cell is a Voronoi region, not a
+    * near-identical-signature bucket, so an id-order chain on diverse
+    * content loses nearly every true pair (measured in RECALL.md: 0.005
+    * direct recall at a forced cap). Instead the hot cell sign-splits:
+    * members are re-bucketed by ceil(log2(size/maxCell)) sign bits of
+    * spread-out dimensions (the sign-LSH family — neighbors in cosine
+    * space agree on most signs), and subcells at or under the cap are
+    * all-paired. A subcell STILL over the cap after splitting is, with
+    * near-certainty, near-identical content (identical vectors share
+    * every sign bit and never split) — exactly the case where the
+    * sorted-adjacent chain id₁-id₂, id₂-id₃ … preserves the group:
+    * every adjacent pair clears τ and transitive clustering merges the
+    * whole subcell, the recall trade `Dedup.DefaultMaxBucket` documents.
+    *
+    * Candidate bound per hot cell of size s: ≤ 2^bits ≈ s/maxCell
+    * all-paired subcells of ≤ maxCell² pairs each, plus O(s) chain links
+    * → O(s · maxCell) — the same O(corpus × cap) worst case as the LSH
+    * band path, one dominant embedding cluster included. The hot-cell
+    * and hot-subcell key sets are each at most corpus/maxCell keys —
+    * aggregated and broadcast, so the no-hot-cell case costs one
+    * metadata-sized aggregate.
+    */
+  def cellPairsCapped(m: DataFrame, maxCell: Int = DefaultMaxCell): DataFrame = {
+    def allPairsWithin(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = df.select(keys.map(k => col(k).as(s"${k}_a")) ++
+        Seq(col("id").as("i"), col("q").as("qa"), col("nrm").as("na")): _*)
+      val b = df.select(keys.map(k => col(k).as(s"${k}_b")) ++
+        Seq(col("id").as("j"), col("q").as("qb"), col("nrm").as("nb")): _*)
+      val cond = keys.map(k => col(s"${k}_a") === col(s"${k}_b"))
+        .reduce(_ && _) && col("i") < col("j")
+      a.join(b, cond).select("i", "j", "qa", "qb", "na", "nb")
+    }
+    val hot = m.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCell)
+    val normal = m.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+    val paired = allPairsWithin(normal, Seq("cell"))
+    // hot path: sign-split by enough bits to target subcells ≤ maxCell
+    val bits = least(lit(MaxSplitBits),
+      ceil(log(2.0, col("csz").cast("double") / maxCell))).cast("int")
+    // try_element_at: a probed dimension past the vector's length
+    // contributes a zero bit instead of an ANSI out-of-bounds error
+    val subcell = (0 until MaxSplitBits).map { i =>
+      when(lit(i) < col("__bits") &&
+        try_element_at(col("q"), lit(1 + 4 * i)) >= 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hotRows = m.join(broadcast(hot), Seq("cell"))
+      .withColumn("__bits", bits)
+      .withColumn("subcell", subcell)
+    val hotSub = hotRows.groupBy("cell", "subcell")
+      .agg(count(lit(1)).as("ssz")).filter(col("ssz") > maxCell)
+      .select("cell", "subcell")
+    val subPaired = allPairsWithin(
+      hotRows.join(broadcast(hotSub), Seq("cell", "subcell"), "left_anti"),
+      Seq("cell", "subcell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell", "subcell").orderBy("id")
+    val chained = hotRows.join(broadcast(hotSub), Seq("cell", "subcell"), "left_semi")
+      .withColumn("__prev", lag(struct(col("id"), col("q"), col("nrm")), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev.id").as("i"), col("id").as("j"),
+        col("__prev.q").as("qa"), col("q").as("qb"),
+        col("__prev.nrm").as("na"), col("nrm").as("nb"))
+    paired.union(subPaired).union(chained)
+  }
+
   /** `iters` Lloyd rounds seeded from the k lowest-id vectors. */
   private def lloydLoop(q: DataFrame, k: Int, iters: Int,
                         dim: Int): Array[(Long, Array[Long])] = {

@@ -228,7 +228,20 @@ object EventQueries {
     * round-trips the data exactly, under the driver's DuckDB gate.
     */
   private val pushParityPaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def pushedEvents(s: SparkSession, dir: String): String =
+  private def pushedEvents(s: SparkSession, dir: String): String = {
+    // Cached per sfDir, but VALIDATED on every reuse: the landing lives in
+    // the system temp dir, and a reused session (the bench's retry pass —
+    // the r7 tail's q_s9 analysis stack) can find the cached path emptied
+    // underneath it, turning the downstream `*.gz` glob into an
+    // analysis-time throw. A stale entry is dropped and rebuilt — the
+    // query is idempotent at every sf instead of trusting temp-dir
+    // lifetime.
+    def hasPayload(p: String) = {
+      val d = new java.io.File(p)
+      d.isDirectory &&
+        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".gz")))
+    }
+    pushParityPaths.get(dir).filterNot(hasPayload).foreach(_ => pushParityPaths.remove(dir))
     pushParityPaths.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_push_parity_").toString
       val transport: graft.streaming.HttpPushSink.Transport = (batchId, pid, payload) => {
@@ -240,6 +253,7 @@ object EventQueries {
       graft.streaming.HttpPushSink.pushBatch(ev, batchId = 0L, transport)
       out
     })
+  }
 
   /** STREAMING SESSIONS PARITY — the `flatMapGroupsWithState` sessionizer
     * driven to EXACT batch equality. Two levers make that possible:

@@ -90,34 +90,42 @@ object PipelineQueries {
   private val FixedNTargets = Map(0L -> 1000000L, 1L -> 40L, 2L -> 25L, 3L -> 10L)
 
   /** Shared kernel of q_dedup_semantic / q_dedup_semantic_probe2: Lloyd
-    * cells (k=8, 2 iters, deterministic), each vector indexed into its
-    * `probes` nearest cells, cosine pairs computed ONLY where probe sets
-    * intersect. Cosine is exact-integer dots under an identically-shaped
-    * float expression on both engines, so the tau compare and the
-    * multi-probe distinct are bit-stable.
+    * cells (k auto-derived from the corpus count — `Similarity.deriveK`,
+    * = 8 at the 500-vector fixtures the oracles pin; 2 iters,
+    * deterministic), each vector indexed into its `probes` nearest cells,
+    * cosine pairs computed ONLY where probe sets intersect, hot cells
+    * chain-capped (`Similarity.cellPairsCapped`) so one dominant cluster
+    * contributes O(size) candidates, never O(size²). Cosine is
+    * exact-integer dots under an identically-shaped float expression on
+    * both engines, so the tau compare and the multi-probe distinct are
+    * bit-stable.
     */
   private def semanticPairs(s: SparkSession, dir: String, probes: Int): DataFrame = {
     val em = Tables.embeddings(s, dir)
-    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+    // column-pruned count (reads parquet row counts, no data pages) —
+    // the same config-scale stats read cosinePairsBlocked's auto-derive
+    // does; k then scales with the corpus instead of pinning the fixture
+    val k = Similarity.deriveK(em.count())
+    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = k, iters = 2)
     val m = Similarity.assignWithCentroidsTopP(em, "vec_id", "embedding",
       cents.toSeq, probes)
     // Per-VECTOR norm once, before the pair join (N×probes rows) — inside
-    // the pair kernel it would be recomputed per candidate. The pair dot
-    // product itself is ONE Row-typed mapPartitions pass: the Column-HOF
-    // form (aggregate over zip_with) evaluates interpreted and every
-    // reference re-evaluates it (the round-4 Generate/CollapseProject
-    // lesson — measured 15 s/51 s at sf0.1 for probe 1/2; typed kernel
-    // ~20× less). Float shape (cast, sqrt, multiply, divide — each
-    // correctly rounded) matches the oracle expression exactly.
+    // the pair kernel it would be recomputed per candidate. Zero-norm
+    // vectors can never clear τ (cosine undefined) and are dropped BEFORE
+    // pairing, which both prunes them from chain membership and keeps the
+    // all-pairs path identical to the post-join na/nb>0 filter it had.
+    // The pair dot product itself is ONE Row-typed mapPartitions pass:
+    // the Column-HOF form (aggregate over zip_with) evaluates interpreted
+    // and every reference re-evaluates it (the round-4
+    // Generate/CollapseProject lesson — measured 15 s/51 s at sf0.1 for
+    // probe 1/2; typed kernel ~20× less). Float shape (cast, sqrt,
+    // multiply, divide — each correctly rounded) matches the oracle
+    // expression exactly.
     val withNorm = m.withColumn("nrm",
-      aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
-    val a = withNorm.select(col("cell"), col("id").as("i"),
-      col("q").as("qa"), col("nrm").as("na"))
-    val b = withNorm.select(col("cell"), col("id").as("j"),
-      col("q").as("qb"), col("nrm").as("nb"))
-    val joined = a.join(b, a("cell") === b("cell") && col("i") < col("j"))
-      .filter(col("na") > 0L && col("nb") > 0L)
-      .select("i", "j", "qa", "qb", "na", "nb")
+        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .filter(col("nrm") > 0L)
+    val joined = Similarity.cellPairsCapped(
+      withNorm.select("cell", "id", "q", "nrm"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType),
@@ -396,21 +404,23 @@ object PipelineQueries {
     }),
 
     // SemDeDup-style SEMANTIC dedup: cluster the embedding space (2 Lloyd
-    // rounds, deterministic), then search for near-duplicate pairs ONLY
-    // WITHIN each cell — the scale path for embedding dedup. The blocked
-    // all-pairs kernel (q_dedup_embed_cosine) touches every pair; here
-    // candidate volume is sum over cells of |cell|^2, and k grows with
-    // the corpus so cells stay bounded — the same bucketed-pair posture
-    // as LSH bands. Cosine is computed from exact milli-quantized integer
-    // dot products with an identically-shaped float expression on both
-    // engines (cast, sqrt, multiply, divide — each correctly rounded, so
-    // the tau compare is bit-identical).
+    // rounds, deterministic, k auto-derived from the corpus count), then
+    // search for near-duplicate pairs ONLY WITHIN each cell — the scale
+    // path for embedding dedup. The blocked all-pairs kernel
+    // (q_dedup_embed_cosine) touches every pair; here candidate volume is
+    // sum over cells of |cell|^2 with k growing with the corpus AND any
+    // hot cell chain-capped at Similarity.DefaultMaxCell — the same
+    // bucketed-pair posture and worst-case bound as LSH bands. Cosine is
+    // computed from exact milli-quantized integer dot products with an
+    // identically-shaped float expression on both engines (cast, sqrt,
+    // multiply, divide — each correctly rounded, so the tau compare is
+    // bit-identical).
     "q_dedup_semantic" -> ((s, dir) => semanticPairs(s, dir, probes = 1)),
 
     // MULTI-PROBE semantic dedup: each vector indexes into its TWO
     // nearest cells (the IVF-nprobe idea applied to the indexing side) —
     // a pair is a candidate if the probe sets intersect. ~2× candidate
-    // volume buys back a large slice of the pair recall the k=8
+    // volume buys back a large slice of the pair recall the cell
     // bucketing gives up (measured in RECALL.md); pairs matched in both
     // shared cells are collapsed by a distinct over the (exact, so
     // bit-stable) output row.
@@ -831,6 +841,12 @@ object PipelineQueries {
 
     "q_emb_kmeans" -> sqlKmeans(k = 8, iters = 2, dim = 64),
 
+    // k=8 here IS Similarity.deriveK(500) at the 500-vector verify
+    // fixture; the Scala side derives k from the corpus count at runtime.
+    // SemanticDedupSpec pins the equality so a fixture-size drift fails
+    // loudly there instead of hash-mismatching here. Cells at the fixture
+    // are far below DefaultMaxCell, so the uncapped all-pairs SQL below
+    // still matches the capped Scala plan exactly.
     "q_dedup_semantic" ->
       s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
          |${sqlKmeansAssign("af", "cents2")},

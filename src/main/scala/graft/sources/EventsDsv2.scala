@@ -150,7 +150,24 @@ object EventsApi {
           }
         }
       }
+    // Generation marker, bumped on EVERY stats write (driver-side, one
+    // tiny file): the readStats cache fingerprints the listing PLUS this
+    // marker, so a rewrite producing identical names/sizes within one
+    // mtime tick still invalidates. UUID, not a timestamp — immune to
+    // clock granularity entirely.
+    val fs = new org.apache.hadoop.fs.Path(statsDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val markerStream = fs.create(
+      new org.apache.hadoop.fs.Path(statsDir, GenMarker), true)
+    try markerStream.write(
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally markerStream.close()
   }
+
+  /** Name of the stats-generation marker sidecar (not a `.json` slice
+    * stat; excluded from the stats listing by the extension filter).
+    */
+  private[graft] val GenMarker = "_gen"
 
   /** Slice stats: file name -> (rowCount, numeric col -> [lo, hi]). Range
     * endpoints keep the column's own type (a Long column's bounds as
@@ -169,10 +186,16 @@ object EventsApi {
     * and every Scan build calls it — repeated scans of the same landing
     * were re-planning that job each query (judge r6 #8). The generation
     * fingerprint is one cheap driver-side FS listing of the sidecar dir
-    * (names + mtimes + lengths), so a REWRITTEN landing still invalidates.
+    * (names + mtimes + lengths) PLUS the [[GenMarker]] UUID writeStats
+    * bumps on every write — so a rewrite producing identical names and
+    * sizes within one mtime tick still invalidates (a listing-only
+    * fingerprint could not see it). Bounded: one session touches a
+    * handful of landings, so past [[StatsCacheMax]] entries the cache is
+    * simply cleared (refilling is one small job per live landing).
     */
   private val statsCache =
     TrieMap.empty[String, (String, Map[String, SliceStats])]
+  private val StatsCacheMax = 64
 
   def readStats(path: String): Map[String, SliceStats] = {
     val spark = SparkSession.active
@@ -180,7 +203,15 @@ object EventsApi {
     val fs = statsDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(statsDir)) Map.empty
     else {
-      val gen = fs.listStatus(statsDir)
+      val marker = {
+        val p = new org.apache.hadoop.fs.Path(statsDir, GenMarker)
+        if (!fs.exists(p)) ""
+        else {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+      }
+      val gen = marker + "|" + fs.listStatus(statsDir)
         .filter(_.getPath.getName.endsWith(".json"))
         .sortBy(_.getPath.getName)
         .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
@@ -189,6 +220,7 @@ object EventsApi {
         case Some((g, cached)) if g == gen => cached
         case _ =>
           val fresh = readStatsJob(spark, statsDir)
+          if (statsCache.size >= StatsCacheMax) statsCache.clear()
           statsCache.put(path, (gen, fresh))
           fresh
       }
