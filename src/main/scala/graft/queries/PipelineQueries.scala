@@ -447,6 +447,14 @@ object PipelineQueries {
     // pipeline runs on every new embedding batch.
     "q_t10_streaming_ivf" -> ((s, dir) => streamedIvfAssign(s, dir)),
 
+    // SEMANTIC DEDUP AT INGEST (T12): arriving vectors are assigned to
+    // the corpus-trained cells and flagged against the landed corpus
+    // index, cell-local only — the streaming composition of
+    // q_t10_streaming_ivf's assignment with q_dedup_semantic's pair
+    // kernel. Oracle = the batch cell-join restricted to the drained
+    // backlog (every arrival processed exactly once).
+    "q_t12_streaming_semantic" -> ((s, dir) => streamedSemanticFlags(s, dir)),
+
     // ---- ragged-schema union ----
 
     // Schema-drift union (the reference's first-row-inference bug done
@@ -615,19 +623,89 @@ object PipelineQueries {
         max(col("inertia")).as("inertia"))
   }
 
-  private def sqlKmeansAssign(name: String, cents: String): String =
+  /** Arrivals split for q_t12_streaming_semantic: vec_id < cut is the
+    * LANDED corpus (trains the cells, sits indexed on the static side);
+    * vec_id >= cut streams in as the arriving backlog.
+    */
+  private[graft] val SemStreamCut = 400L
+
+  /** Landing for [[queries q_t12_streaming_semantic]] — SEMANTIC DEDUP AT
+    * INGEST, the streaming shape of `semanticPairs`: cells are trained
+    * batch-side on the landed corpus; each ARRIVING vector is assigned to
+    * its cell by the same stateless broadcast-literal argmin the batch
+    * path uses, joined against the corpus index ON THE CELL KEY ONLY
+    * (never corpus × arrivals), and flagged when a corpus member clears
+    * the batch τ. Per-arrival flags aggregate in Update mode; each
+    * arrival lives in exactly one micro-batch, so every group is emitted
+    * exactly once (no-replay pinned in SemanticDedupSpec) and read-side
+    * compaction is a formality. The cell join is the 100 TB posture: an
+    * arriving batch touches ~1/k of the corpus index, and a hot cell is
+    * bounded by the same cap family as the batch kernel.
+    */
+  private[graft] val streamSemPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedSemanticFlags(s: SparkSession, dir: String): DataFrame = {
+    val out = streamSemPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_sem_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val em = Tables.embeddings(s, dir)
+      val corpus = em.filter(col("vec_id") < SemStreamCut)
+      val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val sq = (c: org.apache.spark.sql.Column) =>
+        aggregate(transform(c, x => x * x), lit(0L), (acc, x) => acc + x)
+      val corpusIdx = Similarity
+        .assignWithCentroidsTopP(corpus, "vec_id", "embedding", cents.toSeq, 1)
+        .withColumn("ni", sq(col("q")))
+        .filter(col("ni") > 0L)
+        .select(col("id").as("i"), col("q").as("qi"), col("ni"), col("cell"))
+      em.filter(col("vec_id") >= SemStreamCut)
+        .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val arrivals = Similarity
+        .assignWithCentroidsTopP(decoded, "vec_id", "embedding", cents.toSeq, 1)
+        .withColumn("nj", sq(col("q")))
+        .filter(col("nj") > 0L)
+        .select(col("id").as("j"), col("q").as("qj"), col("nj"), col("cell"))
+      // same float shape as the batch kernel/oracle: exact integer dot,
+      // correctly-rounded sqrt/divide; τ-filter on the RAW cosine, round
+      // only the emitted measure
+      val craw = Similarity.dotQ(col("qi"), col("qj")).cast("double") /
+        (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double")))
+      val flags = arrivals.join(corpusIdx, "cell")
+        .withColumn("craw", craw)
+        .filter(col("craw") >= SemanticTau)
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_dups"), min(col("i")).as("first_dup"),
+          max(round(col("craw"), 4)).as("max_cos"))
+      graft.streaming.Landing.availableNow(flags, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("j")
+      .agg(max(col("n_dups")).as("n_dups"), min(col("first_dup")).as("first_dup"),
+        max(col("max_cos")).as("max_cos"))
+  }
+
+  private def sqlKmeansAssign(name: String, cents: String,
+                              src: String = "em"): String =
     s"""$name AS (SELECT vec_id, q, cid, dist FROM (
        |  SELECT vec_id, q, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM (SELECT e.vec_id, e.q, c.cid,
        |          CAST(list_dot_product(e.q, e.q) - 2*list_dot_product(e.q, c.q)
        |               + list_dot_product(c.q, c.q) AS BIGINT) AS dist
-       |        FROM em e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+       |        FROM $src e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
 
   /** CTE chain `em, cents0, a1, ..., cents{iters}` (no WITH, no final
     * select) — shared by the k-means query and the trained-IVF query.
     */
-  private def sqlKmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def sqlKmeansCtes(k: Int, iters: Int, dim: Int,
+                            where: String = ""): String = {
     def update(i: Int) =
       s"""ex$i AS (SELECT a.cid, t.i, a.q[t.i] AS v
          |        FROM a$i a, unnest(generate_series(1, $dim)) AS t(i)),
@@ -648,7 +726,7 @@ object PipelineQueries {
       sqlKmeansAssign(s"a$i", s"cents${i - 1}") + ",\n" + update(i)).mkString(",\n")
     s"""em AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |cents0 AS (SELECT vec_id AS cid, q FROM em WHERE vec_id < $k),
        |$iterCtes""".stripMargin
   }
@@ -880,6 +958,30 @@ object PipelineQueries {
 
     // streaming IVF maintenance == the batch k-means assignment aggregate
     "q_t10_streaming_ivf" -> sqlKmeans(k = 8, iters = 2, dim = 64),
+
+    // streaming semantic dedup == the batch cell-join over the full
+    // drained backlog: cells trained on the corpus half only (WHERE on
+    // the em CTE), every vector assigned via the same argmin, arrivals
+    // joined to corpus members on the cell key, τ on the raw cosine.
+    "q_t12_streaming_semantic" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64,
+             where = s" WHERE vec_id < $SemStreamCut")},
+         |ema AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |${sqlKmeansAssign("af", "cents2", src = "ema")},
+         |corpus AS (SELECT vec_id AS i, q AS qi, cid AS cell FROM af
+         |           WHERE vec_id < $SemStreamCut AND list_dot_product(q, q) > 0),
+         |arr AS (SELECT vec_id AS j, q AS qj, cid AS cell FROM af
+         |        WHERE vec_id >= $SemStreamCut AND list_dot_product(q, q) > 0),
+         |p AS (SELECT arr.j, corpus.i,
+         |    CAST(list_dot_product(qi, qj) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product(qi, qi) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product(qj, qj) AS DOUBLE))) AS craw
+         |  FROM arr JOIN corpus USING (cell))
+         |SELECT j, count(*) AS n_dups, min(i) AS first_dup,
+         |  max(round(craw, 4)) AS max_cos
+         |FROM p WHERE craw >= $SemanticTau GROUP BY 1""".stripMargin,
 
     "q_sim_ivf_trained" -> {
       val cos = "(list_dot_product(a.q, b.q) / " +

@@ -87,6 +87,43 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs.count(_._1 < 100L) == 19, "hot cell must be chained")
   }
 
+  test("streaming semantic dedup: no replay, parity with the batch cell-join") {
+    import graft.queries.PipelineQueries
+    val flags = PipelineQueries.queries("q_t12_streaming_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // NO-REPLAY pin on the RAW landing (before read-side compaction):
+    // each arrival lives in exactly one micro-batch, so Update mode must
+    // emit every flagged arrival exactly once — a second row for any j
+    // would mean the backlog replayed
+    val sink = PipelineQueries.streamSemPaths(sf)
+    val landed = spark.read.parquet(sink)
+    val dupEmits = landed.groupBy("j").count().filter(col("count") > 1).count()
+    assert(dupEmits == 0, "an arrival was emitted twice - backlog replayed")
+    assert(landed.count() == flags.size.toLong)
+    // batch parity: recompute the same flags with the batch operators
+    // over the full drained backlog
+    val em = Tables.embeddings(spark, sf)
+    val corpus = em.filter(col("vec_id") < PipelineQueries.SemStreamCut)
+    val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    def idx(df: org.apache.spark.sql.DataFrame) = Similarity
+      .assignWithCentroidsTopP(df, "vec_id", "embedding", cents.toSeq, 1)
+      .withColumn("nrm",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .filter(col("nrm") > 0L)
+    val ci = idx(corpus).select(col("id").as("i"), col("q").as("qi"),
+      col("nrm").as("ni"), col("cell"))
+    val ai = idx(em.filter(col("vec_id") >= PipelineQueries.SemStreamCut))
+      .select(col("id").as("j"), col("q").as("qj"), col("nrm").as("nj"), col("cell"))
+    val craw = Similarity.dotQ(col("qi"), col("qj")).cast("double") /
+      (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double")))
+    val batch = ai.join(ci, "cell").withColumn("craw", craw)
+      .filter(col("craw") >= 0.44)
+      .groupBy("j").agg(count(lit(1)).as("n_dups"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flags == batch, "streamed flags must equal the batch cell-join")
+    assert(flags.nonEmpty)
+  }
+
   test("fixture cells sit below the default cap: capped == uncapped") {
     val em = Tables.embeddings(spark, sf)
     val k = Similarity.deriveK(em.count())
