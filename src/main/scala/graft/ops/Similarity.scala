@@ -573,8 +573,59 @@ object Similarity {
     // orderBy(id).limit(k) honours the documented "k lowest-id vectors"
     // contract even when ids are sparse or offset (filter(id < k) would
     // silently seed fewer than k clusters on such corpora).
-    var cents: Array[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
+    val seeds: Array[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    lloydIterate(q, seeds, k, iters, dim)
+  }
+
+  /** Deterministic farthest-point seeding (the greedy max-min member of
+    * the k-means++ family): seed 1 is the lowest-id vector; each next
+    * seed is the vector maximizing the minimum squared distance to the
+    * seeds chosen so far, ties to the lowest id. k-1 corpus scans, each
+    * ONE `max_by` aggregate with the current seed set riding as a
+    * broadcast literal — the driver holds only the seeds (config-scale).
+    * Spread-out seeds remove the lowest-id seeding's failure mode (several
+    * seeds landing in one natural cluster leaves other clusters split
+    * across whichever centroid is least wrong — 2 Lloyd rounds cannot
+    * undo it). Measured on the fixture in RECALL.md. At 100 TB, seed on a
+    * uniform sample (seeding needs coverage, not every row); the scan
+    * count is k-1 either way.
+    *
+    * Same contract as [[kmeansTrain]]; both run [[lloydIterate]], so a
+    * caller can swap seeding without touching assignment/serving.
+    */
+  def kmeansTrainFarthest(em: DataFrame, idCol: String, embCol: String,
+                          k: Int, iters: Int, dim: Int = 64): Array[(Long, Array[Long])] = {
+    val q = CacheRegistry.persist(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    seeds ++= q.orderBy("id").limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(seeds.nonEmpty, "k-means needs a non-empty corpus to seed")
+    while (seeds.length < k) {
+      val dists = seeds.toSeq.map { case (_, sv) =>
+        aggregate(zip_with(col("q"), typedLit(sv.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      // least() requires >= 2 args; the first round has a single seed
+      val minDist = if (dists.length == 1) dists.head else least(dists: _*)
+      // max over struct(d, -id): farthest first, ties to the LOWEST id —
+      // deterministic because ids are unique
+      val best = q
+        .select(max_by(struct(col("id"), col("q")),
+          struct(minDist.as("d"), (-col("id")).as("nid"))).as("b"))
+        .head().getStruct(0)
+      seeds += ((best.getLong(0), best.getSeq[Long](1).toArray))
+    }
+    val cents = lloydIterate(q, seeds.toArray, k, iters, dim)
+    CacheRegistry.release(q)
+    cents
+  }
+
+  private def lloydIterate(q: DataFrame, seeds: Array[(Long, Array[Long])],
+                           k: Int, iters: Int,
+                           dim: Int): Array[(Long, Array[Long])] = {
+    var cents = seeds
     require(cents.length == k,
       s"k-means needs at least k=$k vectors to seed; corpus has ${cents.length}")
     require(cents.forall(_._2.length == dim),

@@ -210,6 +210,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.toSet.size === 2)
   }
 
+  test("kmeansTrainFarthest: deterministic, escapes the lowest-id seed trap") {
+    // ids 0..2 all sit in one tight cluster, 3..5 in another: lowest-id
+    // seeding at k=2 puts BOTH seeds in cluster A; farthest-point seeding
+    // must pick its second seed from cluster B
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.1f, 0.0f), 1L -> Seq(0.2f, 0.1f), 2L -> Seq(0.0f, 0.3f),
+      3L -> Seq(9.9f, 10.0f), 4L -> Seq(10.1f, 9.8f), 5L -> Seq(9.7f, 10.2f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansTrainFarthest(df, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 2)
+    val c2 = Similarity.kmeansTrainFarthest(df, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 2)
+    assert(c1.map(_._1).toSeq === c2.map(_._1).toSeq)
+    assert(c1.map(_._2.toSeq) === c2.map(_._2.toSeq))
+    // seed ids: lowest id first, then the farthest vector (cluster B)
+    assert(c1.map(_._1).toSet === Set(0L, 5L) || c1.map(_._1).toSet === Set(0L, 3L) ||
+      c1.map(_._1).toSet === Set(0L, 4L), c1.map(_._1).mkString(","))
+    // trained centroids separate the clusters: assignment recovers A|B
+    val asg = Similarity.assignWithCentroids(df, "vec_id", "embedding", c1.toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(asg(0L), asg(1L), asg(2L)).size === 1)
+    assert(Set(asg(3L), asg(4L), asg(5L)).size === 1)
+    assert(asg(0L) !== asg(3L))
+  }
+
   test("mixReweight rebalances to the target mix at maximum volume") {
     import graft.ops.Sampling
     // 1000 docs of group 0, 100 of group 1; target 50/50. The mix admits
