@@ -59,6 +59,29 @@ object Sampling {
     }
   }
 
+  /** Weighted sampling priority (Duffield–Lund–Thorup priority sampling,
+    * JACM'07): priority = hash/weight with the 60-bit md5 hash standing in
+    * for the uniform u — keeping the n SMALLEST priorities per group
+    * samples rows with probability ~proportional to `weight`, without
+    * replacement, deterministically (same corpus → same sample, and
+    * adding rows can only displace, never reshuffle, survivors — the
+    * property hash-split pinning gives unweighted sampling, extended to
+    * weights). The division is INTEGRAL (`div`): hash/weight reaches
+    * ~2^60/w, past Double's 2^53 mantissa for small weights, so a float
+    * quotient would tie-break by rounding noise and diverge from the
+    * oracle's exact `//`. Pure per-row expression + per-group top-n: at
+    * 100 TB it rides the scan and a TakeOrderedAndProject-shaped window,
+    * no extra shuffle beyond the group partitioning.
+    */
+  def priority(key: Column, weight: Column): Column =
+    call_function("div", Hashing.md5Long(key.cast("string")), weight.cast("long"))
+
+  /** DuckDB SQL fragment mirroring [[priority]] (both engines floor a
+    * non-negative quotient, so `//` == `div` here).
+    */
+  def sqlPriority(keyExpr: String, weightExpr: String): String =
+    s"(${Hashing.sqlMd5Long(keyExpr)} // CAST($weightExpr AS BIGINT))"
+
   /** Domain-mix reweighting: down-sample each group so the surviving
     * corpus hits the target mix `targets` (permille per group, summing
     * 1000) at MAXIMUM volume — the data-mixing step of a training

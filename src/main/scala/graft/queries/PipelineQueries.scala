@@ -319,6 +319,23 @@ object PipelineQueries {
           md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_fp"))
     }),
 
+    // WEIGHTED sampling without replacement (priority sampling): per
+    // source, the 20 docs with the smallest hash-div-weight priorities —
+    // inclusion probability ~proportional to n_chars, fully
+    // deterministic, and the priority is a pure per-row expression (no
+    // RNG, no state), so at 100 TB selection rides the scan plus one
+    // per-group top-n. Integral `div` keeps the ~2^60/w quotient exact
+    // where a Double quotient would tie-break on rounding noise.
+    "q_sample_weighted" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("priority"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          Sampling.priority(col("doc_id"), col("n_chars")).as("priority"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20).drop("rn")
+    }),
+
     // ---- sequence packing ----
 
     // Concat-and-chunk packing into 512-token context windows, per source
@@ -455,6 +472,12 @@ object PipelineQueries {
     // backlog (every arrival processed exactly once).
     "q_t12_streaming_semantic" -> ((s, dir) => streamedSemanticFlags(s, dir)),
 
+    // Heavy hitters AT INGEST: the Misra-Gries sketch lives in streaming
+    // aggregation state (O(cap) per group, vocabulary never enters the
+    // state store), final-sketch candidates exactly recounted batch-side
+    // — streamed == batch == the naive GROUP BY oracle.
+    "q_t13_streaming_heavy" -> ((s, dir) => streamedHeavyHitters(s, dir)),
+
     // ---- ragged-schema union ----
 
     // Schema-drift union (the reference's first-row-inference bug done
@@ -512,8 +535,66 @@ object PipelineQueries {
         .select(explode(TA.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)
+    }),
+
+    // EXACT distributed heavy hitters (per-language tokens above a
+    // 1/(cap+1) frequency threshold) in two corpus passes, neither of
+    // which shuffles the vocabulary: pass 1 is a Misra-Gries candidate
+    // sketch (typed Aggregator, O(cap) state map-side and across the
+    // shuffle — a guaranteed superset of the true heavy hitters) plus
+    // the group totals in the same aggregate; pass 2 recounts ONLY
+    // candidate rows via a broadcast semi-join and applies the exact
+    // threshold, making the output deterministic and equal to the naive
+    // full-vocabulary GROUP BY the oracle runs. At 100 TB the full
+    // GROUP BY shuffles a billion-entry vocabulary; this shape shuffles
+    // ≤ cap entries per group.
+    "q_agg_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.MisraGries
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("token"))
+      val pass1 = toks.groupBy("lang").agg(
+        MisraGries.candidates(col("token"), HeavyHitterCap).as("cands"),
+        count(lit(1)).as("total"))
+      val cands = pass1.select(col("lang"), col("total"),
+        explode(col("cands")).as("token"))
+      toks.join(broadcast(cands), Seq("lang", "token"))
+        .groupBy("lang", "token").agg(
+          count(lit(1)).as("cnt"), first(col("total")).as("total"))
+        .filter(col("cnt") * (HeavyHitterCap + 1) > col("total"))
+    }),
+
+    // Edit-distance-bounded FUZZY JOIN (typo normalization): noisy query
+    // terms — each doc's lead token, deterministically perturbed for ⅔ of
+    // docs (the corpus vocabulary is a closed 31-word set with no natural
+    // typos; same synthetic-signal pattern as the PII fixtures) — joined
+    // to the corpus vocabulary within Levenshtein distance 1 via SymSpell
+    // deletion-neighborhood signatures: explode ×(len+1), ONE equi-join
+    // on the signature key (a guaranteed candidate superset), exact
+    // levenshtein verify on candidates only. The bucket-then-verify
+    // shape of the LSH family with signatures as the band key — never an
+    // all-pairs edit-distance product.
+    "q_join_fuzzy" -> ((s, dir) => {
+      import graft.ops.Fuzzy
+      val docs = Tables.documents(s, dir)
+      val term0 = element_at(split(col("text"), " "), 1)
+      val terms = docs.select(
+          when(col("doc_id") % 3 === 1, concat(term0, lit("x")))
+            .when(col("doc_id") % 3 === 2, term0.substr(lit(1), length(term0) - 1))
+            .otherwise(term0).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+      val vocab = docs.select(explode(TA.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      Fuzzy.joinWithin1(terms, "term", vocab, "word")
+        .filter(col("term") =!= col("word"))
     })
   )
+
+  /** Misra-Gries capacity for q_agg_heavy_hitters: frequency threshold is
+    * 1/(cap+1) of the group's tokens. 64 keeps the sketch state at a few
+    * KiB per group while the fixture's hot-word design puts ~30 tokens
+    * per language above the bar.
+    */
+  private val HeavyHitterCap = 64
 
   // ---- oracles ----
 
@@ -689,6 +770,57 @@ object PipelineQueries {
     s.read.parquet(out).groupBy("j")
       .agg(max(col("n_dups")).as("n_dups"), min(col("first_dup")).as("first_dup"),
         max(col("max_cos")).as("max_cos"))
+  }
+
+  /** Landing for [[queries q_t13_streaming_heavy]] — HEAVY-HITTER
+    * TRACKING AT INGEST: the Misra-Gries sketch runs INSIDE the streaming
+    * aggregation state (a typed-Aggregator streaming groupBy, O(cap)
+    * state per language group in the state store regardless of stream
+    * length), each Update-mode emission carrying the sketch-so-far plus
+    * the monotone token total. The final sketch per group is the
+    * emission with the max total (totals strictly increase on every
+    * re-emission); its candidate set — a guaranteed superset of the
+    * stream's true heavy hitters under ANY micro-batch partitioning of
+    * the input (mergeable-summaries property) — then drives the same
+    * exact broadcast recount as the batch operator, so streamed == batch
+    * == the naive-GROUP-BY oracle, deterministically. The ingest shape a
+    * 100 TB pipeline wants: the vocabulary never enters streaming state.
+    */
+  private val streamHeavyPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGries
+    val out = streamHeavyPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_mg_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.documents(s, dir)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, text STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val sk = decoded
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(MisraGries.candidates(col("token"), HeavyHitterCap).as("cands"),
+          count(lit(1)).as("total"))
+      graft.streaming.Landing.availableNow(sk, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("total").desc)
+    val fin = s.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val cands = fin.select(col("lang"), col("total"),
+      explode(col("cands")).as("token"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TA.tokens(col("text"))).as("token"))
+      .join(broadcast(cands), Seq("lang", "token"))
+      .groupBy("lang", "token").agg(
+        count(lit(1)).as("cnt"), first(col("total")).as("total"))
+      .filter(col("cnt") * (HeavyHitterCap + 1) > col("total"))
   }
 
   private def sqlKmeansAssign(name: String, cents: String,
@@ -983,6 +1115,18 @@ object PipelineQueries {
          |  max(round(craw, 4)) AS max_cos
          |FROM p WHERE craw >= $SemanticTau GROUP BY 1""".stripMargin,
 
+    // streaming MG sketch + exact recount == the batch heavy hitters
+    // (same oracle text as q_agg_heavy_hitters: the candidate superset
+    // guarantee holds under any micro-batch split, and the recount +
+    // threshold make the result exactly the naive GROUP BY)
+    "q_t13_streaming_heavy" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)
+        |SELECT t.lang, t.token, count(*) AS cnt, any_value(tot.total) AS total
+        |FROM t JOIN tot ON t.lang = tot.lang
+        |GROUP BY 1, 2
+        |HAVING count(*) * 65 > any_value(tot.total)""".stripMargin,
+
     "q_sim_ivf_trained" -> {
       val cos = "(list_dot_product(a.q, b.q) / " +
         "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
@@ -1042,6 +1186,45 @@ object PipelineQueries {
     "q_vocab_topk" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "q_sample_weighted" -> {
+      import graft.ops.Sampling
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+         |    ${Sampling.sqlPriority("CAST(doc_id AS VARCHAR)", "n_chars")} AS priority
+         |  FROM documents)
+         |SELECT source, doc_id, n_chars, priority FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+         |  FROM d) WHERE rn <= 20""".stripMargin
+    },
+
+    "q_join_fuzzy" -> {
+      import graft.ops.Fuzzy
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ')[1] AS term0 FROM documents),
+         |terms AS (SELECT term, count(*) AS n_docs FROM (
+         |    SELECT CASE WHEN doc_id % 3 = 1 THEN term0 || 'x'
+         |                WHEN doc_id % 3 = 2 THEN substring(term0, 1, len(term0) - 1)
+         |                ELSE term0 END AS term FROM t0) GROUP BY 1),
+         |vocab AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+         |tsig AS (SELECT DISTINCT term, n_docs, ${Fuzzy.sqlDeletionSig("term")} AS sig
+         |  FROM terms, unnest(generate_series(0, len(term))) AS g(i)),
+         |vsig AS (SELECT DISTINCT word, cnt, ${Fuzzy.sqlDeletionSig("word")} AS sig
+         |  FROM vocab, unnest(generate_series(0, len(word))) AS g(i))
+         |SELECT DISTINCT term, n_docs, word, cnt
+         |FROM tsig JOIN vsig USING (sig)
+         |WHERE levenshtein(term, word) <= 1 AND term <> word""".stripMargin
+    },
+
+    // the sketch+recount output equals the naive full-vocabulary GROUP BY
+    // (Misra-Gries candidates are a guaranteed superset; the exact recount
+    // and threshold filter remove every false positive)
+    "q_agg_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)
+        |SELECT t.lang, t.token, count(*) AS cnt, any_value(tot.total) AS total
+        |FROM t JOIN tot ON t.lang = tot.lang
+        |GROUP BY 1, 2
+        |HAVING count(*) * 65 > any_value(tot.total)""".stripMargin
   )
 }
