@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as DataFrame joins — PageRank (Brin & Page,
+  * WWW'98) in the classic distributed power-iteration shape: the edge
+  * table is partitioned by source ONCE and persisted; each round joins
+  * the current rank table to it, floor-divides each node's rank over its
+  * out-degree, and re-aggregates contributions by destination. Driver
+  * state is zero (no collect anywhere); per round the only shuffles are
+  * the rank join and the contribution aggregate, both keyed on node id —
+  * at 100 TB this is edges-partitioned-by-src + co-partitioned ranks,
+  * the layout every bulk-synchronous graph engine (Pregel family) uses.
+  *
+  * Arithmetic is EXACT INTEGER throughout: ranks are parts-per-`Scale`
+  * (1e6) and each contribution is one `floorDiv(rank * damping‰,
+  * 1000 * outdeg)` — all values non-negative and < 2^40, so every engine
+  * computes the identical number and the result is deterministic down to
+  * the last unit (float PageRank differs by summation order; this one
+  * hash-compares). The price is truncation leakage (rank mass strictly
+  * decreases), which ranking consumers don't care about.
+  */
+object Graph {
+
+  /** Parts-per-unit rank scale: rank 1.0 == 1,000,000. */
+  val Scale: Long = 1000000L
+
+  /** PageRank over directed `edges(src, dst)` (Long node ids, pre-deduped
+    * by the caller if multiplicity shouldn't weight the walk). Every
+    * node appearing as a src or dst participates; dangling nodes (no
+    * out-edges) simply leak their damped mass — the bounded, documented
+    * truncation semantics. Returns (node, rank) with rank in
+    * parts-per-[[Scale]] after `iters` rounds from a uniform start.
+    */
+  def pagerank(edges: DataFrame, iters: Int, dampingPermille: Long = 850L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters=$iters out of [1,16]")
+    val base = Scale - dampingPermille * Scale / 1000L // (1-d) teleport mass
+    // out-degree once; nodes = union of endpoints (persisted: every round
+    // joins it and the final result unions it back for dangling nodes)
+    val e = CacheRegistry.persist(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val deg = CacheRegistry.persist(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = CacheRegistry.persist(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    var rank = nodes.withColumn("rank", lit(Scale))
+    for (_ <- 1 to iters) {
+      val prev = CacheRegistry.persist(rank)
+      // div(rank * d‰, 1000 * outdeg): INTEGRAL division (non-negative,
+      // so truncation == floor) — a double quotient's rounding could
+      // cross an integer boundary and flip the floor, breaking the
+      // bit-exact oracle contract
+      val contrib = e.join(deg, "src")
+        .join(prev.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          call_function("div", col("rank") * lit(dampingPermille),
+            lit(1000L) * col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      CacheRegistry.release(prev)
+    }
+    rank
+  }
+}

@@ -437,11 +437,51 @@ object Similarity {
   /** Nearest-centroid assignment (argmin via array_min on the candidate
     * structs).
     */
+  /** Output schema of the typed assignment kernels. */
+  private val assignSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Nearest-centroid assignment as ONE Row-typed mapPartitions pass —
+    * plain JVM integer loops with the centroid array riding in the task
+    * closure (config-scale: ≤ 1024 × 64 longs = 512 KiB at the deriveK
+    * ceiling). The expression form (array_min over per-centroid
+    * `aggregate(zip_with(...))` structs) evaluates every centroid's
+    * distance INTERPRETED per row — at the linear-k rule (k = N/64) that
+    * made assignment itself superlinear; the typed loop is the same
+    * ~20× lesson as the semantic pair kernel (commit b6c18e7). Semantics
+    * identical to `array_min` over (dist, cid) structs: min distance,
+    * ties to the lowest centroid id — exact integer math either way, so
+    * every oracle value is unchanged. Stateless per row: the same kernel
+    * serves batch and streaming (q_t10/q_t12) alike.
+    */
   private def assignCells(q: DataFrame,
                           cents: Array[(Long, Array[Long])]): DataFrame =
-    q.withColumn("best", array_min(centroidCandidates(cents)))
-      .select(col("id"), col("q"),
-        col("best.cid").as("cell"), col("best.dist").as("dist"))
+    q.select(col("id"), col("q")).mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Long](1)
+        var bd = Long.MaxValue
+        var bc = Long.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val cv = cents(ci)._2
+          var d = 0L
+          var i = 0
+          while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          val cid = cents(ci)._1
+          if (d < bd || (d == bd && cid < bc)) { bd = d; bc = cid }
+          ci += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), v, bc, bd)
+      }
+    }(org.apache.spark.sql.Encoders.row(assignSchema))
 
   /** MULTI-PROBE assignment: each vector lands in its `p` nearest cells —
     * the IVF-nprobe idea applied to the indexing side. A bucketed pair
@@ -454,10 +494,27 @@ object Similarity {
                               cents: Seq[(Long, Array[Long])], p: Int): DataFrame = {
     require(p >= 1 && p <= cents.length, s"p=$p out of range 1..${cents.length}")
     val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
-    q.withColumn("probe",
-        explode(slice(array_sort(centroidCandidates(cents.toArray)), 1, p)))
-      .select(col("id"), col("q"),
-        col("probe.cid").as("cell"), col("probe.dist").as("dist"))
+    val carr = cents.toArray
+    // typed kernel (see assignCells): p smallest (dist, cid) per vector,
+    // identical ordering to array_sort over the candidate structs
+    q.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Long](1)
+        val ds = new Array[Long](carr.length)
+        var ci = 0
+        while (ci < carr.length) {
+          val cv = carr(ci)._2
+          var d = 0L
+          var i = 0
+          while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          ds(ci) = d
+          ci += 1
+        }
+        carr.indices.sortBy(i => (ds(i), carr(i)._1)).take(p).map(i =>
+          org.apache.spark.sql.Row(id, v, carr(i)._1, ds(i)))
+      }
+    }(org.apache.spark.sql.Encoders.row(assignSchema))
   }
 
   /** Default cap on one cell's pair expansion in [[cellPairsCapped]] —
@@ -470,22 +527,35 @@ object Similarity {
     */
   val DefaultMaxCell: Int = 4096
 
+  /** Target mean cell population for [[deriveK]]: k = N/64 keeps the
+    * intra-cell candidate volume Σ|cell|² ≈ N × 64 LINEAR in the corpus
+    * for balanced cells.
+    */
+  val TargetCellSize: Long = 64L
+
   /** Cell count for the SemDeDup-family semantic dedup, derived from the
-    * corpus vector count: cube-root rule clamped to [8, 1024]. The shape
-    * of the trade: more cells → fewer intra-cell candidates (Σ|cell|²
-    * shrinks ~1/k for balanced cells) but a wider per-row argmin (the
-    * centroids ride as a k-way broadcast literal, so k is a PLAN cost,
-    * not just a training cost) and a bigger driver-held centroid set.
-    * cbrt grows k slowly enough that the argmin expression stays codegen-
-    * friendly to ~10⁹ vectors, and the 1024 ceiling keeps the broadcast
-    * literal bounded past that — beyond the ceiling, per-cell candidate
-    * volume is bounded by the [[cellPairsCapped]] chain cap, not by k.
+    * corpus vector count: BOUNDED-CELL rule k = N/[[TargetCellSize]],
+    * clamped to [8, 1024]. k must grow LINEARLY with the corpus: with
+    * balanced cells the pair kernel sees Σ|cell|² ≈ N²/k candidates, so
+    * any sublinear-k rule leaves the kernel superlinear — the original
+    * cbrt rule measured 15–28× runtime for 10× data (SCALE.md history)
+    * because candidates grew ~N^(5/3); at k = N/64 the same 10× step is
+    * ~10× candidates. What linear k costs, and how each cost is bounded:
+    * per-row assignment work is N × k (handled by the typed argmin
+    * kernel in [[assignCells]] — plain JVM arithmetic, not per-centroid
+    * interpreted expressions), Lloyd training is sample-capped
+    * ([[lloydLoop]] trains on ≤ [[TrainSampleCap]] vectors), and the
+    * driver/centroid-broadcast state is capped by the 1024 ceiling
+    * (64 KiB of centroids) — past the ceiling cells grow again and the
+    * [[cellPairsCapped]] chain cap takes over as the volume bound.
     * At the 500-vector verify fixture this derives exactly 8, which the
     * DuckDB oracles pin (a fixture-size drift trips SemanticDedupSpec,
     * not a silent oracle mismatch).
     */
   def deriveK(nVectors: Long): Int =
-    math.max(8, math.min(1024, math.round(math.cbrt(nVectors.toDouble)).toInt))
+    // clamp in Long BEFORE narrowing: round(10^12/64).toInt overflows
+    math.max(8L, math.min(1024L,
+      math.round(nVectors.toDouble / TargetCellSize))).toInt
 
   /** Max sign bits used to split a hot cell in [[cellPairsCapped]]:
     * 2^16 subcells bounds the split fan-out, and the probed dimensions
@@ -567,15 +637,146 @@ object Similarity {
     paired.union(subPaired).union(chained)
   }
 
-  /** `iters` Lloyd rounds seeded from the k lowest-id vectors. */
+  /** Scored intra-cell pairs with the hot-cell cap, computed LOCALLY —
+    * the shuffle-volume rework of [[cellPairsCapped]] + a cosine kernel.
+    * Same pair SET and same float shape (exact integer dot, correctly
+    * rounded sqrt/divide, τ-compare on the raw cosine) as running
+    * [[cellPairsCapped]] through the row-typed dot kernel — pinned by
+    * SemanticDedupSpec — but the candidate pairs are never materialized
+    * as rows: the join form shipped every candidate carrying BOTH
+    * 64-long vectors (measured ~1 KiB × Σ|cell|² through the shuffle —
+    * the dominant cost at 10× scale), while this form shuffles each
+    * assignment row ONCE (repartition by (cell, subcell) + local sort)
+    * and emits only the τ-passing (i, j, c) triples from a per-group
+    * loop. Task memory is bounded by construction: all-pairs groups
+    * hold ≤ maxCell vectors (~2 MiB at the default cap), and
+    * chain groups (unsplittable near-identical content) stream with one
+    * row of lookahead — O(1) — so even a corpus-sized degenerate cell
+    * cannot OOM a task.
+    *
+    * Phase A reuses cellPairsCapped's exact hot/subcell derivation
+    * (metadata-sized aggregates, broadcast); phase B is the local pass.
+    */
+  def cellPairsLocalScored(m: DataFrame, tau: Double,
+                           maxCell: Int = DefaultMaxCell): DataFrame = {
+    val hot = m.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCell)
+    val normal = m.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0L).as("subcell"), lit(false).as("chain"),
+        col("id"), col("q"), col("nrm"))
+    val bits = least(lit(MaxSplitBits),
+      ceil(log(2.0, col("csz").cast("double") / maxCell))).cast("int")
+    val subcell = (0 until MaxSplitBits).map { i =>
+      when(lit(i) < col("__bits") &&
+        try_element_at(col("q"), lit(1 + 4 * i)) >= 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hotRows = m.join(broadcast(hot), Seq("cell"))
+      .withColumn("__bits", bits)
+      .withColumn("subcell", subcell)
+    val hotSub = hotRows.groupBy("cell", "subcell")
+      .agg(count(lit(1)).as("ssz")).filter(col("ssz") > maxCell)
+      .select(col("cell"), col("subcell"), lit(true).as("__chain"))
+    val hotFlagged = hotRows.join(broadcast(hotSub), Seq("cell", "subcell"), "left")
+      .select(col("cell"), col("subcell"),
+        coalesce(col("__chain"), lit(false)).as("chain"),
+        col("id"), col("q"), col("nrm"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    normal.union(hotFlagged)
+      .repartition(col("cell"), col("subcell"))
+      .sortWithinPartitions("cell", "subcell", "id")
+      .mapPartitions { rows =>
+        type Member = (Long, Seq[Long], Long) // (id, q, nrm)
+        def scoreOpt(a: Member, b: Member): Option[org.apache.spark.sql.Row] = {
+          val qa = a._2; val qb = b._2
+          var dot = 0L
+          var i = 0
+          val n = qa.length
+          while (i < n) { dot += qa(i) * qb(i); i += 1 }
+          val c = dot.toDouble /
+            (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+          if (c >= tau) Some(org.apache.spark.sql.Row(a._1, b._1, c)) else None
+        }
+        val in = rows.buffered
+        // lazy run-splitter over the (cell, subcell)-sorted partition;
+        // each inner iterator MUST be drained before the next group is
+        // requested (flatMap below guarantees it)
+        val groups = new Iterator[(Boolean, Iterator[Member])] {
+          def hasNext: Boolean = in.hasNext
+          def next(): (Boolean, Iterator[Member]) = {
+            val cell = in.head.getLong(0)
+            val sub = in.head.getLong(1)
+            val chain = in.head.getBoolean(2)
+            (chain, new Iterator[Member] {
+              def hasNext: Boolean = in.hasNext &&
+                in.head.getLong(0) == cell && in.head.getLong(1) == sub
+              def next(): Member = {
+                val r = in.next(); (r.getLong(3), r.getSeq[Long](4), r.getLong(5))
+              }
+            })
+          }
+        }
+        groups.flatMap { case (chain, members) =>
+          if (chain) {
+            // unsplittable near-identical group: sorted-adjacent pairs,
+            // one row of lookahead — O(1) memory even for a degenerate
+            // corpus-sized cell
+            if (!members.hasNext) Iterator.empty
+            else {
+              var prev = members.next()
+              members.flatMap { m => val p = prev; prev = m; scoreOpt(p, m) }
+            }
+          } else {
+            // all-pairs group, ≤ maxCell members by construction (~2 MiB);
+            // pairs generated lazily — nothing beyond the member array is
+            // ever buffered
+            val a = members.toArray
+            a.indices.iterator.flatMap(i =>
+              (i + 1 until a.length).iterator.flatMap(j => scoreOpt(a(i), a(j))))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Lloyd-training sample bound: past this corpus size, centroids train
+    * on a deterministic md5-thinned sample instead of every vector.
+    * Training cost is sample × k per round — with the linear-k deriveK
+    * rule a full-corpus Lloyd would be N²/64 per round, and centroid
+    * QUALITY converges with the sample, not the corpus (the standard
+    * big-data k-means practice: train on a sample, assign everything).
+    * Every verify fixture (≤ 2000 vectors) is under the bound, so the
+    * sample IS the corpus there and the DuckDB oracles are untouched;
+    * only stress-scale corpora thin.
+    */
+  val TrainSampleCap: Long = 4096L
+
   private def lloydLoop(q: DataFrame, k: Int, iters: Int,
                         dim: Int): Array[(Long, Array[Long])] = {
+    val n = q.count()
+    val tq =
+      if (n <= TrainSampleCap) q
+      else {
+        // deterministic ~TrainSampleCap-row thinning: keep ids whose
+        // 60-bit md5 lands in one residue class of the ceil(n/cap) step
+        // (engine-reproducible, order-independent, no sort, no RNG)
+        val step = (n + TrainSampleCap - 1) / TrainSampleCap
+        val s = q.filter(pmod(graft.functions.Hashing.md5Long(
+          col("id").cast("string")), lit(step)) === 0L)
+        // hash variance can only starve seeds on pathological corpora;
+        // fall back to the full corpus rather than train degenerate cells
+        if (s.count() >= k) s else q
+      }
     // orderBy(id).limit(k) honours the documented "k lowest-id vectors"
     // contract even when ids are sparse or offset (filter(id < k) would
     // silently seed fewer than k clusters on such corpora).
-    val seeds: Array[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
+    val seeds: Array[(Long, Array[Long])] = tq.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    lloydIterate(q, seeds, k, iters, dim)
+    lloydIterate(tq, seeds, k, iters, dim)
   }
 
   /** Deterministic farthest-point seeding (the greedy max-min member of

@@ -124,27 +124,14 @@ object PipelineQueries {
     val withNorm = m.withColumn("nrm",
         aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
       .filter(col("nrm") > 0L)
-    val joined = Similarity.cellPairsCapped(
-      withNorm.select("cell", "id", "q", "nrm"))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.DoubleType)))
-    val tau = SemanticTau
-    val pairs = joined.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val qa = r.getSeq[Long](2)
-        val qb = r.getSeq[Long](3)
-        var dot = 0L
-        var k = 0
-        val n = qa.length
-        while (k < n) { dot += qa(k) * qb(k); k += 1 }
-        val c = dot.toDouble /
-          (math.sqrt(r.getLong(4).toDouble) * math.sqrt(r.getLong(5).toDouble))
-        if (c >= tau) Iterator.single(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), c))
-        else Iterator.empty
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // LOCAL pair kernel (Similarity.cellPairsLocalScored): one shuffle of
+    // the N×probes assignment rows, pairs scored in-task — the earlier
+    // join form materialized every candidate pair carrying both 64-long
+    // vectors through the shuffle (~1 KiB × Σ|cell|², the dominant cost
+    // once deriveK went linear). Same pair set, same float shape, same
+    // τ-compare — SemanticDedupSpec pins local == join+kernel.
+    val pairs = Similarity
+      .cellPairsLocalScored(withNorm.select("cell", "id", "q", "nrm"), SemanticTau)
       .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
     // p=1: a pair can share at most one cell — no dedup pass needed
     if (probes == 1) pairs else pairs.distinct()

@@ -254,6 +254,28 @@ object TpchQueries {
         .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // Iterative graph analytics: PageRank over the supplier↔part supply
+    // graph (distinct lineitem pairs, symmetrized; node ids = key×2 for
+    // suppliers, key×2+1 for parts — disjoint Long spaces). Three power
+    // iterations as DataFrame joins against the once-persisted edge
+    // table (ops/Graph — the Pregel layout: edges partitioned by src,
+    // ranks co-keyed; zero driver state), exact integer rank arithmetic
+    // so the hash matches the oracle's unrolled CTEs. Centrality = which
+    // suppliers/parts anchor the supply network — the graph-side analog
+    // of the near-dup cluster representative ranking.
+    "q_graph_pagerank" -> ((s, dir) => {
+      import graft.ops.Graph
+      val li = Tables.lineitem(s, dir)
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      Graph.pagerank(edges, iters = 3)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+          (col("node") / lit(2)).cast("long").as("orig_id"), col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(30)
     })
   )
 
@@ -382,6 +404,31 @@ object TpchQueries {
         |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2), c_custkey))
         |SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |  round(max(cd), 4) AS max_cd, round(sum(bal), 2) AS sum_bal
-        |FROM t GROUP BY 1, 2""".stripMargin
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // three unrolled power iterations, integer-exact (`//` on non-negative
+    // BIGINTs == the engine's integral div); DuckDB sum(BIGINT) → HUGEINT
+    // needs the cast back
+    "q_graph_pagerank" -> {
+      def round(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS node,
+           |    CAST(sum((r.rank * 850) // (1000 * d.outdeg)) AS BIGINT) AS m
+           |  FROM e JOIN deg d ON e.src = d.src JOIN r$prev r ON r.node = e.src
+           |  GROUP BY 1),
+           |r$cur AS (SELECT n.node, CAST(150000 + COALESCE(c.m, 0) AS BIGINT) AS rank
+           |  FROM n LEFT JOIN c$cur c ON n.node = c.node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM li UNION SELECT dst, src FROM li),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+         |  node // 2 AS orig_id, rank
+         |FROM r3 ORDER BY rank DESC, node LIMIT 30""".stripMargin
+    }
   )
 }

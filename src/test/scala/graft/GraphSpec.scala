@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank: exact integer semantics against a hand-computed reference,
+  * partitioning invariance, dangling-mass behavior.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local integer replica of Graph.pagerank (same floorDiv arithmetic). */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        Math.floorDiv(rank(s) * 850L, 1000L * deg(s))
+      }.sum).toMap
+      rank = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    rank
+  }
+
+  private val diamond = Seq[(Long, Long)](
+    (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L))
+
+  test("pagerank == the hand-rolled integer reference, any partitioning") {
+    for (iters <- Seq(1, 3); parts <- Seq(1, 7)) {
+      val got = Graph.pagerank(diamond.toDF("src", "dst").repartition(parts), iters)
+        .as[(Long, Long)].collect().toMap
+      graft.ops.CacheRegistry.drain()
+      assert(got === reference(diamond, iters), s"iters=$iters parts=$parts")
+    }
+  }
+
+  test("hub accumulates rank; dangling sink keeps only teleport mass downstream") {
+    // star into 4, plus 5 dangling (receives from 4, emits nothing)
+    val edges = Seq[(Long, Long)]((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.CacheRegistry.drain()
+    assert(got === reference(edges, 2))
+    assert(got(4L) > got(1L)) // hub beats leaves
+    // leaves get no in-mass: exactly the teleport base after any round
+    assert(got(1L) === 150000L)
+  }
+}

@@ -94,4 +94,24 @@ class PlanShapeSpec extends SparkSpec {
     // and no global sort anywhere (a corpus-wide rank would rangepartition)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("q_agg_heavy_hitters: sketch aggregates partially; recount join broadcasts") {
+    val p = plan("q_agg_heavy_hitters")
+    // the MG typed Aggregator must partial-aggregate map-side (O(cap)
+    // state across the shuffle, the whole point of the sketch) ...
+    assert("ObjectHashAggregate.*partial_mgaggregator".r.findFirstIn(
+      p.toLowerCase.replaceAll("\\s+", " ")).isDefined ||
+      p.contains("partial_mgaggregator") || p.contains("partial_MgAggregator"), p)
+    // ... and the candidate recount must broadcast the ≤cap×groups
+    // candidate set, never shuffle the token stream for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_fuzzy: signature equi-join, never an all-pairs product") {
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__sig"), p)
+  }
 }

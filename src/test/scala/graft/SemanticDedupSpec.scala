@@ -32,9 +32,13 @@ class SemanticDedupSpec extends SparkSpec {
         "q_dedup_semantic* oracle SQL pins (currently 8 = deriveK(500))")
     assert(Similarity.deriveK(n) == 8)
     assert(Similarity.deriveK(1L) == 8, "floor: tiny corpora keep k=8")
-    assert(Similarity.deriveK(1000000L) == 100, "cbrt rule: 10^6 -> 100 cells")
-    assert(Similarity.deriveK(1000000000000L) == 1024, "ceiling binds at 10^12")
-    val ks = Seq(1L, 500L, 2000L, 1000000L, 1000000000L, 1000000000000L)
+    // bounded-cell rule: k = N/64 — LINEAR in the corpus so Σ|cell|²
+    // stays ~N×64 (the cbrt rule measured 15-28× runtime at 10× data)
+    assert(Similarity.deriveK(2000L) == 31, "k tracks N/64")
+    assert(Similarity.deriveK(20000L) == 313, "k tracks N/64 at stress scale")
+    assert(Similarity.deriveK(1000000L) == 1024,
+      "ceiling binds at 64k vectors; past it cellPairsCapped bounds volume")
+    val ks = Seq(1L, 500L, 2000L, 20000L, 1000000L, 1000000000000L)
       .map(Similarity.deriveK)
     assert(ks == ks.sorted, "k must grow monotonically with the corpus")
   }
@@ -122,6 +126,37 @@ class SemanticDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(flags == batch, "streamed flags must equal the batch cell-join")
     assert(flags.nonEmpty)
+  }
+
+  test("cellPairsLocalScored == cellPairsCapped + dot kernel, all group kinds") {
+    // mixed input exercising every path at cap=10: a small all-pairs
+    // cell, a diverse hot cell (sign-splits into subcells), and an
+    // identical-content hot cell (unsplittable -> chain)
+    val diverse = for {
+      g <- 0 until 4; r <- 0 until 10
+    } yield {
+      val s1 = if ((g & 1) == 0) 1L else -1L
+      val s5 = if ((g & 2) == 0) 1L else -1L
+      val q = Array(s1 * 3, 1L, 1L, 1L, s5 * 4, 1L, 1L, 1L)
+      (5L, (1000 + g * 10 + r).toLong, q, q.map(x => x * x).sum)
+    }
+    val m = identicalCell(1L, 25).union(identicalCell(2L, 6, base = 100L))
+      .union(diverse.toDF("cell", "id", "q", "nrm"))
+    val tau = -1.0 // keep every candidate so the PAIR SETS are compared whole
+    def viaJoin = Similarity.cellPairsCapped(m, maxCell = 10)
+      .collect().map { r =>
+        val qa = r.getSeq[Long](2); val qb = r.getSeq[Long](3)
+        val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+        (r.getLong(0), r.getLong(1), dot.toDouble /
+          (math.sqrt(r.getLong(4).toDouble) * math.sqrt(r.getLong(5).toDouble)))
+      }.toSet
+    val local = Similarity.cellPairsLocalScored(m, tau, maxCell = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(local == viaJoin, "local kernel must emit the identical scored pair set")
+    // and the tau filter prunes, never mutates, scores
+    val filtered = Similarity.cellPairsLocalScored(m, 0.9, maxCell = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(filtered == local.filter(_._3 >= 0.9))
   }
 
   test("fixture cells sit below the default cap: capped == uncapped") {
