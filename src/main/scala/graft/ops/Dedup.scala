@@ -82,8 +82,26 @@ object Dedup {
                    n: Int = 3, tau: Double = 0.5,
                    maxShingleDF: Int = 0,
                    stopShingleFrac: Double = 0.0): DataFrame = {
-    // The shingle table feeds three plan branches (sizes + both join sides);
-    // persist so tokenization/shingling runs once, not per branch.
+    val (inter, sizes) = pairIntersections(df, idCol, textCol, n,
+      maxShingleDF, stopShingleFrac)
+    inter
+      .join(sizes.select(col(idCol).as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col(idCol).as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("inter"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Shared pair kernel: guarded shingle table -> per-doc sizes + unordered
+    * pair intersection counts (i < j). The shingle table feeds three plan
+    * branches (sizes + both join sides); persisted so tokenization/shingling
+    * runs once, not per branch.
+    */
+  private def pairIntersections(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxShingleDF: Int,
+                                stopShingleFrac: Double): (DataFrame, DataFrame) = {
     val sh0 = CacheRegistry.persist(shingles(df, idCol, textCol, n))
     val sh =
       if (maxShingleDF <= 0 && stopShingleFrac <= 0) sh0
@@ -103,14 +121,38 @@ object Dedup {
     val b = sh.select(col(idCol).as("j"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
+    (inter, sizes)
+  }
+
+  /** DIRECTED containment pairs: (contained, container) where
+    * |shingles(contained) ∩ shingles(container)| / |shingles(contained)|
+    * >= tau. The asymmetric cousin of [[jaccardPairs]] — catches a short
+    * document living inside a much longer one (quote farms, boilerplate
+    * wrappers, page-of-a-book extracts), which symmetric Jaccard misses
+    * because the union in its denominator is dominated by the longer side.
+    *
+    * Same blocking/guard machinery as Jaccard (shingle-equality join, never
+    * all-pairs; stop-shingle cap bounds per-shingle fanout at 100 TB). The
+    * unordered intersection is computed ONCE (i < j) and both directions are
+    * scored from it — a union of two projections of the same aggregate, not
+    * a second join.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tau: Double = 0.9,
+                       maxShingleDF: Int = 0,
+                       stopShingleFrac: Double = 0.0): DataFrame = {
+    val (inter0, sizes) = pairIntersections(df, idCol, textCol, n,
+      maxShingleDF, stopShingleFrac)
+    val both = inter0
       .join(sizes.select(col(idCol).as("i"), col("sz").as("sz_i")), "i")
       .join(sizes.select(col(idCol).as("j"), col("sz").as("sz_j")), "j")
-      .withColumn("jac",
-        col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")).cast("double"))
-      .filter(col("jac") >= tau)
-      .select(col("i"), col("j"), col("inter"), round(col("jac"), 4).as("jac"))
+    val dir = both.select(col("i").as("contained"), col("j").as("container"),
+        col("inter"), (col("inter").cast("double") / col("sz_i").cast("double")).as("cont"))
+      .union(both.select(col("j"), col("i"),
+        col("inter"), col("inter").cast("double") / col("sz_j").cast("double")))
+    dir.filter(col("cont") >= tau)
+      .select(col("contained"), col("container"), col("inter"),
+        round(col("cont"), 4).as("cont"))
   }
 
   /** MinHash signature: `numHashes` columns h0..h{k-1}, each the min of an

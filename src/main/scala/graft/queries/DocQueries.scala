@@ -318,6 +318,21 @@ object DocQueries {
         n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
     }),
 
+    // ASYMMETRIC containment over a corpus with planted sub-documents
+    // (every 7th doc's first 120 chars re-appear under a shifted id):
+    // directed (contained, container) pairs at containment >= 0.9. The
+    // sub-document case — a short page living inside a long book —
+    // symmetric Jaccard misses because its union denominator is dominated
+    // by the longer side.
+    "q_dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          substring(col("text"), 1, 120).as("text"))
+      Dedup.containmentPairs(docs.union(planted), "doc_id", "text",
+        n = 3, tau = 0.9, stopShingleFrac = StopFrac)
+    }),
+
     // SimHash near-dup distance histogram. maxDist=6 makes the banded pair
     // scan (7 exact bands, equi-join candidates) both correct and sparse —
     // the oracle states the plain all-pairs semantics the banding is
@@ -838,6 +853,28 @@ object DocQueries {
       "q_dedup_minhash_lsh" ->
         s"""WITH ${sqlLshPairCtesFrom("documents")}
            |SELECT i, j, jac FROM lshpairs""".stripMargin,
+
+      "q_dedup_containment" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, substring(text, 1, 120)
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |${sqlGuardedShingleCtesFrom("corpus")},
+           |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pb AS (SELECT t.i, t.j, t.inter, sa.sz AS sz_i, sb.sz AS sz_j
+           |  FROM inter t JOIN sz sa ON sa.doc_id = t.i
+           |  JOIN sz sb ON sb.doc_id = t.j),
+           |dir AS (
+           |  SELECT i AS contained, j AS container, inter,
+           |    CAST(inter AS DOUBLE) / CAST(sz_i AS DOUBLE) AS cont FROM pb
+           |  UNION ALL
+           |  SELECT j, i, inter, CAST(inter AS DOUBLE) / CAST(sz_j AS DOUBLE)
+           |  FROM pb)
+           |SELECT contained, container, inter, round(cont, 4) AS cont
+           |FROM dir WHERE cont >= 0.9""".stripMargin,
 
       // delta restriction: same LSH pipeline, pairs whose newer side is in
       // the newest-20% id range (candidate banding is unaffected for them)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Net, TimeFns}
-import graft.ops.{Lookups, Normalize, Rollup}
+import graft.ops.{Lookups, Normalize, RangeJoin, Rollup}
 import graft.sources.Tables
 
 /** The AQL-layer operator corpus (SURVEY §2.2/§2.3/§2.4/§2.5) executed
@@ -1209,6 +1209,25 @@ object EventQueries {
           sum(unix_micros(col("ts")) - unix_micros(col("sts_asof"))).as("sum_gap_us"))
     }),
 
+    // Generic interval join (range predicate, NO equi-key): incident
+    // windows [ts, ts+30min) opened by every 499th event; count and sum
+    // the events falling inside each window. Naive Spark plans this as
+    // BroadcastNestedLoopJoin (O(points·intervals)); RangeJoin.intervalJoin
+    // bins both sides to 30-min epoch buckets → shuffled equi-join on the
+    // bin + residual range filter (PlanShapeSpec pins no-BNLJ).
+    "q_join_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val win = ev.filter(col("event_id") % 499 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      RangeJoin.intervalJoin(
+          ev.select(col("ts"), col("value")), win,
+          tsCol = "ts", loCol = "lo", hiCol = "hi", binSeconds = 1800L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // §2.6 superset: set operation (EXCEPT). Ports of odd event_ids are odd
     // ((e*131)%1000 preserves parity), so subtracting even-event ports leaves
     // a deterministically non-empty odd-port set at every sf.
@@ -1743,6 +1762,17 @@ object EventQueries {
           |ASOF LEFT JOIN (SELECT user_id, ts AS sts FROM e WHERE event_type = 'signup') s
           |  ON p.user_id = s.user_id AND p.ts >= s.sts
           |GROUP BY 1""".stripMargin),
+
+      // independent oracle: plain range-predicate join (DuckDB's IEJoin
+      // handles it directly; our binned equi-join must agree exactly)
+      "q_join_interval" ->
+        """WITH w AS (SELECT event_id AS incident_id, ts AS lo,
+          |    ts + INTERVAL 30 MINUTE AS hi
+          |  FROM events WHERE event_id % 499 = 0)
+          |SELECT w.incident_id, count(*) AS n_events,
+          |  round(sum(e.value), 2) AS sum_value
+          |FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+          |GROUP BY 1""".stripMargin,
 
       "q_setop_except" -> cte(
         """SELECT DISTINCT destination_port FROM e WHERE event_type = 'purchase'

@@ -535,6 +535,25 @@ object PipelineQueries {
     // full-vocabulary GROUP BY the oracle runs. At 100 TB the full
     // GROUP BY shuffles a billion-entry vocabulary; this shape shuffles
     // ≤ cap entries per group.
+    // Count-Min sketch: ONE pass builds a 4×64 counter matrix (mergeable
+    // typed Aggregator — partial sketches combine map-side, 256 longs
+    // cross the shuffle), then point estimates for the exact top-20
+    // tokens probe the COLLECTED registers as literal lookups (no second
+    // corpus pass for estimation; the exact counts here exist only to
+    // exhibit the overestimate). Registers and estimates are
+    // deterministic functions of the input multiset, so the DuckDB
+    // oracle rebuilds the sketch relationally and matches bit for bit.
+    "q_agg_countmin" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val toks = Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+      val regs = toks.agg(CountMin.sketch(col("token"), d = 4, w = 64).as("regs"))
+        .head.getSeq[Long](0).toArray
+      toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+        .withColumn("cms_est", CountMin.estimate(col("token"), regs, d = 4, w = 64))
+    }),
+
     "q_agg_heavy_hitters" -> ((s, dir) => {
       import graft.functions.MisraGries
       val toks = Tables.documents(s, dir)
@@ -1206,6 +1225,25 @@ object PipelineQueries {
     // the sketch+recount output equals the naive full-vocabulary GROUP BY
     // (Misra-Gries candidates are a guaranteed superset; the exact recount
     // and threshold filter remove every false positive)
+    // mirrors CountMin: bucket(token, s) = md5Long(token || '#' || s) % 64
+    // (the seeded-hash contract of Hashing.sqlMd5LongSeeded with a runtime
+    // seed column); regs holds only non-empty registers, which is enough —
+    // a top-20 token's own count occupies all four of its registers.
+    "q_agg_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |regs AS (
+        |  SELECT sd.s,
+        |    ('0x' || substring(md5(t.token || '#' || CAST(sd.s AS VARCHAR)), 1, 15))::BIGINT % 64 AS b,
+        |    count(*) AS c
+        |  FROM toks t CROSS JOIN generate_series(0, 3) AS sd(s)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT token, count(*) AS exact_n FROM toks
+        |  GROUP BY 1 ORDER BY exact_n DESC, token LIMIT 20)
+        |SELECT t.token, t.exact_n, min(r.c) AS cms_est
+        |FROM top t JOIN regs r
+        |  ON r.b = ('0x' || substring(md5(t.token || '#' || CAST(r.s AS VARCHAR)), 1, 15))::BIGINT % 64
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_agg_heavy_hitters" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |tot AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)

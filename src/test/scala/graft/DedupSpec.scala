@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) === 0.6)            // 3 shared of 5 union
   }
 
+  test("containmentPairs: sub-document caught directed, Jaccard misses it") {
+    // doc 6 is the first half of doc 7: containment(6 in 7) = 1.0 but
+    // Jaccard = 4/10 — the asymmetric case the operator exists for.
+    val corpus = Seq(
+      (6L, "a b c d e f"),
+      (7L, "a b c d e f g h i j k l"),
+      (8L, "x y z w q r")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => ((r.getAs[Long]("contained"), r.getAs[Long]("container")),
+        r.getAs[Double]("cont"))).toMap
+    assert(cont.keySet === Set((6L, 7L)))      // directed: 6 inside 7 only
+    assert(cont((6L, 7L)) === 1.0)
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+    assert(jac.count() === 0)                  // symmetric metric misses it
+  }
+
+  test("containmentPairs: identical docs qualify in both directions") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"))).toSet
+    assert(cont === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("maxShingleDF guard drops ubiquitous shingles (blocking recall trade)") {
     val spammy = (1L to 10L).map(i => (i, "common common common common"))
       .toDF("doc_id", "text")

@@ -139,4 +139,40 @@ class SketchSpec extends SparkSpec {
     // Tree prints root-first: the join must appear before (above) the filter.
     assert(joinAt < filterAt, "bloom test should sit below the join, on the scan side")
   }
+
+  test("count-min registers match an independent driver-side reference") {
+    import graft.functions.CountMin
+    val d = 4; val w = 16
+    val tokens = (0 until 500).map(i => s"tok${i % 37}")
+    val ref = new Array[Long](d * w)
+    tokens.foreach { t =>
+      (0 until d).foreach { s =>
+        ref(s * w + (md5Long60(t + "#" + s) % w).toInt) += 1L
+      }
+    }
+    val got = tokens.toDF("token")
+      .agg(CountMin.sketch(col("token"), d, w)).head.getSeq[Long](0)
+    assert(got.toArray.toSeq === ref.toSeq)
+  }
+
+  test("count-min estimate: always >= exact, == exact when collision-free") {
+    import graft.functions.CountMin
+    val tokens = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma")
+    val df = tokens.toDF("token")
+    // narrow sketch: overestimates possible but never under
+    val narrow = df.agg(CountMin.sketch(col("token"), d = 2, w = 4))
+      .head.getSeq[Long](0).toArray
+    val estN = df.distinct()
+      .withColumn("est", CountMin.estimate(col("token"), narrow, d = 2, w = 4))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estN("alpha") >= 40L && estN("beta") >= 7L && estN("gamma") >= 1L)
+    // wide sketch: 3 distinct tokens in 4x1024 registers collide with
+    // probability ~0 under the fixed md5 family — estimates are exact
+    val wide = df.agg(CountMin.sketch(col("token"), d = 4, w = 1024))
+      .head.getSeq[Long](0).toArray
+    val estW = df.distinct()
+      .withColumn("est", CountMin.estimate(col("token"), wide, d = 4, w = 1024))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW === Map("alpha" -> 40L, "beta" -> 7L, "gamma" -> 1L))
+  }
 }
