@@ -58,7 +58,18 @@ object ScaleStress {
     // vocabulary at CONSTANT sketch state (the recount join is the part
     // that must stay candidate-bounded); the fuzzy join's signature
     // explosion and join volume grow with the 10× vocab/terms
-    "q_agg_heavy_hitters", "q_join_fuzzy")
+    "q_agg_heavy_hitters", "q_join_fuzzy",
+    // round-8 second wave: containment is the pair family's directed
+    // member (same shingle blocking, so disjoint replica shingles keep
+    // candidates ×10, not ×100); PQ trains 4 codebooks and ADC-scans a
+    // 10× coded corpus at fixed query count; count-min streams 10× tokens
+    // through CONSTANT 4×64 sketch state (the top-20 exact recount is
+    // the only vocab-sized part). q_join_interval is deliberately NOT
+    // here: replicas share the original timestamps, so its keyless
+    // time-bin join would see 10× windows × 10× in-window density = ×100
+    // OUTPUT rows — measuring the fixture's time-collapse, not the
+    // operator (see COVERAGE.md).
+    "q_dedup_containment", "q_sim_pq", "q_agg_countmin")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third

@@ -326,6 +326,272 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  // ---- Product quantization (the compression half of IVF-PQ) ----
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
+    * splits into `m` contiguous subspaces of dim/m dims, each trained to
+    * its own k-codeword codebook by the SAME exact-integer Lloyd loop as
+    * [[kmeansTrain]] (deterministic lowest-id seeds, floorDiv means) — so
+    * the DuckDB oracle can rebuild every codebook bit for bit. A coded
+    * vector then stores m small codes: m·log2(k) bits (4·4 bits = 2 bytes
+    * here) versus 256 bytes of float32 — the memory-compression half of
+    * IVF-PQ. At 100 TB, IVF cells prune WHICH candidates are scored and
+    * PQ codes let each executor hold its partition of the corpus in RAM;
+    * this provides the PQ half against the engine's existing IVF.
+    */
+  def pqTrain(em: DataFrame, idCol: String, embCol: String,
+              m: Int = 4, k: Int = 16, iters: Int = 2,
+              dim: Int = 64): Array[Array[(Long, Array[Long])]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansTrain(em.select(col(idCol),
+          slice(col(embCol), s * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters, sub)
+    }.toArray
+  }
+
+  private val pqCodeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** Corpus coded to per-subspace nearest codewords: (id, codes) with
+    * codes(s) the index into books(s) ordered by cid (exact integer L2
+    * argmin, ties to the lowest cid — [[assignCells]]'s rule). ONE typed
+    * pass; the codebooks ride in the task closure (config-scale:
+    * m·k·(dim/m) = dim·k longs).
+    */
+  def pqCode(em: DataFrame, idCol: String, embCol: String,
+             books: Array[Array[(Long, Array[Long])]],
+             dim: Int = 64): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    val cents: Array[Array[Array[Long]]] = books.map(_.sortBy(_._1).map(_._2))
+    em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getSeq[Long](1)
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val cs = cents(s)
+            var bd = Long.MaxValue
+            var bj = 0
+            var j = 0
+            while (j < cs.length) {
+              val cv = cs(j)
+              var d = 0L
+              var i = 0
+              while (i < sub) { val t = v(s * sub + i) - cv(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; bj = j } // first win = lowest cid (sorted)
+              j += 1
+            }
+            codes(s) = bj
+            s += 1
+          }
+          org.apache.spark.sql.Row(r.getLong(0), codes.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(pqCodeSchema))
+  }
+
+  private val pqPartialSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cand_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("adc",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-coded corpus: for each
+    * query, the k candidates minimizing Σ_s L2(query_sub_s,
+    * codeword(codes(s))) — the query stays exact, candidates are
+    * approximated by their codewords, distances come from per-query
+    * lookup tables built ONCE on the driver (config-scale: queries ×
+    * m × k longs) and shipped in the task closure. Scoring a candidate is
+    * m array reads — no vector arithmetic on the corpus side, which is
+    * the point of ADC at scale.
+    *
+    * Distributed top-k shape: per-partition bounded selection (each task
+    * emits ≤ queries·k rows) below ONE global per-query window — the
+    * shuffle carries O(partitions · queries · k), never the corpus. Self
+    * matches are excluded. Output (query_id, rnk, cand_id, adc) with adc
+    * the exact integer ADC distance (bit-reproducible by the oracle).
+    */
+  def pqSearchTopK(coded: DataFrame, queries: Array[(Long, Array[Long])],
+                   books: Array[Array[(Long, Array[Long])]], k: Int,
+                   dim: Int = 64): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    val cents: Array[Array[Array[Long]]] = books.map(_.sortBy(_._1).map(_._2))
+    val kk = cents(0).length
+    val nq = queries.length
+    val qids = queries.map(_._1)
+    val luts: Array[Array[Long]] = queries.map { case (_, qv) =>
+      val lut = new Array[Long](m * kk)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < kk) {
+          val cv = cents(s)(j)
+          var d = 0L
+          var i = 0
+          while (i < sub) { val t = qv(s * sub + i) - cv(i); d += t * t; i += 1 }
+          lut(s * kk + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val partial = coded.mapPartitions { rows =>
+      // per-(query) sorted top-k arrays, (adc, id) ascending — k is small
+      val accA = Array.fill(nq)(new Array[Long](k))
+      val accI = Array.fill(nq)(new Array[Long](k))
+      val accN = new Array[Int](nq)
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val codes = r.getSeq[Int](1)
+        var t = 0
+        while (t < nq) {
+          if (qids(t) != id) {
+            val lut = luts(t)
+            var adc = 0L
+            var s = 0
+            while (s < m) { adc += lut(s * kk + codes(s)); s += 1 }
+            val n = accN(t)
+            val a = accA(t)
+            val ii = accI(t)
+            if (n < k || adc < a(n - 1) || (adc == a(n - 1) && id < ii(n - 1))) {
+              var pos = if (n < k) n else k - 1
+              while (pos > 0 && (a(pos - 1) > adc ||
+                  (a(pos - 1) == adc && ii(pos - 1) > id))) {
+                a(pos) = a(pos - 1); ii(pos) = ii(pos - 1); pos -= 1
+              }
+              a(pos) = adc; ii(pos) = id
+              if (n < k) accN(t) = n + 1
+            }
+          }
+          t += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { t =>
+        (0 until accN(t)).iterator.map(p =>
+          org.apache.spark.sql.Row(qids(t), accI(t)(p), accA(t)(p)))
+      }
+    }(org.apache.spark.sql.Encoders.row(pqPartialSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    partial.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("adc"))
+  }
+
+  /** IVF-PQ: the two halves composed — IVF cells prune WHICH candidates
+    * are scored (each query reads only its `nprobe` nearest cells'
+    * postings), PQ codes compress WHAT is scored (ADC from per-query
+    * LUTs, no vector arithmetic on the corpus side). This is the
+    * standard billion-scale ANN serving shape (FAISS's IVFADC): at
+    * 100 TB the corpus is partitioned by cell, a query touches
+    * nprobe/k of the partitions, and each partition's postings are m
+    * bytes-ish per vector instead of 4·dim.
+    *
+    * Everything is exact-integer L2 (cells AND codes), so the whole
+    * pipeline — training, assignment, probing, ADC — is reproducible
+    * relationally by the oracle. Candidate filtering happens BEFORE the
+    * bounded per-partition selection: a task emits ≤ queries·k rows of
+    * only probed-cell candidates.
+    */
+  def ivfPqTopK(em: DataFrame, idCol: String, embCol: String,
+                cents: Seq[(Long, Array[Long])],
+                books: Array[Array[(Long, Array[Long])]],
+                queries: Array[(Long, Array[Long])],
+                k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    val cbooks: Array[Array[Array[Long]]] = books.map(_.sortBy(_._1).map(_._2))
+    val kk = cbooks(0).length
+    val nq = queries.length
+    val qids = queries.map(_._1)
+    val carr = cents.toArray
+    // driver side (config-scale): each query's nprobe nearest cells by
+    // exact L2 (ties to the lowest cid) + its ADC LUT
+    val probed: Array[Set[Long]] = queries.map { case (_, qv) =>
+      carr.map { case (cid, cv) =>
+        var d = 0L
+        var i = 0
+        while (i < dim) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(nprobe).map(_._2).toSet
+    }
+    val luts: Array[Array[Long]] = queries.map { case (_, qv) =>
+      val lut = new Array[Long](m * kk)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < kk) {
+          val cv = cbooks(s)(j)
+          var d = 0L
+          var i = 0
+          while (i < sub) { val t = qv(s * sub + i) - cv(i); d += t * t; i += 1 }
+          lut(s * kk + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val corp = pqCode(em, idCol, embCol, books, dim)
+      .join(assignWithCentroids(em, idCol, embCol, cents).select("id", "cell"), "id")
+    val partial = corp.mapPartitions { rows =>
+      val accA = Array.fill(nq)(new Array[Long](k))
+      val accI = Array.fill(nq)(new Array[Long](k))
+      val accN = new Array[Int](nq)
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val codes = r.getSeq[Int](1)
+        val cell = r.getLong(2)
+        var t = 0
+        while (t < nq) {
+          if (qids(t) != id && probed(t).contains(cell)) {
+            val lut = luts(t)
+            var adc = 0L
+            var s = 0
+            while (s < m) { adc += lut(s * kk + codes(s)); s += 1 }
+            val n = accN(t)
+            val a = accA(t)
+            val ii = accI(t)
+            if (n < k || adc < a(n - 1) || (adc == a(n - 1) && id < ii(n - 1))) {
+              var pos = if (n < k) n else k - 1
+              while (pos > 0 && (a(pos - 1) > adc ||
+                  (a(pos - 1) == adc && ii(pos - 1) > id))) {
+                a(pos) = a(pos - 1); ii(pos) = ii(pos - 1); pos -= 1
+              }
+              a(pos) = adc; ii(pos) = id
+              if (n < k) accN(t) = n + 1
+            }
+          }
+          t += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { t =>
+        (0 until accN(t)).iterator.map(p =>
+          org.apache.spark.sql.Row(qids(t), accI(t)(p), accA(t)(p)))
+      }
+    }(org.apache.spark.sql.Encoders.row(pqPartialSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    partial.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("adc"))
+  }
+
   /** Elementwise mean-pooled embedding per group (centroid computation —
     * the feature-aggregation building block of IVF training, per-source
     * embedding drift monitoring, etc.). The scale-right shape: ONE

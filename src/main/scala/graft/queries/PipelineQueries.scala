@@ -440,6 +440,41 @@ object PipelineQueries {
         trainedCentroids = Some(cents.toSeq))
     }),
 
+    // PQ-coded ANN (the compression half of IVF-PQ): 4 subspaces × 16
+    // codewords each, trained by the same exact-integer Lloyd loop; the
+    // corpus is stored as 4 codes/vector (2 bytes vs 256 of float32) and
+    // ADC top-5 for the first 20 vectors is scored from per-query lookup
+    // tables. The oracle rebuilds all four codebooks, the coded corpus,
+    // and every integer ADC sum relationally — bit-exact.
+    "q_sim_pq" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val books = Similarity.pqTrain(em, "vec_id", "embedding",
+        m = 4, k = 16, iters = 2)
+      val coded = Similarity.pqCode(em, "vec_id", "embedding", books)
+      val queries = em.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      Similarity.pqSearchTopK(coded, queries, books, k = 5)
+    }),
+
+    // IVF-PQ: both halves composed — 8 L2-trained cells prune candidates
+    // (nprobe=2 per query), 4×16 PQ codebooks compress the scoring (ADC).
+    // The billion-scale serving shape (FAISS IVFADC): a query touches
+    // ~nprobe/k of the cell-partitioned corpus and reads codes, not
+    // vectors. All-integer, so the oracle replays training, assignment,
+    // probing, and every ADC sum relationally.
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      val books = Similarity.pqTrain(em, "vec_id", "embedding",
+        m = 4, k = 16, iters = 2)
+      val queries = em.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      Similarity.ivfPqTopK(em, "vec_id", "embedding", cents.toSeq, books,
+        queries, k = 5, nprobe = 2)
+    }),
+
     // IVF index MAINTENANCE as a stream: vectors arrive as a JSON topic
     // (float arrays round-trip exactly through shortest-repr JSON), are
     // assigned to the pre-trained centroids by the same broadcast-literal
@@ -869,6 +904,55 @@ object PipelineQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** Per-subspace k-means chains + coded corpus for the PQ oracle
+    * (mirrors Similarity.pqTrain/pqCode at the query's m/k/iters/dim):
+    * each subspace s gets `em_s` (the quantized slice), `cents{0..iters}_s`
+    * and `coded_s` CTEs under the same exact-integer Lloyd/assignment
+    * rules as [[sqlKmeansCtes]], with `_s`-suffixed names. Built by plain
+    * concatenation of individually margin-stripped fragments (the
+    * double-stripMargin pipe-eating gotcha).
+    */
+  private def sqlPqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    def assign(s: Int, name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, q, cid, dist FROM (
+         |  SELECT vec_id, q, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.q, c.cid, ${sqlL2("e.q", "c.q")} AS dist
+         |        FROM em_$s e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    def update(s: Int, i: Int) =
+      s"""ex${i}_$s AS (SELECT a.cid, t.i, a.q[t.i] AS v
+         |  FROM a${i}_$s a, unnest(generate_series(1, $sub)) AS t(i)),
+         |cs${i}_$s AS (SELECT cid, i,
+         |    CAST(CASE WHEN sum(v) >= 0 OR sum(v) % count(*) = 0
+         |         THEN sum(v) // count(*)
+         |         ELSE sum(v) // count(*) - 1 END AS BIGINT) AS cv
+         |  FROM ex${i}_$s GROUP BY 1, 2),
+         |cn${i}_$s AS (SELECT cid, list(cv ORDER BY i) AS q FROM cs${i}_$s GROUP BY cid),
+         |cents${i}_$s AS (SELECT cid, q FROM cn${i}_$s
+         |  UNION ALL
+         |  SELECT cid, q FROM cents${i - 1}_$s
+         |  WHERE cid NOT IN (SELECT cid FROM cn${i}_$s))""".stripMargin
+    val per = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val iterC = (1 to iters).map(i =>
+        assign(s, s"a${i}_$s", s"cents${i - 1}_$s") + ",\n" + update(s, i))
+        .mkString(",\n")
+      s"em_$s AS (SELECT vec_id, q[$lo:$hi] AS q FROM emq),\n" +
+        s"cents0_$s AS (SELECT vec_id AS cid, q FROM em_$s WHERE vec_id < $k),\n" +
+        iterC + ",\n" +
+        assign(s, s"coded_$s", s"cents${iters}_$s")
+    }.mkString(",\n")
+    "emq AS (SELECT vec_id,\n" +
+      "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q\n" +
+      "  FROM embeddings),\n" + per
+  }
+
+  /** Exact integer squared L2 between two quantized BIGINT lists. */
+  private def sqlL2(a: String, b: String): String =
+    s"CAST(list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b) AS BIGINT)"
+
   private def sqlKmeans(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${sqlKmeansCtes(k, iters, dim)},
        |${sqlKmeansAssign("af", s"cents$iters")}
@@ -1156,6 +1240,61 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |  FROM scored) r
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // mirrors pqTrain (4 subspace Lloyd chains) + pqCode (integer-L2
+    // argmin, ties to lowest cid) + pqSearchTopK (ADC = sum of the four
+    // subspace L2s against the assigned codewords; rank by adc, cand_id,
+    // self excluded before ranking)
+    "q_sim_pq" -> {
+      val contribs = (0 until 4).map(s =>
+        s"""SELECT qv.vec_id AS query_id, cd.vec_id AS cand_id,
+           |    ${sqlL2("qv.q", "c.q")} AS d
+           |  FROM em_$s qv CROSS JOIN coded_$s cd
+           |  JOIN cents2_$s c ON cd.cid = c.cid
+           |  WHERE qv.vec_id < 20""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"WITH ${sqlPqCtes(m = 4, k = 16, iters = 2, dim = 64)},\n" +
+        s"contrib AS (\n  $contribs),\n" +
+        "adc AS (SELECT query_id, cand_id, CAST(sum(d) AS BIGINT) AS adc\n" +
+        "  FROM contrib GROUP BY 1, 2),\n" +
+        "ranked AS (SELECT query_id, cand_id, adc,\n" +
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk\n" +
+        "  FROM adc WHERE cand_id != query_id)\n" +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adc\n" +
+        "FROM ranked WHERE rnk <= 5"
+    },
+
+    // mirrors ivfPqTopK: the full-dim kmeans chain (L2 cells, af = final
+    // assignment), qprobe = each query's 2 nearest cells (L2, ties to
+    // lowest cid), candidates = probed-cell members minus self, scored by
+    // the SAME PQ ADC chain as q_sim_pq
+    "q_sim_ivfpq" -> {
+      val contribs = (0 until 4).map(s =>
+        s"""SELECT c.query_id, c.cand_id, ${sqlL2("qv.q", "cw.q")} AS d
+           |  FROM cand c
+           |  JOIN em_$s qv ON qv.vec_id = c.query_id
+           |  JOIN coded_$s cd ON cd.vec_id = c.cand_id
+           |  JOIN cents2_$s cw ON cw.cid = cd.cid""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},\n" +
+        sqlKmeansAssign("af", "cents2") + ",\n" +
+        s"${sqlPqCtes(m = 4, k = 16, iters = 2, dim = 64)},\n" +
+        "qprobe AS (SELECT vec_id, cid FROM (\n" +
+        "  SELECT e.vec_id, c.cid,\n" +
+        s"    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlL2("e.q", "c.q")}, c.cid) AS rn\n" +
+        "  FROM em e CROSS JOIN cents2 c WHERE e.vec_id < 20) WHERE rn <= 2),\n" +
+        "cand AS (SELECT qp.vec_id AS query_id, af.vec_id AS cand_id\n" +
+        "  FROM af JOIN qprobe qp ON af.cid = qp.cid\n" +
+        "  WHERE af.vec_id != qp.vec_id),\n" +
+        s"contrib AS (\n  $contribs),\n" +
+        "adc AS (SELECT query_id, cand_id, CAST(sum(d) AS BIGINT) AS adc\n" +
+        "  FROM contrib GROUP BY 1, 2),\n" +
+        "ranked AS (SELECT query_id, cand_id, adc,\n" +
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk\n" +
+        "  FROM adc)\n" +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, adc\n" +
+        "FROM ranked WHERE rnk <= 5"
     },
 
     "q_union_ragged" ->

@@ -85,4 +85,105 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L))  // same bucket (colinear)
     assert(!out.contains(4L)) // different bucket (anti-colinear)
   }
+
+  // 16 deterministic vectors, dim 8 — enough to seed k=2 codebooks and
+  // exercise tie/ordering rules in the PQ pipeline
+  private def pqVecs: org.apache.spark.sql.DataFrame =
+    (0L until 16L).map(i =>
+      (i, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat)))
+      .toDF("vec_id", "embedding")
+
+  test("pqCode: codes are the exact per-subspace integer-L2 argmin") {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 8)
+    assert(books.length === 2 && books.forall(_.length === 2))
+    assert(books.forall(_.forall(_._2.length === 4)))
+    val cents = books.map(_.sortBy(_._1).map(_._2))
+    val quant = pqVecs.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val got = Similarity.pqCode(pqVecs, "vec_id", "embedding", books, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    quant.foreach { case (id, v) =>
+      val expect = (0 until 2).map { s =>
+        val ds = cents(s).map { cv =>
+          (0 until 4).map(i => { val t = v(s * 4 + i) - cv(i); t * t }).sum
+        }
+        ds.indexOf(ds.min) // first minimum = lowest cid (sorted order)
+      }
+      assert(got(id).toSeq === expect, s"vec $id")
+    }
+  }
+
+  test("pqSearchTopK == driver-side ADC brute force (exact distributed top-k)") {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 8)
+    val cents = books.map(_.sortBy(_._1).map(_._2))
+    val quant = pqVecs.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val coded = Similarity.pqCode(pqVecs, "vec_id", "embedding", books, dim = 8)
+    val codeMap = coded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val queries = quant.filter(_._1 < 3)
+    val got = Similarity
+      .pqSearchTopK(coded, queries, books, k = 4, dim = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // reference: full ADC scan per query, sorted by (adc, id), top 4
+    queries.foreach { case (qid, qv) =>
+      val ref = quant.filter(_._1 != qid).map { case (id, _) =>
+        val codes = codeMap(id)
+        val adc = (0 until 2).map { s =>
+          val cv = cents(s)(codes(s))
+          (0 until 4).map(i => { val t = qv(s * 4 + i) - cv(i); t * t }).sum
+        }.sum
+        (adc, id)
+      }.sortBy(identity).take(4)
+      ref.zipWithIndex.foreach { case ((adc, id), p) =>
+        assert(got((qid, p + 1L)) === ((id, adc)), s"query $qid rank ${p + 1}")
+      }
+    }
+  }
+
+  test("ivfPqTopK == ADC brute force restricted to the probed cells") {
+    val fullCents = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
+      k = 3, iters = 2, dim = 8)
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 8)
+    val cbooks = books.map(_.sortBy(_._1).map(_._2))
+    val quant = pqVecs.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val codeMap = Similarity.pqCode(pqVecs, "vec_id", "embedding", books, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def l2(a: Array[Long], b: Array[Long], off: Int): Long =
+      (0 until b.length).map(i => { val t = a(off + i) - b(i); t * t }).sum
+    def cellOf(v: Array[Long]): Long =
+      fullCents.map { case (cid, cv) => (l2(v, cv, 0), cid) }.min._2
+    val queries = quant.filter(_._1 < 3)
+    val got = Similarity.ivfPqTopK(pqVecs, "vec_id", "embedding",
+        fullCents.toSeq, books, queries, k = 4, nprobe = 2, dim = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecOf = quant.toMap
+    queries.foreach { case (qid, qv) =>
+      val probes = fullCents.map { case (cid, cv) => (l2(qv, cv, 0), cid) }
+        .sorted.take(2).map(_._2).toSet
+      val ref = quant
+        .filter { case (id, v) => id != qid && probes.contains(cellOf(v)) }
+        .map { case (id, _) =>
+          val codes = codeMap(id)
+          val adc = (0 until 2).map(s => l2(qv, cbooks(s)(codes(s)), s * 4)).sum
+          (adc, id)
+        }.sortBy(identity).take(4)
+      ref.zipWithIndex.foreach { case ((adc, id), p) =>
+        assert(got((qid, p + 1L)) === ((id, adc)), s"query $qid rank ${p + 1}")
+      }
+      // pruning is real: candidates outside the probe set never appear
+      val gotIds = got.collect { case ((q2, _), (id, _)) if q2 == qid => id }
+      gotIds.foreach(id => assert(probes.contains(cellOf(vecOf(id)))))
+    }
+  }
 }
