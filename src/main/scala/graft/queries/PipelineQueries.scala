@@ -382,6 +382,11 @@ object PipelineQueries {
       decontaminateApply(s, dir, flagged)
     }),
 
+    // CMS registers computed BY THE STREAMING PATH (see
+    // [[streamedCountMinRegs]]): documents as a JSON topic, Update-mode
+    // per-(seed, bucket) counts, max-compacted landing == batch sketch.
+    "q_t14_streaming_countmin" -> ((s, dir) => streamedCountMinRegs(s, dir)),
+
     // ---- embedding compression / centroid training ----
 
     // Symmetric per-vector int8 quantization; min/max/sum/norm of the
@@ -684,6 +689,44 @@ object PipelineQueries {
     * production curation shape. Counts are monotone (each doc arrives in
     * exactly one batch), so compaction is the usual read-side max.
     */
+  /** Landing for q_t14_streaming_countmin: the CMS register table built BY
+    * THE STREAMING PATH — documents arrive as a JSON topic, tokens explode
+    * per batch, and per-(seed, bucket) counts aggregate in Update mode
+    * with O(d·w) state. Register counts are MONOTONE non-decreasing
+    * across batches (pure addition), so read-side compaction of the
+    * Update re-emissions is a plain max — the same no-batch_id discipline
+    * as the streamed HLL registers (max-of-maxes) and histogram
+    * (sum-of-sums): Count-Min is the third mergeable-sketch shape pinned
+    * streaming-safe, and its streamed registers hash-match the batch
+    * relational build (the q_agg_countmin oracle's `regs` CTE).
+    */
+  private val streamCmsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedCountMinRegs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val out = streamCmsPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_cms_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.documents(s, dir)
+        .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val sb = (0 until 4).map(sd => struct(lit(sd.toLong).as("s"),
+        (Hashing.md5LongSeeded(col("token"), sd) % 64).as("b")))
+      val regs = decoded
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .select(explode(array(sb: _*)).as("sb"))
+        .groupBy(col("sb.s").as("s"), col("sb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      graft.streaming.Landing.availableNow(regs, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("s", "b").agg(max(col("c")).as("c"))
+  }
+
   private val streamDeconPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def streamedContaminationFlags(s: SparkSession, dir: String): DataFrame = {
     val out = streamDeconPaths.getOrElseUpdate(dir, {
@@ -1381,6 +1424,15 @@ object PipelineQueries {
         |SELECT t.token, t.exact_n, min(r.c) AS cms_est
         |FROM top t JOIN regs r
         |  ON r.b = ('0x' || substring(md5(t.token || '#' || CAST(r.s AS VARCHAR)), 1, 15))::BIGINT % 64
+        |GROUP BY 1, 2""".stripMargin,
+
+    // streamed CMS == the batch sketch's register table
+    "q_t14_streaming_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT sd.s,
+        |  ('0x' || substring(md5(t.token || '#' || CAST(sd.s AS VARCHAR)), 1, 15))::BIGINT % 64 AS b,
+        |  count(*) AS c
+        |FROM toks t CROSS JOIN generate_series(0, 3) AS sd(s)
         |GROUP BY 1, 2""".stripMargin,
 
     "q_agg_heavy_hitters" ->
