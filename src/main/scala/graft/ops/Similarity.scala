@@ -326,6 +326,145 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  private val knnAssignSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rk",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private val knnPairSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cand_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cos",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  /** kNN GRAPH: every vector's top-k cosine neighbors among the
+    * candidates its `nprobe` nearest cells hold — semantically
+    * [[ivfTopK]] with the whole corpus as the query set, re-shaped for
+    * that cardinality. The declarative form broadcasts the query rows
+    * and evaluates each candidate cosine as an interpreted HOF
+    * (measured 68 s at sf0.1: corpus × ~nprobe/k candidates ≈ 1M
+    * interpreted 64-dim dots); this kernel shuffles each assignment row
+    * ONCE (repartition by cell) and scores cells locally with plain
+    * integer loops, emitting only per-(query, probed-cell) top-k rows
+    * into the final per-query window — the cellPairsLocalScored lesson
+    * applied to the graph shape (19× measured). Float shape identical
+    * to ivfTopK (exact integer dot, correctly-rounded sqrt / multiply /
+    * divide; assignment and ranking tie to the lowest cid/cand_id), so
+    * it hash-matches the same declarative oracle.
+    *
+    * One assignment pass serves both roles: the rank-1 row of each
+    * vector's probe list IS its membership row. Task memory is one
+    * cell's rows (≈ nprobe·corpus/k at the deriveK posture; compose
+    * with the hot-cell sign-split if a cell outgrows it — same caveat
+    * as the semantic family).
+    */
+  def knnGraph(em: DataFrame, idCol: String, embCol: String,
+               cents: Seq[(Long, Array[Long])], k: Int,
+               nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length)
+    val carr = cents.toArray
+    val cnorm = carr.map { case (_, cv) =>
+      var d = 0L
+      var i = 0
+      while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
+      math.sqrt(d.toDouble)
+    }
+    val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
+    val assigned = q.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Long](1)
+        var selfDot = 0L
+        var i = 0
+        while (i < v.length) { selfDot += v(i) * v(i); i += 1 }
+        val nv = math.sqrt(selfDot.toDouble)
+        val cos = new Array[Double](carr.length)
+        var ci = 0
+        while (ci < carr.length) {
+          val cv = carr(ci)._2
+          var dot = 0L
+          var j = 0
+          while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+          cos(ci) = dot.toDouble / (nv * cnorm(ci))
+          ci += 1
+        }
+        // max cos first, ties to the lowest cid — ivfTopK's max_by rule
+        carr.indices.sortBy(i2 => (-cos(i2), carr(i2)._1)).take(nprobe)
+          .zipWithIndex.map { case (bi, p) =>
+            org.apache.spark.sql.Row(carr(bi)._1, p + 1, id, v, nv)
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(knnAssignSchema))
+    val scored = assigned
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id", "rk")
+      .mapPartitions { rows =>
+        type R = (Int, Long, Seq[Long], Double) // (rk, id, q, nrm)
+        val in = rows.buffered
+        def group(): Iterator[org.apache.spark.sql.Row] = {
+          val cell = in.head.getLong(0)
+          val grp = scala.collection.mutable.ArrayBuffer.empty[R]
+          while (in.hasNext && in.head.getLong(0) == cell)  {
+            val r = in.next()
+            grp += ((r.getInt(1), r.getLong(2), r.getSeq[Long](3), r.getDouble(4)))
+          }
+          val cands = grp.filter(_._1 == 1).toArray // rank-1 rows = members
+          grp.iterator.flatMap { case (_, qid, qv, qn) =>
+            // bounded local top-k by (cos desc, cand_id asc)
+            val a = new Array[Double](k)
+            val ii = new Array[Long](k)
+            var n = 0
+            var m = 0
+            while (m < cands.length) {
+              val (_, cid, cv, cn) = cands(m)
+              if (cid != qid) {
+                var dot = 0L
+                var j = 0
+                while (j < cv.length) { dot += qv(j) * cv(j); j += 1 }
+                val c = dot.toDouble / (qn * cn)
+                if (n < k || c > a(n - 1) || (c == a(n - 1) && cid < ii(n - 1))) {
+                  var pos = if (n < k) n else k - 1
+                  while (pos > 0 && (a(pos - 1) < c ||
+                      (a(pos - 1) == c && ii(pos - 1) > cid))) {
+                    a(pos) = a(pos - 1); ii(pos) = ii(pos - 1); pos -= 1
+                  }
+                  a(pos) = c; ii(pos) = cid
+                  if (n < k) n += 1
+                }
+              }
+              m += 1
+            }
+            (0 until n).iterator.map(p =>
+              org.apache.spark.sql.Row(qid, ii(p), a(p)))
+          }
+        }
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!out.hasNext && in.hasNext) out = group()
+            out.hasNext
+          }
+          def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(knnPairSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), round(col("cos"), 4).as("cos"))
+  }
+
   // ---- Product quantization (the compression half of IVF-PQ) ----
 
   /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product

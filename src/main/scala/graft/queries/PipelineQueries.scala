@@ -462,6 +462,19 @@ object PipelineQueries {
       Similarity.pqSearchTopK(coded, queries, books, k = 5)
     }),
 
+    // kNN GRAPH construction: EVERY vector is a query — each gets its
+    // top-3 cosine neighbors among the candidates its 2 probed cells
+    // hold. The self-join shape behind graph-based clustering, kNN-graph
+    // dedup, and diffusion labeling; at 100 TB candidates are bounded by
+    // cell populations (corpus × ~nprobe/k pairs, never corpus²), the
+    // exact trade RECALL.md measures for the ivf family.
+    "q_sim_knn_graph" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.knnGraph(em, "vec_id", "embedding", cents.toSeq,
+        k = 3, nprobe = 2)
+    }),
+
     // IVF-PQ: both halves composed — 8 L2-trained cells prune candidates
     // (nprobe=2 per query), 4×16 PQ codebooks compress the scoring (ADC).
     // The billion-scale serving shape (FAISS IVFADC): a query touches
@@ -713,12 +726,18 @@ object PipelineQueries {
         "doc_id BIGINT, text STRING")
       val decoded = graft.streaming.KafkaSource.decodeJson(
         s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
-      val sb = (0 until 4).map(sd => struct(lit(sd.toLong).as("s"),
-        (Hashing.md5LongSeeded(col("token"), sd) % 64).as("b")))
+      // seed fan-out is a CONSTANT-array explode; the seeded md5 runs in
+      // the codegen'd Project ABOVE the Generate. Folding the md5 into
+      // the generator (explode over computed structs) evaluates it
+      // INTERPRETED per emitted row — measured 71 s landing vs ~8 s for
+      // this shape at sf0.1 (the Generate/CollapseProject trap, again).
       val regs = decoded
         .select(explode(TA.tokens(col("text"))).as("token"))
-        .select(explode(array(sb: _*)).as("sb"))
-        .groupBy(col("sb.s").as("s"), col("sb.b").as("b"))
+        .select(col("token"), explode(typedLit((0L until 4L).toSeq)).as("s"))
+        .select(col("s"),
+          (Hashing.md5Long(concat(col("token"), lit("#"),
+            col("s").cast("string"))) % 64).as("b"))
+        .groupBy(col("s"), col("b"))
         .agg(count(lit(1)).as("c"))
       graft.streaming.Landing.availableNow(regs, sink, ckpt,
         org.apache.spark.sql.streaming.OutputMode.Update)
@@ -1283,6 +1302,33 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |  FROM scored) r
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // same CTE chain as q_sim_ivf_trained with the query restriction
+    // dropped: every vector ranks its probed-cell candidates
+    "q_sim_knn_graph" -> {
+      val cos = "(list_dot_product(a.q, b.q) / " +
+        "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
+         |cents AS (SELECT cid, q AS qc FROM cents2),
+         |cassign AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.q, c.qc) /
+         |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+         |        c.cid) AS rk
+         |  FROM em e, cents c),
+         |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
+         |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= 2),
+         |scored AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+         |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
+         |       em b JOIN qcells cb ON cb.vec_id = b.vec_id
+         |  WHERE a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+         |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored) r
+         |WHERE rnk <= 3""".stripMargin
     },
 
     // mirrors pqTrain (4 subspace Lloyd chains) + pqCode (integer-L2

@@ -146,6 +146,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph == ivfTopK with the whole corpus as queries, bit for bit") {
+    val cents = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
+      k = 3, iters = 2, dim = 8)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val declarative = keyed(Similarity.ivfTopK(pqVecs, pqVecs,
+      "vec_id", "embedding", k = 2, nCentroids = 3, nprobe = 2,
+      trainedCentroids = Some(cents.toSeq)))
+    val kernel = keyed(Similarity.knnGraph(pqVecs, "vec_id", "embedding",
+      cents.toSeq, k = 2, nprobe = 2))
+    assert(kernel === declarative)
+    assert(kernel.nonEmpty)
+  }
+
   test("ivfPqTopK == ADC brute force restricted to the probed cells") {
     val fullCents = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
       k = 3, iters = 2, dim = 8)
