@@ -465,12 +465,19 @@ object PipelineQueries {
     // kNN GRAPH construction: EVERY vector is a query — each gets its
     // top-3 cosine neighbors among the candidates its 2 probed cells
     // hold. The self-join shape behind graph-based clustering, kNN-graph
-    // dedup, and diffusion labeling; at 100 TB candidates are bounded by
-    // cell populations (corpus × ~nprobe/k pairs, never corpus²), the
-    // exact trade RECALL.md measures for the ivf family.
+    // dedup, and diffusion labeling. Cell count comes from deriveK
+    // (k = N/64 linear — =8 on the verify fixtures, so the oracle's
+    // pinned 8 is the derived value, not a second contract): with every
+    // vector querying, candidate volume is corpus × nprobe·cellSize, and
+    // a FIXED k would make that corpus²·nprobe/k — SCALE.md measured
+    // 19.6× at 10× data before deriveK was wired in, 6.7× after (the
+    // sf0.1 base rises ~0.5 s: 31-cell training costs more than 8-cell,
+    // the price of candidates staying linear).
     "q_sim_knn_graph" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
+      val kCells = Similarity.deriveK(em.count())
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding",
+        k = kCells, iters = 2)
       Similarity.knnGraph(em, "vec_id", "embedding", cents.toSeq,
         k = 3, nprobe = 2)
     }),

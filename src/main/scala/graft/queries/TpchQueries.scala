@@ -91,6 +91,25 @@ object TpchQueries {
 
     // §2.6 superset: global top-k (order by + limit) with deterministic
     // tie-break on the rounded measure.
+    // Per-GROUP top-k as a mergeable aggregate (functions/TopK): the
+    // window form (`row_number` over every order) sorts the whole table
+    // behind one shuffle to keep 3 rows/group; the aggregator keeps a
+    // sorted ≤3 array per group map-side, so only O(k) state per group
+    // crosses the exchange — TakeOrderedAndProject's idea, grouped.
+    // Prices quantized to integer cents keep the oracle hash-exact.
+    "q_agg_topk_mapside" -> ((s, dir) => {
+      import graft.functions.TopK
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy("priority")
+        .agg(TopK.topK(col("cents"), col("o_orderkey"), 3).as("top"))
+        .select(col("priority"), posexplode(col("top")))
+        .select(col("priority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as("o_orderkey"), col("col._1").as("price_cents"))
+    }),
+
     "q_topk_customers" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val ord = Tables.orders(s, dir)
@@ -341,6 +360,18 @@ object TpchQueries {
         |  count(*) AS n
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // the selection the aggregate must reproduce exactly: the same
+    // (value desc, id asc) rule as a per-group row_number
+    "q_agg_topk_mapside" ->
+      """SELECT priority, rnk, o_orderkey, price_cents FROM (
+        |  SELECT o_orderpriority AS priority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rnk,
+        |    o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders) ranked
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_topk_customers" ->
       s"""SELECT * FROM (
