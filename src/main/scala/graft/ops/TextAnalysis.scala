@@ -484,4 +484,58 @@ object TextAnalysis {
     s"(CASE WHEN $sqlStopRatio >= $threshold THEN 'en' ELSE 'unk' END)"
   val sqlSetFingerprint =
     s"md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))"
+
+  /** SPARSE cosine top-k via an inverted index — the IR-shaped sibling of
+    * the dense ANN family: documents as tf-idf term vectors, similarity
+    * scored through a posting-list equi-join on shared terms (two docs
+    * sharing no term contribute nothing, which is exactly what the join
+    * skips), never an all-pairs product. The classic sparse
+    * retrieval trade at 100 TB:
+    *  - posting fanout is bounded by the corpus-relative STOP-TERM guard
+    *    (`df <= max(5, frac·n_docs)` — the stop-shingle rule; a term in
+    *    every document would otherwise contribute O(n²) join rows);
+    *  - weights are INTEGERS (`tf · (10⁶ div df)`, the q_txt_tfidf
+    *    idf surrogate) so partial dot products merge exactly and the
+    *    oracle reproduces every cosine bit for bit;
+    *  - per-(query, doc) dot products aggregate with map-side partials,
+    *    then one window ranks each query's candidates.
+    *
+    * `isQuery` marks the query rows (they remain candidates for other
+    * queries; self-matches are excluded). Returns
+    * (qid, rnk, did, cos) — cosine over the integer weight vectors,
+    * rounded to 4dp.
+    */
+  def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
+                       isQuery: Column, k: Int,
+                       stopTermFrac: Double = 0.02): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val cap = df.select(
+      greatest(lit(5.0), count(lit(1)) * lit(stopTermFrac)).as("__cap"))
+    val kept = dfreq.crossJoin(broadcast(cap))
+      .filter(col("df") <= col("__cap")).select("token", "df")
+    // posting list feeds three branches (norms + both join sides)
+    val post = CacheRegistry.persist(tf.join(kept, "token")
+      .withColumn("w", col("tf") * expr("1000000 div df"))
+      .select("id", "isq", "token", "w"))
+    val norms = post.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val qside = post.filter(col("isq"))
+      .select(col("id").as("qid"), col("token"), col("w").as("wq"))
+    val dside = post.select(col("id").as("did"), col("token"), col("w").as("wd"))
+    val dots = qside.join(dside, Seq("token"))
+      .filter(col("qid") =!= col("did"))
+      .groupBy("qid", "did").agg(sum(col("wq") * col("wd")).as("dot"))
+      .join(norms.select(col("id").as("qid"), col("n2").as("nq2")), "qid")
+      .join(norms.select(col("id").as("did"), col("n2").as("nd2")), "did")
+    val cosC = col("dot").cast("double") /
+      (sqrt(col("nq2").cast("double")) * sqrt(col("nd2").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(cosC.desc, col("did"))
+    dots.withColumn("cos", cosC)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("did"), round(col("cos"), 4).as("cos"))
+  }
 }

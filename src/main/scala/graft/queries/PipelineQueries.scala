@@ -572,6 +572,26 @@ object PipelineQueries {
         .select("doc_id", "token", "score")
     }),
 
+    // Sparse-cosine retrieval (inverted index) — the IR-shaped sibling
+    // of the dense ANN family: tf-idf term vectors scored through a
+    // posting-list join on shared terms, never all-pairs; the stop-term
+    // guard bounds posting fanout. The corpus vocabulary is a CLOSED
+    // 31-word set (word salad), which degenerates tf-idf — so rare
+    // discriminative terms are planted deterministically (the PII/fuzzy
+    // synthetic-signal pattern): a topic tag shared by doc_id%40 peers
+    // (planted twice — tf matters) and an entity tag shared by
+    // doc_id%200 peers; the 0.05 guard keeps exactly these and drops
+    // the word-salad base.
+    "q_sim_sparse_cosine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" topic"), (col("doc_id") % 40).cast("string"),
+          lit(" topic"), (col("doc_id") % 40).cast("string"),
+          lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
+      TA.sparseCosineTopK(docs, "doc_id", "text",
+        isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05)
+    }),
+
     // ---- vocabulary ----
 
     // Global top-50 tokens by raw count with a deterministic tie-break —
@@ -1410,6 +1430,37 @@ object PipelineQueries {
         |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[s+1 : s+64], ' ')) AS fp
         |FROM st""".stripMargin,
+
+    "q_sim_sparse_cosine" ->
+      """WITH docs AS (SELECT doc_id,
+        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT token, df FROM dfreq
+        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+        |post AS (SELECT t.doc_id, t.token, t.tf * (1000000 // k.df) AS w
+        |  FROM tf t JOIN kept k USING (token)),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |  FROM post GROUP BY 1),
+        |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did,
+        |    CAST(sum(q.w * d.w) AS BIGINT) AS dot
+        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
+        |  WHERE q.doc_id < 20
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT qid, did,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms nq ON nq.doc_id = dots.qid
+        |  JOIN norms nd ON nd.doc_id = dots.did)
+        |SELECT qid, rnk, did, round(cos, 4) AS cos FROM (
+        |  SELECT qid, did, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rnk
+        |  FROM scored) r WHERE rnk <= 5""".stripMargin,
 
     "q_txt_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf

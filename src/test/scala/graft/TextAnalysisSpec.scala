@@ -158,4 +158,28 @@ class TextAnalysisSpec extends SparkSpec {
     val full = got.find(_._2 == 5L).get
     assert(full._4 > 0L)
   }
+
+  test("sparseCosineTopK: exact dup at cos 1.0, stop-term guard, no cartesian") {
+    // 'common' is in all 8 docs (df=8 > cap=max(5, 0.02*8)=5 -> dropped);
+    // doc 3 shares ONLY the stop term with the query -> must not appear.
+    val docs = (Seq(
+      (0L, "common alpha beta"),   // the query
+      (1L, "common alpha beta"),   // exact dup -> rank 1, cos 1.0
+      (2L, "common alpha"),        // partial overlap -> rank 2
+      (3L, "common zeta")          // stop-term-only overlap -> absent
+    ) ++ (4L to 7L).map(i => (i, s"common filler$i"))).toDF("id", "text")
+    val got = TA.sparseCosineTopK(docs, "id", "text",
+        isQuery = col("id") < 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.CacheRegistry.drain()
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+    assert(got(0)._4 === 1.0)
+    assert(got(1)._4 > 0.5 && got(1)._4 < 1.0)
+
+    // posting-list equi-join, never an all-pairs product
+    val plan = TA.sparseCosineTopK(docs, "id", "text",
+      isQuery = col("id") < 1, k = 3).queryExecution.executedPlan.toString
+    graft.ops.CacheRegistry.drain()
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
