@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Profiling
+import graft.sources.Tables
+
+/** Data-quality surface: dataset profiling, declarative constraint
+  * validation, and distribution-drift monitoring (`ops/Profiling`).
+  * These run over the TPC-H star tables — the engine-side analog of the
+  * schema trust the reference extends to QRadar's typed API responses,
+  * made explicit and checked (and the standard pre-training gate for a
+  * 100 TB corpus snapshot: profile → validate → drift-compare vs the
+  * previous snapshot before any tokens are spent on it).
+  */
+object QualityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One-scan numeric profile of lineitem: count/nulls/exact-distinct/
+    // min/max plus an exact fixed-point mean per column. The four
+    // count-distincts compile to a single Expand feeding one
+    // partial+final aggregate — one pass, four rows out.
+    "q_profile_numeric" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Profiling.profileNumeric(li, Seq(
+        "l_orderkey" -> 1L,
+        "l_quantity" -> 100L,
+        "l_extendedprice" -> 100L,
+        "l_discount" -> 100L))
+    }),
+
+    // Categorical profile: flags/status plus the shipdate as epoch-micros
+    // (its exact Long mean-sum would overflow 2^63, so it profiles as
+    // min/max/distinct only — the documented wide-integer path).
+    "q_profile_categorical" -> ((s, dir) => {
+      val li = Tables.normalizeTs(Tables.lineitem(s, dir), "l_shipdate")
+        .withColumn("l_shipdate_us", unix_micros(col("l_shipdate")))
+      Profiling.profileCategorical(li,
+        Seq("l_returnflag", "l_linestatus", "l_shipdate_us"))
+    }),
+
+    // Declarative constraint report (deequ-style): predicate checks are
+    // ONE conditional-sum aggregate per table; uniqueness is a distinct
+    // count; referential integrity is a left-semi join on the key. The
+    // priority_urgent check is expected to FAIL on the fixture — the
+    // report's job is to say so, not to be green.
+    "q_validate_constraints" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val oChecks = Profiling.predicateChecks(o, Seq(
+        Profiling.Check("orders.custkey_complete",
+          col("o_custkey").isNotNull, 1000000L),
+        Profiling.Check("orders.status_domain",
+          col("o_orderstatus").isin("O", "F", "P"), 1000000L),
+        Profiling.Check("orders.totalprice_positive",
+          col("o_totalprice") > 0, 1000000L),
+        Profiling.Check("orders.priority_urgent",
+          col("o_orderpriority") === "1-URGENT", 1000000L)))
+      val liChecks = Profiling.predicateChecks(li, Seq(
+        Profiling.Check("lineitem.quantity_range",
+          col("l_quantity").between(1, 50), 1000000L),
+        Profiling.Check("lineitem.discount_range",
+          col("l_discount") >= 0 && col("l_discount") <= 0.1, 1000000L)))
+      val uq = Profiling.uniquenessCheck(o, "o_orderkey",
+        "orders.orderkey_unique", 1000000L)
+      val ri = Profiling.riCheck(li, "l_orderkey", o, "o_orderkey",
+        "lineitem.orderkey_in_orders", 1000000L)
+      oChecks.unionByName(liChecks).unionByName(uq).unionByName(ri)
+    }),
+
+    // PSI drift between the fixture's early and late order halves
+    // (split at the midpoint of the o_orderdate range): did the
+    // totalprice distribution shift over time? Laplace-smoothed
+    // 20-equal-width-bin PSI; every arithmetic step IEEE-replayed by the
+    // oracle.
+    "q_drift_psi" -> ((s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .withColumn("__dus", unix_micros(col("o_orderdate")))
+      val ds = o.agg(min("__dus").as("__mind"), max("__dus").as("__maxd"))
+      val sliced = o.crossJoin(broadcast(ds))
+        .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
+      Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
+    }))
+
+  private def numProfileSql(c: String, q: Long): String =
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |  count(*) - count($c) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+       |  round(CAST(sum(CAST(round($c * $q) AS BIGINT)) AS DOUBLE)
+       |    / $q.0 / CAST(count($c) AS DOUBLE), 4) AS mean_v
+       |FROM lineitem""".stripMargin
+
+  private def catProfileSql(c: String): String =
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |  count(*) - count($c) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+       |FROM base""".stripMargin
+
+  private val sqlPpm =
+    (g: String, t: String) =>
+      s"CAST(floor(1e6 * CAST($g AS DOUBLE) / CAST($t AS DOUBLE)) AS BIGINT)"
+
+  private def checkRowSql(src: String, name: String, g: String): String =
+    s"""SELECT '$name' AS check_name, ${sqlPpm(g, "t")} AS metric_ppm,
+       |  ${sqlPpm(g, "t")} >= 1000000 AS passed FROM $src""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_profile_numeric" -> Seq(
+      "l_orderkey" -> 1L, "l_quantity" -> 100L,
+      "l_extendedprice" -> 100L, "l_discount" -> 100L)
+      .map { case (c, q) => numProfileSql(c, q) }
+      .mkString("\nUNION ALL\n"),
+
+    "q_profile_categorical" ->
+      ("""WITH base AS (SELECT l_returnflag, l_linestatus,
+        |  epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem)
+        |""".stripMargin +
+        Seq("l_returnflag", "l_linestatus", "l_shipdate_us")
+          .map(catProfileSql).mkString("\nUNION ALL\n")),
+
+    "q_validate_constraints" ->
+      ("""WITH oc AS (SELECT count(*) AS t,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS g0,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS g1,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS g2,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g3
+        |  FROM orders),
+        |lc AS (SELECT count(*) AS t,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS g0,
+        |    sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS g1
+        |  FROM lineitem),
+        |uq AS (SELECT count(DISTINCT o_orderkey) AS g, count(*) AS t FROM orders),
+        |ri AS (SELECT (SELECT count(*) FROM lineitem
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS g,
+        |    (SELECT count(*) FROM lineitem) AS t)
+        |""".stripMargin +
+        Seq(
+          checkRowSql("oc", "orders.custkey_complete", "g0"),
+          checkRowSql("oc", "orders.status_domain", "g1"),
+          checkRowSql("oc", "orders.totalprice_positive", "g2"),
+          checkRowSql("oc", "orders.priority_urgent", "g3"),
+          checkRowSql("lc", "lineitem.quantity_range", "g0"),
+          checkRowSql("lc", "lineitem.discount_range", "g1"),
+          checkRowSql("uq", "orders.orderkey_unique", "g"),
+          checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
+          .mkString("\nUNION ALL\n")),
+
+    "q_drift_psi" ->
+      """WITH o AS (SELECT o_totalprice AS v, epoch_us(o_orderdate) AS dus FROM orders),
+        |ds AS (SELECT min(dus) AS mind, max(dus) AS maxd FROM o),
+        |sl AS (SELECT v, dus < (mind + maxd) // 2 AS a FROM o, ds),
+        |st AS (SELECT CAST(min(v) AS DOUBLE) AS minv, CAST(max(v) AS DOUBLE) AS maxv FROM sl),
+        |b AS (SELECT CASE WHEN (maxv - minv) / 20.0 = 0 THEN 0
+        |    ELSE least(CAST(floor((CAST(v AS DOUBLE) - minv) / ((maxv - minv) / 20.0)) AS BIGINT), 19) END AS bin, a
+        |  FROM sl, st),
+        |c AS (SELECT bin, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c),
+        |x AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE) AS p,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE) AS q FROM c, t)
+        |SELECT count(*) AS n_bins, round(sum((p - q) * ln(p / q)), 4) AS psi FROM x""".stripMargin)
+}

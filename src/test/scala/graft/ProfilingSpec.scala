@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Profiling
+
+/** Profiling / constraint / drift family (`ops/Profiling`). */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileNumeric: nulls, exact distinct, fixed-point mean") {
+    val df = Seq(
+      (1L, Some(10.25)), (2L, Some(10.25)), (3L, Some(20.50)), (4L, None))
+      .toDF("k", "v")
+    val got = Profiling.profileNumeric(df, Seq("k" -> 1L, "v" -> 100L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("k") === ((4L, 0L, 4L, 1.0, 4.0, 2.5)))
+    // v: 3 non-null, 1 null, 2 distinct; mean = (1025+1025+2050)/100/3
+    assert(got("v") === ((3L, 1L, 2L, 10.25, 20.5, 13.6667)))
+  }
+
+  test("profileCategorical: string min/max, nulls excluded from count") {
+    val df = Seq(Some("beta"), Some("alpha"), None).toDF("s")
+    val r = Profiling.profileCategorical(df, Seq("s")).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5)) === (("s", 2L, 1L, 2L, "alpha", "beta")))
+  }
+
+  test("predicateChecks: pass/fail thresholds; null predicate counts as bad") {
+    val df = Seq(Some(5), Some(50), None).toDF("x")
+    val got = Profiling.predicateChecks(df, Seq(
+      Profiling.Check("all_le_50", col("x") <= 50, 1000000L),
+      Profiling.Check("two_thirds_le_10", col("x") <= 10, 600000L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // null x -> predicate null -> not good: 2/3 for both checks
+    assert(got("all_le_50") === ((666666L, false)))
+    assert(got("two_thirds_le_10") === ((333333L, false)))
+  }
+
+  test("uniquenessCheck and riCheck ratios") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L).toDF("fk")
+    val uq = Profiling.uniquenessCheck(child, "fk", "u", 1000000L).collect()(0)
+    assert((uq.getLong(1), uq.getBoolean(2)) === ((750000L, false)))
+    val ri = Profiling.riCheck(child, "fk", parent, "pk", "ri", 1000000L)
+      .collect()(0)
+    assert((ri.getLong(1), ri.getBoolean(2)) === ((750000L, false)))
+  }
+
+  test("psiDrift: identical slices score 0, a shifted slice scores > 0") {
+    // same values on both sides -> per-bin p == q -> psi exactly 0
+    val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "a")
+    val r0 = Profiling.psiDrift(same, col("v"), col("a"), 10).collect()(0)
+    assert(r0.getLong(0) === 10L && r0.getDouble(1) === 0.0)
+
+    // slice A low-heavy, slice B high-heavy -> clear positive drift
+    val shifted = ((1 to 80).map(i => (i % 40 + 1.0, true)) ++
+      (1 to 80).map(i => (i % 40 + 60.0, false))).toDF("v", "a")
+    val r1 = Profiling.psiDrift(shifted, col("v"), col("a"), 10).collect()(0)
+    assert(r1.getDouble(1) > 0.25)
+
+    // constant column: zero bin width must not divide by zero
+    val const = Seq((5.0, true), (5.0, false)).toDF("v", "a")
+    val r2 = Profiling.psiDrift(const, col("v"), col("a"), 10).collect()(0)
+    assert(r2.getLong(0) === 1L && r2.getDouble(1) === 0.0)
+  }
+}
