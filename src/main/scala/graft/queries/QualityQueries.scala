@@ -81,7 +81,91 @@ object QualityQueries {
       val sliced = o.crossJoin(broadcast(ds))
         .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
       Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
+    }),
+
+    // Streaming drift monitor — the ingest-time shape of q_drift_psi:
+    // the LATE order half arrives as a JSON topic and its per-bin counts
+    // aggregate in Update mode (bin boundaries are frozen from the
+    // reference snapshot's stats, the production contract for a serving
+    // monitor); counts are monotone so the landing compacts with a plain
+    // max. Read side full-joins the streamed bins against the static
+    // reference half and replays the identical PSI arithmetic — the
+    // oracle IS q_drift_psi's, so the streamed monitor must reproduce
+    // the batch score bit for bit.
+    "q_t15_streaming_drift" -> ((s, dir) => {
+      val refBins = driftReferenceBins(s, dir)
+      val streamed = streamedDriftBins(s, dir)
+      val joined = refBins.join(streamed, Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val p = (col("ca") + lit(1L)).cast("double") /
+        (sum(col("ca")).over(all) + lit(20L)).cast("double")
+      val q = (col("cb") + lit(1L)).cast("double") /
+        (sum(col("cb")).over(all) + lit(20L)).cast("double")
+      joined.withColumn("__contrib", (p - q) * log(p / q))
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(col("__contrib")), 4).as("psi"))
     }))
+
+  /** Frozen drift-monitor parameters for `dir`: date midpoint + value
+    * range, one config-scale collect (the reference-snapshot stats a
+    * deployed monitor ships to its serving tier). */
+  private def driftParams(s: SparkSession, dir: String): (Long, Double, Double) = {
+    val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+      .withColumn("__dus", unix_micros(col("o_orderdate")))
+    val r = o.agg(min("__dus").as("mind"), max("__dus").as("maxd"),
+      min(col("o_totalprice").cast("double")).as("minv"),
+      max(col("o_totalprice").cast("double")).as("maxv")).head()
+    (Math.floorDiv(r.getLong(0) + r.getLong(1), 2L), r.getDouble(2), r.getDouble(3))
+  }
+
+  private def binCol(v: org.apache.spark.sql.Column, minv: Double,
+                     maxv: Double): org.apache.spark.sql.Column = {
+    val w = (maxv - minv) / 20.0
+    if (w == 0.0) lit(0L)
+    else least(floor((v.cast("double") - lit(minv)) / lit(w)).cast("long"),
+      lit(19L))
+  }
+
+  /** The reference (early-half) bin counts, batch-derived. */
+  private def driftReferenceBins(s: SparkSession, dir: String): DataFrame = {
+    val (mid, minv, maxv) = driftParams(s, dir)
+    Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+      .filter(unix_micros(col("o_orderdate")) < mid)
+      .select(binCol(col("o_totalprice"), minv, maxv).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("ca"))
+  }
+
+  /** Landing for q_t15_streaming_drift: late-half orders as a JSON topic,
+    * binned against the frozen boundaries, counted per bin in Update mode
+    * (O(nBins) state). Counts are monotone non-decreasing across batches,
+    * so read-side compaction is a plain max — the same no-batch_id
+    * discipline as the streamed CMS/HLL/histogram registers. */
+  private val streamDriftPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedDriftBins(s: SparkSession, dir: String): DataFrame = {
+    val out = streamDriftPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_drift_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val (mid, minv, maxv) = driftParams(s, dir)
+      Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .filter(unix_micros(col("o_orderdate")) >= mid)
+        .select(to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_totalprice DOUBLE")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val bins = decoded
+        .select(binCol(col("o_totalprice"), minv, maxv).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cb"))
+      graft.streaming.Landing.availableNow(bins, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("bin").agg(max(col("cb")).as("cb"))
+  }
 
   private def numProfileSql(c: String, q: Long): String =
     s"""SELECT '$c' AS col_name, count($c) AS n,
@@ -149,7 +233,13 @@ object QualityQueries {
           checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
           .mkString("\nUNION ALL\n")),
 
-    "q_drift_psi" ->
+    // The streamed monitor's oracle IS the batch PSI computation: the
+    // Update-mode landing must reproduce the batch score bit for bit.
+    "q_t15_streaming_drift" -> sqlPsi,
+
+    "q_drift_psi" -> sqlPsi)
+
+  private def sqlPsi: String =
       """WITH o AS (SELECT o_totalprice AS v, epoch_us(o_orderdate) AS dus FROM orders),
         |ds AS (SELECT min(dus) AS mind, max(dus) AS maxd FROM o),
         |sl AS (SELECT v, dus < (mind + maxd) // 2 AS a FROM o, ds),
@@ -162,5 +252,5 @@ object QualityQueries {
         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c),
         |x AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE) AS p,
         |    CAST(cb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE) AS q FROM c, t)
-        |SELECT count(*) AS n_bins, round(sum((p - q) * ln(p / q)), 4) AS psi FROM x""".stripMargin)
+        |SELECT count(*) AS n_bins, round(sum((p - q) * ln(p / q)), 4) AS psi FROM x""".stripMargin
 }
