@@ -150,6 +150,33 @@ object Profiling {
       m.as("metric_ppm"), (m >= thresholdPpm).as("passed"))
   }
 
+  /** Snapshot diff — the data-versioning audit between two corpus
+    * snapshots: one full-outer shuffle join on the key, per-row status
+    * (`added` / `removed` / `changed` / `same`, compare columns matched
+    * null-safely), one conditional aggregate. Output is the 4-row status
+    * census — the "what moved between yesterday's and today's snapshot"
+    * report that gates incremental retraining. Scale: the join shuffles
+    * on the key (AQE-splittable), nothing else is materialized.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val aSel = a.select(col(key).as("__k") +:
+      compareCols.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__ina", lit(1))
+    val bSel = b.select(col(key).as("__k") +:
+      compareCols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__inb", lit(1))
+    val joined = aSel.join(bSel, Seq("__k"), "full_outer")
+    val differs = compareCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    joined.select(
+      when(col("__ina").isNull, "added")
+        .when(col("__inb").isNull, "removed")
+        .when(differs, "changed")
+        .otherwise("same").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
   /** Population Stability Index between the two slices of `df` selected
     * by the boolean `sliceA`: equal-width-bin `value` over its global
     * range, Laplace-smooth the per-slice bin frequencies

@@ -83,6 +83,26 @@ object QualityQueries {
       Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
     }),
 
+    // Snapshot diff — the data-versioning audit between two corpus
+    // snapshots: full-outer join on the key, null-safe column compare,
+    // 4-row status census (added/removed/changed/same). The fixture has
+    // one snapshot, so the second is derived with planted differences
+    // (the synthetic-signal pattern): A = the early date half, B = all
+    // orders minus the %101 keys (removals vs B / additions in B) with
+    // totalprice perturbed on the %97 keys (changes).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val (mid, _, _) = driftParams(s, dir)
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .withColumn("__dus", unix_micros(col("o_orderdate")))
+      val snapA = o.filter(col("__dus") < mid)
+      val snapB = o.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Profiling.snapshotDiff(snapA, snapB, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // Streaming drift monitor — the ingest-time shape of q_drift_psi:
     // the LATE order half arrives as a JSON topic and its per-bin counts
     // aggregate in Update mode (bin boundaries are frozen from the
@@ -232,6 +252,24 @@ object QualityQueries {
           checkRowSql("uq", "orders.orderkey_unique", "g"),
           checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
           .mkString("\nUNION ALL\n")),
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    o_orderstatus AS st, epoch_us(o_orderdate) AS dus FROM orders),
+        |ds AS (SELECT (min(dus) + max(dus)) // 2 AS mid FROM o),
+        |a AS (SELECT k, p, st FROM o, ds WHERE dus < mid),
+        |b AS (SELECT k, CASE WHEN k % 97 = 0 THEN p + 1.0 ELSE p END AS p, st
+        |  FROM o WHERE k % 101 <> 0),
+        |j AS (SELECT a.k AS ak, b.k AS bk, a.p AS ap, b.p AS bp,
+        |    a.st AS ast, b.st AS bst
+        |  FROM a FULL JOIN b ON a.k = b.k)
+        |SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN ak IS NULL THEN 'added'
+        |    WHEN bk IS NULL THEN 'removed'
+        |    WHEN (ap IS DISTINCT FROM bp) OR (ast IS DISTINCT FROM bst)
+        |      THEN 'changed'
+        |    ELSE 'same' END AS status FROM j) t
+        |GROUP BY 1""".stripMargin,
 
     // The streamed monitor's oracle IS the batch PSI computation: the
     // Update-mode landing must reproduce the batch score bit for bit.

@@ -48,6 +48,20 @@ class ProfilingSpec extends SparkSpec {
     assert((ri.getLong(1), ri.getBoolean(2)) === ((750000L, false)))
   }
 
+  test("snapshotDiff: added/removed/changed/same with null-safe compare") {
+    val a = Seq((1L, Some("x"), 10.0), (2L, None: Option[String], 20.0),
+      (3L, Some("z"), 30.0), (4L, Some("w"), 40.0)).toDF("k", "s", "v")
+    val b = Seq((1L, Some("x"), 10.0),     // same
+      (2L, None: Option[String], 20.0),    // same (null <=> null)
+      (3L, Some("z"), 31.0),               // changed (v)
+      (5L, Some("new"), 50.0))             // added; k=4 removed
+      .toDF("k", "s", "v")
+    val got = Profiling.snapshotDiff(a, b, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("same" -> 2L, "changed" -> 1L,
+      "added" -> 1L, "removed" -> 1L))
+  }
+
   test("psiDrift: identical slices score 0, a shifted slice scores > 0") {
     // same values on both sides -> per-bin p == q -> psi exactly 0
     val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
