@@ -83,6 +83,30 @@ object QualityQueries {
       Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
     }),
 
+    // Robust per-group outlier census: median/MAD (the estimator that
+    // doesn't move when the outliers it hunts do), flag |x−med| >
+    // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont` under the (n−1)p rule, parity pinned round
+    // 4), medians rounded to 4dp so both engines threshold on the same
+    // shared value. Groups are config-scale → both stat joins broadcast;
+    // three scans, no data-scale state.
+    "q_outlier_mad" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val med = li.groupBy("g")
+        .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+      val dev = li.join(broadcast(med), Seq("g"))
+        .withColumn("absdev", abs(col("x") - col("med")))
+      val mad = dev.groupBy("g")
+        .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(mad), Seq("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("absdev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumnRenamed("g", "l_returnflag")
+    }),
+
     // Snapshot diff — the data-versioning audit between two corpus
     // snapshots: full-outer join on the key, null-safe column compare,
     // 4-row status census (added/removed/changed/same). The fixture has
@@ -252,6 +276,18 @@ object QualityQueries {
           checkRowSql("uq", "orders.orderkey_unique", "g"),
           checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
           .mkString("\nUNION ALL\n")),
+
+    "q_outlier_mad" ->
+      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+        |med AS (SELECT g, round(quantile_cont(x, 0.5), 4) AS med FROM li GROUP BY 1),
+        |dev AS (SELECT li.g, x, med, abs(x - med) AS absdev
+        |  FROM li JOIN med USING (g)),
+        |mad AS (SELECT g, round(quantile_cont(absdev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.g AS l_returnflag, count(*) AS n, max(med) AS med,
+        |  max(mad) AS mad,
+        |  CAST(sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g) GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,

@@ -114,4 +114,21 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("__sig"), p)
   }
+
+  test("q_profile_numeric: one scan, one Expand, one final aggregate") {
+    val p = plan("q_profile_numeric")
+    // the multi-column distinct profile must compile to a single Expand
+    // over a single lineitem scan — N scans (one per column) would read
+    // the corpus N times at 100 TB
+    assert("(?i)expand".r.findAllIn(p).length === 1, p)
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+  }
+
+  test("q_outlier_mad: both stat joins broadcast, never an SMJ of the facts") {
+    val p = plan("q_outlier_mad")
+    // med/mad are config-scale (one row per group) — they must come back
+    // as broadcasts; a SortMergeJoin would shuffle the fact table twice
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
