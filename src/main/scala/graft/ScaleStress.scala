@@ -73,7 +73,16 @@ object ScaleStress {
     // kNN graph: EVERY vector is a query, so candidate volume is
     // corpus × ~nprobe/k — the cell-local kernel must keep the ratio
     // near-linear as both corpus and cell populations grow 10×
-    "q_sim_knn_graph")
+    "q_sim_knn_graph",
+    // round-8 third wave: sparse retrieval's posting join sees ×10
+    // candidates per fixed query (planted topic tags collide across
+    // replicas — peers grow ×10 — while the word-salad base stays
+    // stop-guarded out); the quality family runs over ×10 orders/lineitem
+    // (single-scan profile, constraint sums, full-outer diff, broadcast
+    // MAD joins, PSI bins at constant state) and should sit at-or-below
+    // linear across the board
+    "q_sim_sparse_cosine", "q_profile_numeric", "q_validate_constraints",
+    "q_drift_psi", "q_outlier_mad", "q_snapshot_diff")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
@@ -125,6 +134,29 @@ object ScaleStress {
         col("event_type"), col("value"), col("props"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // Orders/lineitem for the data-quality family: order keys shift per
+    // replica (so uniqueness and the lineitem→orders RI hold by
+    // construction and the snapshot-diff %97/%101 plants spread), dates
+    // and values carry through — per-replica distributions are the
+    // original's, so PSI/profile answers stay comparable while row counts
+    // grow ×replicas.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val maxOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    ord.crossJoin(reps)
+      .select((col("o_orderkey") + col("rep") * maxOrd).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(reps)
+      .select((col("l_orderkey") + col("rep") * maxOrd).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     out
   }
 

@@ -82,6 +82,39 @@ object Sampling {
   def sqlPriority(keyExpr: String, weightExpr: String): String =
     s"(${Hashing.sqlMd5Long(keyExpr)} // CAST($weightExpr AS BIGINT))"
 
+  /** Temperature-flattened sampling rates (the mT5/XLM-R multilingual
+    * rebalancing trick at α = 1/2): rare groups are up-weighted relative
+    * to their natural share by sampling ∝ √n_g instead of ∝ n_g, so a
+    * dominant language stops drowning the tail without the pipeline
+    * hand-writing a target mix (that explicit-targets variant is
+    * [[mixReweight]]). The target total is half the corpus; per-group
+    * keep-rates in ppm:
+    *
+    *   w_g      = floor(1e6 · √n_g)            (√ is IEEE-exact on both
+    *                                            engines — the reason for
+    *                                            α = 1/2 over a libm pow)
+    *   rate_g   = min(1e6, floor(1e6 · (N div 2) · w_g / Σw / n_g))
+    *
+    * Every step is either exact integer math or a fixed left-associated
+    * chain of IEEE double ops, so DuckDB re-derives each rate bit for
+    * bit. Same scale shape as [[mixReweight]]: one config-scale metadata
+    * aggregate, rates as a when-chain, apply as a pure hash-threshold
+    * scan predicate — no join, no shuffle, streaming-safe.
+    */
+  def temperatureRates(df: org.apache.spark.sql.DataFrame,
+                       grp: Column): Map[String, Long] = {
+    val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wq = counts.map { case (g, n) =>
+      g -> math.floor(1e6 * math.sqrt(n.toDouble)).toLong }
+    val wsum = wq.values.sum
+    val t = counts.values.sum / 2
+    counts.map { case (g, n) =>
+      g -> math.min(1000000L, math.floor(
+        1e6 * t.toDouble * wq(g).toDouble / wsum.toDouble / n.toDouble).toLong)
+    }
+  }
+
   /** Domain-mix reweighting: down-sample each group so the surviving
     * corpus hits the target mix `targets` (permille per group, summing
     * 1000) at MAXIMUM volume — the data-mixing step of a training

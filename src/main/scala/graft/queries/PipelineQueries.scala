@@ -262,6 +262,23 @@ object PipelineQueries {
     // pure integer floor division over the per-group counts (one
     // config-scale metadata aggregate), the apply pass is a hash-threshold
     // predicate riding the scan — the "30% web / 25% code" mixing step.
+    // Temperature-flattened language rebalancing (α = 1/2): rates derive
+    // from corpus stats (∝ √n_g), no hand-written target mix — the
+    // multilingual complement of q_mix_reweight's explicit targets. √ is
+    // IEEE-exact on both engines, so DuckDB re-derives every ppm rate bit
+    // for bit; apply is the usual hash-threshold scan predicate.
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rates = Sampling.temperatureRates(docs, col("lang"))
+      val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+        case (els, (g, r)) => when(col("lang") === lit(g), lit(r)).otherwise(els)
+      }
+      docs.withColumn("__rate", rateCol)
+        .filter(Sampling.hashBucket(col("doc_id"), 1000000, "temp") < col("__rate"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"), max(col("__rate")).as("rate_ppm"))
+    }),
+
     "q_mix_reweight" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("grp", expr("CAST(substring(source, 4) AS BIGINT) % 4"))
@@ -1171,6 +1188,22 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1""".stripMargin
     },
+
+    "q_mix_temperature" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n,
+         |  CAST(floor(1e6 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wq FROM counts),
+         |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum,
+         |  CAST(sum(n) AS BIGINT) // 2 AS t FROM w),
+         |rates AS (SELECT lang, least(1000000,
+         |    CAST(floor(1e6 * CAST(t AS DOUBLE) * CAST(wq AS DOUBLE)
+         |      / CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)) AS rate
+         |  FROM w, tot)
+         |SELECT d.lang, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(rate) AS rate_ppm
+         |FROM documents d JOIN rates USING (lang)
+         |WHERE ${Sampling.sqlHashBucket("doc_id", 1000000, "temp")} < rate
+         |GROUP BY 1""".stripMargin,
 
     "q_mix_reweight" -> {
       val values = MixTargets.toSeq.sortBy(_._1)

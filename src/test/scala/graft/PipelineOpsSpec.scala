@@ -260,6 +260,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureRates flatten the mix: rare groups up-weighted, cap at 1e6") {
+    import graft.ops.Sampling
+    // 1600 docs of 'big', 100 of 'rare': natural shares 94%/6%; √-flattened
+    // target shares 80%/20% of half the corpus. rare's rate must exceed
+    // big's, and rare lands at (or near) the 1e6 cap while big stays low.
+    val df = ((0 until 1600).map(i => (i.toLong, "big")) ++
+      (1600 until 1700).map(i => (i.toLong, "rare"))).toDF("id", "lang")
+    val rates = Sampling.temperatureRates(df, col("lang"))
+    assert(rates("rare") > rates("big"))
+    assert(rates("rare") <= 1000000L && rates("big") < 500000L)
+    // exact re-derivation: the published formula, step for step
+    val wBig = math.floor(1e6 * math.sqrt(1600.0)).toLong
+    val wRare = math.floor(1e6 * math.sqrt(100.0)).toLong
+    val t = 1700L / 2
+    def rate(w: Long, n: Long) = math.min(1000000L,
+      math.floor(1e6 * t.toDouble * w.toDouble / (wBig + wRare).toDouble / n.toDouble).toLong)
+    assert(rates === Map("big" -> rate(wBig, 1600), "rare" -> rate(wRare, 100)))
+  }
+
   test("tokenBudgetKeep == global-window prefix selection, budgets exact") {
     // synthetic corpus: 2 groups x 300 docs, token counts 1..60
     val df = spark.range(600).select(
