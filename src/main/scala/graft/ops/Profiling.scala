@@ -150,6 +150,70 @@ object Profiling {
       m.as("metric_ppm"), (m >= thresholdPpm).as("passed"))
   }
 
+  /** Embedding covariance diagnostics — the anisotropy/collapse check run
+    * on an embedding table before it backs an ANN index (a collapsed or
+    * dominant direction ruins cosine recall): the upper-triangle
+    * covariance matrix of the milli-quantized vectors, exact integer
+    * sums.
+    *
+    * Scale shape: per-partition OUTER-PRODUCT accumulation in one typed
+    * mapPartitions (each task folds its rows into a dim×dim Long matrix
+    * and emits dim·(dim+1)/2 partial rows — the shuffle carries
+    * partitions × dim², never corpus × dim²; the declarative
+    * posexplode-self-join form would), then one final aggregate; per-dim
+    * sums ride a posexplode aggregate (map-side combine collapses each
+    * partition to dim rows) and come back as two broadcast joins of a
+    * dim-row table. Covariance displayed as
+    * (n·S_ij − S_i·S_j)/n²/1e6 (milli² → float units), exact Long
+    * numerators at fixture scale (document the 2^63 headroom: |q| ≤
+    * ~1300 milli-units ⇒ S_ij per pair < n·1.7e6 — overflow needs
+    * n > 5e12 vectors).
+    */
+  def embCovariance(df: DataFrame, embCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val q = df.select(Similarity.quantize(col(embCol)).as("q"))
+    val pairSchema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("sij", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val partials = q.mapPartitions { it =>
+      var mat: Array[Array[Long]] = null
+      var n = 0L
+      var dim = 0
+      it.foreach { r =>
+        val v = r.getSeq[Long](0)
+        if (mat == null) { dim = v.length; mat = Array.ofDim[Long](dim, dim) }
+        n += 1
+        var i = 0
+        while (i < dim) {
+          val vi = v(i)
+          var j = i
+          while (j < dim) { mat(i)(j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (mat == null) Iterator.empty
+      else (for { i <- 0 until dim; j <- i until dim }
+        yield Row(i, j, mat(i)(j), n)).iterator
+    }(org.apache.spark.sql.Encoders.row(pairSchema))
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi")).as("s"))
+    val pair = partials.groupBy("i", "j")
+      .agg(sum(col("sij")).as("sij"), sum(col("n")).as("n"))
+    pair
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("sij"),
+        // + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the
+        // sign bit, Spark's drops it — the hash compares reprs)
+        (round((col("n") * col("sij") - col("si") * col("sj")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) / lit(1e6), 6)
+          + lit(0.0)).as("cov"))
+  }
+
   /** Snapshot diff — the data-versioning audit between two corpus
     * snapshots: one full-outer shuffle join on the key, per-row status
     * (`added` / `removed` / `changed` / `same`, compare columns matched

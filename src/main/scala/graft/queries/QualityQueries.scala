@@ -83,6 +83,13 @@ object QualityQueries {
       Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
     }),
 
+    // Embedding covariance diagnostics — anisotropy/collapse check before
+    // a table backs an ANN index: exact upper-triangle covariance of the
+    // milli-quantized vectors via per-partition outer-product folding
+    // (shuffle carries partitions × dim², never corpus × dim²).
+    "q_emb_covariance" -> ((s, dir) =>
+      Profiling.embCovariance(Tables.embeddings(s, dir), "embedding")),
+
     // Robust per-group outlier census: median/MAD (the estimator that
     // doesn't move when the outliers it hunts do), flag |x−med| >
     // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
@@ -276,6 +283,23 @@ object QualityQueries {
           checkRowSql("uq", "orders.orderkey_unique", "g"),
           checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
           .mkString("\nUNION ALL\n")),
+
+    "q_emb_covariance" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, q[i] AS v
+        |  FROM q, unnest(generate_series(1, len(q))) AS t(i)),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sij
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM q)
+        |SELECT p.i, p.j, p.sij,
+        |  round(CAST(n * sij - si.s * sj.s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6, 6) + 0.0 AS cov
+        |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+        |CROSS JOIN nn""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),

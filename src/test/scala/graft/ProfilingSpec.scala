@@ -48,6 +48,23 @@ class ProfilingSpec extends SparkSpec {
     assert((ri.getLong(1), ri.getBoolean(2)) === ((750000L, false)))
   }
 
+  test("embCovariance: exact integer sums match hand math across partitions") {
+    // vectors (in milli-units after quantize): (1000,2000), (3000,4000),
+    // (5000,0) — n=3, S0=9000, S1=6000, S00=35e6, S01=14e6, S11=20e6
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 0.0f))
+      .toDF("embedding").repartition(3) // force partial-matrix merging
+    val got = Profiling.embCovariance(df, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, 0L))._1 === 35000000L)
+    assert(got((0L, 1L))._1 === 14000000L)
+    assert(got((1L, 1L))._1 === 20000000L)
+    // cov00 = (3*35e6 - 9000^2)/9/1e6 = 24e6/9e6 -> round 2.666667
+    assert(got((0L, 0L))._2 === 2.666667)
+    // cov01 = (3*14e6 - 9000*6000)/9/1e6 = -12e6/9e6 -> round -1.333333
+    assert(got((0L, 1L))._2 === -1.333333)
+    assert(got.size === 3)
+  }
+
   test("snapshotDiff: added/removed/changed/same with null-safe compare") {
     val a = Seq((1L, Some("x"), 10.0), (2L, None: Option[String], 20.0),
       (3L, Some("z"), 30.0), (4L, Some("w"), 40.0)).toDF("k", "s", "v")
