@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Profiling
+import graft.ops.{Profiling, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Data-quality surface: dataset profiling, declarative constraint
@@ -81,6 +81,35 @@ object QualityQueries {
       val sliced = o.crossJoin(broadcast(ds))
         .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
       Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
+    }),
+
+    // Token-distribution drift — the text-native sibling of the PSI
+    // monitor: Laplace-smoothed KL divergence of the token distributions
+    // between a reference source (src0) and the rest of the corpus,
+    // surfacing the top-20 drift-contributing tokens (the actionable
+    // part of a vocabulary-shift alert: WHICH words moved). Counts are
+    // exact; totals come back as a broadcast 1-row literal (never a
+    // vocab-wide single-task window); top-k plans as
+    // TakeOrderedAndProject.
+    "q_drift_tokens" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select((col("source") === "src0").as("a"),
+          explode(TA.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("v"))
+      val j = counts.crossJoin(broadcast(tot))
+      val p = (col("ca") + lit(1L)).cast("double") /
+        (col("ta") + col("v")).cast("double")
+      val q = (col("cb") + lit(1L)).cast("double") /
+        (col("tb") + col("v")).cast("double")
+      j.withColumn("contrib", p * log(p / q))
+        .orderBy(abs(col("contrib")).desc, col("token"))
+        .limit(20)
+        .select(col("token"), col("ca"), col("cb"),
+          (round(col("contrib"), 6) + lit(0.0)).as("contrib"))
     }),
 
     // Embedding covariance diagnostics — anisotropy/collapse check before
@@ -283,6 +312,24 @@ object QualityQueries {
           checkRowSql("uq", "orders.orderkey_unique", "g"),
           checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
           .mkString("\nUNION ALL\n")),
+
+    "q_drift_tokens" ->
+      """WITH t AS (SELECT source = 'src0' AS a,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(cb) AS BIGINT) AS tb, count(*) AS v FROM c),
+        |x AS (SELECT token, ca, cb,
+        |    (CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE))
+        |          / (CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))) AS contrib
+        |  FROM c CROSS JOIN tot)
+        |SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |  round(contrib, 6) + 0.0 AS contrib
+        |FROM x ORDER BY abs(contrib) DESC, token LIMIT 20""".stripMargin,
 
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
