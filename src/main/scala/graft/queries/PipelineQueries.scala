@@ -651,6 +651,34 @@ object PipelineQueries {
         .withColumn("cms_est", CountMin.estimate(col("token"), regs, d = 4, w = 64))
     }),
 
+    // Join-cardinality estimation by CMS inner product (the AMS/CM
+    // sketch-composition result: E[Σ_b a_b·b_b] = |A⋈B| + collision
+    // excess, so min over the d seed rows is a one-pass upper estimate).
+    // Each side is ONE mergeable sketch aggregate — O(d·w) longs across
+    // the shuffle, keys never collected — and the inner product is
+    // driver-side config-scale math. The exact join count rides along to
+    // validate the estimate (a production planner would skip it: the
+    // whole point is estimating WITHOUT running the join).
+    "q_join_size_cms" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("string").as("k"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("string").as("k"))
+      // w scales with key cardinality: the inner-product error is
+      // additive ~N_a*N_b/w, so a planner sizes w to push the excess
+      // under the signal (w=64 gave a 235x overestimate here; 8192
+      // lands within ~2x — still only 32k longs of state per side)
+      val ra = li.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
+        .head.getSeq[Long](0).toArray
+      val rb = ord.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
+        .head.getSeq[Long](0).toArray
+      val est = (0 until 4).map(sd =>
+        (0 until 8192).map(b => ra(sd * 8192 + b) * rb(sd * 8192 + b)).sum).min
+      li.join(ord, Seq("k")).agg(count(lit(1)).as("exact"))
+        .select(col("exact"), lit(est).as("cms_est"))
+    }),
+
     "q_agg_heavy_hitters" -> ((s, dir) => {
       import graft.functions.MisraGries
       val toks = Tables.documents(s, dir)
@@ -1548,6 +1576,22 @@ object PipelineQueries {
     // (the seeded-hash contract of Hashing.sqlMd5LongSeeded with a runtime
     // seed column); regs holds only non-empty registers, which is enough —
     // a top-20 token's own count occupies all four of its registers.
+    "q_join_size_cms" ->
+      """WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ra AS (SELECT sd.s,
+        |    ('0x' || substring(md5(k || '#' || CAST(sd.s AS VARCHAR)), 1, 15))::BIGINT % 8192 AS b,
+        |    count(*) AS c
+        |  FROM ka CROSS JOIN generate_series(0, 3) AS sd(s) GROUP BY 1, 2),
+        |rb AS (SELECT sd.s,
+        |    ('0x' || substring(md5(k || '#' || CAST(sd.s AS VARCHAR)), 1, 15))::BIGINT % 8192 AS b,
+        |    count(*) AS c
+        |  FROM kb CROSS JOIN generate_series(0, 3) AS sd(s) GROUP BY 1, 2),
+        |ip AS (SELECT ra.s, CAST(sum(ra.c * rb.c) AS BIGINT) AS dot
+        |  FROM ra JOIN rb ON ra.s = rb.s AND ra.b = rb.b GROUP BY 1),
+        |ex AS (SELECT count(*) AS exact FROM ka JOIN kb USING (k))
+        |SELECT exact, (SELECT min(dot) FROM ip) AS cms_est FROM ex""".stripMargin,
+
     "q_agg_countmin" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |regs AS (
