@@ -99,7 +99,7 @@ object Profiling {
     * is double-exact below 2^53, the division is one IEEE op, floor pins
     * the last bit. (DuckDB: `CAST(floor(1e6 * g / t) AS BIGINT)`.)
     */
-  private def ppm(g: Column, t: Column): Column =
+  def ppm(g: Column, t: Column): Column =
     floor(lit(1e6) * g.cast("double") / t.cast("double")).cast("long")
 
   /** A row-predicate constraint: fraction of rows satisfying `good` must

@@ -163,6 +163,25 @@ object QualityQueries {
         Seq("o_totalprice", "o_orderstatus"))
     }),
 
+    // Streaming constraint validation — the ingest-time shape of
+    // q_validate_constraints' orders checks: conditional sums aggregate
+    // globally in Update mode (one row of monotone counters, the
+    // smallest possible streaming state), the report derives from the
+    // compacted landing. Oracle = the same four checks computed batch
+    // over the full table, so the streamed report must match it exactly.
+    "q_t16_streaming_validate" -> ((s, dir) => {
+      val sums = streamedOrderCheckSums(s, dir)
+      val checks = Seq(
+        "orders.custkey_complete" -> "g0", "orders.status_domain" -> "g1",
+        "orders.totalprice_positive" -> "g2", "orders.priority_urgent" -> "g3")
+      val entries = checks.map { case (n, g) =>
+        val m = Profiling.ppm(col(g), col("t"))
+        struct(lit(n).as("check_name"), m.as("metric_ppm"),
+          (m >= 1000000L).as("passed"))
+      }
+      sums.select(inline(array(entries: _*)))
+    }),
+
     // Streaming drift monitor — the ingest-time shape of q_drift_psi:
     // the LATE order half arrives as a JSON topic and its per-bin counts
     // aggregate in Update mode (bin boundaries are frozen from the
@@ -187,6 +206,42 @@ object QualityQueries {
         .agg(count(lit(1)).as("n_bins"),
           round(sum(col("__contrib")), 4).as("psi"))
     }))
+
+  /** Landing for q_t16_streaming_validate: orders stream in as a JSON
+    * topic and the four predicate-check conditional sums aggregate
+    * GLOBALLY in Update mode (a single row of monotone counters — the
+    * smallest possible streaming state); the landing compacts with the
+    * usual read-side max. Constraint validation at ingest: the report is
+    * live after every micro-batch instead of waiting for a batch sweep.
+    */
+  private val streamValidatePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedOrderCheckSums(s: SparkSession, dir: String): DataFrame = {
+    val out = streamValidatePaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_validate_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.orders(s, dir)
+        .select(to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderpriority STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val sums = decoded.agg(count(lit(1)).as("t"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("g0"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("g1"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("g2"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("g3"))
+      graft.streaming.Landing.availableNow(sums, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).agg(max(col("t")).as("t"), max(col("g0")).as("g0"),
+      max(col("g1")).as("g1"), max(col("g2")).as("g2"), max(col("g3")).as("g3"))
+  }
 
   /** Frozen drift-monitor parameters for `dir`: date midpoint + value
     * range, one config-scale collect (the reference-snapshot stats a
@@ -377,6 +432,21 @@ object QualityQueries {
         |      THEN 'changed'
         |    ELSE 'same' END AS status FROM j) t
         |GROUP BY 1""".stripMargin,
+
+    "q_t16_streaming_validate" ->
+      ("""WITH oc AS (SELECT count(*) AS t,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS g0,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS g1,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS g2,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g3
+        |  FROM orders)
+        |""".stripMargin +
+        Seq(
+          checkRowSql("oc", "orders.custkey_complete", "g0"),
+          checkRowSql("oc", "orders.status_domain", "g1"),
+          checkRowSql("oc", "orders.totalprice_positive", "g2"),
+          checkRowSql("oc", "orders.priority_urgent", "g3"))
+          .mkString("\nUNION ALL\n")),
 
     // The streamed monitor's oracle IS the batch PSI computation: the
     // Update-mode landing must reproduce the batch score bit for bit.
