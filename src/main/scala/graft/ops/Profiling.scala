@@ -214,6 +214,66 @@ object Profiling {
           + lit(0.0)).as("cov"))
   }
 
+  /** Label-separability report — the "are these labels learnable from
+    * these embeddings" QA gate for classifier training data: per label,
+    * the mean squared distance of members to their own centroid (intra)
+    * vs the squared distance to the nearest OTHER centroid (inter), and
+    * their ratio (higher = cleaner separation; a ratio near or below 1
+    * means the label clouds overlap and a classifier will struggle).
+    *
+    * Exact integer math end to end (milli-quantized vectors, centroid =
+    * elementwise floor(sum/n) — the engine's k-means conventions), so
+    * the oracle replays every distance bit for bit. Scale shape: one
+    * posexplode aggregate for centroid sums (map-side combined,
+    * labels×dim rows out), centroids collected driver-side (config-scale
+    * — the k-centroid pattern) and compiled into a when-chain array
+    * literal for ONE distance scan (no join, corpus never reshuffles);
+    * inter-centroid distances are pure driver math over labels².
+    */
+  def labelSeparability(df: DataFrame, embCol: String,
+                        labelCol: String): DataFrame = {
+    val q = df.select(col(labelCol).cast("long").as("label"),
+      Similarity.quantize(col(embCol)).as("q"))
+    val dims = q.select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+    val centRows = dims.groupBy("label", "i")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        floor(col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("c"))
+      .collect()
+    val centMap: Map[Long, Array[Long]] = centRows
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+    val centCol = centMap.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("array<bigint>")) {
+        case (els, (l, arr)) =>
+          when(col("label") === l, typedLit(arr.toSeq)).otherwise(els)
+      }
+    val dist = q.withColumn("c", centCol)
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+    val intra = dist.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("S"))
+    val inter: Map[Long, Long] = centMap.map { case (l, cl) =>
+      l -> centMap.collect { case (m, cm) if m != l =>
+        cl.zip(cm).map { case (a, b) => val d = a - b; d * d }.sum
+      }.min
+    }
+    val interCol = inter.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (els, (l, v)) => when(col("label") === l, lit(v)).otherwise(els)
+    }
+    intra.withColumn("I", interCol)
+      .select(col("label"), col("n"),
+        round(col("S").cast("double") / col("n").cast("double") / lit(1e6), 4)
+          .as("intra_msd"),
+        round(col("I").cast("double") / lit(1e6), 4).as("inter_min"),
+        round(col("I").cast("double") * col("n").cast("double") /
+          greatest(col("S"), lit(1L)).cast("double"), 4).as("sep"))
+  }
+
   /** Snapshot diff — the data-versioning audit between two corpus
     * snapshots: one full-outer shuffle join on the key, per-row status
     * (`added` / `removed` / `changed` / `same`, compare columns matched

@@ -119,6 +119,13 @@ object QualityQueries {
     "q_emb_covariance" -> ((s, dir) =>
       Profiling.embCovariance(Tables.embeddings(s, dir), "embedding")),
 
+    // Label-separability QA: intra-label spread vs nearest-other-centroid
+    // distance over the embeddings table — "are these labels learnable
+    // from these vectors" before classifier training spends compute.
+    "q_label_separability" -> ((s, dir) =>
+      Profiling.labelSeparability(Tables.embeddings(s, dir),
+        "embedding", "label")),
+
     // Robust per-group outlier census: median/MAD (the estimator that
     // doesn't move when the outliers it hunts do), flag |x−med| >
     // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
@@ -385,6 +392,34 @@ object QualityQueries {
         |SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
         |  round(contrib, 6) + 0.0 AS contrib
         |FROM x ORDER BY abs(contrib) DESC, token LIMIT 20""".stripMargin,
+
+    "q_label_separability" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i, q[i] AS v
+        |  FROM q, unnest(generate_series(1, len(q))) AS t(i)),
+        |cs AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM cs),
+        |d AS (SELECT e.vec_id, e.label,
+        |    CAST(sum((v - c) * (v - c)) AS BIGINT) AS d2
+        |  FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i
+        |  GROUP BY 1, 2),
+        |intra AS (SELECT label, count(*) AS n, CAST(sum(d2) AS BIGINT) AS S
+        |  FROM d GROUP BY 1),
+        |cd AS (SELECT a.label AS la,
+        |    CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dd
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+        |  GROUP BY a.label, b.label),
+        |inter AS (SELECT la AS label, min(dd) AS i2 FROM cd GROUP BY 1)
+        |SELECT intra.label, n,
+        |  round(CAST(S AS DOUBLE) / n / 1e6, 4) AS intra_msd,
+        |  round(CAST(i2 AS DOUBLE) / 1e6, 4) AS inter_min,
+        |  round(CAST(i2 AS DOUBLE) * n / greatest(S, 1), 4) AS sep
+        |FROM intra JOIN inter USING (label)""".stripMargin,
 
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,

@@ -65,6 +65,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("labelSeparability: exact centroids, intra/inter/ratio hand math") {
+    // label 0 around (+1, 0), label 1 around (−1, 0) in milli-units:
+    // centroids (1100, 0) / (−1100, 0); S = 100²·2 = 20000 each;
+    // inter = 2200² = 4.84e6; sep = 4.84e6·2/2e4 = 484
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.2f, 0.0f), 0),
+      (2L, Seq(-1.0f, 0.0f), 1), (3L, Seq(-1.2f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Profiling.labelSeparability(df, "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) === ((2L, 0.01, 4.84, 484.0)))
+    assert(got(1L) === ((2L, 0.01, 4.84, 484.0)))
+  }
+
   test("snapshotDiff: added/removed/changed/same with null-safe compare") {
     val a = Seq((1L, Some("x"), 10.0), (2L, None: Option[String], 20.0),
       (3L, Some("z"), 30.0), (4L, Some("w"), 40.0)).toDF("k", "s", "v")
