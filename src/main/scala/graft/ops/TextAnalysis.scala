@@ -508,8 +508,15 @@ object TextAnalysis {
   def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
                        isQuery: Column, k: Int,
                        stopTermFrac: Double = 0.02): DataFrame = {
+    // Tokens are 64-bit-hashed BEFORE anything shuffles (the substringRuns
+    // lesson: string agg/join keys are a hidden cache-pressure trap at
+    // scale; 8-byte keys restore it). A collision merging two terms is the
+    // canonical hashed-vocabulary trade — it only perturbs a cosine if the
+    // merged terms co-occur in scored pairs. The hash sits in the Project
+    // ABOVE the explode Generate (the Generate/CollapseProject trap).
     val tf = df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
-        explode(tokens(col(textCol))).as("token"))
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
       .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val cap = df.select(
