@@ -82,7 +82,13 @@ object ScaleStress {
     // MAD joins, PSI bins at constant state) and should sit at-or-below
     // linear across the board
     "q_sim_sparse_cosine", "q_profile_numeric", "q_validate_constraints",
-    "q_drift_psi", "q_outlier_mad", "q_snapshot_diff")
+    "q_drift_psi", "q_outlier_mad", "q_snapshot_diff",
+    // quality-family stragglers: covariance folds 10× vectors into the
+    // same dim² partial matrices; token-KL counts a 10× vocabulary;
+    // temperature re-derives rates over 10× docs; separability's
+    // centroid pass and distance scan both grow linearly
+    "q_emb_covariance", "q_drift_tokens", "q_mix_temperature",
+    "q_label_separability")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
