@@ -45,28 +45,24 @@ object QualityQueries {
     // count; referential integrity is a left-semi join on the key. The
     // priority_urgent check is expected to FAIL on the fixture — the
     // report's job is to say so, not to be green.
-    "q_validate_constraints" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val li = Tables.lineitem(s, dir)
-      val oChecks = Profiling.predicateChecks(o, Seq(
-        Profiling.Check("orders.custkey_complete",
-          col("o_custkey").isNotNull, 1000000L),
-        Profiling.Check("orders.status_domain",
-          col("o_orderstatus").isin("O", "F", "P"), 1000000L),
-        Profiling.Check("orders.totalprice_positive",
-          col("o_totalprice") > 0, 1000000L),
-        Profiling.Check("orders.priority_urgent",
-          col("o_orderpriority") === "1-URGENT", 1000000L)))
-      val liChecks = Profiling.predicateChecks(li, Seq(
-        Profiling.Check("lineitem.quantity_range",
-          col("l_quantity").between(1, 50), 1000000L),
-        Profiling.Check("lineitem.discount_range",
-          col("l_discount") >= 0 && col("l_discount") <= 0.1, 1000000L)))
-      val uq = Profiling.uniquenessCheck(o, "o_orderkey",
-        "orders.orderkey_unique", 1000000L)
-      val ri = Profiling.riCheck(li, "l_orderkey", o, "o_orderkey",
-        "lineitem.orderkey_in_orders", 1000000L)
-      oChecks.unionByName(liChecks).unionByName(uq).unionByName(ri)
+    "q_validate_constraints" -> ((s, dir) => constraintReport(s, dir)),
+
+    // The whole quality gate as ONE lazy plan (the q_pipeline_e2e
+    // discipline): constraint report ∪ drift verdict ∪ per-group
+    // outlier-rate verdicts, uniform (check_name, metric_ppm, passed)
+    // rows — the single DataFrame a scheduler would assert on before
+    // promoting a corpus snapshot. No driver actions anywhere in the
+    // composition; every branch keeps its own scale shape.
+    "q_quality_gate_e2e" -> ((s, dir) => {
+      val drift = psiReport(s, dir).select(
+        lit("orders.price_drift_psi").as("check_name"),
+        floor(col("psi") * lit(1e6)).cast("long").as("metric_ppm"),
+        (col("psi") <= 0.25).as("passed"))
+      val outliers = madReport(s, dir).select(
+        concat(lit("lineitem.outlier_rate."), col("l_returnflag")).as("check_name"),
+        Profiling.ppm(col("n_outliers"), col("n")).as("metric_ppm"),
+        (Profiling.ppm(col("n_outliers"), col("n")) <= 10000L).as("passed"))
+      constraintReport(s, dir).unionByName(drift).unionByName(outliers)
     }),
 
     // PSI drift between the fixture's early and late order halves
@@ -74,14 +70,7 @@ object QualityQueries {
     // totalprice distribution shift over time? Laplace-smoothed
     // 20-equal-width-bin PSI; every arithmetic step IEEE-replayed by the
     // oracle.
-    "q_drift_psi" -> ((s, dir) => {
-      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
-        .withColumn("__dus", unix_micros(col("o_orderdate")))
-      val ds = o.agg(min("__dus").as("__mind"), max("__dus").as("__maxd"))
-      val sliced = o.crossJoin(broadcast(ds))
-        .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
-      Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
-    }),
+    "q_drift_psi" -> ((s, dir) => psiReport(s, dir)),
 
     // Token-distribution drift — the text-native sibling of the PSI
     // monitor: Laplace-smoothed KL divergence of the token distributions
@@ -133,22 +122,7 @@ object QualityQueries {
     // 4), medians rounded to 4dp so both engines threshold on the same
     // shared value. Groups are config-scale → both stat joins broadcast;
     // three scans, no data-scale state.
-    "q_outlier_mad" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      val med = li.groupBy("g")
-        .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
-      val dev = li.join(broadcast(med), Seq("g"))
-        .withColumn("absdev", abs(col("x") - col("med")))
-      val mad = dev.groupBy("g")
-        .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
-      dev.join(broadcast(mad), Seq("g"))
-        .groupBy("g").agg(count(lit(1)).as("n"),
-          max(col("med")).as("med"), max(col("mad")).as("mad"),
-          sum(when(col("absdev") > lit(4.4478) * col("mad"), 1L)
-            .otherwise(0L)).as("n_outliers"))
-        .withColumnRenamed("g", "l_returnflag")
-    }),
+    "q_outlier_mad" -> ((s, dir) => madReport(s, dir)),
 
     // Snapshot diff — the data-versioning audit between two corpus
     // snapshots: full-outer join on the key, null-safe column compare,
@@ -250,6 +224,59 @@ object QualityQueries {
       max(col("g1")).as("g1"), max(col("g2")).as("g2"), max(col("g3")).as("g3"))
   }
 
+  /** The declarative constraint report (see q_validate_constraints). */
+  private def constraintReport(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val oChecks = Profiling.predicateChecks(o, Seq(
+      Profiling.Check("orders.custkey_complete",
+        col("o_custkey").isNotNull, 1000000L),
+      Profiling.Check("orders.status_domain",
+        col("o_orderstatus").isin("O", "F", "P"), 1000000L),
+      Profiling.Check("orders.totalprice_positive",
+        col("o_totalprice") > 0, 1000000L),
+      Profiling.Check("orders.priority_urgent",
+        col("o_orderpriority") === "1-URGENT", 1000000L)))
+    val liChecks = Profiling.predicateChecks(li, Seq(
+      Profiling.Check("lineitem.quantity_range",
+        col("l_quantity").between(1, 50), 1000000L),
+      Profiling.Check("lineitem.discount_range",
+        col("l_discount") >= 0 && col("l_discount") <= 0.1, 1000000L)))
+    val uq = Profiling.uniquenessCheck(o, "o_orderkey",
+      "orders.orderkey_unique", 1000000L)
+    val ri = Profiling.riCheck(li, "l_orderkey", o, "o_orderkey",
+      "lineitem.orderkey_in_orders", 1000000L)
+    oChecks.unionByName(liChecks).unionByName(uq).unionByName(ri)
+  }
+
+  /** The (n_bins, psi) drift score (see q_drift_psi). */
+  private def psiReport(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+      .withColumn("__dus", unix_micros(col("o_orderdate")))
+    val ds = o.agg(min("__dus").as("__mind"), max("__dus").as("__maxd"))
+    val sliced = o.crossJoin(broadcast(ds))
+      .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
+    Profiling.psiDrift(sliced, col("o_totalprice"), col("__a"), 20)
+  }
+
+  /** The per-group median/MAD outlier census (see q_outlier_mad). */
+  private def madReport(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val med = li.groupBy("g")
+      .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+    val dev = li.join(broadcast(med), Seq("g"))
+      .withColumn("absdev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("g")
+      .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("absdev") > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
   /** Frozen drift-monitor parameters for `dir`: date midpoint + value
     * range, one config-scale collect (the reference-snapshot stats a
     * deployed monitor ships to its serving tier). */
@@ -348,32 +375,24 @@ object QualityQueries {
         Seq("l_returnflag", "l_linestatus", "l_shipdate_us")
           .map(catProfileSql).mkString("\nUNION ALL\n")),
 
-    "q_validate_constraints" ->
-      ("""WITH oc AS (SELECT count(*) AS t,
-        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS g0,
-        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS g1,
-        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS g2,
-        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g3
-        |  FROM orders),
-        |lc AS (SELECT count(*) AS t,
-        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS g0,
-        |    sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS g1
-        |  FROM lineitem),
-        |uq AS (SELECT count(DISTINCT o_orderkey) AS g, count(*) AS t FROM orders),
-        |ri AS (SELECT (SELECT count(*) FROM lineitem
-        |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS g,
-        |    (SELECT count(*) FROM lineitem) AS t)
-        |""".stripMargin +
-        Seq(
-          checkRowSql("oc", "orders.custkey_complete", "g0"),
-          checkRowSql("oc", "orders.status_domain", "g1"),
-          checkRowSql("oc", "orders.totalprice_positive", "g2"),
-          checkRowSql("oc", "orders.priority_urgent", "g3"),
-          checkRowSql("lc", "lineitem.quantity_range", "g0"),
-          checkRowSql("lc", "lineitem.discount_range", "g1"),
-          checkRowSql("uq", "orders.orderkey_unique", "g"),
-          checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
-          .mkString("\nUNION ALL\n")),
+    "q_validate_constraints" -> sqlValidate,
+
+    // gate = constraint rows ∪ drift verdict ∪ outlier-rate verdicts,
+    // each branch the corresponding standalone oracle re-shaped to the
+    // uniform report row
+    "q_quality_gate_e2e" ->
+      (sqlValidate +
+        """
+          |UNION ALL
+          |SELECT 'orders.price_drift_psi' AS check_name,
+          |  CAST(floor(psi * 1e6) AS BIGINT) AS metric_ppm,
+          |  psi <= 0.25 AS passed
+          |FROM (""".stripMargin + sqlPsi + """) psiq
+          |UNION ALL
+          |SELECT 'lineitem.outlier_rate.' || l_returnflag AS check_name,
+          |  CAST(floor(1e6 * CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS metric_ppm,
+          |  CAST(floor(1e6 * CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) <= 10000 AS passed
+          |FROM (""".stripMargin + sqlMad + ") madq"),
 
     "q_drift_tokens" ->
       """WITH t AS (SELECT source = 'src0' AS a,
@@ -438,17 +457,7 @@ object QualityQueries {
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |CROSS JOIN nn""".stripMargin,
 
-    "q_outlier_mad" ->
-      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
-        |med AS (SELECT g, round(quantile_cont(x, 0.5), 4) AS med FROM li GROUP BY 1),
-        |dev AS (SELECT li.g, x, med, abs(x - med) AS absdev
-        |  FROM li JOIN med USING (g)),
-        |mad AS (SELECT g, round(quantile_cont(absdev, 0.5), 4) AS mad
-        |  FROM dev GROUP BY 1)
-        |SELECT dev.g AS l_returnflag, count(*) AS n, max(med) AS med,
-        |  max(mad) AS mad,
-        |  CAST(sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM dev JOIN mad USING (g) GROUP BY 1""".stripMargin,
+    "q_outlier_mad" -> sqlMad,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
@@ -488,6 +497,45 @@ object QualityQueries {
     "q_t15_streaming_drift" -> sqlPsi,
 
     "q_drift_psi" -> sqlPsi)
+
+  private def sqlMad: String =
+    """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+      |med AS (SELECT g, round(quantile_cont(x, 0.5), 4) AS med FROM li GROUP BY 1),
+      |dev AS (SELECT li.g, x, med, abs(x - med) AS absdev
+      |  FROM li JOIN med USING (g)),
+      |mad AS (SELECT g, round(quantile_cont(absdev, 0.5), 4) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.g AS l_returnflag, count(*) AS n, max(med) AS med,
+      |  max(mad) AS mad,
+      |  CAST(sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (g) GROUP BY 1""".stripMargin
+
+  private def sqlValidate: String =
+    ("""WITH oc AS (SELECT count(*) AS t,
+      |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS g0,
+      |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS g1,
+      |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS g2,
+      |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g3
+      |  FROM orders),
+      |lc AS (SELECT count(*) AS t,
+      |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS g0,
+      |    sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS g1
+      |  FROM lineitem),
+      |uq AS (SELECT count(DISTINCT o_orderkey) AS g, count(*) AS t FROM orders),
+      |ri AS (SELECT (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS g,
+      |    (SELECT count(*) FROM lineitem) AS t)
+      |""".stripMargin +
+      Seq(
+        checkRowSql("oc", "orders.custkey_complete", "g0"),
+        checkRowSql("oc", "orders.status_domain", "g1"),
+        checkRowSql("oc", "orders.totalprice_positive", "g2"),
+        checkRowSql("oc", "orders.priority_urgent", "g3"),
+        checkRowSql("lc", "lineitem.quantity_range", "g0"),
+        checkRowSql("lc", "lineitem.discount_range", "g1"),
+        checkRowSql("uq", "orders.orderkey_unique", "g"),
+        checkRowSql("ri", "lineitem.orderkey_in_orders", "g"))
+        .mkString("\nUNION ALL\n"))
 
   private def sqlPsi: String =
       """WITH o AS (SELECT o_totalprice AS v, epoch_us(o_orderdate) AS dus FROM orders),
