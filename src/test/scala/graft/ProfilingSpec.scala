@@ -94,6 +94,29 @@ class ProfilingSpec extends SparkSpec {
       "added" -> 1L, "removed" -> 1L))
   }
 
+  test("psiDrift is symmetric; snapshotDiff counts conserve (generated data)") {
+    import org.scalacheck.Gen
+    val rnd = new scala.util.Random(42)
+    // psi symmetry: (p−q)·ln(p/q) is invariant under p↔q
+    val vals = Gen.listOfN(300, Gen.chooseNum(0.0, 100.0)).sample.get
+    val flags = List.fill(300)(rnd.nextBoolean())
+    val df = vals.zip(flags).toDF("v", "a")
+    val psiAB = Profiling.psiDrift(df, col("v"), col("a"), 8).collect()(0).getDouble(1)
+    val psiBA = Profiling.psiDrift(df, col("v"), !col("a"), 8).collect()(0).getDouble(1)
+    assert(psiAB === psiBA)
+
+    // diff conservation: same+changed+removed = |A|, same+changed+added = |B|
+    val keysA = Gen.listOfN(200, Gen.chooseNum(0L, 120L)).sample.get.distinct
+    val keysB = Gen.listOfN(200, Gen.chooseNum(60L, 180L)).sample.get.distinct
+    val a = keysA.map(k => (k, k % 7)).toDF("k", "v")
+    val b = keysB.map(k => (k, k % 5)).toDF("k", "v")
+    val st = Profiling.snapshotDiff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    assert(st("same") + st("changed") + st("removed") === keysA.size.toLong)
+    assert(st("same") + st("changed") + st("added") === keysB.size.toLong)
+  }
+
   test("psiDrift: identical slices score 0, a shifted slice scores > 0") {
     // same values on both sides -> per-bin p == q -> psi exactly 0
     val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
