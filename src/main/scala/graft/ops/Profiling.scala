@@ -246,6 +246,9 @@ object Profiling {
       .map { case (l, rows) =>
         l -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
       }
+    require(centMap.size >= 2,
+      s"labelSeparability needs >= 2 labels (got ${centMap.size}) — " +
+        "inter-centroid distance is undefined otherwise")
     val centCol = centMap.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("array<bigint>")) {
         case (els, (l, arr)) =>

@@ -105,6 +105,7 @@ object Sampling {
                        grp: Column): Map[String, Long] = {
     val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureRates: empty corpus (no groups)")
     val wq = counts.map { case (g, n) =>
       g -> math.floor(1e6 * math.sqrt(n.toDouble)).toLong }
     val wsum = wq.values.sum
