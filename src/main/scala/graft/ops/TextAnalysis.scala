@@ -505,6 +505,58 @@ object TextAnalysis {
     * (qid, rnk, did, cos) — cosine over the integer weight vectors,
     * rounded to 4dp.
     */
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, the Lucene idf form)
+    * over the same inverted-index shape as [[sparseCosineTopK]]:
+    * score(q,d) = Σ_{t∈q∩d} idf_t · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)),
+    * k1 = 1.2, b = 0.75. Per-term contributions are floor-quantized to
+    * integer MICROS before the per-(query, doc) sum — double addition is
+    * order-dependent in the last ulps and a distributed sum has no fixed
+    * order, so the exact-integer sum is what makes the score reproducible
+    * across partitionings and engines (the cents discipline, applied to
+    * relevance scores). Posting fanout keeps the corpus-relative
+    * stop-term guard (idf already down-weights common terms, but the
+    * JOIN cost of a universal term is O(n²) regardless — the guard is
+    * the scale bound, the idf is the ranking signal).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               isQuery: Column, k: Int,
+               stopTermFrac: Double = 0.02): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
+    val tf = toks.groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("id").agg(count(lit(1)).as("len"))
+    val stats = len.agg(count(lit(1)).as("__n"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val cap = df.select(
+      greatest(lit(5.0), count(lit(1)) * lit(stopTermFrac)).as("__cap"))
+    val kept = dfreq.crossJoin(broadcast(cap))
+      .filter(col("df") <= col("__cap")).select("token", "df")
+    val post = CacheRegistry.persist(tf.join(kept, "token")
+      .join(len, "id").crossJoin(broadcast(stats)))
+    val qside = post.filter(col("isq"))
+      .select(col("id").as("qid"), col("token"))
+    val dside = post.select(col("id").as("did"), col("token"), col("tf"),
+      col("df"), col("len"), col("__n"), col("__avgdl"))
+    val idf = log((col("__n").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val scoreT = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("len").cast("double") / col("__avgdl"))))
+    val contribs = qside.join(dside, Seq("token"))
+      .filter(col("qid") =!= col("did"))
+      .withColumn("cq", floor(scoreT * lit(1e6)).cast("long"))
+      .groupBy("qid", "did").agg(sum(col("cq")).as("sq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sq").desc, col("did"))
+    contribs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("did"),
+        round(col("sq").cast("double") / lit(1e6), 4).as("bm25"))
+  }
+
   def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
                        isQuery: Column, k: Int,
                        stopTermFrac: Double = 0.02): DataFrame = {

@@ -599,6 +599,20 @@ object PipelineQueries {
     // (planted twice — tf matters) and an entity tag shared by
     // doc_id%200 peers; the 0.05 guard keeps exactly these and drops
     // the word-salad base.
+    // BM25 retrieval — the standard IR ranking over the same inverted
+    // index and planted-signal fixture as q_sim_sparse_cosine; per-term
+    // contributions floor-quantized to integer micros so the distributed
+    // sum is order-free and the oracle replays every score bit for bit.
+    "q_sim_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" topic"), (col("doc_id") % 40).cast("string"),
+          lit(" topic"), (col("doc_id") % 40).cast("string"),
+          lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
+      TA.bm25TopK(docs, "doc_id", "text",
+        isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05)
+    }),
+
     "q_sim_sparse_cosine" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         concat(col("text"),
@@ -1491,6 +1505,38 @@ object PipelineQueries {
         |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[s+1 : s+64], ' ')) AS fp
         |FROM st""".stripMargin,
+
+    "q_sim_bm25" ->
+      """WITH docs AS (SELECT doc_id,
+        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM len),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT token, df FROM dfreq
+        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+        |post AS (SELECT t.doc_id, t.token, t.tf, k.df, l.len
+        |  FROM tf t JOIN kept k USING (token) JOIN len l USING (doc_id)),
+        |sc AS (SELECT q.doc_id AS qid, d.doc_id AS did,
+        |    CAST(sum(CAST(floor(
+        |      ln((CAST(n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(d.tf AS DOUBLE) * 2.2)
+        |      / (CAST(d.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.len AS DOUBLE) / avgdl)))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
+        |  CROSS JOIN st
+        |  WHERE q.doc_id < 20 GROUP BY 1, 2)
+        |SELECT qid, rnk, did, round(CAST(sq AS DOUBLE) / 1e6, 4) AS bm25 FROM (
+        |  SELECT qid, did, sq,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, did) AS rnk
+        |  FROM sc) r WHERE rnk <= 5""".stripMargin,
 
     "q_sim_sparse_cosine" ->
       """WITH docs AS (SELECT doc_id,

@@ -159,6 +159,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full._4 > 0L)
   }
 
+  test("bm25TopK: multi-term match outranks single-term, stop guard holds") {
+    val docs = (Seq(
+      (0L, "common alpha beta"),
+      (1L, "common alpha beta"),   // both terms matched -> rank 1
+      (2L, "common alpha"),        // one term (shorter doc) -> rank 2
+      (3L, "common zeta")          // stop-term-only overlap -> absent
+    ) ++ (4L to 7L).map(i => (i, s"common filler$i"))).toDF("id", "text")
+    val got = TA.bm25TopK(docs, "id", "text", isQuery = col("id") < 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.CacheRegistry.drain()
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+    assert(got(0)._4 > got(1)._4 && got(1)._4 > 0.0)
+  }
+
   test("sparseCosineTopK: exact dup at cos 1.0, stop-term guard, no cartesian") {
     // 'common' is in all 8 docs (df=8 > cap=max(5, 0.02*8)=5 -> dropped);
     // doc 3 shares ONLY the stop term with the query -> must not appear.
