@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{CacheRegistry, Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Training-data pipeline operators, batch 2: PII scrubbing, repetition
@@ -490,13 +490,24 @@ object PipelineQueries {
     // 19.6× at 10× data before deriveK was wired in, 6.7× after (the
     // sf0.1 base rises ~0.5 s: 31-cell training costs more than 8-cell,
     // the price of candidates staying linear).
-    "q_sim_knn_graph" -> ((s, dir) => {
-      val em = Tables.embeddings(s, dir)
-      val kCells = Similarity.deriveK(em.count())
-      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding",
-        k = kCells, iters = 2)
-      Similarity.knnGraph(em, "vec_id", "embedding", cents.toSeq,
-        k = 3, nprobe = 2)
+    "q_sim_knn_graph" -> ((s, dir) => knnGraphDf(s, dir)),
+
+    // Triangle counting over the kNN graph — the third classic graph
+    // kernel beside PageRank and connected components (local clustering /
+    // community signal over the ANN neighborhood structure). Edges are
+    // the undirected kNN pairs; the node-iterator join is degree-bounded:
+    // k neighbors per vector ⇒ |edges| ≤ kN and the wedge join ≤ k²N —
+    // triangle counting on a bounded-degree graph is linear in the
+    // corpus, never the |V|³ of the dense form.
+    "q_graph_triangles" -> ((s, dir) => {
+      val e = CacheRegistry.persist(knnGraphDf(s, dir)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(least(col("query_id"), col("cand_id")).as("a"),
+          greatest(col("query_id"), col("cand_id")).as("b"))
+        .distinct())
+      val tri = e.join(e.toDF("b", "c"), "b").join(e.toDF("a", "c"), Seq("a", "c"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
     }),
 
     // IVF-PQ: both halves composed — 8 L2-trained cells prune candidates
@@ -799,6 +810,44 @@ object PipelineQueries {
     * streaming-safe, and its streamed registers hash-match the batch
     * relational build (the q_agg_countmin oracle's `regs` CTE).
     */
+  /** DuckDB replay of q_sim_knn_graph (also the edge source for the
+    * q_graph_triangles oracle). */
+  private def sqlKnnGraph: String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
+       |cents AS (SELECT cid, q AS qc FROM cents2),
+       |cassign AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.q, c.qc) /
+       |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+       |        c.cid) AS rk
+       |  FROM em e, cents c),
+       |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
+       |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= 2),
+       |scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+       |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
+       |       em b JOIN qcells cb ON cb.vec_id = b.vec_id
+       |  WHERE a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** The kNN graph (see q_sim_knn_graph); also the edge source for
+    * q_graph_triangles. */
+  private def knnGraphDf(s: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(s, dir)
+    val kCells = Similarity.deriveK(em.count())
+    val cents = Similarity.kmeansTrain(em, "vec_id", "embedding",
+      k = kCells, iters = 2)
+    Similarity.knnGraph(em, "vec_id", "embedding", cents.toSeq,
+      k = 3, nprobe = 2)
+  }
+
   private val streamCmsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def streamedCountMinRegs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
@@ -1408,30 +1457,20 @@ object PipelineQueries {
 
     // same CTE chain as q_sim_ivf_trained with the query restriction
     // dropped: every vector ranks its probed-cell candidates
-    "q_sim_knn_graph" -> {
-      val cos = "(list_dot_product(a.q, b.q) / " +
-        "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
-      s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64)},
-         |cents AS (SELECT cid, q AS qc FROM cents2),
-         |cassign AS (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.q, c.qc) /
-         |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
-         |        c.cid) AS rk
-         |  FROM em e, cents c),
-         |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
-         |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= 2),
-         |scored AS (
-         |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
-         |  FROM em a JOIN cells ca ON ca.vec_id = a.vec_id,
-         |       em b JOIN qcells cb ON cb.vec_id = b.vec_id
-         |  WHERE a.vec_id <> b.vec_id AND ca.cell = cb.cell)
-         |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-         |  FROM scored) r
-         |WHERE rnk <= 3""".stripMargin
-    },
+    "q_sim_knn_graph" -> sqlKnnGraph,
+
+    // edges = the undirected kNN pairs (the q_sim_knn_graph oracle as a
+    // derived table), then the a<b<c wedge-close join
+    "q_graph_triangles" ->
+      ("""WITH g AS (SELECT * FROM (""" + sqlKnnGraph + """) t),
+        |e AS (SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |tri AS (SELECT w.* FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c)
+        |SELECT (SELECT count(*) FROM tri) AS n_triangles,
+        |  (SELECT count(*) FROM e) AS n_edges""".stripMargin),
 
     // mirrors pqTrain (4 subspace Lloyd chains) + pqCode (integer-L2
     // argmin, ties to lowest cid) + pqSearchTopK (ADC = sum of the four
