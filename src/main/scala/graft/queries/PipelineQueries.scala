@@ -610,6 +610,35 @@ object PipelineQueries {
     // (planted twice — tf matters) and an entity tag shared by
     // doc_id%200 peers; the 0.05 guard keeps exactly these and drops
     // the word-salad base.
+    // PMI collocation extraction — top token pairs by pointwise mutual
+    // information over document co-occurrence (the classic corpus-
+    // analysis signal for multi-word expressions / template detection).
+    // Pair space is vocabulary-bounded, not corpus-bounded: the df floor
+    // keeps only vocab-scale tokens, the self-join runs over per-doc
+    // DISTINCT kept tokens (at 100 TB add a per-doc top-m cap — same
+    // guard family as the stop-shingle rule). Exact integer counts in,
+    // one ln out; ordering on the ROUNDED pmi + (x, y) so both engines
+    // pick the identical top-20 set at the rank boundary.
+    "q_txt_pmi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dt = docs.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token")).distinct()
+      val dfreq = dt.groupBy("token").agg(count(lit(1)).as("cx"))
+        .filter(col("cx") >= 5)
+      val kept = CacheRegistry.persist(dt.join(broadcast(dfreq), "token"))
+      val a = kept.select(col("doc_id"), col("token").as("x"), col("cx").as("cxa"))
+      val b = kept.select(col("doc_id"), col("token").as("y"), col("cx").as("cyb"))
+      val pairs = a.join(b, "doc_id").filter(col("x") < col("y"))
+        .groupBy("x", "y", "cxa", "cyb").agg(count(lit(1)).as("cxy"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      pairs.crossJoin(broadcast(n))
+        .withColumn("pmi", round(log(col("cxy").cast("double") *
+          col("nd").cast("double") /
+          (col("cxa").cast("double") * col("cyb").cast("double"))), 6) + lit(0.0))
+        .orderBy(col("pmi").desc, col("x"), col("y")).limit(20)
+        .select(col("x"), col("y"), col("cxy"), col("pmi"))
+    }),
+
     // BM25 retrieval — the standard IR ranking over the same inverted
     // index and planted-signal fixture as q_sim_sparse_cosine; per-term
     // contributions floor-quantized to integer micros so the distributed
@@ -1544,6 +1573,24 @@ object PipelineQueries {
         |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[s+1 : s+64], ' ')) AS fp
         |FROM st""".stripMargin,
+
+    "q_txt_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+        |df AS (SELECT token, count(*) AS cx FROM dt GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |k AS (SELECT dt.doc_id, dt.token, cx FROM dt JOIN df USING (token)),
+        |p AS (SELECT a.token AS x, b.token AS y, a.cx AS cxa, b.cx AS cyb,
+        |    count(*) AS cxy
+        |  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT x, y, cxy, pmi FROM (
+        |  SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+        |    round(ln(CAST(cxy AS DOUBLE) * CAST(nd AS DOUBLE)
+        |      / (CAST(cxa AS DOUBLE) * CAST(cyb AS DOUBLE))), 6) + 0.0 AS pmi
+        |  FROM p, n) t
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
 
     "q_sim_bm25" ->
       """WITH docs AS (SELECT doc_id,
