@@ -521,11 +521,15 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                isQuery: Column, k: Int,
                stopTermFrac: Double = 0.02): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
-    val tf = toks.groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
-    val len = toks.groupBy("id").agg(count(lit(1)).as("len"))
+    // ONE tokenize pass: tf is persisted (it feeds doc lengths, the df
+    // aggregate, and the posting build), and len = Σtf per doc rather
+    // than a second scan of the raw token stream
+    val tf = CacheRegistry.persist(
+      df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
+        .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf")))
+    val len = tf.groupBy("id").agg(sum(col("tf")).as("len"))
     val stats = len.agg(count(lit(1)).as("__n"),
       (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
         .as("__avgdl"))
@@ -566,10 +570,13 @@ object TextAnalysis {
     // canonical hashed-vocabulary trade — it only perturbs a cosine if the
     // merged terms co-occur in scored pairs. The hash sits in the Project
     // ABOVE the explode Generate (the Generate/CollapseProject trap).
-    val tf = df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
-      .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df aggregate and the posting build — persist or
+    // the corpus tokenize+groupBy runs twice
+    val tf = CacheRegistry.persist(
+      df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
+        .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val cap = df.select(
       greatest(lit(5.0), count(lit(1)) * lit(stopTermFrac)).as("__cap"))
