@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{CacheRegistry, Similarity}
+import graft.ops.{CacheRegistry, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** ANN recall harness: measures recall@k of the approximate searches
@@ -297,6 +297,41 @@ object Recall {
       "reshuffles ranks); real embedding corpora concentrate on " +
       "low-dimensional structure that per-subspace codebooks capture. " +
       "The dial TREND is the transferable signal.\n")
+    // ---- sparse retrieval precision (planted-topic fixture) ----
+    // Relevance = the %40 topic peers each query doc was planted with
+    // (the q_sim_sparse_cosine / q_sim_bm25 fixture); precision@5 over
+    // the 20 query docs. The random floor is peers/corpus ≈ 0.025.
+    val docsP = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" topic"), (col("doc_id") % 40).cast("string"),
+        lit(" topic"), (col("doc_id") % 40).cast("string"),
+        lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
+    val nDocs = docsP.count()
+    def prec5(df: DataFrame): Double = {
+      val rows = df.select(col("qid"), col("did")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      CacheRegistry.drain()
+      val per = rows.groupBy(_._1).map { case (q, rs) =>
+        rs.count(_._2 % 40 == q % 40) / 5.0 }
+      per.sum / per.size
+    }
+    val pSparse = prec5(TA.sparseCosineTopK(docsP, "doc_id", "text",
+      isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05))
+    val pBm25 = prec5(TA.bm25TopK(docsP, "doc_id", "text",
+      isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05))
+    sb.append("\n## Sparse retrieval precision (q_sim_sparse_cosine / q_sim_bm25)\n\n")
+    sb.append("Relevance = each query's planted %40 topic peers; " +
+      "precision@5 over the 20 query docs; random floor ≈ " +
+      f"${(nDocs / 40 - 1).toDouble / (nDocs - 1)}%.3f.\n\n")
+    sb.append("| scorer | precision@5 |\n|---|---|\n")
+    sb.append(f"| tf-idf cosine (inverted index) | $pSparse%.3f |\n")
+    sb.append(f"| BM25 (k1=1.2, b=0.75) | $pBm25%.3f |\n")
+    sb.append("\nReading: both scorers put the planted topical structure " +
+      "at the top against the word-salad base — exact scorers over a " +
+      "guarded posting join, so this measures ranking quality, not " +
+      "candidate loss (there is no approximation to 'recall' here; the " +
+      "dense ANN tables above carry that dial).\n")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(sb.toString)
     spark.stop()
