@@ -610,6 +610,35 @@ object PipelineQueries {
     // (planted twice — tf matters) and an entity tag shared by
     // doc_id%200 peers; the 0.05 guard keeps exactly these and drops
     // the word-salad base.
+    // Local clustering coefficient — the per-node companion of
+    // q_graph_triangles (how tightly each vector's ANN neighborhood
+    // closes on itself): coef(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), top-20
+    // by the rounded coefficient. Same degree-bounded wedge joins; the
+    // per-node triangle count is three projections of the one triangle
+    // table.
+    "q_graph_clustering_coef" -> ((s, dir) => {
+      val e = CacheRegistry.persist(knnGraphDf(s, dir)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(least(col("query_id"), col("cand_id")).as("a"),
+          greatest(col("query_id"), col("cand_id")).as("b"))
+        .distinct())
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = CacheRegistry.persist(
+        e.join(e.toDF("b", "c"), "b").join(e.toDF("a", "c"), Seq("a", "c")))
+      val triPerNode = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(triPerNode, Seq("node"))
+        .filter(col("deg") >= 2)
+        .withColumn("coef", round(lit(2.0) * col("tri").cast("double") /
+          (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0))), 4))
+        .orderBy(col("coef").desc, col("node")).limit(20)
+        .select(col("node"), col("deg"), col("tri"), col("coef"))
+    }),
+
     // PMI collocation extraction — top token pairs by pointwise mutual
     // information over document co-occurrence (the classic corpus-
     // analysis signal for multi-word expressions / template detection).
@@ -1573,6 +1602,30 @@ object PipelineQueries {
         |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[s+1 : s+64], ' ')) AS fp
         |FROM st""".stripMargin,
+
+    "q_graph_clustering_coef" ->
+      ("""WITH g AS (SELECT * FROM (""" + sqlKnnGraph + """) t),
+        |e AS (SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT w.a, w.b, w.c FROM
+        |    (SELECT e1.a, e1.b, e2.b AS c
+        |     FROM e e1 JOIN e e2 ON e2.a = e1.b) w
+        |  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+        |tpn AS (SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri)
+        |  GROUP BY 1)
+        |SELECT node, deg, tri, coef FROM (
+        |  SELECT deg.node, deg, CAST(tri AS BIGINT) AS tri,
+        |    round(2.0 * CAST(tri AS DOUBLE)
+        |      / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)), 4) AS coef
+        |  FROM deg JOIN tpn ON tpn.node = deg.node
+        |  WHERE deg >= 2) x
+        |ORDER BY coef DESC, node LIMIT 20""".stripMargin),
 
     "q_txt_pmi" ->
       """WITH dt AS (SELECT DISTINCT doc_id, token FROM
