@@ -631,6 +631,22 @@ object DocQueries {
     // vectors correct: docs with missing trailing dims score over the
     // shared dims). Probe side is <= 8 rows, broadcast; top-k via
     // TakeOrdered with a doc_id tie-break.
+    // Frame-level exact dedup — the video-pipeline step that strips
+    // repeated keyframes/stills before embedding compute is spent on
+    // them: sample frames (the stub slicer; a real codec slots into the
+    // same seam), hash the payload bytes, census the duplicate groups.
+    // The Spark-side plumbing (binary frames, one-to-many flatMap,
+    // hash-groupBy) is the production shape; only the slicer is fake.
+    "q_mm_frame_dedup" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val frames = Multimodal.frameSampleStub(s, media, frameBytes = 64, stride = 2)
+      val g = frames.toDF().select(md5(col("frame")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      g.agg(sum(col("c")).as("n_frames"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_frames"),
+        max(col("c")).as("max_group"))
+    }),
+
     "q_mm_search" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
@@ -1139,6 +1155,21 @@ object DocQueries {
       // per_doc is filtered to k > 0: the Spark side inner-joins through
       // frames, so a doc whose payload yields zero frames (empty text)
       // contributes no row — the closed form must mirror that.
+      // frames are byte-slices of the (ASCII-pinned) text payload, so
+      // substring replays the slicer and DuckDB md5 over the same bytes
+      // reproduces every hash
+      "q_mm_frame_dedup" ->
+        """WITH fr AS (SELECT substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+          |  FROM documents,
+          |    unnest(generate_series(0,
+          |      CAST(floor((length(text) - 1) / 64.0) AS BIGINT))) AS t(i)
+          |  WHERE i % 2 = 0),
+          |g AS (SELECT md5(frame) AS h, count(*) AS c FROM fr GROUP BY 1)
+          |SELECT CAST(sum(c) AS BIGINT) AS n_frames, count(*) AS n_distinct,
+          |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_frames,
+          |  CAST(max(c) AS BIGINT) AS max_group
+          |FROM g""".stripMargin,
+
       "q_mm_pipeline" ->
         """WITH base AS (
           |  SELECT doc_id,
