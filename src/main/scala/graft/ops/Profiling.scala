@@ -304,6 +304,45 @@ object Profiling {
       .groupBy("status").agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group quantile normalization via a BINNED ECDF — the feature
+    * transform every ML pipeline applies ("rank-to-uniform"), in the
+    * shape that survives 100 TB. The naive form is a per-group rank
+    * window over the raw rows — ONE task per group at scale. This is
+    * exact at bin granularity with only config-scale coordination: one
+    * stats aggregate (broadcast back), one (group × bin) count aggregate
+    * (map-side combined), a cumulative window over those nBins rows per
+    * group, and the per-row normalization is a broadcast-join + scan —
+    * the corpus never sorts and never reshuffles.
+    *
+    * Output: the key columns + (grp, bin, norm_ppm) where norm_ppm =
+    * floor(1e6 · |values in strictly lower bins| / n_group) — the
+    * left-continuous ECDF at the bin edge, exact integers end to end.
+    */
+  def quantileNormBinned(df: DataFrame, grp: Column, value: Column,
+                         keys: Seq[String], nBins: Int): DataFrame = {
+    val base = df.select(keys.map(col) ++
+      Seq(grp.as("__g"), value.cast("double").as("__v")): _*)
+    val stats = base.groupBy("__g").agg(min(col("__v")).as("__minv"),
+      max(col("__v")).as("__maxv"))
+    val binW = (col("__maxv") - col("__minv")) / lit(nBins.toDouble)
+    val binned = base.join(broadcast(stats), Seq("__g"))
+      .withColumn("bin", when(binW === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__minv")) / binW).cast("long"),
+          lit(nBins - 1L))))
+    val counts = binned.groupBy("__g", "bin").agg(count(lit(1)).as("__c"))
+    val below = Window.partitionBy("__g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = Window.partitionBy("__g")
+    val cum = counts
+      .withColumn("__cum", coalesce(sum(col("__c")).over(below), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(total))
+      .select(col("__g"), col("bin"), col("__cum"), col("__n"))
+    binned.join(broadcast(cum), Seq("__g", "bin"))
+      .select(keys.map(col) ++ Seq(col("__g").as("grp"), col("bin"),
+        floor(lit(1e6) * col("__cum").cast("double") /
+          col("__n").cast("double")).cast("long").as("norm_ppm")): _*)
+  }
+
   /** Population Stability Index between the two slices of `df` selected
     * by the boolean `sliceA`: equal-width-bin `value` over its global
     * range, Laplace-smooth the per-slice bin frequencies

@@ -115,6 +115,14 @@ object QualityQueries {
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
 
+    // Quantile normalization (rank-to-uniform) of extendedprice within
+    // returnflag groups — via the binned ECDF, never a per-group rank
+    // window (one task per group at 100 TB).
+    "q_feat_quantile_norm" -> ((s, dir) =>
+      Profiling.quantileNormBinned(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_extendedprice"),
+        keys = Seq("l_orderkey", "l_linenumber"), nBins = 100)),
+
     // Robust per-group outlier census: median/MAD (the estimator that
     // doesn't move when the outliers it hunts do), flag |x−med| >
     // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
@@ -456,6 +464,25 @@ object QualityQueries {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6, 6) + 0.0 AS cov
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |CROSS JOIN nn""".stripMargin,
+
+    "q_feat_quantile_norm" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |st AS (SELECT g, min(v) AS minv, max(v) AS maxv FROM base GROUP BY 1),
+        |b AS (SELECT l_orderkey, l_linenumber, base.g,
+        |    CASE WHEN (maxv - minv) / 100.0 = 0 THEN 0
+        |      ELSE least(CAST(floor((v - minv) / ((maxv - minv) / 100.0)) AS BIGINT), 99)
+        |    END AS bin
+        |  FROM base JOIN st ON st.g = base.g),
+        |c AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT g, bin,
+        |    COALESCE(CAST(sum(c) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT b.l_orderkey, b.l_linenumber, b.g AS grp, b.bin,
+        |  CAST(floor(1e6 * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS norm_ppm
+        |FROM b JOIN cum ON cum.g = b.g AND cum.bin = b.bin""".stripMargin,
 
     "q_outlier_mad" -> sqlMad,
 

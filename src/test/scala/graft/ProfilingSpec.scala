@@ -80,6 +80,25 @@ class ProfilingSpec extends SparkSpec {
     assert(got(1L) === ((2L, 0.01, 4.84, 484.0)))
   }
 
+  test("quantileNormBinned: left-continuous ECDF, monotone in value, per group") {
+    // group A: values 0,10,...,990 (uniform); group B: constant (w=0 path)
+    val df = ((0 until 100).map(i => (i.toLong, "A", i * 10.0)) ++
+      (100 until 110).map(i => (i.toLong, "B", 7.0))).toDF("k", "g", "v")
+    val got = Profiling.quantileNormBinned(df, col("g"), col("v"),
+      keys = Seq("k"), nBins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // A: value i*10 lands in bin i/10; 10 values per lower bin ->
+    // norm_ppm = bin * 100000 exactly
+    assert(got(0L) === ((0L, 0L)))
+    assert(got(55L) === ((5L, 500000L)))
+    assert(got(99L) === ((9L, 900000L)))
+    // monotone in v within the group
+    val aNorms = (0 until 100).map(i => got(i.toLong)._2)
+    assert(aNorms.zip(aNorms.tail).forall { case (x, y) => x <= y })
+    // constant group: zero width -> everyone bin 0, norm 0
+    assert((100 until 110).forall(i => got(i.toLong) === ((0L, 0L))))
+  }
+
   test("snapshotDiff: added/removed/changed/same with null-safe compare") {
     val a = Seq((1L, Some("x"), 10.0), (2L, None: Option[String], 20.0),
       (3L, Some("z"), 30.0), (4L, Some("w"), 40.0)).toDF("k", "s", "v")
