@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{CacheRegistry, Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
@@ -316,6 +316,29 @@ object DocQueries {
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, tau = JaccardTau)
+    }),
+
+    // Corpus duplication index — the one-number duplication health metric
+    // a pipeline tracks per snapshot: E[pairwise Jaccard] estimated from
+    // MinHash collision mass (P[min_a = min_b] = J(a,b), so the mean
+    // per-permutation collision rate over all pairs IS the mean Jaccard).
+    // One signature pass (O(1) per doc leaves the scan), per-permutation
+    // value-collision counts (never a pair join — Σc(c−1)/2 counts all
+    // colliding pairs from the group sizes), exact integers to one final
+    // division. 16 permutations average down the estimator variance.
+    "q_dedup_dupindex" -> ((s, dir) => {
+      val sig = CacheRegistry.persist(Dedup.minhashSignaturesDirect(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, numHashes = 16))
+      val pv = (0 until 16)
+        .map(i => sig.select(lit(i).as("p"), col(s"h$i").as("v")))
+        .reduce(_ unionAll _)
+      val cm = pv.groupBy("p", "v").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("(c * (c - 1)) div 2")).as("cm"))
+      val tot = sig.agg(count(lit(1)).as("n"))
+      cm.crossJoin(tot).select(col("n").as("n_docs"),
+        (round(col("cm").cast("double") / (lit(16.0) *
+          (col("n").cast("double") * (col("n") - lit(1L)).cast("double") /
+            lit(2.0))), 6) + lit(0.0)).as("dup_index"))
     }),
 
     // ASYMMETRIC containment over a corpus with planted sub-documents
@@ -869,6 +892,28 @@ object DocQueries {
       "q_dedup_minhash_lsh" ->
         s"""WITH ${sqlLshPairCtesFrom("documents")}
            |SELECT i, j, jac FROM lshpairs""".stripMargin,
+
+      "q_dedup_dupindex" -> {
+        val minExprs = (0 until 16).map(s =>
+          s"min((${Hashing.minhashA(s)} * hx + ${Hashing.minhashB(s)}) % ${Hashing.MinhashP}) AS h$s")
+          .mkString(",\n  ")
+        val pvRows = (0 until 16)
+          .map(i => s"SELECT $i AS p, h$i AS v FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""WITH ${sqlShingleCtesFrom("documents")},
+           |hashed AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} % ${Hashing.MinhashP} AS hx FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $minExprs
+           |  FROM hashed GROUP BY doc_id),
+           |pv AS (
+           |  $pvRows),
+           |coll AS (SELECT p, v, count(*) AS c FROM pv GROUP BY 1, 2),
+           |s AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cm FROM coll),
+           |tot AS (SELECT count(*) AS n FROM sig)
+           |SELECT n AS n_docs,
+           |  round(CAST(cm AS DOUBLE) / (16.0 * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0)), 6) + 0.0 AS dup_index
+           |FROM s, tot""".stripMargin
+      },
 
       "q_dedup_containment" ->
         s"""WITH corpus AS (
