@@ -115,6 +115,24 @@ object QualityQueries {
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
 
+    // Smoothed target encoding — the classic categorical feature:
+    // enc(cat) = (Σ target + m·prior)/(n + m) with m = 100, prior = the
+    // global mean. Exact integer-cents arithmetic end to end (sums,
+    // floor-div prior, floor-div encoding) so the feature is bit-stable
+    // across partitionings — an encoder that drifts between training
+    // runs silently shifts the model. One config-scale aggregate pair.
+    "q_feat_target_encode" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority").as("cat"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+      val g = o.groupBy("cat").agg(sum(col("cents")).as("sc"),
+        count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("sc")).as("ts"), sum(col("n")).as("tn"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("enc_cents", expr("(sc + 100 * (ts div tn)) div (n + 100)"))
+        .select(col("cat"), col("n"),
+          round(col("enc_cents").cast("double") / lit(100.0), 2).as("enc"))
+    }),
+
     // Quantile normalization (rank-to-uniform) of extendedprice within
     // returnflag groups — via the binned ECDF, never a per-group rank
     // window (one task per group at 100 TB).
@@ -464,6 +482,17 @@ object QualityQueries {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6, 6) + 0.0 AS cov
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |CROSS JOIN nn""".stripMargin,
+
+    "q_feat_target_encode" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT cat, CAST(sum(cents) AS BIGINT) AS sc, count(*) AS n
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(sc) AS BIGINT) AS ts,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM g)
+        |SELECT cat, n,
+        |  round(CAST((sc + 100 * (ts // tn)) // (n + 100) AS DOUBLE) / 100.0, 2) AS enc
+        |FROM g, t""".stripMargin,
 
     "q_feat_quantile_norm" ->
       """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
