@@ -115,6 +115,31 @@ object QualityQueries {
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
 
+    // Daily-volume anomaly monitor: per-day order counts against a
+    // trailing 7-day mean ± 2σ band (the standard ops alert for ingest
+    // spikes/drops). The rolling window runs over DAY aggregates — a
+    // config-scale table (~years × 365 rows), so the single-partition
+    // ordered window is fine at any corpus size; the corpus itself only
+    // pays one count aggregate. Exact integer day sums; variance from
+    // exact Σx/Σx² (sqrt is IEEE-exact, the determinism boundary).
+    "q_anomaly_daily_volume" -> ((s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+      val byDay = o.select(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(-7, -1)
+      val s1 = sum(col("n")).over(win).cast("double")
+      val s2 = sum(col("n") * col("n")).over(win).cast("double")
+      byDay
+        .withColumn("cnt", count(lit(1)).over(win))
+        .withColumn("mean7", s1 / lit(7.0))
+        .withColumn("var7", (s2 - s1 * s1 / lit(7.0)) / lit(7.0))
+        .filter(col("cnt") === 7)
+        .select(col("day"), col("n"), round(col("mean7"), 4).as("mean7"),
+          (col("n").cast("double") >
+            col("mean7") + lit(2.0) * sqrt(col("var7"))).as("spike"))
+    }),
+
     // Smoothed target encoding — the classic categorical feature:
     // enc(cat) = (Σ target + m·prior)/(n + m) with m = 100, prior = the
     // global mean. Exact integer-cents arithmetic end to end (sums,
@@ -482,6 +507,19 @@ object QualityQueries {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6, 6) + 0.0 AS cov
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |CROSS JOIN nn""".stripMargin,
+
+    "q_anomaly_daily_volume" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        |byday AS (SELECT day, count(*) AS n FROM d GROUP BY 1),
+        |w AS (SELECT day, n,
+        |    count(*) OVER win AS cnt,
+        |    CAST(sum(n) OVER win AS DOUBLE) AS s1,
+        |    CAST(sum(n * n) OVER win AS DOUBLE) AS s2
+        |  FROM byday
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, round(s1 / 7.0, 4) AS mean7,
+        |  CAST(n AS DOUBLE) > s1 / 7.0 + 2.0 * sqrt((s2 - s1 * s1 / 7.0) / 7.0) AS spike
+        |FROM w WHERE cnt = 7""".stripMargin,
 
     "q_feat_target_encode" ->
       """WITH o AS (SELECT o_orderpriority AS cat,
