@@ -158,6 +158,26 @@ object QualityQueries {
           round(col("enc_cents").cast("double") / lit(100.0), 2).as("enc"))
     }),
 
+    // Leave-one-out target encoding — the leakage-safe variant (a row
+    // must not see its own target inside its feature, the same
+    // discipline as the near-dup-aware split): per row,
+    // enc_i = (Σcat − target_i + m·prior)/(n−1 + m). Same exact-cents
+    // integer arithmetic; per-row application is a broadcast join of
+    // the config-scale category sums + one scan.
+    "q_feat_target_encode_loo" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+      val g = o.groupBy("cat").agg(sum(col("cents")).as("sc"),
+        count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("sc")).as("ts"), sum(col("n")).as("tn"))
+      o.join(broadcast(g), Seq("cat")).crossJoin(broadcast(tot))
+        .withColumn("enc_cents",
+          expr("(sc - cents + 100 * (ts div tn)) div (n - 1 + 100)"))
+        .select(col("o_orderkey"), col("cat"),
+          round(col("enc_cents").cast("double") / lit(100.0), 2).as("enc"))
+    }),
+
     // Quantile normalization (rank-to-uniform) of extendedprice within
     // returnflag groups — via the binned ECDF, never a per-group rank
     // window (one task per group at 100 TB).
@@ -531,6 +551,17 @@ object QualityQueries {
         |SELECT cat, n,
         |  round(CAST((sc + 100 * (ts // tn)) // (n + 100) AS DOUBLE) / 100.0, 2) AS enc
         |FROM g, t""".stripMargin,
+
+    "q_feat_target_encode_loo" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT cat, CAST(sum(cents) AS BIGINT) AS sc, count(*) AS n
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(sc) AS BIGINT) AS ts,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM g)
+        |SELECT o_orderkey, o.cat,
+        |  round(CAST((sc - cents + 100 * (ts // tn)) // (n - 1 + 100) AS DOUBLE) / 100.0, 2) AS enc
+        |FROM o JOIN g ON g.cat = o.cat, t""".stripMargin,
 
     "q_feat_quantile_norm" ->
       """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
