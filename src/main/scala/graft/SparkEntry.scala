@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DocQueries, EventQueries, PipelineQueries, QualityQueries, TpchQueries, ViewQueries}
+import graft.queries.{AnalyticsQueries, DocQueries, EventQueries, PipelineQueries, QualityQueries, TpchQueries, ViewQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ TpchQueries.queries ++ DocQueries.queries ++
-      ViewQueries.queries ++ PipelineQueries.queries ++ QualityQueries.queries
+      ViewQueries.queries ++ PipelineQueries.queries ++ QualityQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ TpchQueries.oracles ++ DocQueries.oracles ++
-      ViewQueries.oracles ++ PipelineQueries.oracles ++ QualityQueries.oracles
+      ViewQueries.oracles ++ PipelineQueries.oracles ++ QualityQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -379,4 +379,38 @@ object Profiling {
     counts.withColumn("__contrib", (p - q) * log(p / q))
       .agg(count(lit(1)).as("n_bins"), round(sum(col("__contrib")), 4).as("psi"))
   }
+
+  /** Binned two-sample Kolmogorov–Smirnov statistic between slice A and
+    * slice B of `value`: max |ECDF_A − ECDF_B| over the bin boundaries.
+    * The distribution-free companion to [[psiDrift]] (PSI weights the
+    * middle of the distribution, KS catches a shifted tail the
+    * Laplace-smoothed bins wash out). Same scale shape: one binning pass
+    * over the data, then every window runs over the ≤ nBins count rows.
+    * ECDFs are raw (KS needs no smoothing); the division chain is pinned
+    * left-associated so both engines round identically.
+    */
+  def ksDrift(df: DataFrame, value: Column, sliceA: Column,
+              nBins: Int): DataFrame = {
+    val stats = df.agg(min(value).cast("double").as("__minv"),
+      max(value).cast("double").as("__maxv"))
+    val binW = (col("__maxv") - col("__minv")) / lit(nBins.toDouble)
+    val binned = df.select(value.cast("double").as("__v"), sliceA.as("__a"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bin",
+        when(binW === 0.0, lit(0L)).otherwise(
+          least(floor((col("__v") - col("__minv")) / binW).cast("long"),
+            lit(nBins - 1L))))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val all = Window.partitionBy()   // config-scale: ≤ nBins rows
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fa = sum(col("ca")).over(cum).cast("double") /
+      sum(col("ca")).over(all).cast("double")
+    val fb = sum(col("cb")).over(cum).cast("double") /
+      sum(col("cb")).over(all).cast("double")
+    counts.withColumn("__d", abs(fa - fb))
+      .agg(count(lit(1)).as("n_bins"), round(max(col("__d")), 6).as("ks"))
+  }
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Behavioral/product-analytics surface: cohort retention, SCD2 history
+  * expansion, Markov transition matrices, and market-basket association
+  * rules. These are the session/funnel-family operators (SURVEY §2.6
+  * superset) a security-analytics user runs downstream of the reference's
+  * rollups — e.g. the reference's hourly device rollups
+  * (clickhouse/main.py:61-78) feed exactly this kind of "which sources
+  * keep coming back / what follows what" reporting, which the reference
+  * delegates to its warehouse. All four are pure shuffle-on-key
+  * aggregations with config-scale secondary joins — no driver-side data,
+  * no pair blowup beyond per-basket bounds.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cohort retention: customers grouped by first-order month, activity
+    // tracked by month offset. Two shuffles on o_custkey (the groupBy and
+    // the join are co-partitioned — one exchange reused), then a
+    // config-scale (cohorts × offsets) aggregate; cohort sizes come back
+    // as a broadcast join, retention as exact ppm (no double division in
+    // the hash). At 100 TB the custkey shuffle is the only data-scale
+    // move and it is the minimal one — first-touch attribution cannot be
+    // computed without co-locating a customer's orders once.
+    "q_cohort_retention" -> ((s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+      val act = o.join(first, "o_custkey")
+        .groupBy(col("m0").as("cohort_m"), (col("m") - col("m0")).as("offset_m"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"))
+      val sizes = act.filter(col("offset_m") === 0)
+        .select(col("cohort_m"), col("n_active").as("n_cohort"))
+      act.join(broadcast(sizes), "cohort_m")
+        .select(col("cohort_m"), col("offset_m"), col("n_active"),
+          col("n_cohort"),
+          expr("(1000000 * n_active) div n_cohort").as("retained_ppm"))
+    }),
+
+    // SCD type-2 expansion of a changelog: the events table as an
+    // upsert stream per user, each version given its validity interval
+    // [valid_from, valid_to) by the next version's timestamp — the
+    // write-side complement of q_cdc_latest's ReplacingMergeTree read
+    // rule (one is the current snapshot, this is the full history a
+    // time-travel join needs). One window per key partition; the
+    // (ts, event_id) tie-break makes the interval chain reproducible.
+    "q_cdc_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
+    // Markov transition matrix over per-user event sequences: lag() per
+    // user (one shuffle), transition counts, row-normalized to exact ppm
+    // over the config-scale (types × types) matrix. The behavioral
+    // "what follows what" summary — and the trained object a
+    // next-event-prediction baseline or a synthetic-sequence generator
+    // consumes.
+    "q_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = Window.partitionBy("prev")
+      trans
+        .withColumn("p_ppm",
+          expr("(1000000 * n) div sum(n) over (partition by prev)"))
+        .select(col("prev"), col("next"), col("n"), col("p_ppm"))
+    }),
+
+    // Market-basket association rules: baskets = orders, items = the
+    // part BRANDS in the basket (the partkey→brand enrich is a plain
+    // equi-join Catalyst/AQE broadcasts when the part side fits and
+    // shuffles when it doesn't). The pair join is per-basket bounded —
+    // TPC-H baskets hold ≤7 lines, so candidates are O(orders · 21); an
+    // adversarial giant basket would take the Dedup.DefaultMaxBucket
+    // chain cap, same pathology, same cure. Confidence is exact integer
+    // ppm; lift replays one pinned left-associated double chain (every
+    // intermediate ≤1e11 — far under 2^53 — so both engines round
+    // identically).
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val supp = items.groupBy("b").agg(count(lit(1)).as("supp"))
+      val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val a = items.toDF("ok", "ante")
+      val b = items.toDF("ok", "cons")
+      val pairs = a.join(b, a("ok") === b("ok") && col("ante") < col("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).as("supp_ab"))
+      pairs
+        .join(broadcast(supp.toDF("ante", "supp_a")), "ante")
+        .join(broadcast(supp.toDF("cons", "supp_b")), "cons")
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("supp_ab"),
+          col("supp_a"), col("supp_b"),
+          expr("(1000000 * supp_ab) div supp_a").as("conf_ppm"),
+          floor(lit(1e6) * col("supp_ab").cast("double") /
+            col("supp_a") / col("supp_b") * col("n_orders"))
+            .cast("long").as("lift_ppm"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+        |act AS (SELECT m0 AS cohort_m, m - m0 AS offset_m,
+        |    count(DISTINCT o.o_custkey) AS n_active
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+        |sz AS (SELECT cohort_m, n_active AS n_cohort FROM act
+        |  WHERE offset_m = 0)
+        |SELECT act.cohort_m, offset_m, n_active, n_cohort,
+        |  (1000000 * n_active) // n_cohort AS retained_ppm
+        |FROM act JOIN sz ON act.cohort_m = sz.cohort_m""".stripMargin,
+
+    "q_cdc_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, count(*) AS n FROM t
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  (1000000 * n) // (CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT))
+        |    AS p_ppm
+        |FROM c""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |supp AS (SELECT b, count(*) AS supp FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT ok) AS n FROM items),
+        |pairs AS (SELECT a.b AS ante, c.b AS cons, count(*) AS supp_ab
+        |  FROM items a JOIN items c ON a.ok = c.ok AND a.b < c.b
+        |  GROUP BY 1, 2)
+        |SELECT ante, cons, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+        |  (1000000 * supp_ab) // sa.supp AS conf_ppm,
+        |  CAST(floor(1e6 * CAST(supp_ab AS DOUBLE) / sa.supp / sb.supp * n)
+        |    AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN supp sa ON sa.b = ante
+        |  JOIN supp sb ON sb.b = cons CROSS JOIN tot""".stripMargin)
+}

@@ -72,6 +72,45 @@ object QualityQueries {
     // oracle.
     "q_drift_psi" -> ((s, dir) => psiReport(s, dir)),
 
+    // Binned two-sample KS drift — the distribution-free companion to
+    // q_drift_psi over the same early/late order split: max |ECDF_A −
+    // ECDF_B| at the bin boundaries. PSI's Laplace-smoothed log-ratio
+    // weights the body of the distribution; KS catches a shifted tail
+    // that smoothing washes out — a monitor wants both numbers. Same
+    // scale shape as PSI: one binning pass, then every window runs over
+    // the 20 count rows.
+    "q_drift_ks" -> ((s, dir) => {
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .withColumn("__dus", unix_micros(col("o_orderdate")))
+      val ds = o.agg(min("__dus").as("__mind"), max("__dus").as("__maxd"))
+      val sliced = o.crossJoin(broadcast(ds))
+        .withColumn("__a", col("__dus") < expr("(__mind + __maxd) div 2"))
+      Profiling.ksDrift(sliced, col("o_totalprice"), col("__a"), 20)
+    }),
+
+    // Streaming daily-volume anomaly — the ingest-time shape of
+    // q_anomaly_daily_volume, over the events firehose: per-day counts
+    // aggregate in Update mode (O(days) state, monotone ⇒ read-side max
+    // compaction), the trailing 7-day μ±2σ band derives batch-side from
+    // the compacted day table (config-scale, ~365 rows/year at any
+    // corpus size). Oracle = the identical band computed batch over the
+    // full events table, so the streamed monitor must match it exactly.
+    "q_t17_streaming_anomaly" -> ((s, dir) => {
+      val byDay = streamedDailyCounts(s, dir)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(-7, -1)
+      val s1 = sum(col("n")).over(win).cast("double")
+      val s2 = sum(col("n") * col("n")).over(win).cast("double")
+      byDay
+        .withColumn("cnt", count(lit(1)).over(win))
+        .withColumn("mean7", s1 / lit(7.0))
+        .withColumn("var7", (s2 - s1 * s1 / lit(7.0)) / lit(7.0))
+        .filter(col("cnt") === 7)
+        .select(col("day"), col("n"), round(col("mean7"), 4).as("mean7"),
+          (col("n").cast("double") >
+            col("mean7") + lit(2.0) * sqrt(col("var7"))).as("spike"))
+    }),
+
     // Token-distribution drift — the text-native sibling of the PSI
     // monitor: Laplace-smoothed KL divergence of the token distributions
     // between a reference source (src0) and the rest of the corpus,
@@ -293,6 +332,36 @@ object QualityQueries {
     })
     s.read.parquet(out).agg(max(col("t")).as("t"), max(col("g0")).as("g0"),
       max(col("g1")).as("g1"), max(col("g2")).as("g2"), max(col("g3")).as("g3"))
+  }
+
+  /** Landing for q_t17_streaming_anomaly: events arrive as a JSON topic
+    * (timestamps serialized as epoch-micros Longs — no format round-trip)
+    * and per-day counts aggregate in Update mode. Counts are monotone
+    * non-decreasing across batches, so the read side compacts with a
+    * plain max per day — the q_t15/q_t16 landing discipline.
+    */
+  private val streamAnomalyPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedDailyCounts(s: SparkSession, dir: String): DataFrame = {
+    val out = streamAnomalyPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_anomaly_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val byDay = decoded
+        .select(expr("ts_us div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      graft.streaming.Landing.availableNow(byDay, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("day").agg(max(col("n")).as("n"))
   }
 
   /** The declarative constraint report (see q_validate_constraints). */
@@ -621,7 +690,40 @@ object QualityQueries {
     // Update-mode landing must reproduce the batch score bit for bit.
     "q_t15_streaming_drift" -> sqlPsi,
 
-    "q_drift_psi" -> sqlPsi)
+    "q_drift_psi" -> sqlPsi,
+
+    "q_drift_ks" ->
+      """WITH o AS (SELECT o_totalprice AS v, epoch_us(o_orderdate) AS dus FROM orders),
+        |ds AS (SELECT min(dus) AS mind, max(dus) AS maxd FROM o),
+        |sl AS (SELECT v, dus < (mind + maxd) // 2 AS a FROM o, ds),
+        |st AS (SELECT CAST(min(v) AS DOUBLE) AS minv, CAST(max(v) AS DOUBLE) AS maxv FROM sl),
+        |b AS (SELECT CASE WHEN (maxv - minv) / 20.0 = 0 THEN 0
+        |    ELSE least(CAST(floor((CAST(v AS DOUBLE) - minv) / ((maxv - minv) / 20.0)) AS BIGINT), 19) END AS bin, a
+        |  FROM sl, st),
+        |c AS (SELECT bin, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb FROM b GROUP BY 1),
+        |k AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      / CAST(sum(ca) OVER () AS DOUBLE) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      / CAST(sum(cb) OVER () AS DOUBLE) AS fb
+        |  FROM c)
+        |SELECT count(*) AS n_bins, round(max(abs(fa - fb)), 6) AS ks FROM k""".stripMargin,
+
+    // The streamed monitor's oracle is the identical band computed batch
+    // over the full events table.
+    "q_t17_streaming_anomaly" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |byday AS (SELECT day, count(*) AS n FROM d GROUP BY 1),
+        |w AS (SELECT day, n,
+        |    count(*) OVER win AS cnt,
+        |    CAST(sum(n) OVER win AS DOUBLE) AS s1,
+        |    CAST(sum(n * n) OVER win AS DOUBLE) AS s2
+        |  FROM byday
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, round(s1 / 7.0, 4) AS mean7,
+        |  CAST(n AS DOUBLE) > s1 / 7.0 + 2.0 * sqrt((s2 - s1 * s1 / 7.0) / 7.0) AS spike
+        |FROM w WHERE cnt = 7""".stripMargin)
 
   private def sqlMad: String =
     """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),

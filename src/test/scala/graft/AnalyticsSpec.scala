@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsQueries
+
+/** Invariants of the behavioral-analytics family (cohort retention, SCD2
+  * expansion, Markov transitions, association rules) on the sf0.001
+  * fixture — structural properties the DuckDB hash compare can't state
+  * (conservation, interval chaining, probability mass).
+  */
+class AnalyticsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = AnalyticsQueries.queries(name)(spark, dir)
+
+  test("cohort retention: offset-0 is the cohort itself; counts never exceed it") {
+    val rows = q("q_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, nActive, nCohort, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(off >= 0L)
+      assert(nActive <= nCohort,
+        s"cohort ${r.getLong(0)} offset $off: $nActive > $nCohort")
+      if (off == 0L) assert(nActive === nCohort && ppm === 1000000L)
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // every customer lands in exactly one cohort: offset-0 sizes sum to
+    // the distinct customer count
+    val nCust = graft.sources.Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    val cohortSum = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(cohortSum === nCust)
+  }
+
+  test("scd2: intervals chain per key, exactly one current version each") {
+    val rows = q("q_cdc_scd2")
+      .select("user_id", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      assert(vs.count(_._4) === 1, s"user $u: != 1 current version")
+      val sorted = vs.sortBy(_._2).toSeq
+      // each non-final interval closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3.contains(b._2),
+          s"user $u: interval chain broken at ${a._2}")
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty && sorted.last._4)
+    }
+    // expansion is row-preserving
+    assert(rows.length.toLong ===
+      graft.sources.Tables.events(spark, dir).count())
+  }
+
+  test("markov transitions: row probability mass ~ 1e6, counts conserve") {
+    val rows = q("q_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byPrev = rows.groupBy(_._1)
+    byPrev.foreach { case (p, vs) =>
+      val mass = vs.map(_._4).sum
+      // floor-ppm rows: total within n_next of exactly 1e6
+      assert(mass <= 1000000L && mass > 1000000L - vs.length,
+        s"prev=$p mass=$mass")
+    }
+    // total transitions = total events - one lead-in per active user
+    val ev = graft.sources.Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === expected)
+  }
+
+  test("assoc rules: support bounds, confidence/lift consistency") {
+    val rows = q("q_assoc_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ante, cons) = (r.getString(0), r.getString(1))
+      val (ab, a, b2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (conf, lift) = (r.getLong(5), r.getLong(6))
+      assert(ab <= math.min(a, b2), s"($ante,$cons): supp_ab exceeds a side")
+      assert(conf === 1000000L * ab / a)
+      assert(lift >= 0L)
+    }
+  }
+}

@@ -154,4 +154,31 @@ class ProfilingSpec extends SparkSpec {
     val r2 = Profiling.psiDrift(const, col("v"), col("a"), 10).collect()(0)
     assert(r2.getLong(0) === 1L && r2.getDouble(1) === 0.0)
   }
+
+  test("ksDrift: 0 on identical slices, ~1 on disjoint, symmetric, in [0,1]") {
+    // identical slices -> every cumulative difference is exactly 0
+    val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "a")
+    val r0 = Profiling.ksDrift(same, col("v"), col("a"), 10).collect()(0)
+    assert(r0.getLong(0) === 10L && r0.getDouble(1) === 0.0)
+
+    // disjoint supports -> some boundary separates them completely
+    val disjoint = ((1 to 50).map(i => (i.toDouble, true)) ++
+      (1 to 50).map(i => (i + 1000.0, false))).toDF("v", "a")
+    val r1 = Profiling.ksDrift(disjoint, col("v"), col("a"), 10).collect()(0)
+    assert(r1.getDouble(1) === 1.0)
+
+    // symmetric under A<->B (|Fa-Fb| is), and always within [0,1]
+    val rnd = new scala.util.Random(7)
+    val mixed = (1 to 300).map(_ => (rnd.nextDouble() * 100, rnd.nextBoolean()))
+      .toDF("v", "a")
+    val kAB = Profiling.ksDrift(mixed, col("v"), col("a"), 12).collect()(0).getDouble(1)
+    val kBA = Profiling.ksDrift(mixed, col("v"), !col("a"), 12).collect()(0).getDouble(1)
+    assert(kAB === kBA && kAB >= 0.0 && kAB <= 1.0)
+
+    // constant column: zero bin width must not divide by zero
+    val const = Seq((5.0, true), (5.0, false)).toDF("v", "a")
+    val r2 = Profiling.ksDrift(const, col("v"), col("a"), 10).collect()(0)
+    assert(r2.getLong(0) === 1L && r2.getDouble(1) === 0.0)
+  }
 }
