@@ -147,6 +147,37 @@ object Sampling {
     df.filter(hashBucket(key, 1000, salt) < rateCol)
   }
 
+  /** Fractional-epoch replication — the UPSAMPLING side of data mixing
+    * ("repeat the code slice 2.3 epochs, the low-quality web slice 0.5"):
+    * each row of group g appears `f_g div 1000` times plus one more copy
+    * on the hash-selected `f_g mod 1000` permille — so expected volume is
+    * exactly n_g · f_g/1000 and the choice of WHICH rows carry the
+    * fractional epoch is deterministic (DoReMi-style domain weights
+    * become repeat factors this way). The whole-copy count is resolved at
+    * plan time per group (a when-chain, no join); replication is one
+    * `explode(sequence(1, n))` whose generator argument is a per-row
+    * scalar — output rows carry an `epoch` index so downstream shuffles
+    * (packing, batching) spread copies instead of co-locating them.
+    * Factors ≤ 0 drop the group; the sequence never sees n < 1 (the
+    * auto-reverse trap) because zero-copy rows are filtered first.
+    */
+  def epochReplicate(df: org.apache.spark.sql.DataFrame, grp: Column, key: Column,
+                     epochsPermille: Map[Long, Long],
+                     salt: String = "ep"): org.apache.spark.sql.DataFrame = {
+    val whole = epochsPermille.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (els, (g, f)) => when(grp === lit(g), lit(math.max(f, 0L) / 1000L)).otherwise(els)
+    }
+    val fracPermille = epochsPermille.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (els, (g, f)) => when(grp === lit(g), lit(math.max(f, 0L) % 1000L)).otherwise(els)
+    }
+    val nCopies = whole +
+      when(hashBucket(key, 1000, salt) < fracPermille, 1L).otherwise(0L)
+    df.withColumn("__ncopies", nCopies)
+      .filter(col("__ncopies") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__ncopies"))))
+      .drop("__ncopies")
+  }
+
   /** Exact per-group token-budget selection — "keep 2B tokens of code,
     * 1B of web": docs are consumed in a deterministic hash-randomized
     * priority order (md5 bucket, then key) and each group keeps the

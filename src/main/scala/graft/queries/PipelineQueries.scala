@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Hashing
 import graft.ops.{CacheRegistry, Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
@@ -76,6 +77,11 @@ object PipelineQueries {
     * progressively harder at every fixture scale.
     */
   private val TokenBudgets = Map(0L -> 1000000000L, 1L -> 5000L, 2L -> 2500L, 3L -> 1500L)
+
+  /** Fractional epoch factors (permille) for q_mix_epochs: a >2-epoch
+    * repeat, an identity group, a half-epoch downsample, and 1.5 epochs.
+    */
+  private val EpochTargets = Map(0L -> 2300L, 1L -> 1000L, 2L -> 500L, 3L -> 1500L)
 
   /** Cosine threshold for q_dedup_semantic — same dial as the blocked
     * all-pairs kernel (DocQueries.CosineTau) so the two operators'
@@ -304,6 +310,43 @@ object PipelineQueries {
           TokenBudgets, buckets = 16, salt = "tb")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // Fractional-epoch upsampling — the other half of data mixing: where
+    // q_mix_reweight DOWN-samples to a rate, this REPEATS under-
+    // represented domains by a fractional epoch factor (2.3 epochs of
+    // group 0, half an epoch of group 2). Deterministic: whole copies are
+    // plan-time constants per group, the fractional copy is the usual
+    // hash-permille predicate, and the exploded `epoch` index lets
+    // downstream packing spread copies. The per-group summary pins both
+    // the distinct-doc and the replicated row volumes.
+    "q_mix_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("grp", expr("CAST(substring(source, 4) AS BIGINT) % 4"))
+      Sampling.epochReplicate(docs, col("grp"), col("doc_id"),
+          EpochTargets, salt = "ep")
+        .groupBy("grp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Hashing-trick featurization (the Weinberger et al. feature-hashing
+    // shape): tokens hash into a fixed 64-bucket signed feature vector —
+    // the dimensionality is config, not vocabulary, so the feature space
+    // never grows with the corpus and no vocabulary dictionary is
+    // built/broadcast at all. One explode + one partial+final aggregate
+    // on (doc, bucket); signs cancel collisions in expectation. Sparse
+    // output (zero buckets dropped).
+    "q_feat_hashing" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+      toks.select(col("doc_id"),
+          pmod(Hashing.md5LongSeeded(col("token"), 101), lit(64L)).as("bucket"),
+          when(pmod(Hashing.md5LongSeeded(col("token"), 202), lit(2L)) === 0L,
+            1L).otherwise(-1L).as("sign"))
+        .groupBy("doc_id", "bucket").agg(sum(col("sign")).as("v"))
+        .filter(col("v") =!= 0L)
     }),
 
     // Exact fixed-N-per-group sampling — "exactly 40 eval docs per
@@ -1369,6 +1412,34 @@ object PipelineQueries {
          |WHERE ${Sampling.sqlHashBucket("doc_id", 1000, "mix")} < rate
          |GROUP BY 1""".stripMargin
     },
+
+    "q_mix_epochs" -> {
+      val values = EpochTargets.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"($g, $f)" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    CAST(substring(source, 4) AS BIGINT) % 4 AS grp FROM documents),
+         |tgt AS (SELECT * FROM (VALUES $values) AS t(grp, f)),
+         |c AS (SELECT doc_id, n_chars, d.grp,
+         |    f // 1000 + CASE WHEN ${Sampling.sqlHashBucket("doc_id", 1000, "ep")}
+         |      < f % 1000 THEN 1 ELSE 0 END AS nc
+         |  FROM d JOIN tgt USING (grp)),
+         |r AS (SELECT grp, doc_id, n_chars
+         |  FROM c, unnest(generate_series(1, CAST(nc AS BIGINT))))
+         |SELECT grp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    "q_feat_hashing" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${Hashing.sqlMd5LongSeeded("token", 101)} % 64 AS bucket,
+         |    CASE WHEN ${Hashing.sqlMd5LongSeeded("token", 202)} % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM t)
+         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+         |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,

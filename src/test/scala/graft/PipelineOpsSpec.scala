@@ -418,4 +418,29 @@ class PipelineOpsSpec extends SparkSpec {
     // and the fixture actually exercises it: clusters exist
     assert(lab.count() > 0L)
   }
+
+  test("epochReplicate: exact copy counts, contiguous epoch index, drop at 0") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("k", "g")
+    val targets = Map(0L -> 2500L, 1L -> 1000L, 2L -> 400L, 3L -> 0L)
+    val out = Sampling.epochReplicate(df, col("g"), col("k"), targets, "t")
+    val rows = out.select("k", "g", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-key copy count == whole + (0|1); epoch indices are 1..n
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val g = vs.head._2
+      val whole = targets(g) / 1000L
+      val n = vs.length.toLong
+      assert(n == whole || n == whole + 1, s"key $k: $n copies")
+      assert(vs.map(_._3).sorted.toSeq == (1L to n), s"key $k: epoch gap")
+    }
+    // factor-0 group fully dropped; identity group exactly once
+    assert(!rows.exists(_._2 == 3L))
+    assert(rows.count(_._2 == 1L) === 100)
+    // fractional volume lands near expectation (hash-uniform: ±40%)
+    val n0 = rows.count(_._2 == 0L)
+    assert(n0 >= 200 && n0 <= 300, s"group 0 rows: $n0")   // E=250
+    val n2 = rows.count(_._2 == 2L)
+    assert(n2 >= 20 && n2 <= 60, s"group 2 rows: $n2")     // E=40
+  }
 }
