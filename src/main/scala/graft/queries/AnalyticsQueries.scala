@@ -84,6 +84,61 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Time-bounded conversion funnel — the ClickHouse-warehouse
+    // `windowFunnel` shape (the reference's rollups land in exactly that
+    // warehouse): signup → first view within 24 h → first purchase
+    // within 24 h of that view. Each stage is one filter + one
+    // co-partitioned shuffle join on user_id + one min-aggregate; gaps
+    // accumulate as exact integer micros. Output is the 3-row stage
+    // census (n reaching each stage, total time-in-stage).
+    "q_funnel_timebound" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("t"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("t") > col("t1") && col("t") <= col("t1") + lit(dayUs))
+        .groupBy("user_id").agg(min(col("t")).as("t2"), max(col("t1")).as("g1"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("t") > col("t2") && col("t") <= col("t2") + lit(dayUs))
+        .groupBy("user_id").agg(min(col("t")).as("t3"), max(col("t2")).as("g2"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), col("n_users"), lit(0L).as("sum_gap_us"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"),
+            sum(col("t2") - col("g1")).as("sum_gap_us"))
+          .select(lit(2L).as("stage"), col("n_users"), col("sum_gap_us")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"),
+            sum(col("t3") - col("g2")).as("sum_gap_us"))
+          .select(lit(3L).as("stage"), col("n_users"), col("sum_gap_us")))
+    }),
+
+    // As-of join with a tolerance bound (the kdb/pandas `asof(...,
+    // tolerance=)` contract): a match older than 6 h is discarded —
+    // attribution windows, not just "most recent ever". Tolerance is a
+    // post-predicate on the as-of result, so the scale shape is exactly
+    // AsOfJoin's union+window formulation (no extra shuffle); the oracle
+    // replays it on DuckDB's native ASOF JOIN, a different algorithm.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val tolUs = 21600000000L
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"))
+      graft.ops.AsOfJoin.asOf(purchases, signups,
+          key = "user_id", leftTs = "ts", rightTs = "sts", payload = Seq("sts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("sts_asof")))
+        .withColumn("sts_tol", when(col("gap_us") <= tolUs, col("sts_asof")))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_purch"),
+          count(col("sts_asof")).as("n_matched"),
+          count(col("sts_tol")).as("n_within_tol"),
+          sum(when(col("sts_tol").isNotNull, col("gap_us")).otherwise(0L))
+            .as("sum_gap_us"))
+    }),
+
     // Market-basket association rules: baskets = orders, items = the
     // part BRANDS in the basket (the partkey→brand enrich is a plain
     // equi-join Catalyst/AQE broadcasts when the part side fits and
@@ -154,6 +209,39 @@ object AnalyticsQueries {
         |  (1000000 * n) // (CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT))
         |    AS p_ppm
         |FROM c""".stripMargin,
+
+    "q_funnel_timebound" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(t) AS t2, max(t1) AS g1
+        |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE event_type = 'view' AND t > t1 AND t <= t1 + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(t) AS t3, max(t2) AS g2
+        |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users,
+        |  CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(t2 - g1) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(t3 - g2) AS BIGINT) FROM s3""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.user_id, epoch_us(p.ts) - epoch_us(s.sts) AS gap_us,
+        |    s.sts AS sts_asof
+        |  FROM p ASOF LEFT JOIN s
+        |    ON p.user_id = s.user_id AND p.ts >= s.sts)
+        |SELECT user_id, count(*) AS n_purch, count(sts_asof) AS n_matched,
+        |  CAST(sum(CASE WHEN gap_us <= 21600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_tol,
+        |  CAST(sum(CASE WHEN gap_us <= 21600000000 THEN gap_us ELSE 0 END)
+        |    AS BIGINT) AS sum_gap_us
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b

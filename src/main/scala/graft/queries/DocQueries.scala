@@ -198,6 +198,29 @@ object DocQueries {
       d.groupBy("source", "band").agg(count(lit(1)).as("n"))
     }),
 
+    // Per-doc token-distribution entropy (micro-nats) — the information-
+    // density quality signal (low entropy ⇒ repetitive/templated text,
+    // the complement of q_txt_repetition's dup-fraction view). Scale
+    // shape: one explode + two partial+final aggregates keyed on doc_id
+    // (co-partitioned — one exchange). Determinism: each −p·ln p term is
+    // floor-quantized to integer micro-nats and the per-doc sum is an
+    // exact Long, so the distributed sum is order-free (the BM25
+    // integer-relevance discipline).
+    "q_txt_entropy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      counts.join(totals, "doc_id")
+        .withColumn("term", floor(lit(1e6) *
+          (col("cnt").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("cnt"))).cast("long"))
+        .groupBy("doc_id").agg(max(col("n")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          sum(col("term")).as("entropy_u"))
+    }),
+
     "q_txt_langid" -> ((s, dir) => {
       val d = Tables.documents(s, dir).withColumn("toks", TA.tokens(col("text")))
         .withColumn("predicted", TA.predictedLang(col("toks")))
@@ -722,6 +745,18 @@ object DocQueries {
       "q_txt_quality" ->
         s"""SELECT source, CAST(floor(${t.sqlQualityScore} * 10) AS BIGINT) AS band, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_txt_entropy" ->
+        """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |c AS (SELECT doc_id, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+          |    count(*) AS n_distinct FROM c GROUP BY 1)
+          |SELECT c.doc_id, max(n) AS n_tokens, max(n_distinct) AS n_distinct,
+          |  CAST(sum(CAST(floor(1e6 * (CAST(cnt AS DOUBLE) / n)
+          |    * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS entropy_u
+          |FROM c JOIN tot ON c.doc_id = tot.doc_id
+          |GROUP BY 1""".stripMargin,
 
       "q_txt_langid" ->
         s"""SELECT lang, ${t.sqlPredictedLang()} AS predicted, count(*) AS n

@@ -71,6 +71,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === expected)
   }
 
+  test("funnel: stage counts monotone non-increasing; tolerance only shrinks") {
+    val stages = q("q_funnel_timebound").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages.keySet === Set(1L, 2L, 3L))
+    assert(stages(1L) >= stages(2L) && stages(2L) >= stages(3L))
+    assert(stages(1L) > 0L)
+
+    q("q_asof_tolerance").collect().foreach { r =>
+      val (n, m, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(m <= n && w <= m,
+        s"user ${r.getLong(0)}: tolerance must only shrink matches")
+    }
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
