@@ -88,7 +88,15 @@ object ScaleStress {
     // temperature re-derives rates over 10× docs; separability's
     // centroid pass and distance scan both grow linearly
     "q_emb_covariance", "q_drift_tokens", "q_mix_temperature",
-    "q_label_separability")
+    "q_label_separability",
+    // round-8 fourth wave (behavioral analytics + features): association
+    // rules see ×10 baskets against a FIXED brand dimension (pair volume
+    // is baskets × ≤21, never brands²); SCD2 and the funnel see ×10 user
+    // partitions at constant per-user history; cohort retention's two
+    // custkey shuffles and countDistinct grow linearly; entropy/hashing
+    // explode ×10 tokens into partial+final aggregates
+    "q_assoc_rules", "q_cdc_scd2", "q_cohort_retention",
+    "q_funnel_timebound", "q_txt_entropy", "q_feat_hashing")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
@@ -163,6 +171,12 @@ object ScaleStress {
         col("l_shipdate"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // Part passes through UNreplicated: it is the dimension side (brands,
+    // types) — at scale the fact tables grow while the dim stays fixed,
+    // which is exactly the regime the assoc-rules pair bound relies on.
+    spark.read.parquet(s"$src/part.parquet")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
     out
   }
 

@@ -198,6 +198,34 @@ object DocQueries {
       d.groupBy("source", "band").agg(count(lit(1)).as("n"))
     }),
 
+    // Zipf slope of the corpus frequency spectrum — the macro corpus-
+    // health number (natural text sits near −1; templated/synthetic
+    // corpora flatten or steepen it): OLS of ln(freq) on ln(rank) over
+    // the top-100 vocabulary. One vocab aggregate, top-k as
+    // TakeOrderedAndProject, then every moment runs over ≤100 rows.
+    // Determinism: ln values floor-quantized to integer micros per term
+    // (order-free exact sums), the final slope one pinned division of
+    // two BIGINT→DOUBLE casts (IEEE round-to-nearest is identical on
+    // both engines).
+    "q_txt_zipf" -> ((s, dir) => {
+      val top = Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      val pts = top.withColumn("r", row_number().over(w))
+        .select(floor(lit(1e6) * log(col("r").cast("double"))).cast("long").as("x"),
+          floor(lit(1e6) * log(col("cnt").cast("double"))).cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sx2") - col("sx") * col("sx")).cast("double"), 4)
+            .as("slope"))
+    }),
+
     // Per-doc token-distribution entropy (micro-nats) — the information-
     // density quality signal (low entropy ⇒ repetitive/templated text,
     // the complement of q_txt_repetition's dup-fraction view). Scale
@@ -745,6 +773,24 @@ object DocQueries {
       "q_txt_quality" ->
         s"""SELECT source, CAST(floor(${t.sqlQualityScore} * 10) AS BIGINT) AS band, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_txt_zipf" ->
+        """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1
+          |  ORDER BY cnt DESC, token LIMIT 100),
+          |p AS (SELECT
+          |    CAST(floor(1e6 * ln(CAST(row_number() OVER
+          |      (ORDER BY cnt DESC, token) AS DOUBLE))) AS BIGINT) AS x,
+          |    CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+          |  FROM v),
+          |m AS (SELECT count(*) AS n_terms, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sx2 FROM p)
+          |SELECT n_terms,
+          |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          |    / CAST(n_terms * sx2 - sx * sx AS DOUBLE), 4) AS slope
+          |FROM m""".stripMargin,
 
       "q_txt_entropy" ->
         """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
