@@ -413,4 +413,54 @@ object Profiling {
     counts.withColumn("__d", abs(fa - fb))
       .agg(count(lit(1)).as("n_bins"), round(max(col("__d")), 6).as("ks"))
   }
+
+  /** Exact k-th smallest (k = (n+1) div 2 → lower median) WITHOUT a
+    * global sort — the 100 TB shape for exact order statistics: a global
+    * `ORDER BY` is one task at the limit, and `percentile` holds a
+    * per-group value buffer. Two passes instead:
+    *   1. one binning aggregate (nBins counts to the driver —
+    *      config-scale metadata, the deriveBlocks pattern) locates the
+    *      bin containing the k-th value and the residual rank r within
+    *      it;
+    *   2. one filtered scan of ONLY that bin, grouped by exact value
+    *      (duplicates collapse, so the ordered window runs over the
+    *      bin's DISTINCT values — bounded by bin granularity, not rows),
+    *      picking the first value whose cumulative count reaches r.
+    * Returns one row (n, median) — the picked value is exact, no
+    * floating arithmetic touches it. All-equal columns short-circuit at
+    * the zero-width guard. Deeper skew (one bin still huge in DISTINCT
+    * values) would recurse the same two steps on the bin; one level
+    * covers any real numeric distribution at nBins=1024.
+    */
+  def exactMedianBinned(df: DataFrame, value: Column,
+                        nBins: Int = 1024): DataFrame = {
+    val v = value.cast("double")
+    val base = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val st = base.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val (mn, mx, n) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+    require(n > 0, "exactMedianBinned: empty input")
+    val k = (n + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (mn == mx) return Seq((n, mn)).toDF("n", "median")
+    val w = (mx - mn) / nBins.toDouble
+    val binOf = least(floor((col("__v") - lit(mn)) / lit(w)).cast("long"),
+      lit(nBins - 1L))
+    val binCounts = base.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L; var hit = -1L; var r = 0L
+    binCounts.foreach { case (b, c) =>
+      if (hit < 0 && cum + c >= k) { hit = b; r = k - cum }
+      cum += c
+    }
+    val cw = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.filter(binOf === lit(hit))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(cw))
+      .filter(col("__cum") >= r)
+      .agg(min(col("__v")).as("median"))
+      .select(lit(n).as("n"), col("median"))
+  }
 }

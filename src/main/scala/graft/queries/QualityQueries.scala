@@ -225,6 +225,17 @@ object QualityQueries {
         col("l_returnflag"), col("l_extendedprice"),
         keys = Seq("l_orderkey", "l_linenumber"), nBins = 100)),
 
+    // Exact median WITHOUT a global sort — the order-statistic shape that
+    // survives 100 TB (a global ORDER BY is one task at the limit;
+    // `percentile` buffers values per group): one binning aggregate
+    // locates the k-th value's bin (config-scale counts to the driver),
+    // one filtered scan of ONLY that bin picks it exactly. The value is
+    // PICKED, not computed — no floating arithmetic touches the result,
+    // so the oracle (a row_number selection) matches bit for bit.
+    "q_agg_exact_median" -> ((s, dir) =>
+      Profiling.exactMedianBinned(Tables.lineitem(s, dir),
+        col("l_extendedprice"))),
+
     // Robust per-group outlier census: median/MAD (the estimator that
     // doesn't move when the outliers it hunts do), flag |x−med| >
     // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
@@ -652,6 +663,14 @@ object QualityQueries {
         |FROM b JOIN cum ON cum.g = b.g AND cum.bin = b.bin""".stripMargin,
 
     "q_outlier_mad" -> sqlMad,
+
+    "q_agg_exact_median" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(n AS BIGINT) AS n, v AS median
+        |FROM s WHERE rn = (n + 1) // 2""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,

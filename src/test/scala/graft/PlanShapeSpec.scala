@@ -131,4 +131,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_assoc_rules: basket pair join is keyed on the basket, no product") {
+    val p = plan("q_assoc_rules")
+    // the items×items pair stage must be an equi-join on the order key
+    // (per-basket bounded candidates) — never a cartesian; the ONLY
+    // nested-loop allowed is the deliberate 1-row totals cross join
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    // support/total enrich comes back as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_cohort_retention: cohort sizes broadcast back, no extra fact shuffle") {
+    val p = plan("q_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_txt_entropy: doc totals join keeps the doc_id partitioning") {
+    val p = plan("q_txt_entropy")
+    // counts and totals are both keyed on doc_id — the join must not be
+    // a nested loop, and the whole plan needs exactly one explode
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(?i)generate".r.findAllIn(p).length <= 2, p)
+  }
 }

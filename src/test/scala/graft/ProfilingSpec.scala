@@ -155,6 +155,22 @@ class ProfilingSpec extends SparkSpec {
     assert(r2.getLong(0) === 1L && r2.getDouble(1) === 0.0)
   }
 
+  test("exactMedianBinned == sorted reference: odd/even, dups, all-equal, skew") {
+    def check(vals: Seq[Double]): Unit = {
+      val got = Profiling.exactMedianBinned(vals.toDF("v"), col("v"), nBins = 16)
+        .head()
+      val expect = vals.sorted.apply(((vals.size + 1) / 2 - 1))
+      assert(got.getLong(0) === vals.size.toLong)
+      assert(got.getDouble(1) === expect, s"vals=$vals")
+    }
+    val rnd = new scala.util.Random(11)
+    check((1 to 101).map(_ => rnd.nextDouble() * 1000))          // odd n
+    check((1 to 100).map(_ => rnd.nextDouble() * 1000))          // even n
+    check(Seq(5.0, 5.0, 5.0, 1.0, 9.0, 5.0, 5.0))                // heavy dups
+    check(Seq.fill(20)(7.5))                                     // all equal
+    check((1 to 99).map(i => if (i < 95) 1.0 else 1e9))          // extreme skew
+  }
+
   test("ksDrift: 0 on identical slices, ~1 on disjoint, symmetric, in [0,1]") {
     // identical slices -> every cumulative difference is exactly 0
     val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
