@@ -84,6 +84,28 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Native session windows — Spark's built-in `session_window` (the
+    // idiomatic form of the 30-min-gap sessionization that q_sessionize
+    // derives with the island window and StatefulSessionize carries in
+    // custom streaming state). Boundary semantics differ at EXACT gap:
+    // the island rule keeps an event landing exactly at prev+gap in the
+    // same session (strict >), session_window starts a new one (window
+    // end is exclusive) — so this query's oracle encodes the >= rule
+    // explicitly rather than borrowing q_sessionize's. Same scale shape:
+    // one shuffle on user_id, per-user session merge, no global state.
+    "q_sessionize_native" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("span_us")).as("max_span_us"))
+    }),
+
     // Time-bounded conversion funnel — the ClickHouse-warehouse
     // `windowFunnel` shape (the reference's rollups land in exactly that
     // warehouse): signup → first view within 24 h → first purchase
@@ -209,6 +231,27 @@ object AnalyticsQueries {
         |  (1000000 * n) // (CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT))
         |    AS p_ppm
         |FROM c""".stripMargin,
+
+    "q_sessionize_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(span_us) AS BIGINT) AS max_span_us
+        |FROM per_session GROUP BY 1""".stripMargin,
 
     "q_funnel_timebound" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

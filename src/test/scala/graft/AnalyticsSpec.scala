@@ -85,6 +85,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("native session_window == island sessionize away from exact boundaries") {
+    // the two formulations differ only when a gap is EXACTLY 30 min
+    // (island: same session; session_window: new) — the fixture's
+    // microsecond timestamps make that measure-zero, so cross-validating
+    // them pins Spark's built-in against our island window end to end
+    val native = q("q_sessionize_native").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val island = graft.queries.EventQueries.queries("q_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(native === island)
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
