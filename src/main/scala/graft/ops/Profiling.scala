@@ -463,4 +463,73 @@ object Profiling {
       .agg(min(col("__v")).as("median"))
       .select(lit(n).as("n"), col("median"))
   }
+
+  /** Grouped generalization of [[exactMedianBinned]]: exact order
+    * statistics (k = floor(q·(n−1)) + 1, the (n−1)p index rule) for
+    * several quantiles per group, still without sorting any group — the
+    * per-group `percentile`/sort forms hold a group's values in one task
+    * at 100 TB. Pass 1: per-(group, bin) counts (groups × nBins rows to
+    * the driver — config-scale metadata). Driver: locate each (group, q)
+    * target's bin and residual rank. Pass 2: ONE scan filtered to the
+    * hit bins, grouped by exact value, cumulative window per (group,
+    * bin) over DISTINCT values only, broadcast-joined against the
+    * config-scale hit spec to pick each target exactly. Values are
+    * picked, never computed — bit-exact under any partitioning.
+    */
+  def exactQuantilesBinnedGrouped(df: DataFrame, grp: Column, value: Column,
+                                  qPcts: Seq[Int],
+                                  nBins: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(grp.cast("string").as("__g"),
+      value.cast("double").as("__v")).filter(col("__v").isNotNull)
+    val stats = base.groupBy("__g").agg(min(col("__v")).as("mn"),
+      max(col("__v")).as("mx"), count(lit(1)).as("n"))
+    val st = stats.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val widths = st.map { case (g, (mn, mx, _)) =>
+      g -> ((mx - mn) / nBins.toDouble) }
+    val binFor: Column = {
+      // per-group affine binning compiled to a when-chain (config-scale)
+      st.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (els, (g, (mn, _, _))) =>
+        val w = widths(g)
+        val b = if (w == 0.0) lit(0L)
+          else least(floor((col("__v") - lit(mn)) / lit(w)).cast("long"),
+            lit(nBins - 1L))
+        when(col("__g") === g, b).otherwise(els)
+      }
+    }
+    val binCounts = base.groupBy(col("__g"), binFor.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side target location: (group, qPct) -> (bin, residual rank)
+    val hits = for {
+      (g, (_, _, n)) <- st.toSeq
+      q <- qPcts
+    } yield {
+      val k = math.floor(q / 100.0 * (n - 1)).toLong + 1
+      var cum = 0L; var hit = -1L; var r = 0L
+      (0L until nBins.toLong).foreach { b =>
+        val c = binCounts.getOrElse((g, b), 0L)
+        if (hit < 0 && cum + c >= k) { hit = b; r = k - cum }
+        cum += c
+      }
+      (g, q.toLong, hit, r, n)
+    }
+    val hitSpec = hits.toDF("__g", "q_pct", "__b", "__r", "n")
+    val hitBins = hits.map(h => (h._1, h._3)).toSet
+    val hitPred = hitBins.toSeq.sorted.map { case (g, b) =>
+      col("__g") === g && binFor === lit(b) }.reduce(_ || _)
+    val cw = Window.partitionBy("__g", "__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.filter(hitPred)
+      .groupBy(col("__g"), binFor.as("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(cw))
+      .join(broadcast(hitSpec), Seq("__g", "__b"))
+      .filter(col("__cum") >= col("__r"))
+      .groupBy(col("__g").as("grp"), col("q_pct"))
+      .agg(max(col("n")).as("n"), min(col("__v")).as("value"))
+  }
 }

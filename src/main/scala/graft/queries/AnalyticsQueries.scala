@@ -84,6 +84,29 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Rolling 7-day active users (DAU/WAU) — rolling DISTINCT does not
+    // decompose into a window sum of daily distincts, and the naive form
+    // (range-join every day against a week of user-days, or a sliding
+    // collect_set) centralizes state. The scale shape: dedup to
+    // user-days once, then each user-day COVERS the 7 report days it
+    // contributes to (a bounded ×7 explode — the window inverted into a
+    // scatter), and rolling-distinct becomes a plain distinct + count on
+    // (user, report_day) — the classic "invert the window" trick for
+    // distinct-over-window at scale. Reported per ACTIVE day (the inner
+    // join keeps the day grid data-derived).
+    "q_rolling_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .select("user_id", "rday").distinct()
+        .groupBy(col("rday").as("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day").select(col("day"), col("dau"), col("wau"))
+    }),
+
     // Native session windows — Spark's built-in `session_window` (the
     // idiomatic form of the 30-min-gap sessionization that q_sessionize
     // derives with the island window and StatefulSessionize carries in
@@ -231,6 +254,16 @@ object AnalyticsQueries {
         |  (1000000 * n) // (CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT))
         |    AS p_ppm
         |FROM c""".stripMargin,
+
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT DISTINCT user_id, day + i AS rday
+        |  FROM ud, unnest(generate_series(0, 6)) t(i)),
+        |wau AS (SELECT rday AS day, count(*) AS wau FROM ex GROUP BY 1)
+        |SELECT dau.day, dau, wau
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
     "q_sessionize_native" ->
       """WITH marked AS (

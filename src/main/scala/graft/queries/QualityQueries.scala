@@ -236,6 +236,17 @@ object QualityQueries {
       Profiling.exactMedianBinned(Tables.lineitem(s, dir),
         col("l_extendedprice"))),
 
+    // Grouped exact quantiles (p10/p50/p90) with the same no-sort
+    // discipline, per group: the per-group percentile/sort forms hold a
+    // whole group's values in one task at 100 TB; this pays one
+    // config-scale (group × bin) metadata aggregate and one hit-bin scan.
+    // Values are picked, never computed — bit-exact under any
+    // partitioning.
+    "q_agg_exact_quantiles" -> ((s, dir) =>
+      Profiling.exactQuantilesBinnedGrouped(Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_extendedprice"), Seq(10, 50, 90))
+        .withColumnRenamed("grp", "l_returnflag")),
+
     // Robust per-group outlier census: median/MAD (the estimator that
     // doesn't move when the outliers it hunts do), flag |x−med| >
     // 3·1.4826·MAD. Exact percentiles (Spark `percentile` ==
@@ -663,6 +674,17 @@ object QualityQueries {
         |FROM b JOIN cum ON cum.g = b.g AND cum.bin = b.bin""".stripMargin,
 
     "q_outlier_mad" -> sqlMad,
+
+    "q_agg_exact_quantiles" ->
+      """WITH s AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM s),
+        |qs AS (SELECT CAST(q_pct AS BIGINT) AS q_pct
+        |  FROM (VALUES (10), (50), (90)) t(q_pct))
+        |SELECT g AS l_returnflag, q_pct, CAST(n AS BIGINT) AS n, v AS value
+        |FROM r, qs
+        |WHERE rn = CAST(floor(q_pct / 100.0 * (n - 1)) AS BIGINT) + 1""".stripMargin,
 
     "q_agg_exact_median" ->
       """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -100,6 +100,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(native === island)
   }
 
+  test("rolling WAU: dau <= wau <= sum of the trailing week's dau") {
+    val rows = q("q_rolling_wau").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val dauBy = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, wau) =>
+      val weekSum = (day - 6 to day).flatMap(dauBy.get).sum
+      assert(dau <= wau && wau <= weekSum, s"day $day: $dau/$wau/$weekSum")
+    }
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)

@@ -171,6 +171,26 @@ class ProfilingSpec extends SparkSpec {
     check((1 to 99).map(i => if (i < 95) 1.0 else 1e9))          // extreme skew
   }
 
+  test("exactQuantilesBinnedGrouped == per-group sorted reference") {
+    val rnd = new scala.util.Random(23)
+    val data = Seq("a", "b", "c").flatMap { g =>
+      val n = 50 + rnd.nextInt(60)
+      (1 to n).map(_ => (g, math.floor(rnd.nextDouble() * 500) / 10.0))
+    } ++ Seq.fill(10)(("d", 42.0))   // zero-width group
+    val got = Profiling.exactQuantilesBinnedGrouped(
+        data.toDF("g", "v"), col("g"), col("v"), Seq(10, 50, 90), nBins = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val byG = data.groupBy(_._1)
+    for ((g, vs) <- byG; q <- Seq(10, 50, 90)) {
+      val sorted = vs.map(_._2).sorted
+      val k = math.floor(q / 100.0 * (sorted.size - 1)).toInt
+      assert(got((g, q.toLong)) === ((sorted.size.toLong, sorted(k))),
+        s"group $g q$q")
+    }
+  }
+
   test("ksDrift: 0 on identical slices, ~1 on disjoint, symmetric, in [0,1]") {
     // identical slices -> every cumulative difference is exactly 0
     val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
