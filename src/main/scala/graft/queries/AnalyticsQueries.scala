@@ -84,6 +84,30 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Exponentially-decayed trending score (half-life = 1 day) — the
+    // "what's hot now" ranking. Determinism is the interesting part: a
+    // libm pow() is not bit-portable, so the decay 2^(−age) is computed
+    // as INTEGER weights n·2^(30−age) (shiftleft — ages beyond 30 days
+    // contribute < 2^-30 of a count and are cut identically on both
+    // sides), summed exactly as Longs; the fixed-point score is exact
+    // under any partitioning. Day aggregates are config-scale; the
+    // corpus pays one count.
+    "q_trending_decay" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val mx = byDay.agg(max(col("day")).as("maxd"))
+      byDay.crossJoin(broadcast(mx))
+        .withColumn("age", (col("maxd") - col("day")).cast("int"))
+        .filter(col("age") <= 30)
+        .withColumn("w", col("n") * expr("shiftleft(1L, 30 - age)"))
+        .groupBy("event_type")
+        .agg(sum(col("w")).as("score_u"),
+          round(sum(col("w")).cast("double") / lit(1073741824.0), 6)
+            .as("score"))
+    }),
+
     // Rolling 7-day active users (DAU/WAU) — rolling DISTINCT does not
     // decompose into a window sum of daily distincts, and the naive form
     // (range-join every day against a week of user-days, or a sliding
@@ -254,6 +278,19 @@ object AnalyticsQueries {
         |  (1000000 * n) // (CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT))
         |    AS p_ppm
         |FROM c""".stripMargin,
+
+    "q_trending_decay" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+        |m AS (SELECT max(day) AS maxd FROM c),
+        |w AS (SELECT event_type,
+        |    n * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
+        |  FROM c, m WHERE maxd - day <= 30)
+        |SELECT event_type, CAST(sum(w) AS BIGINT) AS score_u,
+        |  round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
+        |    AS score
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -198,6 +198,34 @@ object DocQueries {
       d.groupBy("source", "band").agg(count(lit(1)).as("n"))
     }),
 
+    // Positional phrase search — the IR operator the cosine/BM25 bag-of-
+    // words family cannot express ("these words, adjacent, in order"):
+    // positional postings pruned to the THREE phrase terms at the scan
+    // (the posting lists are term-selective — the corpus never joins),
+    // then an anchor-position equi-join chain (pos = anchor + i, an
+    // equi-key Catalyst recognizes — never a nested loop). Oracle is
+    // INDEPENDENT: DuckDB counts regex matches of the whole phrase over
+    // the raw text (word-boundary anchored), a completely different
+    // algorithm that must agree occurrence for occurrence.
+    "q_txt_phrase_search" -> ((s, dir) => {
+      val phrase = Seq("stream", "table", "hash")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TA.tokens(col("text"))).as(Seq("pos", "token")))
+        .filter(col("token").isin(phrase: _*))
+      val anchors = toks.filter(col("token") === phrase.head)
+        .select(col("doc_id"), col("pos"))
+      val chain = phrase.zipWithIndex.tail.foldLeft(anchors) {
+        case (acc, (w, i)) =>
+          val ti = toks.filter(col("token") === w)
+            .select(col("doc_id").as("__d"), col("pos").as("__p"))
+          acc.join(ti, acc("doc_id") === col("__d") &&
+              col("__p") === acc("pos") + i)
+            .drop("__d", "__p")
+      }
+      chain.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    }),
+
     // Zipf slope of the corpus frequency spectrum — the macro corpus-
     // health number (natural text sits near −1; templated/synthetic
     // corpora flatten or steepen it): OLS of ln(freq) on ln(rank) over
@@ -773,6 +801,16 @@ object DocQueries {
       "q_txt_quality" ->
         s"""SELECT source, CAST(floor(${t.sqlQualityScore} * 10) AS BIGINT) AS band, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // independent oracle: regex match count over the raw text (word-
+      // boundary anchored; the three distinct words cannot overlap, so
+      // non-overlapping regex scanning counts every occurrence)
+      "q_txt_phrase_search" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\bstream table hash\b')) AS BIGINT) AS n_occ
+          |FROM documents
+          |WHERE len(regexp_extract_all(text, '\bstream table hash\b')) > 0""".stripMargin,
 
       "q_txt_zipf" ->
         """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
