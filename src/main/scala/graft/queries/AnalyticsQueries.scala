@@ -240,7 +240,100 @@ object AnalyticsQueries {
           floor(lit(1e6) * col("supp_ab").cast("double") /
             col("supp_a") / col("supp_b") * col("n_orders"))
             .cast("long").as("lift_ppm"))
+    }),
+
+    // Streaming time-bounded funnel — q_funnel_timebound at ingest: a
+    // per-user stage machine in mapGroupsWithState (O(1) state/user,
+    // set-once fields ⇒ monotone emissions ⇒ plain-max landing
+    // compaction), fed by a time-ordered topic (the Kafka per-key
+    // ordering contract — see StreamingFunnel scaladoc). The oracle IS
+    // the batch funnel's SQL: under ordered delivery the machine's
+    // first-qualifying-in-order == the batch min-over-window, so the
+    // streamed census must match the batch census bit for bit.
+    "q_t18_streaming_funnel" -> ((s, dir) => {
+      val fin = streamedFunnelStages(s, dir)
+      fin.filter(col("stage") >= 1).agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), col("n_users"), lit(0L).as("sum_gap_us"))
+        .unionByName(fin.filter(col("stage") >= 2)
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("t2") - col("t1")).as("sum_gap_us"))
+          .select(lit(2L).as("stage"), col("n_users"), col("sum_gap_us")))
+        .unionByName(fin.filter(col("stage") >= 3)
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("t3") - col("t2")).as("sum_gap_us"))
+          .select(lit(3L).as("stage"), col("n_users"), col("sum_gap_us")))
     }))
+
+  private def sqlFunnel: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(t) AS t2, max(t1) AS g1
+      |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |  WHERE event_type = 'view' AND t > t1 AND t <= t1 + 86400000000
+      |  GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(t) AS t3, max(t2) AS g2
+      |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400000000
+      |  GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users,
+      |  CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(t2 - g1) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(t3 - g2) AS BIGINT) FROM s3""".stripMargin
+
+  /** Landing for q_t18_streaming_funnel: events as a time-ordered JSON
+    * topic (four ts-ranged slices written SEQUENTIALLY so the file
+    * source's mtime ordering delivers them in time order — the per-key
+    * ordering a user-keyed Kafka topic guarantees), per-user stage rows
+    * in Update mode, compacted with per-user max (every field monotone).
+    */
+  private val streamFunnelPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedFunnelStages(s: SparkSession, dir: String): DataFrame = {
+    val out = streamFunnelPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_funnel_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      val (lo, hi) = {
+        val r = ev.agg(min("t_us"), max("t_us")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val step = math.max(1L, (hi - lo) / 4 + 1)
+      (0 until 4).foreach { i =>
+        ev.filter(col("t_us") >= lo + i * step &&
+            col("t_us") < lo + (i + 1) * step || lit(i == 3) &&
+            col("t_us") >= lo + 4 * step)
+          .orderBy("t_us")
+          .select(to_json(struct(col("user_id"), col("event_type"),
+            col("t_us"))).as("value"))
+          .coalesce(1).write.mode("append").text(src)
+        Thread.sleep(5)   // distinct mtimes keep the source's file order
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, t_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val stages = graft.streaming.StreamingFunnel
+        .funnel(s, decoded, windowUs = 86400000000L)
+      graft.streaming.Landing.availableNow(stages.toDF(), sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("user_id")
+      .agg(max(col("stage")).as("stage"), max(col("t1")).as("t1"),
+        max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+  }
+
+  /** Test hook: the funnel landing's sink path for `dir` (materializes
+    * the landing if the spec runs before the query has).
+    */
+  private[graft] def funnelSinkForTest(s: SparkSession, dir: String): String = {
+    streamedFunnelStages(s, dir)
+    streamFunnelPaths(dir)
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -323,24 +416,11 @@ object AnalyticsQueries {
         |  CAST(max(span_us) AS BIGINT) AS max_span_us
         |FROM per_session GROUP BY 1""".stripMargin,
 
-    "q_funnel_timebound" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT ev.user_id, min(t) AS t2, max(t1) AS g1
-        |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
-        |  WHERE event_type = 'view' AND t > t1 AND t <= t1 + 86400000000
-        |  GROUP BY 1),
-        |s3 AS (SELECT ev.user_id, min(t) AS t3, max(t2) AS g2
-        |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
-        |  WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 86400000000
-        |  GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users,
-        |  CAST(0 AS BIGINT) AS sum_gap_us FROM s1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(t2 - g1) AS BIGINT) FROM s2
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(t3 - g2) AS BIGINT) FROM s3""".stripMargin,
+    "q_funnel_timebound" -> sqlFunnel,
+
+    // the streamed funnel's oracle IS the batch funnel: under ordered
+    // delivery the stage machine must reproduce the batch census exactly
+    "q_t18_streaming_funnel" -> sqlFunnel,
 
     "q_asof_tolerance" ->
       """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -111,6 +111,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel == batch funnel; state genuinely spans batches") {
+    val streamed = q("q_t18_streaming_funnel").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    val batch = q("q_funnel_timebound").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(streamed === batch)
+    // the topic is 4 time-ranged files at maxFilesPerTrigger=1 — the
+    // Update-mode landing must show users re-emitted across batches
+    // (otherwise the "streaming" test degenerated to one batch)
+    val sink = AnalyticsQueries.funnelSinkForTest(spark, dir)
+    val perUser = spark.read.parquet(sink).groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perUser > 1L, "expected multi-batch per-user emissions")
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
