@@ -63,6 +63,43 @@ object AnalyticsQueries {
         .withColumn("is_current", col("valid_to_us").isNull)
     }),
 
+    // CDC merge-apply — lakehouse MERGE INTO semantics (upsert +
+    // tombstone delete) as ONE full-outer shuffle join on the key
+    // (AQE-splittable; the snapshot never sorts): deletes drop, updates
+    // coalesce over the old row, inserts survive the outer side. The
+    // change batch is planted deterministically from the snapshot itself
+    // (%101 deletes, %97 updates at +1.00, %89 inserts key-shifted past
+    // max — the snapshot-diff synthetic-signal pattern). Output is the
+    // post-merge census + exact-cents checksum plus the applied op
+    // counts — what an incremental-materialization audit asserts on.
+    "q_cdc_merge_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val mx = o.agg(max(col("o_orderkey")).as("maxk"))
+      val deletes = o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast("double").as("p"), lit(null).cast("string").as("st"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          (col("o_totalprice") + 1.0).as("p"), col("o_orderstatus").as("st"))
+      val inserts = o.filter(col("o_orderkey") % 89 === 0)
+        .crossJoin(broadcast(mx))
+        .select((col("o_orderkey") + col("maxk")).as("k"), lit("I").as("op"),
+          (col("o_totalprice") + 1000.0).as("p"), lit("O").as("st"))
+      val changes = deletes.unionByName(updates).unionByName(inserts)
+      val merged = o.join(changes, o("o_orderkey") === changes("k"), "full_outer")
+        .filter(!(col("op") <=> lit("D")))
+        .select(coalesce(col("p"), col("o_totalprice")).as("p"))
+      val census = merged.agg(count(lit(1)).as("n_rows"),
+        sum(round(col("p") * 100).cast("long")).as("sum_cents"))
+      val ops = changes.agg(
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_upd"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_ins"))
+      census.crossJoin(broadcast(ops))
+    }),
+
     // Markov transition matrix over per-user event sequences: lag() per
     // user (one shuffle), transition counts, row-normalized to exact ppm
     // over the config-scale (types × types) matrix. The behavioral
@@ -359,6 +396,31 @@ object AnalyticsQueries {
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events""".stripMargin,
+
+    "q_cdc_merge_apply" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS maxk FROM o),
+        |ch AS (
+        |  SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS p
+        |    FROM o WHERE o_orderkey % 101 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice + 1.0
+        |    FROM o WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + maxk, 'I', o_totalprice + 1000.0
+        |    FROM o, mx WHERE o_orderkey % 89 = 0),
+        |m AS (SELECT coalesce(ch.p, o.o_totalprice) AS p
+        |  FROM o FULL JOIN ch ON o.o_orderkey = ch.k
+        |  WHERE op IS DISTINCT FROM 'D'),
+        |census AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM m),
+        |ops AS (SELECT
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+        |    CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins
+        |  FROM ch)
+        |SELECT * FROM census, ops""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
