@@ -96,7 +96,14 @@ object ScaleStress {
     // custkey shuffles and countDistinct grow linearly; entropy/hashing
     // explode ×10 tokens into partial+final aggregates
     "q_assoc_rules", "q_cdc_scd2", "q_cohort_retention",
-    "q_funnel_timebound", "q_txt_entropy", "q_feat_hashing")
+    "q_funnel_timebound", "q_txt_entropy", "q_feat_hashing",
+    // round-8 fifth additions: exact order statistics must keep their
+    // two-pass shape (bin metadata + hit-bin scan — never a sort) as the
+    // hit bin grows ×10; phrase search's posting join sees ×10 postings
+    // per fixed phrase; rolling-WAU's ×7 scatter and double distinct
+    // grow linearly; the CDC merge full-outer joins ×10 on both sides
+    "q_agg_exact_median", "q_agg_exact_quantiles", "q_txt_phrase_search",
+    "q_rolling_wau", "q_cdc_merge_apply")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
