@@ -121,6 +121,23 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Exact per-group mode (most frequent value, deterministic
+    // tie-break) — the categorical summary statistic: two-level
+    // aggregation (count per (group, value) — map-side combined), then
+    // the top-1 window runs over each group's DISTINCT values only,
+    // never its rows. The (count desc, value asc) tie rule makes the
+    // mode reproducible.
+    "q_agg_mode" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    }),
+
     // Exponentially-decayed trending score (half-life = 1 day) — the
     // "what's hot now" ranking. Determinism is the interesting part: a
     // libm pow() is not bit-portable, so the decay 2^(−age) is computed
@@ -279,6 +296,25 @@ object AnalyticsQueries {
             .cast("long").as("lift_ppm"))
     }),
 
+    // Streaming trending monitor — q_trending_decay at ingest: per
+    // (event_type, day) counts aggregate in Update mode (O(types×days)
+    // state, monotone ⇒ plain-max landing compaction), the dyadic decay
+    // applies batch-side over the compacted config-scale table. Oracle =
+    // the batch trending score, which the streamed monitor must equal
+    // exactly (and the integer weights make that well-defined).
+    "q_t19_streaming_trending" -> ((s, dir) => {
+      val byDay = streamedTypeDayCounts(s, dir)
+      val mx = byDay.agg(max(col("day")).as("maxd"))
+      byDay.crossJoin(broadcast(mx))
+        .withColumn("age", (col("maxd") - col("day")).cast("int"))
+        .filter(col("age") <= 30)
+        .withColumn("w", col("n") * expr("shiftleft(1L, 30 - age)"))
+        .groupBy("event_type")
+        .agg(sum(col("w")).as("score_u"),
+          round(sum(col("w")).cast("double") / lit(1073741824.0), 6)
+            .as("score"))
+    }),
+
     // Streaming time-bounded funnel — q_funnel_timebound at ingest: a
     // per-user stage machine in mapGroupsWithState (O(1) state/user,
     // set-once fields ⇒ monotone emissions ⇒ plain-max landing
@@ -300,6 +336,48 @@ object AnalyticsQueries {
             sum(col("t3") - col("t2")).as("sum_gap_us"))
           .select(lit(3L).as("stage"), col("n_users"), col("sum_gap_us")))
     }))
+
+  private def sqlTrending: String =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+      |m AS (SELECT max(day) AS maxd FROM c),
+      |w AS (SELECT event_type,
+      |    n * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
+      |  FROM c, m WHERE maxd - day <= 30)
+      |SELECT event_type, CAST(sum(w) AS BIGINT) AS score_u,
+      |  round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
+      |    AS score
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** Landing for q_t19_streaming_trending: events as a JSON topic,
+    * per-(type, day) counts in Update mode; counts are monotone so the
+    * read side compacts with max — the t15/t16/t17 landing discipline.
+    */
+  private val streamTrendingPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedTypeDayCounts(s: SparkSession, dir: String): DataFrame = {
+    val out = streamTrendingPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_trend_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, ts_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val counts = decoded
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      graft.streaming.Landing.availableNow(counts, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("event_type", "day")
+      .agg(max(col("n")).as("n"))
+  }
 
   private def sqlFunnel: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
@@ -434,18 +512,18 @@ object AnalyticsQueries {
         |    AS p_ppm
         |FROM c""".stripMargin,
 
-    "q_trending_decay" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
-        |  FROM events),
-        |c AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
-        |m AS (SELECT max(day) AS maxd FROM c),
-        |w AS (SELECT event_type,
-        |    n * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
-        |  FROM c, m WHERE maxd - day <= 30)
-        |SELECT event_type, CAST(sum(w) AS BIGINT) AS score_u,
-        |  round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
-        |    AS score
-        |FROM w GROUP BY 1""".stripMargin,
+    "q_trending_decay" -> sqlTrending,
+
+    // the streamed monitor's oracle IS the batch trending score
+    "q_t19_streaming_trending" -> sqlTrending,
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1""".stripMargin,
 
     "q_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -349,6 +349,30 @@ object PipelineQueries {
         .filter(col("v") =!= 0L)
     }),
 
+    // Sparse linear classifier APPLY — the quality-classifier gate shape
+    // (DCLM/FineWeb-style: a model trained offline scores every doc
+    // before tokens are spent): hashed features ⊙ a weight vector whose
+    // 64 entries are pure expressions of the bucket id (a deployed model
+    // would broadcast its trained weights; the derivation here stands in
+    // so the oracle can re-derive them bit for bit). The logit is an
+    // exact integer dot product — no sigmoid needed for a threshold
+    // gate, and no libm call touches the hash. One aggregate over the
+    // feat-hashing output; the corpus is scored in a single scan+shuffle.
+    "q_curation_classifier" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+      val feats = toks.select(col("doc_id"),
+          pmod(Hashing.md5LongSeeded(col("token"), 101), lit(64L)).as("bucket"),
+          when(pmod(Hashing.md5LongSeeded(col("token"), 202), lit(2L)) === 0L,
+            1L).otherwise(-1L).as("sign"))
+        .groupBy("doc_id", "bucket").agg(sum(col("sign")).as("v"))
+      val wCol = pmod(Hashing.md5Long(
+        concat(lit("w#"), col("bucket").cast("string"))), lit(2001L)) - lit(1000L)
+      feats.withColumn("w", wCol)
+        .groupBy("doc_id").agg(sum(col("v") * col("w")).as("logit_u"))
+        .withColumn("kept", col("logit_u") > 0L)
+    }),
+
     // Exact fixed-N-per-group sampling — "exactly 40 eval docs per
     // domain, deterministically": tokenBudgetKeep with UNIT weights, so
     // the budget IS the row count. Same scale shape (metadata aggregate +
@@ -1440,6 +1464,22 @@ object PipelineQueries {
          |  FROM t)
          |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
          |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0""".stripMargin,
+
+    "q_curation_classifier" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${Hashing.sqlMd5LongSeeded("token", 101)} % 64 AS bucket,
+         |    CASE WHEN ${Hashing.sqlMd5LongSeeded("token", 202)} % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM t),
+         |f AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+         |  FROM h GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(sum(v *
+         |    (${Hashing.sqlMd5Long("'w#' || CAST(bucket AS VARCHAR)")} % 2001
+         |      - 1000)) AS BIGINT) AS logit_u
+         |  FROM f GROUP BY 1)
+         |SELECT doc_id, logit_u, logit_u > 0 AS kept FROM s""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
