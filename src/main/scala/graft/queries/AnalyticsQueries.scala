@@ -138,6 +138,41 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
     }),
 
+    // Rolling WAU via mergeable HLL sketches — the 100 TB form of
+    // rolling distinct: q_rolling_wau's scatter is exact but its state
+    // per report day is the distinct user set; at extreme scale the
+    // per-day HLL REGISTER tables (512 longs/day, mergeable by max)
+    // replace it, and a 7-day window merge is just max over the window's
+    // registers — sketch mergeability doing the windowing. The exact
+    // scatter rides along so the query reports its own estimation error
+    // (est vs exact per day, typically a few % at this M).
+    "q_rolling_wau_hll" -> ((s, dir) => {
+      import graft.functions.{Hashing, Hll}
+      val ev = Tables.events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      val h = Hashing.md5Long(col("user_id").cast("string"))
+      val dayRegs = ev.groupBy(col("day"), Hll.regIdx(h).as("reg_idx"))
+        .agg(max(Hll.rho(h)).as("rho"))
+      val merged = dayRegs
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy("rday", "reg_idx").agg(max(col("rho")).as("rho"))
+      val est = merged.groupBy("rday")
+        .agg(count(lit(1)).as("n_present"),
+          sum(Hll.registerTerm("rho")).as("s_present"))
+        .select(col("rday").as("day"),
+          (lit(Hll.M.toLong) - col("n_present")).as("n_zero"),
+          Hll.harmonicS(col("n_present"), col("s_present")).as("harmonic_s"))
+        .select(col("day"),
+          Hll.estimate(col("n_zero"), col("harmonic_s")).as("wau_est"))
+      val exact = ev.select("user_id", "day").distinct()
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .select("user_id", "rday").distinct()
+        .groupBy(col("rday").as("day")).agg(count(lit(1)).as("wau_exact"))
+      ev.select("day").distinct()
+        .join(est, "day").join(exact, "day")
+        .select(col("day"), col("wau_est"), col("wau_exact"))
+    }),
+
     // Exponentially-decayed trending score (half-life = 1 day) — the
     // "what's hot now" ranking. Determinism is the interesting part: a
     // libm pow() is not bit-portable, so the decay 2^(−age) is computed
@@ -516,6 +551,34 @@ object AnalyticsQueries {
 
     // the streamed monitor's oracle IS the batch trending score
     "q_t19_streaming_trending" -> sqlTrending,
+
+    "q_rolling_wau_hll" -> {
+      import graft.functions.Hll
+      val zero = s"(${Hll.M} - n_present)"
+      val harmonic = s"(s_present + (${Hll.M} - n_present) * ${Hll.Pow52})"
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+         |  FROM events),
+         |h AS (SELECT day,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM ev),
+         |regs AS (SELECT day, ${Hll.sqlRegIdx("h")} AS reg_idx,
+         |    CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |m AS (SELECT day + i AS rday, reg_idx, max(rho) AS rho
+         |  FROM regs, unnest(generate_series(0, 6)) t(i) GROUP BY 1, 2),
+         |agg AS (SELECT rday, count(*) AS n_present,
+         |    CAST(sum(${Hll.sqlRegisterTerm("rho")}) AS BIGINT) AS s_present
+         |  FROM m GROUP BY 1),
+         |ex AS (SELECT rday, count(*) AS wau_exact FROM
+         |  (SELECT DISTINCT user_id, day + i AS rday
+         |   FROM (SELECT DISTINCT user_id, day FROM ev) ud,
+         |     unnest(generate_series(0, 6)) t(i)) x
+         |  GROUP BY 1),
+         |ad AS (SELECT DISTINCT day FROM ev)
+         |SELECT ad.day, ${Hll.sqlEstimate(zero, harmonic)} AS wau_est,
+         |  CAST(wau_exact AS BIGINT) AS wau_exact
+         |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
+    },
 
     "q_agg_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
