@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Sampling
 import graft.sources.Tables
 
 /** Behavioral/product-analytics surface: cohort retention, SCD2 history
@@ -119,6 +120,36 @@ object AnalyticsQueries {
         .withColumn("p_ppm",
           expr("(1000000 * n) div sum(n) over (partition by prev)"))
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
+    }),
+
+    // A/B experiment readout — the two-proportion z-test over a
+    // hash-assigned experiment (Sampling.hashBucket assigns arms the way
+    // production experiment frameworks do: pure per-row expression, no
+    // RNG, stable under reruns and data growth): per-arm exposure/
+    // conversion counts are ONE conditional aggregate; the z statistic
+    // replays a pinned left-associated double chain (sqrt is
+    // IEEE-exact — the determinism boundary) rounded at the end. Output
+    // is the one-row readout a launch decision reads.
+    "q_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("converted"))
+        .withColumn("arm", Sampling.hashBucket(col("user_id"), 2, "ab"))
+      val agg = users.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a")
+      val pb = col("c_b").cast("double") / col("n_b")
+      val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+      agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("(1000000 * c_a) div n_a").as("cr_a_ppm"),
+        expr("(1000000 * c_b) div n_b").as("cr_b_ppm"),
+        round((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
     }),
 
     // Exact per-group mode (most frequent value, deterministic
@@ -578,6 +609,28 @@ object AnalyticsQueries {
          |SELECT ad.day, ${Hll.sqlEstimate(zero, harmonic)} AS wau_est,
          |  CAST(wau_exact AS BIGINT) AS wau_exact
          |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
+    },
+
+    "q_ab_test" -> {
+      val arm = graft.ops.Sampling.sqlHashBucket("user_id", 2, "ab")
+      s"""WITH u AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted,
+         |    $arm AS arm
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM u)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  (1000000 * c_a) // n_a AS cr_a_ppm,
+         |  (1000000 * c_b) // n_b AS cr_b_ppm,
+         |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+         |FROM a""".stripMargin
     },
 
     "q_agg_mode" ->
