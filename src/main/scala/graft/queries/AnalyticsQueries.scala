@@ -122,6 +122,34 @@ object AnalyticsQueries {
         .select(col("prev"), col("next"), col("n"), col("p_ppm"))
     }),
 
+    // Linear multi-touch attribution — each purchase's credit split
+    // equally across the user's views in the trailing 7 days (the
+    // ad-analytics sibling of the as-of join's last-touch). The
+    // touch join is EQUI on user_id (one co-partitioned shuffle) with
+    // the time window as a post-predicate — candidate volume is
+    // Σ_user purchases×views-in-window, bounded by per-user activity,
+    // never a cross of the event streams. Credits are integer
+    // floor-ppm (Σ per purchase ≤ 1e6 by construction, documented
+    // floor semantics); the day rollup is exact.
+    "q_attribution_linear" -> ((s, dir) => {
+      val weekUs = 7L * 86400000000L
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("tp"), col("event_id").as("pid"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("tv"))
+      val touches = p.join(v, Seq("user_id"))
+        .filter(col("tv") < col("tp") && col("tv") >= col("tp") - lit(weekUs))
+      val perPurchase = Window.partitionBy("pid")
+      touches
+        .withColumn("n_touch", count(lit(1)).over(perPurchase))
+        .withColumn("credit_ppm", expr("1000000 div n_touch"))
+        .groupBy(expr("tv div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).as("credit_u"))
+    }),
+
     // A/B experiment readout — the two-proportion z-test over a
     // hash-assigned experiment (Sampling.hashBucket assigns arms the way
     // production experiment frameworks do: pure per-row expression, no
@@ -610,6 +638,20 @@ object AnalyticsQueries {
          |  CAST(wau_exact AS BIGINT) AS wau_exact
          |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
     },
+
+    "q_attribution_linear" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |p AS (SELECT user_id, t AS tp, event_id AS pid FROM ev
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, t AS tv FROM ev WHERE event_type = 'view'),
+        |touches AS (SELECT pid, tv FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE tv < tp AND tv >= tp - 604800000000),
+        |c AS (SELECT tv, 1000000 // (count(*) OVER (PARTITION BY pid)) AS credit_ppm
+        |  FROM touches)
+        |SELECT tv // 86400000000 AS day, count(*) AS n_touches,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_u
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q_ab_test" -> {
       val arm = graft.ops.Sampling.sqlHashBucket("user_id", 2, "ab")
