@@ -103,7 +103,13 @@ object ScaleStress {
     // per fixed phrase; rolling-WAU's ×7 scatter and double distinct
     // grow linearly; the CDC merge full-outer joins ×10 on both sides
     "q_agg_exact_median", "q_agg_exact_quantiles", "q_txt_phrase_search",
-    "q_rolling_wau", "q_cdc_merge_apply")
+    "q_rolling_wau", "q_cdc_merge_apply",
+    // readout layer: attribution's touch join sees ×10 users at constant
+    // per-user activity (candidates ×10, never ×100 — the per-user bound
+    // is the claim); the classifier explode+aggregate scores a ×10
+    // corpus; WAU-HLL's register scatter grows with days, not users —
+    // near-flat is the expected (and desired) reading
+    "q_attribution_linear", "q_curation_classifier", "q_rolling_wau_hll")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
