@@ -197,6 +197,48 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
     }),
 
+    // HLL set algebra — |A∪B| from a max-merge of two register tables,
+    // |A∩B| by inclusion–exclusion (sketch composition: union is the
+    // only native HLL merge; intersection derives). Sets = customers
+    // ordering in the first vs the last date quartile — computed at
+    // register scale (512 longs per set, merged by max), with the exact
+    // distinct counts riding along so the query reports its own error.
+    // At 100 TB the exact branch disappears and the three estimates
+    // cost three register tables.
+    "q_hll_intersection" -> ((s, dir) => {
+      import graft.functions.{Hashing, Hll}
+      val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
+        .withColumn("__dus", unix_micros(col("o_orderdate")))
+      val ds = o.agg(min("__dus").as("mind"), max("__dus").as("maxd"))
+      val tagged = o.crossJoin(broadcast(ds))
+        .withColumn("q1", col("__dus") < expr("mind + (maxd - mind) div 4"))
+        .withColumn("q4", col("__dus") >= expr("mind + 3 * ((maxd - mind) div 4)"))
+        .filter(col("q1") || col("q4"))
+        .select(col("o_custkey"), when(col("q1"), "a").otherwise("b").as("side"))
+      val h = Hashing.md5Long(col("o_custkey").cast("string"))
+      val regs = tagged.groupBy(col("side"), Hll.regIdx(h).as("reg_idx"))
+        .agg(max(Hll.rho(h)).as("rho"))
+      def estimateOf(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_present"),
+            sum(Hll.registerTerm("rho")).as("s_present"))
+          .select(Hll.estimate(lit(Hll.M.toLong) - col("n_present"),
+            Hll.harmonicS(col("n_present"), col("s_present"))).as(name))
+      val estA = estimateOf(regs.filter(col("side") === "a"), "est_a")
+      val estB = estimateOf(regs.filter(col("side") === "b"), "est_b")
+      val estU = estimateOf(
+        regs.groupBy("reg_idx").agg(max(col("rho")).as("rho")), "est_union")
+      val exact = tagged.agg(
+        countDistinct(when(col("side") === "a", col("o_custkey"))).as("n_a"),
+        countDistinct(when(col("side") === "b", col("o_custkey"))).as("n_b"),
+        countDistinct(col("o_custkey")).as("n_union"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(broadcast(exact))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 2)
+            .as("est_intersection"),
+          col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_intersection"))
+    }),
+
     // Rolling WAU via mergeable HLL sketches — the 100 TB form of
     // rolling distinct: q_rolling_wau's scatter is exact but its state
     // per report day is the distinct user set; at extreme scale the
@@ -610,6 +652,42 @@ object AnalyticsQueries {
 
     // the streamed monitor's oracle IS the batch trending score
     "q_t19_streaming_trending" -> sqlTrending,
+
+    "q_hll_intersection" -> {
+      import graft.functions.Hll
+      def est(src: String) =
+        Hll.sqlEstimate(s"(${Hll.M} - (SELECT count(*) FROM $src))",
+          s"((SELECT CAST(sum(${Hll.sqlRegisterTerm("rho")}) AS BIGINT) FROM $src)" +
+            s" + (${Hll.M} - (SELECT count(*) FROM $src)) * ${Hll.Pow52})")
+      s"""WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS dus FROM orders),
+         |ds AS (SELECT min(dus) AS mind, max(dus) AS maxd FROM o),
+         |tagged AS (SELECT o_custkey,
+         |    CASE WHEN dus < mind + (maxd - mind) // 4 THEN 'a' ELSE 'b' END AS side
+         |  FROM o, ds
+         |  WHERE dus < mind + (maxd - mind) // 4
+         |     OR dus >= mind + 3 * ((maxd - mind) // 4)),
+         |h AS (SELECT side,
+         |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM tagged),
+         |regs AS (SELECT side, ${Hll.sqlRegIdx("h")} AS reg_idx,
+         |    CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |ra AS (SELECT reg_idx, rho FROM regs WHERE side = 'a'),
+         |rb AS (SELECT reg_idx, rho FROM regs WHERE side = 'b'),
+         |ru AS (SELECT reg_idx, max(rho) AS rho FROM regs GROUP BY 1),
+         |ex AS (SELECT
+         |    count(DISTINCT CASE WHEN side = 'a' THEN o_custkey END) AS n_a,
+         |    count(DISTINCT CASE WHEN side = 'b' THEN o_custkey END) AS n_b,
+         |    count(DISTINCT o_custkey) AS n_union
+         |  FROM tagged)
+         |SELECT ${est("ra")} AS est_a, ${est("rb")} AS est_b,
+         |  ${est("ru")} AS est_union,
+         |  round(${est("ra")} + ${est("rb")} - ${est("ru")}, 2) AS est_intersection,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersection
+         |FROM ex""".stripMargin
+    },
 
     "q_rolling_wau_hll" -> {
       import graft.functions.Hll
