@@ -128,6 +128,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(perUser > 1L, "expected multi-batch per-user emissions")
   }
 
+  test("trending/entropy/zipf/classifier/hll-set fixture invariants") {
+    // trending: dyadic weights bound the score by [max-day count · 2^30,
+    // total count · 2^30]
+    val ev = graft.sources.Tables.events(spark, dir)
+    val trend = q("q_trending_decay").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perType = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    trend.foreach { case (t, s) =>
+      assert(s > 0L && s <= perType(t) * (1L << 30), s"type $t score $s")
+    }
+
+    // entropy: 0 ≤ H ≤ ln(n_distinct), zero iff single-token vocab
+    graft.queries.DocQueries.queries("q_txt_entropy")(spark, dir).collect()
+      .foreach { r =>
+        val (nd, h) = (r.getLong(2), r.getLong(3))
+        assert(h >= 0L && h <= math.floor(1e6 * math.log(nd.toDouble)).toLong + nd)
+        if (nd == 1L) assert(h === 0L)
+      }
+
+    // zipf: OLS slope of a non-increasing frequency spectrum is ≤ 0
+    val z = graft.queries.DocQueries.queries("q_txt_zipf")(spark, dir).head()
+    assert(z.getLong(0) >= 2L && z.getDouble(1) <= 0.0)
+
+    // classifier: the kept flag is exactly the logit sign
+    graft.queries.PipelineQueries.queries("q_curation_classifier")(spark, dir)
+      .collect().foreach { r =>
+        assert(r.getBoolean(2) === (r.getLong(1) > 0L))
+      }
+
+    // HLL set algebra: union bounds and inclusion-exclusion consistency
+    val s1 = q("q_hll_intersection").head()
+    val (nA, nB, nU, nI) = (s1.getLong(4), s1.getLong(5), s1.getLong(6), s1.getLong(7))
+    assert(nU >= math.max(nA, nB) && nU <= nA + nB && nI === nA + nB - nU)
+    val (eA, eB, eU) = (s1.getDouble(0), s1.getDouble(1), s1.getDouble(2))
+    assert(math.abs(eU - nU) / nU < 0.1 && math.abs(eA - nA) / nA < 0.1 &&
+      math.abs(eB - nB) / nB < 0.1)
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
