@@ -451,6 +451,39 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Streaming rolling-WAU — the ingest-time shape of q_rolling_wau_hll:
+    // per-(day, register) max-rho aggregates in Update mode (O(days × M)
+    // state; rho maxes are monotone ⇒ plain-max landing compaction — the
+    // fourth mergeable-sketch shape pinned streaming-safe), the 7-day
+    // register merge + estimate + exact comparison run batch-side over
+    // the compacted config-scale register table. Oracle IS
+    // q_rolling_wau_hll's SQL: the streamed registers must reproduce the
+    // batch registers exactly, so the whole readout matches bit for bit.
+    "q_t20_streaming_wau" -> ((s, dir) => {
+      import graft.functions.Hll
+      val dayRegs = streamedDayRegisters(s, dir)
+      val merged = dayRegs
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy("rday", "reg_idx").agg(max(col("rho")).as("rho"))
+      val est = merged.groupBy("rday")
+        .agg(count(lit(1)).as("n_present"),
+          sum(Hll.registerTerm("rho")).as("s_present"))
+        .select(col("rday").as("day"),
+          (lit(Hll.M.toLong) - col("n_present")).as("n_zero"),
+          Hll.harmonicS(col("n_present"), col("s_present")).as("harmonic_s"))
+        .select(col("day"),
+          Hll.estimate(col("n_zero"), col("harmonic_s")).as("wau_est"))
+      val ev = Tables.events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      val exact = ev.select("user_id", "day").distinct()
+        .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+        .select("user_id", "rday").distinct()
+        .groupBy(col("rday").as("day")).agg(count(lit(1)).as("wau_exact"))
+      ev.select("day").distinct()
+        .join(est, "day").join(exact, "day")
+        .select(col("day"), col("wau_est"), col("wau_exact"))
+    }),
+
     // Streaming time-bounded funnel — q_funnel_timebound at ingest: a
     // per-user stage machine in mapGroupsWithState (O(1) state/user,
     // set-once fields ⇒ monotone emissions ⇒ plain-max landing
@@ -473,6 +506,34 @@ object AnalyticsQueries {
           .select(lit(3L).as("stage"), col("n_users"), col("sum_gap_us")))
     }))
 
+  private def sqlRollingWauHll: String = {
+      import graft.functions.Hll
+      val zero = s"(${Hll.M} - n_present)"
+      val harmonic = s"(s_present + (${Hll.M} - n_present) * ${Hll.Pow52})"
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+         |  FROM events),
+         |h AS (SELECT day,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM ev),
+         |regs AS (SELECT day, ${Hll.sqlRegIdx("h")} AS reg_idx,
+         |    CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |m AS (SELECT day + i AS rday, reg_idx, max(rho) AS rho
+         |  FROM regs, unnest(generate_series(0, 6)) t(i) GROUP BY 1, 2),
+         |agg AS (SELECT rday, count(*) AS n_present,
+         |    CAST(sum(${Hll.sqlRegisterTerm("rho")}) AS BIGINT) AS s_present
+         |  FROM m GROUP BY 1),
+         |ex AS (SELECT rday, count(*) AS wau_exact FROM
+         |  (SELECT DISTINCT user_id, day + i AS rday
+         |   FROM (SELECT DISTINCT user_id, day FROM ev) ud,
+         |     unnest(generate_series(0, 6)) t(i)) x
+         |  GROUP BY 1),
+         |ad AS (SELECT DISTINCT day FROM ev)
+         |SELECT ad.day, ${Hll.sqlEstimate(zero, harmonic)} AS wau_est,
+         |  CAST(wau_exact AS BIGINT) AS wau_exact
+         |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
+    }
+
   private def sqlTrending: String =
     """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
       |  FROM events),
@@ -485,6 +546,38 @@ object AnalyticsQueries {
       |  round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
       |    AS score
       |FROM w GROUP BY 1""".stripMargin
+
+  /** Landing for q_t20_streaming_wau: events as a JSON topic, per-(day,
+    * register) max-rho in Update mode; rho is monotone non-decreasing per
+    * (day, register) so the read side compacts with max.
+    */
+  private val streamWauPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedDayRegisters(s: SparkSession, dir: String): DataFrame = {
+    val out = streamWauPaths.getOrElseUpdate(dir, {
+      import graft.functions.{Hashing, Hll}
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_wau_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val h = Hashing.md5Long(col("user_id").cast("string"))
+      val regs = decoded
+        .select(expr("ts_us div 86400000000").as("day"),
+          Hll.regIdx(h).as("reg_idx"), Hll.rho(h).as("rho"))
+        .groupBy("day", "reg_idx").agg(max(col("rho")).as("rho"))
+      graft.streaming.Landing.availableNow(regs, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("day", "reg_idx")
+      .agg(max(col("rho")).as("rho"))
+  }
 
   /** Landing for q_t19_streaming_trending: events as a JSON topic,
     * per-(type, day) counts in Update mode; counts are monotone so the
@@ -689,33 +782,11 @@ object AnalyticsQueries {
          |FROM ex""".stripMargin
     },
 
-    "q_rolling_wau_hll" -> {
-      import graft.functions.Hll
-      val zero = s"(${Hll.M} - n_present)"
-      val harmonic = s"(s_present + (${Hll.M} - n_present) * ${Hll.Pow52})"
-      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
-         |  FROM events),
-         |h AS (SELECT day,
-         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
-         |  FROM ev),
-         |regs AS (SELECT day, ${Hll.sqlRegIdx("h")} AS reg_idx,
-         |    CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
-         |  FROM h GROUP BY 1, 2),
-         |m AS (SELECT day + i AS rday, reg_idx, max(rho) AS rho
-         |  FROM regs, unnest(generate_series(0, 6)) t(i) GROUP BY 1, 2),
-         |agg AS (SELECT rday, count(*) AS n_present,
-         |    CAST(sum(${Hll.sqlRegisterTerm("rho")}) AS BIGINT) AS s_present
-         |  FROM m GROUP BY 1),
-         |ex AS (SELECT rday, count(*) AS wau_exact FROM
-         |  (SELECT DISTINCT user_id, day + i AS rday
-         |   FROM (SELECT DISTINCT user_id, day FROM ev) ud,
-         |     unnest(generate_series(0, 6)) t(i)) x
-         |  GROUP BY 1),
-         |ad AS (SELECT DISTINCT day FROM ev)
-         |SELECT ad.day, ${Hll.sqlEstimate(zero, harmonic)} AS wau_est,
-         |  CAST(wau_exact AS BIGINT) AS wau_exact
-         |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
-    },
+    "q_rolling_wau_hll" -> sqlRollingWauHll,
+
+    // the streamed registers must reproduce the batch registers exactly,
+    // so the whole rolling-WAU readout shares the batch oracle
+    "q_t20_streaming_wau" -> sqlRollingWauHll,
 
     "q_attribution_linear" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
