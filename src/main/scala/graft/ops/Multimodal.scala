@@ -122,4 +122,32 @@ object Multimodal {
       (0 until d).iterator.map(k => FrameDim(f.doc_id, f.frame_idx, k, v(k)))
     }
   }
+
+  /** One VAD frame: fixed-size byte window with its (stub) energy. */
+  case class VadChunk(doc_id: Long, chunk_idx: Int, n_bytes: Long,
+                      energy_u: Long, voiced: Boolean)
+
+  /** VAD-style audio chunking (STUB): fixed-size byte frames, per-frame
+    * "energy" = exact byte-value sum (the deterministic stand-in for RMS
+    * over decoded PCM samples), voiced = mean energy above a threshold.
+    * The one-to-many flatMap is the same seam the frame slicer uses — a
+    * real decoder + energy/VAD model slots in per partition. Integer
+    * energies keep the census bit-portable to the oracle.
+    */
+  def vadChunksStub(spark: SparkSession, media: DataFrame,
+                    frameBytes: Int = 256,
+                    thresholdPerByte: Int = 96): Dataset[VadChunk] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        r.media.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+          var e = 0L
+          var j = 0
+          while (j < frame.length) { e += frame(j) & 0xFFL; j += 1 }
+          VadChunk(r.doc_id, i, frame.length.toLong, e,
+            e > thresholdPerByte.toLong * frame.length)
+        }
+      }
+    }
+  }
 }

@@ -749,6 +749,24 @@ object DocQueries {
         max(col("c")).as("max_group"))
     }),
 
+    // Audio VAD chunking (STUB decode, real plumbing) — the speech-
+    // pipeline step that keeps only voiced segments before ASR/embedding
+    // compute: fixed-size frames, per-frame integer energy (the
+    // deterministic stand-in for RMS over PCM), threshold census per
+    // clip. The one-to-many flatMap is the same seam as the frame
+    // slicer; a real decoder + VAD model slots in per partition.
+    "q_mm_audio_vad" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+        .filter(col("kind") === "audio")
+      Multimodal.vadChunksStub(s, media, frameBytes = 256, thresholdPerByte = 96)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+          sum(when(col("voiced"), col("n_bytes")).otherwise(0L)).as("voiced_bytes"),
+          max(col("energy_u")).as("max_energy"))
+    }),
+
     "q_mm_search" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
@@ -1333,6 +1351,24 @@ object DocQueries {
           |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_frames,
           |  CAST(max(c) AS BIGINT) AS max_group
           |FROM g""".stripMargin,
+
+      // ASCII-pinned payloads: ord(char) == byte value, so the oracle
+      // replays every frame energy exactly
+      "q_mm_audio_vad" ->
+        """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+          |fr AS (SELECT doc_id, i AS ci,
+          |    substring(text, CAST(i * 256 + 1 AS BIGINT), 256) AS frame
+          |  FROM m, unnest(generate_series(0,
+          |    CAST(floor((length(text) - 1) / 256.0) AS BIGINT))) AS t(i)),
+          |e AS (SELECT doc_id, ci, length(frame) AS n_bytes,
+          |    CAST(sum(ord(substring(frame, CAST(j AS INT), 1))) AS BIGINT) AS energy
+          |  FROM fr, unnest(generate_series(1, length(frame))) AS s(j)
+          |  GROUP BY 1, 2, 3)
+          |SELECT doc_id, count(*) AS n_chunks,
+          |  CAST(sum(CASE WHEN energy > 96 * n_bytes THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+          |  CAST(sum(CASE WHEN energy > 96 * n_bytes THEN n_bytes ELSE 0 END) AS BIGINT) AS voiced_bytes,
+          |  CAST(max(energy) AS BIGINT) AS max_energy
+          |FROM e GROUP BY 1""".stripMargin,
 
       "q_mm_pipeline" ->
         """WITH base AS (
