@@ -451,6 +451,26 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Stream-stream LEFT OUTER interval join — the watermark-dependent
+    // member of the streaming join layer (inner = q_t4): matched pairs
+    // append on arrival, but an UNMATCHED purchase emits its null-padded
+    // row only when the watermark proves no in-window signup can still
+    // arrive. The landing drains AvailableNow and then advances the
+    // watermark past the data with two sentinel batches (the
+    // streamedSessions sentinel pattern — without them the tail's outer
+    // rows stay buffered forever, the classic stream-outer-join trap).
+    // Oracle = the batch LEFT JOIN with the identical interval predicate;
+    // sentinels are keyed negative and filtered read-side.
+    "q_t21_streaming_leftjoin" -> ((s, dir) => {
+      streamedLeftOuterJoin(s, dir)
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("sts")).as("n_matched"),
+          sum(when(col("sts").isNotNull,
+            unix_micros(col("pts")) - unix_micros(col("sts")))
+            .otherwise(0L)).as("sum_gap_us"))
+    }),
+
     // Streaming rolling-WAU — the ingest-time shape of q_rolling_wau_hll:
     // per-(day, register) max-rho aggregates in Update mode (O(days × M)
     // state; rho maxes are monotone ⇒ plain-max landing compaction — the
@@ -546,6 +566,58 @@ object AnalyticsQueries {
       |  round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
       |    AS score
       |FROM w GROUP BY 1""".stripMargin
+
+  /** Landing for q_t21_streaming_leftjoin: purchases LEFT OUTER signups
+    * within a backward 1-hour window. The topic lands as THREE
+    * sequentially-written files (mtime-ordered at maxFilesPerTrigger=1):
+    * all real events, then two sentinel batches 30/60 days past the data
+    * — the first advances the watermark so every real unmatched purchase
+    * emits during the second. Sentinel keys are negative and filtered on
+    * read; their own outer rows die with the state at query stop.
+    */
+  private val streamLeftJoinPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = streamLeftJoinPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_loj_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      ev.select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"))).as("value"))
+        .coalesce(1).write.mode("append").text(src)
+      Seq(30L, 60L).foreach { d =>
+        Thread.sleep(5)   // distinct mtimes keep the source's file order
+        val t = maxUs + d * 86400000000L
+        s.createDataFrame(Seq(
+            (-1L, "purchase", t), (-2L, "signup", t)))
+          .toDF("user_id", "event_type", "ts_us")
+          .select(to_json(struct(col("user_id"), col("event_type"),
+            col("ts_us"))).as("value"))
+          .coalesce(1).write.mode("append").text(src)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, ts_us BIGINT")
+      def side(t: String, key: String, ts: String) =
+        graft.streaming.KafkaSource.decodeJson(
+            s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+          .filter(col("event_type") === t)
+          .select(col("user_id").as(key),
+            timestamp_micros(col("ts_us")).as(ts))
+      val joined = graft.streaming.StreamingJoins.intervalJoinLeftOuter(
+        side("purchase", "u", "pts"), side("signup", "su", "sts"),
+        keyL = "u", keyR = "su", tsL = "pts", tsR = "sts",
+        windowSec = 3600L, lateness = "1 hour")
+        .select(col("u"), col("pts"), col("sts"))
+      graft.streaming.Landing.availableNow(joined, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      sink
+    })
+    s.read.parquet(out).filter(col("u") >= 0L)
+  }
 
   /** Landing for q_t20_streaming_wau: events as a JSON topic, per-(day,
     * register) max-rho in Update mode; rho is monotone non-decreasing per
@@ -781,6 +853,18 @@ object AnalyticsQueries {
          |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersection
          |FROM ex""".stripMargin
     },
+
+    "q_t21_streaming_leftjoin" ->
+      """WITH p AS (SELECT user_id AS u, epoch_us(ts) AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id AS su, epoch_us(ts) AS sts FROM events
+        |  WHERE event_type = 'signup'),
+        |j AS (SELECT u, pts, sts FROM p LEFT JOIN sg
+        |  ON u = su AND sts >= pts - 3600000000 AND sts <= pts)
+        |SELECT u AS user_id, count(*) AS n_rows, count(sts) AS n_matched,
+        |  CAST(sum(CASE WHEN sts IS NOT NULL THEN pts - sts ELSE 0 END)
+        |    AS BIGINT) AS sum_gap_us
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q_rolling_wau_hll" -> sqlRollingWauHll,
 

@@ -34,4 +34,27 @@ object StreamingJoins {
         r(tsR) >= l(tsL) - expr(s"INTERVAL $windowSec SECONDS") &&
         r(tsR) <= l(tsL))
   }
+
+  /** Stream-stream LEFT OUTER interval join — the genuinely watermark-
+    * dependent contract: matches append as soon as both sides arrive
+    * (like the inner join), but an UNMATCHED left row can only emit its
+    * null-padded result once the watermark proves no matching right can
+    * still arrive (watermark past left_ts, since the window looks
+    * backward). Callers that drain with AvailableNow must advance the
+    * watermark past the data afterwards (the sentinel pattern) or the
+    * tail's outer rows stay buffered — see q_t21's landing.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyL: String, keyR: String,
+                            tsL: String, tsR: String,
+                            windowSec: Long,
+                            lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsL, lateness)
+    val r = right.withWatermark(tsR, lateness)
+    l.join(r,
+      l(keyL) === r(keyR) &&
+        r(tsR) >= l(tsL) - expr(s"INTERVAL $windowSec SECONDS") &&
+        r(tsR) <= l(tsL),
+      "left_outer")
+  }
 }

@@ -167,6 +167,17 @@ class AnalyticsSpec extends SparkSpec {
       math.abs(eB - nB) / nB < 0.1)
   }
 
+  test("streaming left-outer join: null emission real, matched <= rows") {
+    val rows = q("q_t21_streaming_leftjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, m) => assert(m <= n, s"user $u") }
+    // the outer path must actually fire: some purchase has no in-window
+    // signup (otherwise this is the inner join in disguise)
+    assert(rows.exists { case (_, n, m) => m < n },
+      "no unmatched purchases — outer emission untested")
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
