@@ -158,8 +158,12 @@ object Sampling {
     * `explode(sequence(1, n))` whose generator argument is a per-row
     * scalar — output rows carry an `epoch` index so downstream shuffles
     * (packing, batching) spread copies instead of co-locating them.
-    * Factors ≤ 0 drop the group; the sequence never sees n < 1 (the
-    * auto-reverse trap) because zero-copy rows are filtered first.
+    * Factors ≤ 0 drop the group, and so does a group ABSENT from the
+    * map (the fold's default is 0 — "not in the mix" is the natural
+    * reading for an upsampler, unlike mixReweight's rate derivation
+    * which requires full coverage and checks it). The sequence never
+    * sees n < 1 (the auto-reverse trap): zero-copy rows are filtered
+    * first.
     */
   def epochReplicate(df: org.apache.spark.sql.DataFrame, grp: Column, key: Column,
                      epochsPermille: Map[Long, Long],

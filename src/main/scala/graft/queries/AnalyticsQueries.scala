@@ -22,12 +22,15 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cohort retention: customers grouped by first-order month, activity
-    // tracked by month offset. Two shuffles on o_custkey (the groupBy and
-    // the join are co-partitioned — one exchange reused), then a
-    // config-scale (cohorts × offsets) aggregate; cohort sizes come back
-    // as a broadcast join, retention as exact ppm (no double division in
-    // the hash). At 100 TB the custkey shuffle is the only data-scale
-    // move and it is the minimal one — first-touch attribution cannot be
+    // tracked by month offset. The first-order table is one groupBy on
+    // o_custkey; joining it back is customer-cardinality vs order-
+    // cardinality, so AQE broadcasts it when it fits (the executed plan
+    // at test scale — PlanShapeSpec pins broadcast + no cartesian) and
+    // degrades to the co-partitioned shuffle join when it doesn't. Then
+    // a config-scale (cohorts × offsets) aggregate; cohort sizes come
+    // back as an explicit broadcast, retention as exact ppm (no double
+    // division in the hash). At 100 TB the custkey shuffle is the only
+    // data-scale move and it is the minimal one — first-touch cannot be
     // computed without co-locating a customer's orders once.
     "q_cohort_retention" -> ((s, dir) => {
       val o = Tables.normalizeTs(Tables.orders(s, dir), "o_orderdate")
@@ -115,7 +118,6 @@ object AnalyticsQueries {
         .filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("n"))
-      val rowTot = Window.partitionBy("prev")
       trans
         .withColumn("p_ppm",
           expr("(1000000 * n) div sum(n) over (partition by prev)"))
