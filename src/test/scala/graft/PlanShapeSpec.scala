@@ -149,6 +149,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_agg_exact_quantiles: one hit-bin scan, no full-table sort, spec broadcast") {
+    val p = plan("q_agg_exact_quantiles")
+    // pass 1 (bin metadata) ran eagerly at plan-build; the returned plan
+    // must be ONE filtered scan + the tiny per-bin window + a broadcast
+    // of the config-scale hit spec — never a global sort of the facts
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_attribution_linear: touch join equi on user, no product") {
+    val p = plan("q_attribution_linear")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_mix_epochs: replication is one Generate riding the scan") {
+    val p = plan("q_mix_epochs")
+    assert("(?i)generate".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_txt_entropy: doc totals join keeps the doc_id partitioning") {
     val p = plan("q_txt_entropy")
     // counts and totals are both keyed on doc_id — the join must not be
