@@ -197,6 +197,31 @@ object QualityQueries {
           round(col("enc_cents").cast("double") / lit(100.0), 2).as("enc"))
     }),
 
+    // Weight-of-evidence encoding — the third member of the encoder
+    // family (smoothed target, LOO, WOE): woe(cat) = ln(P(cat|good) /
+    // P(cat|bad)), the credit-scoring / binary-classification standard.
+    // Laplace-smoothed so an empty cell can't reach ln(0); the ln value
+    // is floor-quantized to integer micros (never an unrounded ln in
+    // the hash), and the information value (IV) contribution rides
+    // along the same way. One config-scale aggregate pair.
+    "q_feat_woe" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority").as("cat"),
+        (col("o_orderstatus") === "F").as("bad"))
+      val g = o.groupBy("cat").agg(
+        sum(when(!col("bad"), 1L).otherwise(0L)).as("good_c"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("bad_c"))
+      val tot = g.agg(sum(col("good_c")).as("good_t"),
+        sum(col("bad_c")).as("bad_t"), count(lit(1)).as("k"))
+      val pg = (col("good_c") + lit(1L)).cast("double") /
+        (col("good_t") + col("k")).cast("double")
+      val pb = (col("bad_c") + lit(1L)).cast("double") /
+        (col("bad_t") + col("k")).cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("cat"), col("good_c"), col("bad_c"),
+          floor(lit(1e6) * log(pg / pb)).cast("long").as("woe_u"),
+          floor(lit(1e6) * ((pg - pb) * log(pg / pb))).cast("long").as("iv_u"))
+    }),
+
     // Leave-one-out target encoding — the leakage-safe variant (a row
     // must not see its own target inside its feature, the same
     // discipline as the near-dup-aware split): per row,
@@ -641,6 +666,24 @@ object QualityQueries {
         |    CAST(sum(n) AS BIGINT) AS tn FROM g)
         |SELECT cat, n,
         |  round(CAST((sc + 100 * (ts // tn)) // (n + 100) AS DOUBLE) / 100.0, 2) AS enc
+        |FROM g, t""".stripMargin,
+
+    "q_feat_woe" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+        |    o_orderstatus = 'F' AS bad FROM orders),
+        |g AS (SELECT cat,
+        |    CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS good_c,
+        |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS bad_c
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(good_c) AS BIGINT) AS good_t,
+        |    CAST(sum(bad_c) AS BIGINT) AS bad_t, count(*) AS k FROM g)
+        |SELECT cat, good_c, bad_c,
+        |  CAST(floor(1e6 * ln((CAST(good_c + 1 AS DOUBLE) / CAST(good_t + k AS DOUBLE))
+        |    / (CAST(bad_c + 1 AS DOUBLE) / CAST(bad_t + k AS DOUBLE)))) AS BIGINT) AS woe_u,
+        |  CAST(floor(1e6 * (((CAST(good_c + 1 AS DOUBLE) / CAST(good_t + k AS DOUBLE))
+        |      - (CAST(bad_c + 1 AS DOUBLE) / CAST(bad_t + k AS DOUBLE)))
+        |    * ln((CAST(good_c + 1 AS DOUBLE) / CAST(good_t + k AS DOUBLE))
+        |      / (CAST(bad_c + 1 AS DOUBLE) / CAST(bad_t + k AS DOUBLE))))) AS BIGINT) AS iv_u
         |FROM g, t""".stripMargin,
 
     "q_feat_target_encode_loo" ->
