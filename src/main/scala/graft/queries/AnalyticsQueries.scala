@@ -152,6 +152,46 @@ object AnalyticsQueries {
           sum(col("credit_ppm")).as("credit_u"))
     }),
 
+    // RFM segmentation — the classic customer-value census (recency /
+    // frequency / monetary quartile scores), in the shape that survives
+    // 100 TB: per-user R/F/M is one aggregate; the quartile BOUNDARIES
+    // come from the no-sort exact-quantile operator (bin metadata + one
+    // hit-bin scan per dimension — never an ntile window over all
+    // users, which is one task at scale); scoring is a pure broadcast-
+    // threshold scan. Boundaries are exact data values, so every score
+    // comparison is integer-exact and the oracle re-picks the identical
+    // boundaries with row_number.
+    "q_rfm_segmentation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
+      val mx = ev.agg(max(col("t")).as("max_t"))
+      val base = ev.groupBy("user_id").agg(
+          max(col("t")).as("last_t"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("freq"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("mon_cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("rec_days", expr("(max_t - last_t) div 86400000000"))
+        .select("user_id", "rec_days", "freq", "mon_cents")
+      def bounds(c: String): Map[Long, Double] =
+        graft.ops.Profiling.exactQuantilesBinnedGrouped(
+            base.withColumn("__all", lit("all")), col("__all"), col(c),
+            Seq(25, 50, 75), nBins = 64)
+          .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+      def score(c: String, b: Map[Long, Double]) =
+        lit(1L) +
+          when(col(c).cast("double") > lit(b(25L)), 1L).otherwise(0L) +
+          when(col(c).cast("double") > lit(b(50L)), 1L).otherwise(0L) +
+          when(col(c).cast("double") > lit(b(75L)), 1L).otherwise(0L)
+      val (rb, fb, mb) = (bounds("rec_days"), bounds("freq"), bounds("mon_cents"))
+      base.select(col("user_id"), col("rec_days"), col("freq"), col("mon_cents"),
+        (lit(5L) - score("rec_days", rb)).as("r_score"),
+        score("freq", fb).as("f_score"),
+        score("mon_cents", mb).as("m_score"))
+    }),
+
     // A/B experiment readout — the two-proportion z-test over a
     // hash-assigned experiment (Sampling.hashBucket assigns arms the way
     // production experiment frameworks do: pure per-row expression, no
@@ -887,6 +927,40 @@ object AnalyticsQueries {
         |SELECT tv // 86400000000 AS day, count(*) AS n_touches,
         |  CAST(sum(credit_ppm) AS BIGINT) AS credit_u
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_rfm_segmentation" -> {
+      def bq(d: String, q: Int) =
+        s"(SELECT bv FROM b WHERE d = '$d' AND q = $q)"
+      def sc(c: String, d: String) =
+        Seq(25, 50, 75).map(q =>
+          s"CASE WHEN CAST($c AS DOUBLE) > ${bq(d, q)} THEN 1 ELSE 0 END")
+          .mkString(" + ")
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t, value
+         |  FROM events),
+         |mx AS (SELECT max(t) AS mt FROM ev),
+         |base AS (SELECT user_id,
+         |    (mt - max(t)) // 86400000000 AS rec_days,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS freq,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS mon_cents
+         |  FROM ev, mx GROUP BY user_id, mt),
+         |dims AS (SELECT 'r' AS d, CAST(rec_days AS DOUBLE) AS v FROM base
+         |  UNION ALL SELECT 'f', CAST(freq AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'm', CAST(mon_cents AS DOUBLE) FROM base),
+         |rk AS (SELECT d, v, row_number() OVER (PARTITION BY d ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY d) AS n FROM dims),
+         |b AS (SELECT d, q, min(v) AS bv
+         |  FROM rk, (VALUES (25), (50), (75)) qs(q)
+         |  WHERE rn = CAST(floor(q / 100.0 * (n - 1)) AS BIGINT) + 1
+         |  GROUP BY 1, 2)
+         |SELECT user_id, rec_days, freq, mon_cents,
+         |  CAST(4 - (${sc("rec_days", "r")}) AS BIGINT) AS r_score,
+         |  CAST(1 + (${sc("freq", "f")}) AS BIGINT) AS f_score,
+         |  CAST(1 + (${sc("mon_cents", "m")}) AS BIGINT) AS m_score
+         |FROM base""".stripMargin
+    },
 
     "q_ab_test" -> {
       val arm = graft.ops.Sampling.sqlHashBucket("user_id", 2, "ab")
