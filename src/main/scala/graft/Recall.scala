@@ -312,7 +312,9 @@ object Recall {
         .map(r => (r.getLong(0), r.getLong(1)))
       CacheRegistry.drain()
       val per = rows.groupBy(_._1).map { case (q, rs) =>
-        rs.count(_._2 % 40 == q % 40) / 5.0 }
+        // min(5, |rs|): a scorer returning a short list for some query
+        // must not silently deflate precision below its true hit rate
+        rs.count(_._2 % 40 == q % 40).toDouble / math.min(5, rs.length) }
       per.sum / per.size
     }
     val pSparse = prec5(TA.sparseCosineTopK(docsP, "doc_id", "text",

@@ -40,15 +40,20 @@ object RangeJoin {
                    tsCol: String, loCol: String, hiCol: String,
                    binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
-    val w = lit(binSeconds * 1000000L) // micros
-    // Interval side: one row per overlapped bin. floorDiv on unix_micros
-    // keeps pre-1970 timestamps exact (integer floor, not double).
+    val w = binSeconds * 1000000L // micros
+    // Exact integer floor division on the Long micros. A double `/` would
+    // misround for |micros| >= 2^53 (~year 2255 / deep pre-epoch), and a
+    // point binned differently from its interval's bin list is silently
+    // dropped — not caught by the residual filter. pmod keeps the floor
+    // semantics (round toward -inf) exact for pre-1970 timestamps too.
+    def floorDivBin(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
     val ib = intervals.withColumn("__bin",
       explode(sequence(
-        floor(unix_micros(col(loCol)) / w).cast("long"),
-        floor(unix_micros(col(hiCol)) / w).cast("long"))))
+        floorDivBin(unix_micros(col(loCol))),
+        floorDivBin(unix_micros(col(hiCol))))))
     val pb = points.withColumn("__bin",
-      floor(unix_micros(col(tsCol)) / w).cast("long"))
+      floorDivBin(unix_micros(col(tsCol))))
     pb.join(ib, Seq("__bin"))
       .filter(col(tsCol) >= col(loCol) && col(tsCol) < col(hiCol))
       .drop("__bin")

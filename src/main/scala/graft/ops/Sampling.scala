@@ -103,7 +103,10 @@ object Sampling {
     */
   def temperatureRates(df: org.apache.spark.sql.DataFrame,
                        grp: Column): Map[String, Long] = {
-    val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__n"))
+    // cast-to-string so an arbitrary group expression (int, date, …)
+    // collects cleanly instead of ClassCastException-ing at getString
+    val counts = df.groupBy(grp.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureRates: empty corpus (no groups)")
     val wq = counts.map { case (g, n) =>

@@ -609,6 +609,23 @@ object AnalyticsQueries {
       |    AS score
       |FROM w GROUP BY 1""".stripMargin
 
+  /** Pin a strictly increasing mtime on every file the latest sequential
+    * write just landed in `dir`, so the file source's mtime ordering is
+    * deterministic even on filesystems with coarse (e.g. 1 s) timestamp
+    * granularity — replaces the Thread.sleep(5) that relied on sub-second
+    * mtimes. `seen` tracks already-pinned paths across writes; `batch`
+    * spaces them 60 s apart (well inside the source's maxFileAge window).
+    */
+  private def pinLandingOrder(dir: String, seen: scala.collection.mutable.Set[String],
+                              base: Long, batch: Int): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.filter(f => f.isFile && !seen.contains(f.getPath)).foreach { f =>
+      require(f.setLastModified(base + batch * 60000L),
+        s"pinLandingOrder: cannot set mtime on ${f.getPath}")
+      seen.add(f.getPath)
+    }
+  }
+
   /** Landing for q_t21_streaming_leftjoin: purchases LEFT OUTER signups
     * within a backward 1-hour window. The topic lands as THREE
     * sequentially-written files (mtime-ordered at maxFilesPerTrigger=1):
@@ -628,11 +645,13 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
       val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 600000L
       ev.select(to_json(struct(col("user_id"), col("event_type"),
           col("ts_us"))).as("value"))
         .coalesce(1).write.mode("append").text(src)
-      Seq(30L, 60L).foreach { d =>
-        Thread.sleep(5)   // distinct mtimes keep the source's file order
+      pinLandingOrder(src, seen, mtimeBase, 0)
+      Seq(30L, 60L).zipWithIndex.foreach { case (d, i) =>
         val t = maxUs + d * 86400000000L
         s.createDataFrame(Seq(
             (-1L, "purchase", t), (-2L, "signup", t)))
@@ -640,6 +659,7 @@ object AnalyticsQueries {
           .select(to_json(struct(col("user_id"), col("event_type"),
             col("ts_us"))).as("value"))
           .coalesce(1).write.mode("append").text(src)
+        pinLandingOrder(src, seen, mtimeBase, i + 1)
       }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_type STRING, ts_us BIGINT")
@@ -760,6 +780,8 @@ object AnalyticsQueries {
         (r.getLong(0), r.getLong(1))
       }
       val step = math.max(1L, (hi - lo) / 4 + 1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 600000L
       (0 until 4).foreach { i =>
         ev.filter(col("t_us") >= lo + i * step &&
             col("t_us") < lo + (i + 1) * step || lit(i == 3) &&
@@ -768,7 +790,7 @@ object AnalyticsQueries {
           .select(to_json(struct(col("user_id"), col("event_type"),
             col("t_us"))).as("value"))
           .coalesce(1).write.mode("append").text(src)
-        Thread.sleep(5)   // distinct mtimes keep the source's file order
+        pinLandingOrder(src, seen, mtimeBase, i)
       }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_type STRING, t_us BIGINT")
