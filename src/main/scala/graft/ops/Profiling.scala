@@ -428,9 +428,21 @@ object Profiling {
     *      picking the first value whose cumulative count reaches r.
     * Returns one row (n, median) — the picked value is exact, no
     * floating arithmetic touches it. All-equal columns short-circuit at
-    * the zero-width guard. Deeper skew (one bin still huge in DISTINCT
-    * values) would recurse the same two steps on the bin; one level
-    * covers any real numeric distribution at nBins=1024.
+    * the zero-width guard.
+    *
+    * The hit bin is RECURSED once before the ordered pick: a second
+    * config-scale binning round splits the hit bin into `nBins` sub-bins
+    * and relocates the residual rank, so the final cumulative window runs
+    * over the DISTINCT values of one sub-bin — n/nBins² rows in
+    * expectation (single-digit at 100 TB with nBins=1024), vs n/nBins for
+    * the one-level form, whose window was the suite's one remaining
+    * single-task straggler shape under a skewed bin. The window is
+    * partitioned by the sub-bin key (constant on the filtered set but
+    * structurally partitioned — no unpartitioned WindowExec in the plan;
+    * pinned in ProfilingSpec). Both binning rounds are monotone in the
+    * value (floor and clamp are monotone), so the driver's sorted-key
+    * rank walk matches the engine's assignment bit for bit regardless of
+    * float rounding at bin edges.
     */
   def exactMedianBinned(df: DataFrame, value: Column,
                         nBins: Int = 1024): DataFrame = {
@@ -447,19 +459,37 @@ object Profiling {
     val w = (mx - mn) / nBins.toDouble
     val binOf = least(floor((col("__v") - lit(mn)) / lit(w)).cast("long"),
       lit(nBins - 1L))
+    // Round 1: locate the bin holding the k-th value and the residual
+    // rank r within it (nBins counts to the driver — config-scale).
+    def locate(counts: Array[(Long, Long)], target: Long): (Long, Long) = {
+      var cum = 0L; var hit = -1L; var r = 0L
+      counts.foreach { case (b, c) =>
+        if (hit < 0 && cum + c >= target) { hit = b; r = target - cum }
+        cum += c
+      }
+      (hit, r)
+    }
     val binCounts = base.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var cum = 0L; var hit = -1L; var r = 0L
-    binCounts.foreach { case (b, c) =>
-      if (hit < 0 && cum + c >= k) { hit = b; r = k - cum }
-      cum += c
-    }
-    val cw = Window.orderBy("__v")
+    val (hit, r) = locate(binCounts, k)
+    // Round 2: recurse the binning inside the hit bin. lo is the hit
+    // bin's nominal lower edge; clamp keeps edge-rounded values monotone.
+    val lo = mn + hit * w
+    val w2 = w / nBins.toDouble
+    val inHit = base.filter(binOf === lit(hit))
+    val subOf = greatest(lit(0L),
+      least(floor((col("__v") - lit(lo)) / lit(w2)).cast("long"),
+        lit(nBins - 1L)))
+    val subCounts = inHit.groupBy(subOf.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val (hit2, r2) = locate(subCounts, r)
+    val cw = Window.partitionBy("__b2").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.filter(binOf === lit(hit))
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    inHit.withColumn("__b2", subOf)
+      .filter(col("__b2") === lit(hit2))
+      .groupBy("__b2", "__v").agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(cw))
-      .filter(col("__cum") >= r)
+      .filter(col("__cum") >= r2)
       .agg(min(col("__v")).as("median"))
       .select(lit(n).as("n"), col("median"))
   }
@@ -483,24 +513,29 @@ object Profiling {
     import spark.implicits._
     val base = df.select(grp.cast("string").as("__g"),
       value.cast("double").as("__v")).filter(col("__v").isNotNull)
-    val stats = base.groupBy("__g").agg(min(col("__v")).as("mn"),
-      max(col("__v")).as("mx"), count(lit(1)).as("n"))
-    val st = stats.collect()
+    val st = base.groupBy("__g").agg(min(col("__v")).as("mn"),
+        max(col("__v")).as("mx"), count(lit(1)).as("n"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
       .toMap
-    val widths = st.map { case (g, (mn, mx, _)) =>
-      g -> ((mx - mn) / nBins.toDouble) }
-    val binFor: Column = {
-      // per-group affine binning compiled to a when-chain (config-scale)
-      st.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (els, (g, (mn, _, _))) =>
-        val w = widths(g)
-        val b = if (w == 0.0) lit(0L)
-          else least(floor((col("__v") - lit(mn)) / lit(w)).cast("long"),
-            lit(nBins - 1L))
-        when(col("__g") === g, b).otherwise(els)
-      }
-    }
-    val binCounts = base.groupBy(col("__g"), binFor.as("__b"))
+    require(st.nonEmpty, "exactQuantilesBinnedGrouped: empty input")
+    // Per-group affine bin parameters travel as a BROADCAST JOIN against
+    // the config-scale (group, mn, width) frame — not a per-group
+    // when-chain literal, whose O(#groups) expression depth hits the
+    // Janino 64KB interpreted-fallback wall past a few hundred groups
+    // (codegen at 1k groups pinned in ProfilingSpec). The frame is built
+    // from the COLLECTED doubles, so the joined mn/w are bit-identical to
+    // the driver's own rank walk.
+    val statsDf = st.toSeq.sortBy(_._1)
+      .map { case (g, (mn, mx, _)) => (g, mn, (mx - mn) / nBins.toDouble) }
+      .toDF("__g", "__mn", "__w")
+    val binCol: Column =
+      when(col("__w") === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / col("__w")).cast("long"),
+          lit(nBins - 1L)))
+    val binned = base.join(broadcast(statsDf), Seq("__g"))
+      .withColumn("__b", binCol)
+    val binCounts = binned.groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     // driver-side target location: (group, qPct) -> (bin, residual rank)
@@ -518,13 +553,15 @@ object Profiling {
       (g, q.toLong, hit, r, n)
     }
     val hitSpec = hits.toDF("__g", "q_pct", "__b", "__r", "n")
-    val hitBins = hits.map(h => (h._1, h._3)).toSet
-    val hitPred = hitBins.toSeq.sorted.map { case (g, b) =>
-      col("__g") === g && binFor === lit(b) }.reduce(_ || _)
+    // hit-bin filter as a broadcast LEFT SEMI join on (group, bin) — the
+    // OR-chain predicate form had the same O(#hits) expression-depth trap
+    // as the when-chain binning.
+    val hitBins = hits.map(h => (h._1, h._3)).distinct
+      .toDF("__g", "__b")
     val cw = Window.partitionBy("__g", "__b").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.filter(hitPred)
-      .groupBy(col("__g"), binFor.as("__b"), col("__v"))
+    binned.join(broadcast(hitBins), Seq("__g", "__b"), "left_semi")
+      .groupBy(col("__g"), col("__b"), col("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(cw))
       .join(broadcast(hitSpec), Seq("__g", "__b"))

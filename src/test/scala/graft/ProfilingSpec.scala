@@ -171,6 +171,41 @@ class ProfilingSpec extends SparkSpec {
     check((1 to 99).map(i => if (i < 95) 1.0 else 1e9))          // extreme skew
   }
 
+  test("exactMedianBinned plan: every window is partitioned (no global-sort task)") {
+    val vals = (1 to 500).map(i => ((i * 37) % 101).toDouble)
+    // collect on the logical plan — the physical tree hides under
+    // AdaptiveSparkPlanExec and its collect sees only the wrapper
+    val plan = Profiling.exactMedianBinned(vals.toDF("v"), col("v"), nBins = 16)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected the cumulative pick window in the plan")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window (single-task straggler): $w"))
+  }
+
+  test("exactQuantilesBinnedGrouped: 1k groups stay correct via broadcast-join binning") {
+    // A when-chain over 1k groups would blow the codegen method budget;
+    // the broadcast-join form's expression depth is constant in #groups.
+    // Pin correctness at 1k groups plus the join in the plan.
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 1000).flatMap { g =>
+      (0 until 8).map(_ => (s"g$g", rnd.nextInt(1000).toDouble)) }
+    val out = Profiling.exactQuantilesBinnedGrouped(
+      data.toDF("g", "v"), col("g"), col("v"), Seq(50), nBins = 8)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.size === 1000)
+    val byG = data.groupBy(_._1)
+    Seq("g0", "g499", "g999").foreach { g =>
+      val sorted = byG(g).map(_._2).sorted
+      val k = math.floor(0.5 * (sorted.size - 1)).toInt
+      assert(got(g) === sorted(k), s"group $g")
+    }
+  }
+
   test("exactQuantilesBinnedGrouped == per-group sorted reference") {
     val rnd = new scala.util.Random(23)
     val data = Seq("a", "b", "c").flatMap { g =>
