@@ -154,42 +154,51 @@ object AnalyticsQueries {
 
     // RFM segmentation — the classic customer-value census (recency /
     // frequency / monetary quartile scores), in the shape that survives
-    // 100 TB: per-user R/F/M is one aggregate; the quartile BOUNDARIES
-    // come from the no-sort exact-quantile operator (bin metadata + one
-    // hit-bin scan per dimension — never an ntile window over all
-    // users, which is one task at scale); scoring is a pure broadcast-
-    // threshold scan. Boundaries are exact data values, so every score
-    // comparison is integer-exact and the oracle re-picks the identical
-    // boundaries with row_number.
+    // 100 TB: ONE events scan builds the persisted per-user R/F/M
+    // aggregate (CacheRegistry-owned, the Graph.pagerank pattern); the
+    // quartile BOUNDARIES for all three metrics come from ONE
+    // grouped-quantile derivation over the stack-unpivoted (metric,
+    // value) frame — never an ntile window over all users (one task at
+    // scale), and never a per-metric re-derivation (each of the
+    // operator's eager bin passes would otherwise re-run the corpus
+    // aggregate from lineage — the r8 ~9-scan shape). Scoring is a pure
+    // broadcast-threshold scan over the cached base. Boundaries are
+    // exact data values, so every score comparison is integer-exact and
+    // the oracle re-picks the identical boundaries with row_number.
     "q_rfm_segmentation" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
-      val mx = ev.agg(max(col("t")).as("max_t"))
-      val base = ev.groupBy("user_id").agg(
+      val users = graft.ops.CacheRegistry.persist(
+        ev.groupBy("user_id").agg(
           max(col("t")).as("last_t"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("freq"),
           sum(when(col("event_type") === "purchase",
             round(col("value") * 100).cast("long")).otherwise(0L))
-            .as("mon_cents"))
-        .crossJoin(broadcast(mx))
+            .as("mon_cents")))
+      // global max-t folds over the cached per-user aggregate (max of
+      // per-user last_t == max event t) — no second events scan
+      val mx = users.agg(max(col("last_t")).as("max_t"))
+      val base = users.crossJoin(broadcast(mx))
         .withColumn("rec_days", expr("(max_t - last_t) div 86400000000"))
         .select("user_id", "rec_days", "freq", "mon_cents")
-      def bounds(c: String): Map[Long, Double] =
-        graft.ops.Profiling.exactQuantilesBinnedGrouped(
-            base.withColumn("__all", lit("all")), col("__all"), col(c),
-            Seq(25, 50, 75), nBins = 64)
-          .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
-      def score(c: String, b: Map[Long, Double]) =
+      val stacked = base.selectExpr(
+        "stack(3, 'rec_days', CAST(rec_days AS DOUBLE), " +
+          "'freq', CAST(freq AS DOUBLE), " +
+          "'mon_cents', CAST(mon_cents AS DOUBLE)) AS (__m, __v)")
+      val bs = graft.ops.Profiling.exactQuantilesBinnedGrouped(
+          stacked, col("__m"), col("__v"), Seq(25, 50, 75), nBins = 64)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      def score(c: String) =
         lit(1L) +
-          when(col(c).cast("double") > lit(b(25L)), 1L).otherwise(0L) +
-          when(col(c).cast("double") > lit(b(50L)), 1L).otherwise(0L) +
-          when(col(c).cast("double") > lit(b(75L)), 1L).otherwise(0L)
-      val (rb, fb, mb) = (bounds("rec_days"), bounds("freq"), bounds("mon_cents"))
+          when(col(c).cast("double") > lit(bs((c, 25L))), 1L).otherwise(0L) +
+          when(col(c).cast("double") > lit(bs((c, 50L))), 1L).otherwise(0L) +
+          when(col(c).cast("double") > lit(bs((c, 75L))), 1L).otherwise(0L)
       base.select(col("user_id"), col("rec_days"), col("freq"), col("mon_cents"),
-        (lit(5L) - score("rec_days", rb)).as("r_score"),
-        score("freq", fb).as("f_score"),
-        score("mon_cents", mb).as("m_score"))
+        (lit(5L) - score("rec_days")).as("r_score"),
+        score("freq").as("f_score"),
+        score("mon_cents").as("m_score"))
     }),
 
     // A/B experiment readout — the two-proportion z-test over a
