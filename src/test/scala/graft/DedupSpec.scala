@@ -181,6 +181,23 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("materialized dedup labels: consumer plan is scan + broadcast join, no LSH recompute") {
+    val df = graft.SparkEntry.queries("q_dedup_labels_materialized")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // labels come from the parquet artifact...
+    assert(plan.contains("graft_dedup_labels_"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // ...not from re-running the shingle/minhash/band pipeline
+    assert(!plan.contains("posexplode"), plan)
+    assert(!plan.contains("minhash"), plan)
+    // and the artifact is duplicate-subset shaped: (doc_id, rep) pairs
+    val lab = spark.read.parquet(
+      graft.queries.DocQueries.dedupLabelsArtifact(spark, "/root/testdata/sf0.001"))
+    assert(lab.columns.toSeq === Seq("doc_id", "rep"))
+    assert(lab.count() > 0)
+  }
+
   test("simhash near-dup has small distance, unrelated doc large") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val d = Dedup.simhashPairs(sk, "doc_id", maxDist = 60)
