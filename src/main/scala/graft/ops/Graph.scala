@@ -33,7 +33,28 @@ object Graph {
     * truncation semantics. Returns (node, rank) with rank in
     * parts-per-[[Scale]] after `iters` rounds from a uniform start.
     */
-  def pagerank(edges: DataFrame, iters: Int, dampingPermille: Long = 850L): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, dampingPermille: Long = 850L,
+               tolPpm: Long = 0L): DataFrame =
+    pagerankWithRounds(edges, iters, dampingPermille, tolPpm)._1
+
+  /** [[pagerank]] plus the number of rounds actually executed — the
+    * observable for convergence-mode callers (and its spec).
+    *
+    * `tolPpm` > 0 enables EARLY STOP: after each round the new rank table
+    * is persisted and one extra aggregate computes max |Δrank| over the
+    * co-keyed (prev, next) join; iteration ends once it is ≤ `tolPpm`.
+    * The delta pass is the same node-keyed join shape as the round itself
+    * (no new shuffle pattern, no driver state beyond one Long), so the
+    * 100 TB posture is unchanged — the trade is one extra aggregate per
+    * round for an iteration count that adapts to the graph instead of
+    * being caller-pinned. `tolPpm` = 0 (the default, and the oracle
+    * contract for q_graph_pagerank) keeps the fixed-`iters` behavior with
+    * fully lazy rounds. Integer ranks make the test exact: a converged
+    * graph reports Δ = 0, never a float residue.
+    */
+  def pagerankWithRounds(edges: DataFrame, iters: Int,
+                         dampingPermille: Long = 850L,
+                         tolPpm: Long = 0L): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 16, s"iters=$iters out of [1,16]")
     val base = Scale - dampingPermille * Scale / 1000L // (1-d) teleport mass
     // out-degree once; nodes = union of endpoints (persisted: every round
@@ -46,8 +67,15 @@ object Graph {
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
     var rank = nodes.withColumn("rank", lit(Scale))
-    for (_ <- 1 to iters) {
-      val prev = CacheRegistry.persist(rank)
+    // in tol mode each round's result is already persisted+materialized
+    // by the delta action — reuse it as next round's prev instead of
+    // re-registering the same frame
+    var rankPersisted: Option[DataFrame] = None
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      rounds += 1
+      val prev = rankPersisted.getOrElse(CacheRegistry.persist(rank))
       // div(rank * d‰, 1000 * outdeg): INTEGRAL division (non-negative,
       // so truncation == floor) — a double quotient's rounding could
       // cross an integer boundary and flip the floor, breaking the
@@ -61,8 +89,18 @@ object Graph {
       rank = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      if (tolPpm > 0L) {
+        val next = CacheRegistry.persist(rank)
+        val delta = next.select(col("node"), col("rank").as("r2"))
+          .join(prev.select(col("node"), col("rank").as("r1")), "node")
+          .agg(coalesce(max(abs(col("r2") - col("r1"))), lit(0L)))
+          .head().getLong(0)
+        if (delta <= tolPpm) converged = true
+        rank = next
+        rankPersisted = Some(next)
+      } else rankPersisted = None
       CacheRegistry.release(prev)
     }
-    rank
+    (rank, rounds)
   }
 }

@@ -35,6 +35,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("tolPpm early-stops a converged graph; result matches the fixed-iters run") {
+    // a ring is 1-regular: every node's round-1 rank is base + floor(d·Scale)
+    // = Scale again, so Δ = 0 after one round — exact-integer convergence
+    val ring = (0L until 6L).map(k => (k, (k + 1) % 6))
+    val (df, rounds) = Graph.pagerankWithRounds(
+      ring.toDF("src", "dst"), iters = 8, tolPpm = 1L)
+    val got = df.as[(Long, Long)].collect().toMap
+    graft.ops.CacheRegistry.drain()
+    assert(rounds === 1, "expected early exit on the converged ring")
+    assert(got === reference(ring, 8)) // fixed-point: any iters agree
+    // non-converged fixture: diamond ranks still move at round 2, so the
+    // same tolerance runs past round 1 and matches the fixed-iters result
+    val (df2, rounds2) = Graph.pagerankWithRounds(
+      diamond.toDF("src", "dst"), iters = 3, tolPpm = 1L)
+    val got2 = df2.as[(Long, Long)].collect().toMap
+    graft.ops.CacheRegistry.drain()
+    assert(rounds2 > 1)
+    assert(got2 === reference(diamond, rounds2))
+  }
+
   test("hub accumulates rank; dangling sink keeps only teleport mass downstream") {
     // star into 4, plus 5 dangling (receives from 4, emits nothing)
     val edges = Seq[(Long, Long)]((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
