@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Sampling
@@ -502,6 +502,45 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Streaming trending heavy hitters — q_t13's Misra-Gries state
+    // composed with q_trending_decay's dyadic weights: per-DAY candidate
+    // tables stream in Update mode (O(days × cap) state), and the
+    // readout recounts ONLY the candidate union under the exact integer
+    // decay. The guarantee composes: a topic with decayed score above
+    // mass/(cap+1) must, by averaging over days, exceed N_d/(cap+1) on
+    // some day, so it is in that day's candidate set — making the
+    // filtered output EQUAL to the naive full-vocabulary oracle while
+    // only O(cap) state per day ever crosses the stream. Threshold is
+    // overflow-free integer math (score_u > mass_u div (cap+1), exactly
+    // the > mass/(cap+1) test for integers).
+    "q_t22_streaming_trending_heavy" -> ((s, dir) => {
+      val perDay = streamedDayHeavyCandidates(s, dir)
+      val mx = perDay.agg(max(col("day")).as("maxd"))
+      val aged = perDay.crossJoin(broadcast(mx))
+        .withColumn("age", (col("maxd") - col("day")).cast("int"))
+        .filter(col("age") <= 30)
+      val mass = aged
+        .agg(sum(col("total") * expr("shiftleft(1L, 30 - age)")).as("mass_u"))
+      val candTopics = aged.select(explode(col("cands")).as("topic")).distinct()
+      Tables.events(s, dir)
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .filter(col("k").isNotNull)
+        .select(topicCol.as("topic"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .join(broadcast(candTopics), Seq("topic"))
+        .groupBy("topic", "day").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(mx))
+        .withColumn("age", (col("maxd") - col("day")).cast("int"))
+        .filter(col("age") <= 30)
+        .withColumn("w", col("n") * expr("shiftleft(1L, 30 - age)"))
+        .groupBy("topic").agg(sum(col("w")).as("score_u"))
+        .crossJoin(broadcast(mass))
+        .filter(col("score_u") > expr(s"mass_u div ${TrendingHeavyCap + 1}"))
+        .select(col("topic"), col("score_u"),
+          round(col("score_u").cast("double") / lit(1073741824.0), 6)
+            .as("score"))
+    }),
+
     // Stream-stream LEFT OUTER interval join — the watermark-dependent
     // member of the streaming join layer (inner = q_t4): matched pairs
     // append on arrival, but an UNMATCHED purchase emits its null-padded
@@ -722,6 +761,53 @@ object AnalyticsQueries {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Landing for q_t22_streaming_trending_heavy: events as a JSON topic,
+    * per-DAY Misra-Gries candidate tables (cap entries) plus the day's
+    * row count, in Update mode — O(days × cap) state, the windowed
+    * composition of q_t13's sketch state with q_t19's per-day cadence.
+    * Candidate arrays are merge-order-dependent but the day TOTAL is
+    * strictly monotone, so the read side keeps each day's LATEST
+    * emission (row_number over total desc) — the emission whose table
+    * saw all of the day's rows and therefore carries the full MG
+    * superset guarantee for that day.
+    */
+  private val TrendingHeavyCap = 48
+  private val streamTrendHeavyPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def topicCol: Column =
+    concat(col("event_type"), lit("#"), expr("CAST(k div 10 AS STRING)"))
+  private def streamedDayHeavyCandidates(s: SparkSession, dir: String): DataFrame = {
+    val out = streamTrendHeavyPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_trendheavy_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("props"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, ts_us BIGINT, props STRING")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val sk = decoded
+        .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+        .filter(col("k").isNotNull)
+        .select(topicCol.as("topic"), expr("ts_us div 86400000000").as("day"))
+        .groupBy("day")
+        .agg(graft.functions.MisraGries.candidates(col("topic"),
+            TrendingHeavyCap).as("cands"),
+          count(lit(1)).as("total"))
+      graft.streaming.Landing.availableNow(sk, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("total").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("day", "cands", "total")
+  }
+
   /** Landing for q_t19_streaming_trending: events as a JSON topic,
     * per-(type, day) counts in Update mode; counts are monotone so the
     * read side compacts with max — the t15/t16/t17 landing discipline.
@@ -890,6 +976,25 @@ object AnalyticsQueries {
 
     // the streamed monitor's oracle IS the batch trending score
     "q_t19_streaming_trending" -> sqlTrending,
+
+    // full-vocabulary replay — equality with the candidate-recount form
+    // is the MG-superset theorem the Spark side's scaladoc states
+    "q_t22_streaming_trending_heavy" ->
+      """WITH p AS (SELECT event_type || '#' ||
+        |    CAST(TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)\s*[,}]', 1)
+        |      AS BIGINT) // 10 AS VARCHAR) AS topic,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT topic, day, count(*) AS n FROM p
+        |      WHERE topic IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT max(day) AS maxd FROM c),
+        |w AS (SELECT topic,
+        |    n * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
+        |  FROM c, m WHERE maxd - day <= 30),
+        |sc AS (SELECT topic, CAST(sum(w) AS BIGINT) AS score_u FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS mass_u FROM w)
+        |SELECT topic, score_u,
+        |  round(CAST(score_u AS DOUBLE) / 1073741824.0, 6) AS score
+        |FROM sc, tot WHERE score_u > mass_u // 49""".stripMargin,
 
     "q_hll_intersection" -> {
       import graft.functions.Hll
