@@ -109,7 +109,16 @@ object ScaleStress {
     // is the claim); the classifier explode+aggregate scores a ×10
     // corpus; WAU-HLL's register scatter grows with days, not users —
     // near-flat is the expected (and desired) reading
-    "q_attribution_linear", "q_curation_classifier", "q_rolling_wau_hll")
+    "q_attribution_linear", "q_curation_classifier", "q_rolling_wau_hll",
+    // round-9 sixth wave: RFM's one persisted per-user scan + single
+    // grouped-boundary pass (the r9 rework — the ratio should read the
+    // events aggregate, with the boundary machinery constant); WOE and
+    // the A/B z-test are per-user conditional aggregates (×10 users);
+    // HLL intersection merges constant register state over ×10 events;
+    // the materialized dedup labels run the LSH path once then
+    // broadcast-join three consumers
+    "q_rfm_segmentation", "q_feat_woe", "q_ab_test", "q_hll_intersection",
+    "q_dedup_labels_materialized")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
