@@ -214,6 +214,99 @@ object Profiling {
           + lit(0.0)).as("cov"))
   }
 
+  /** Top principal component of the embedding table by EXACT-INTEGER
+    * power iteration — the dimensionality diagnostic behind whitening /
+    * anisotropy fixes, in the engine's deterministic-arithmetic
+    * discipline (a float eigensolver differs across BLAS builds and
+    * partitionings; this one hash-compares).
+    *
+    * Corpus-scale work is ONE pass: the same per-partition outer-product
+    * fold as [[embCovariance]] (shuffle carries partitions × dim² partial
+    * rows). Everything after is config-scale driver math on the dim×dim
+    * integer scatter matrix A = n·S_ij − S_i·S_j (the un-normalized
+    * covariance — same eigenvectors, no division):
+    *   1. right-shift A by max(0, bitlen(max|A|) − 24) so each entry
+    *      fits 2^24 (overflow headroom: |Σ_j A'v_j| ≤ dim·2^24·2^20 ≤
+    *      2^50 at dim ≤ 64 — require()d);
+    *   2. iterate v ← A'·v from the all-ones (×1e6) start, renormalizing
+    *      each round by v ← w div (max|w| div 1e6 + 1);
+    * every step is Long addition, multiplication, truncating division,
+    * and bit-length — all replayed operation-for-operation by the DuckDB
+    * oracle's unrolled CTE stages, so the fixed-`iters` loadings are
+    * bit-identical. Sign follows the deterministic start vector; fixed
+    * iteration count (not a convergence test) is the oracle contract.
+    */
+  def pcaTopComponent(df: DataFrame, embCol: String,
+                      iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val q = df.select(Similarity.quantize(col(embCol)).as("q"))
+    val pairSchema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("sij", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val partials = q.mapPartitions { it =>
+      var mat: Array[Array[Long]] = null
+      var n = 0L
+      var dim = 0
+      it.foreach { r =>
+        val v = r.getSeq[Long](0)
+        if (mat == null) { dim = v.length; mat = Array.ofDim[Long](dim, dim) }
+        n += 1
+        var i = 0
+        while (i < dim) {
+          val vi = v(i)
+          var j = i
+          while (j < dim) { mat(i)(j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (mat == null) Iterator.empty
+      else (for { i <- 0 until dim; j <- i until dim }
+        yield Row(i, j, mat(i)(j), n)).iterator
+    }(org.apache.spark.sql.Encoders.row(pairSchema))
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pairRows = partials.groupBy("i", "j")
+      .agg(sum(col("sij")).as("sij"), sum(col("n")).as("n"))
+      .collect()
+    require(pairRows.nonEmpty, "pcaTopComponent: empty input")
+    val n = pairRows.head.getAs[Long]("n")
+    val dim = sums.size
+    require(dim <= 64, s"pcaTopComponent: dim=$dim exceeds the 2^50 " +
+      "overflow headroom bound (64)")
+    val a = Array.ofDim[Long](dim, dim)
+    pairRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = n * r.getAs[Long]("sij") - sums(i) * sums(j)
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val m0 = a.iterator.flatten.map(math.abs).max
+    val shift = math.max(0, java.lang.Long.toBinaryString(m0).length - 24)
+    for (i <- 0 until dim; j <- 0 until dim) a(i)(j) = a(i)(j) / (1L << shift)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.iterator.map(math.abs).max
+      val d = m / 1000000L + 1L
+      v = w.map(_ / d)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (lv, i) => (i.toLong, lv) }.toSeq
+      .toDF("i", "loading_u")
+      .select(col("i"), col("loading_u"),
+        (round(col("loading_u").cast("double") / lit(1e6), 6) + lit(0.0))
+          .as("loading"))
+  }
+
   /** Label-separability report — the "are these labels learnable from
     * these embeddings" QA gate for classifier training data: per label,
     * the mean squared distance of members to their own centroid (intra)

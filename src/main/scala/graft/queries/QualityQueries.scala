@@ -154,6 +154,13 @@ object QualityQueries {
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
 
+    // Top principal component by exact-integer power iteration — one
+    // outer-product-fold pass over the corpus, then config-scale driver
+    // math the oracle replays operation for operation (8 unrolled CTE
+    // stages). See Profiling.pcaTopComponent.
+    "q_emb_pca" -> ((s, dir) =>
+      Profiling.pcaTopComponent(Tables.embeddings(s, dir), "embedding")),
+
     // Daily-volume anomaly monitor: per-day order counts against a
     // trailing 7-day mean ± 2σ band (the standard ops alert for ingest
     // spikes/drops). The rolling window runs over DAY aggregates — a
@@ -627,6 +634,8 @@ object QualityQueries {
         |  round(CAST(i2 AS DOUBLE) * n / greatest(S, 1), 4) AS sep
         |FROM intra JOIN inter USING (label)""".stripMargin,
 
+    "q_emb_pca" -> sqlPcaPower(8),
+
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
@@ -808,6 +817,44 @@ object QualityQueries {
         |SELECT day, n, round(s1 / 7.0, 4) AS mean7,
         |  CAST(n AS DOUBLE) > s1 / 7.0 + 2.0 * sqrt((s2 - s1 * s1 / 7.0) / 7.0) AS spike
         |FROM w WHERE cnt = 7""".stripMargin)
+
+  /** Oracle replay of the exact-integer PCA power iteration: the scatter
+    * matrix A = n·S_ij − S_i·S_j from the milli-quantized vectors, the
+    * bit-length right-shift, and `iters` UNROLLED matrix-vector stages —
+    * each MATERIALIZED (an unmaterialized chain re-inlines the whole
+    * stage prefix into every probe, the documented sqlBpeTrain trap).
+    * Every step is BIGINT add/multiply/truncating-divide/bit-length, so
+    * the loadings match the Scala driver loop bit for bit.
+    */
+  private def sqlPcaPower(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT aq.i, CAST(sum(aq.a * v${k - 1}.v) AS BIGINT) AS w
+         |  FROM aq JOIN v${k - 1} ON v${k - 1}.i = aq.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w // (m // 1000000 + 1) AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, q[i] AS v
+       |  FROM q, unnest(generate_series(1, len(q))) AS t(i)),
+       |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1),
+       |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sij
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM q),
+       |a0 AS (SELECT p.i, p.j, CAST(nn.n * p.sij - si.s * sj.s AS BIGINT) AS a
+       |  FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j CROSS JOIN nn),
+       |af AS (SELECT i, j, a FROM a0
+       |       UNION ALL SELECT j, i, a FROM a0 WHERE i < j),
+       |sh AS (SELECT greatest(0, length(bin(max(abs(a)))) - 24) AS sh FROM af),
+       |aq AS MATERIALIZED (SELECT i, j, a // (CAST(1 AS BIGINT) << sh) AS a
+       |  FROM af, sh),
+       |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM af),
+       |""".stripMargin + steps + "\n" +
+      s"""SELECT i, v AS loading_u,
+         |  round(CAST(v AS DOUBLE) / 1e6, 6) + 0.0 AS loading FROM v$iters""".stripMargin
+  }
 
   private def sqlMad: String =
     """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),

@@ -171,6 +171,27 @@ class ProfilingSpec extends SparkSpec {
     check((1 to 99).map(i => if (i < 95) 1.0 else 1e9))          // extreme skew
   }
 
+  test("pcaTopComponent: finds the dominant axis, bit-identical across partitionings") {
+    val rnd = new scala.util.Random(5)
+    // anisotropic cloud: dim 2 variance 10x the rest
+    val data = (1 to 300).map { _ =>
+      Tuple1(Array.tabulate(8)(d =>
+        (rnd.nextGaussian() * (if (d == 2) 5.0 else 0.5)).toFloat)) }
+    val runs = Seq(1, 5).map { parts =>
+      val got = Profiling.pcaTopComponent(
+        data.toDF("embedding").repartition(parts), "embedding")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.ops.CacheRegistry.drain()
+      got
+    }
+    assert(runs(0) === runs(1), "loadings must not depend on partitioning")
+    val v = runs.head
+    val dominant = v.maxBy { case (_, l) => math.abs(l) }._1
+    assert(dominant === 2L)
+    v.filter(_._1 != 2L).foreach { case (i, l) =>
+      assert(math.abs(l) * 3 <= math.abs(v(2L)), s"dim $i should be minor") }
+  }
+
   test("exactMedianBinned plan: every window is partitioned (no global-sort task)") {
     val vals = (1 to 500).map(i => ((i * 37) % 101).toDouble)
     // collect on the logical plan — the physical tree hides under
