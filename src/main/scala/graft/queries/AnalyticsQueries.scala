@@ -541,6 +541,18 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Streaming UPSERT / CDC-apply — the change stream maintains a
+    // compacted latest-per-key state table via bucket-pruned dynamic
+    // partition overwrite (UpsertSink). The query reads the final state;
+    // the oracle derives the same per-user latest row from the raw
+    // events with a window — state == latest-per-key is the upsert
+    // contract, and (ts, event_id) ordering makes it tie-free.
+    "q_t23_streaming_upsert" -> ((s, dir) => {
+      s.read.parquet(streamedUpsertState(s, dir))
+        .select(col("user_id"), col("ts_us").as("last_ts_us"),
+          col("event_type").as("last_type"), col("cents").as("last_cents"))
+    }),
+
     // Stream-stream LEFT OUTER interval join — the watermark-dependent
     // member of the streaming join layer (inner = q_t4): matched pairs
     // append on arrival, but an UNMATCHED purchase emits its null-padded
@@ -808,6 +820,35 @@ object AnalyticsQueries {
       .select("day", "cands", "total")
   }
 
+  /** Landing for q_t23_streaming_upsert: the events change stream drains
+    * through [[graft.streaming.UpsertSink]] into a bucket-partitioned
+    * latest-per-key state table — per batch only the touched buckets are
+    * read, merged, and dynamically overwritten (see UpsertSink scaladoc
+    * for the scale contract). Returns the state path.
+    */
+  private val streamUpsertPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedUpsertState(s: SparkSession, dir: String): String =
+    streamUpsertPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_upsert_").toString
+      val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts_us BIGINT, event_type STRING, " +
+          "cents BIGINT, event_id BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      graft.streaming.UpsertSink.availableNow(decoded, state, ckpt,
+        keyCol = "user_id", orderCols = Seq("ts_us", "event_id"))
+      state
+    })
+
   /** Landing for q_t19_streaming_trending: events as a JSON topic,
     * per-(type, day) counts in Update mode; counts are monotone so the
     * read side compacts with max — the t15/t16/t17 landing discipline.
@@ -976,6 +1017,15 @@ object AnalyticsQueries {
 
     // the streamed monitor's oracle IS the batch trending score
     "q_t19_streaming_trending" -> sqlTrending,
+
+    "q_t23_streaming_upsert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
+        |  cents AS last_cents
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // full-vocabulary replay — equality with the candidate-recount form
     // is the MG-superset theorem the Spark side's scaladoc states

@@ -27,6 +27,43 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("UpsertSink: latest-per-key state, bucket layout, multi-batch drain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
+    val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    // two sequentially-landed files -> two micro-batches; key 1 is
+    // superseded in batch 2, key 7 arrives only in batch 2
+    def land(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      assert(f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    land("b0.json", Seq(
+      """{"k":1,"ver":10,"payload":"old"}""",
+      """{"k":2,"ver":11,"payload":"keep"}"""), t0)
+    land("b1.json", Seq(
+      """{"k":1,"ver":20,"payload":"new"}""",
+      """{"k":7,"ver":12,"payload":"late"}"""), t0 + 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ver BIGINT, payload STRING")
+    val decoded = graft.streaming.KafkaSource.decodeJson(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+    val batches = graft.streaming.UpsertSink.availableNow(
+      decoded, state, ckpt, keyCol = "k", orderCols = Seq("ver"), nBuckets = 4)
+    assert(batches === 2, "expected one micro-batch per landed file")
+    val st = spark.read.parquet(state)
+      .select("k", "ver", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(st === Map(
+      1L -> ((20L, "new")), 2L -> ((11L, "keep")), 7L -> ((12L, "late"))))
+    // state is physically bucket-partitioned (the pruned-merge layout)
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.nonEmpty)
+  }
+
   test("q_p8 plan prunes day partitions via PartitionFilters, no data filter") {
     val df = graft.SparkEntry.queries("q_p8_partition_pruning")(
       spark, "/root/testdata/sf0.001")
