@@ -541,6 +541,18 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Native session windows, STREAMED — the stateful session_window
+    // aggregation under a watermark (merging per-user session state
+    // across micro-batches, Append emission on session close). Must
+    // equal the batch q_sessionize_native exactly; shares its oracle.
+    "q_t24_streaming_session_native" -> ((s, dir) => {
+      streamedNativeSessions(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("span_us")).as("max_span_us"))
+    }),
+
     // Streaming UPSERT / CDC-apply — the change stream maintains a
     // compacted latest-per-key state table via bucket-pruned dynamic
     // partition overwrite (UpsertSink). The query reads the final state;
@@ -655,6 +667,32 @@ object AnalyticsQueries {
          |  CAST(wau_exact AS BIGINT) AS wau_exact
          |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
     }
+
+  /** Shared oracle for the batch and streamed native session windows:
+    * the >=-gap islands replay (session_window's exclusive window end —
+    * an event exactly at prev+gap starts a NEW session, unlike
+    * q_sessionize's strict-> rule).
+    */
+  private def sqlSessionNative: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(span_us) AS BIGINT) AS max_span_us
+      |FROM per_session GROUP BY 1""".stripMargin
 
   private def sqlTrending: String =
     """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
@@ -848,6 +886,57 @@ object AnalyticsQueries {
         keyCol = "user_id", orderCols = Seq("ts_us", "event_id"))
       state
     })
+
+  /** Landing for q_t24_streaming_session_native: Spark's built-in
+    * `session_window` as a STATEFUL STREAMING aggregation (merging
+    * session state per user under a watermark, Append mode — sessions
+    * emit only once the watermark proves them closed). All real events
+    * land as ONE file/batch (watermark still unset during batch 0 ⇒
+    * nothing drops as late), then two sentinel batches 30/60 days out
+    * advance the watermark so every real session flushes — the t21
+    * sentinel discipline. Sentinel sessions are negative-keyed and
+    * filtered on read.
+    */
+  private val streamSessionNativePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedNativeSessions(s: SparkSession, dir: String): DataFrame = {
+    val out = streamSessionNativePaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_sessnat_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 600000L
+      ev.select(to_json(struct(col("user_id"), col("ts_us"))).as("value"))
+        .coalesce(1).write.mode("append").text(src)
+      pinLandingOrder(src, seen, mtimeBase, 0)
+      Seq(30L, 60L).zipWithIndex.foreach { case (d, i) =>
+        s.createDataFrame(Seq((-1L, maxUs + d * 86400000000L)))
+          .toDF("user_id", "ts_us")
+          .select(to_json(struct(col("user_id"), col("ts_us"))).as("value"))
+          .coalesce(1).write.mode("append").text(src)
+        pinLandingOrder(src, seen, mtimeBase, i + 1)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+          s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+      val sess = decoded.withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us"))
+        .select("user_id", "n_events", "span_us")
+      graft.streaming.Landing.availableNow(sess, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      sink
+    })
+    s.read.parquet(out).filter(col("user_id") >= 0)
+  }
 
   /** Landing for q_t19_streaming_trending: events as a JSON topic,
     * per-(type, day) counts in Update mode; counts are monotone so the
@@ -1188,26 +1277,11 @@ object AnalyticsQueries {
         |SELECT dau.day, dau, wau
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
-    "q_sessionize_native" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM marked),
-        |per_session AS (
-        |  SELECT user_id, session_id, count(*) AS n_events,
-        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
-        |  FROM sessions GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions,
-        |  CAST(sum(n_events) AS BIGINT) AS n_events,
-        |  CAST(max(span_us) AS BIGINT) AS max_span_us
-        |FROM per_session GROUP BY 1""".stripMargin,
+    "q_sessionize_native" -> sqlSessionNative,
+
+    // the streamed session_window must equal the batch form exactly —
+    // same oracle (sentinel sessions are negative-keyed, filtered on read)
+    "q_t24_streaming_session_native" -> sqlSessionNative,
 
     "q_funnel_timebound" -> sqlFunnel,
 
