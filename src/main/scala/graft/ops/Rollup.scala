@@ -98,4 +98,50 @@ object Rollup {
   def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("yyyymmdd", TimeFns.toYYYYMMDD(col(tsCol)))
       .write.mode("overwrite").partitionBy("yyyymmdd").parquet(path)
+
+  /** Small-files MAINTENANCE COMPACTION for a partitioned parquet store —
+    * the background merge every append-only ingest layout eventually
+    * needs (each micro-batch/append lands its own files; a year of
+    * hourly appends is ~10^4 tiny files per partition, and at 100 TB the
+    * NameNode/listing cost and per-file open overhead dominate scans —
+    * the ClickHouse analog is the MergeTree background merge the
+    * reference's warehouse runs implicitly, clickhouse/clickhouse.py:35-49).
+    *
+    * One shuffle re-clusters rows by the partition value (plus a
+    * deterministic row-hash salt when `filesPerPartition` > 1 — content-
+    * derived, so the layout is reproducible), then dynamic partition
+    * overwrite rewrites each partition's files in place; rows never
+    * change, only their file grouping. `localCheckpoint` materializes the
+    * shuffle before the overwrite commits (the UpsertSink read-then-
+    * replace discipline). Compacting a SUBSET of partitions (the usual
+    * incremental maintenance) is the same call with a pre-filtered frame;
+    * untouched partitions are never rewritten under dynamic overwrite.
+    * Returns (partitions, filesBefore, filesAfter).
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        partCol: String, filesPerPartition: Int = 1): (Long, Long, Long) = {
+    require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
+    def dataFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(path))
+    }
+    val before = dataFiles()
+    val df = spark.read.parquet(path)
+    val dataCols = df.columns.filter(_ != partCol).toIndexedSeq
+    val clustered =
+      if (filesPerPartition == 1) df.repartition(col(partCol))
+      else df.repartition(col(partCol),
+        pmod(hash(dataCols.map(c => col(s"`$c`")): _*), lit(filesPerPartition)))
+    val snap = clustered.localCheckpoint(true)
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+    snap.unpersist(blocking = true)
+    val parts = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith(s"$partCol=")).toLong
+    (parts, before, dataFiles())
+  }
 }

@@ -116,6 +116,33 @@ object EventQueries {
     s.read.parquet(path)
   }
 
+  /** Landing for q_maint_compaction: a deliberately FRAGMENTED
+    * day-partitioned store (every shuffle task writes into every day →
+    * ~8 files per partition, the post-append state an ingest layout
+    * accumulates), then ONE [[Rollup.compactPartitions]] pass rewrites
+    * each day to a single file in place. The require pins that the file
+    * count actually dropped; the query's oracle pins that no row was
+    * lost or changed. Memoized once per JVM like the p8 store.
+    */
+  private val compactPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def compactedStore(s: SparkSession, dir: String): DataFrame = {
+    val path = compactPaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_compact_store_").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+        .withColumn("yyyymmdd", TimeFns.toYYYYMMDD(col("ts")))
+        .repartition(8)
+        .write.mode("overwrite").partitionBy("yyyymmdd").parquet(out)
+      val (parts, before, after) = Rollup.compactPartitions(s, out, "yyyymmdd")
+      require(after < before && after == parts,
+        s"compaction must merge to one file per partition: " +
+          s"$before -> $after over $parts partitions")
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared streaming-parity landing: drain `stream` into `sink` as
     * checkpointed parquet with one AvailableNow run; `withBatchId` tags
     * rows for Update-mode latest-emission compaction on read. Returns
@@ -927,6 +954,18 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // Maintenance compaction: the fragmented day store rewritten to one
+    // file per partition in place (Rollup.compactPartitions); the census
+    // against the raw events oracle proves the rewrite moved every row
+    // and changed none. File-count evidence is require()d at the landing
+    // and plan/layout-pinned in SinksSpec.
+    "q_maint_compaction" -> ((s, dir) => {
+      compactedStore(s, dir)
+        .groupBy(col("yyyymmdd").cast("string").as("yyyymmdd"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    }),
+
     // F5: strict IPv4 validation gate over a mixed good/garbage column.
     "q_f5_is_ipv4" -> ((s, dir) => {
       val e = col("event_id"); val u = col("user_id")
@@ -1561,6 +1600,12 @@ object EventQueries {
         """SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS yyyymmdd, count(*) AS n,
           |round(sum(value),2) AS sum_value
           |FROM e GROUP BY 1""".stripMargin),
+
+      "q_maint_compaction" ->
+        """SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS yyyymmdd,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q_f5_is_ipv4" -> cte(
         """SELECT CAST(event_id % 5 AS INT) AS branch,

@@ -27,6 +27,22 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("compactPartitions: one file per partition in place, rows unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toString
+    val rows = (1 to 400).map(i => (s"d${i % 3}", i.toLong, i * 1.5))
+    rows.toDF("d", "k", "v")
+      .repartition(5) // every task writes into every partition -> ~15 files
+      .write.mode("overwrite").partitionBy("d").parquet(path)
+    val (parts, before, after) = Rollup.compactPartitions(spark, path, "d")
+    assert(parts === 3L)
+    assert(before > after, s"expected fewer files: $before -> $after")
+    assert(after === 3L, "one file per partition")
+    val got = spark.read.parquet(path).select("d", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(got.toSeq === rows.sortBy(_._2))
+  }
+
   test("UpsertSink: latest-per-key state, bucket layout, multi-batch drain") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
     val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
