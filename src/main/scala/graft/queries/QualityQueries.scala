@@ -161,6 +161,24 @@ object QualityQueries {
     "q_emb_pca" -> ((s, dir) =>
       Profiling.pcaTopComponent(Tables.embeddings(s, dir), "embedding")),
 
+    // Apply the learned component at corpus scale — the feature-serving
+    // shape: loadings collect once (config-scale), then the projection
+    // is a pure per-row zip_with dot product against the broadcast
+    // literal (no shuffle until the bucket census; zip_with evaluates
+    // the quantized array ONCE per row, unlike a Generate lambda).
+    // Integer headroom: |x·v| <= 1300·1e6·64 ≈ 8.3e10 per vector.
+    "q_emb_pca_project" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val loadings: Seq[Long] = Profiling.pcaTopComponent(em, "embedding")
+        .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+      em.select(graft.ops.Similarity.quantize(col("embedding")).as("q"))
+        .select(aggregate(
+          zip_with(col("q"), typedlit(loadings), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("proj"))
+        .groupBy(expr("proj div 100000000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Daily-volume anomaly monitor: per-day order counts against a
     // trailing 7-day mean ± 2σ band (the standard ops alert for ingest
     // spikes/drops). The rolling window runs over DAY aggregates — a
@@ -636,6 +654,8 @@ object QualityQueries {
 
     "q_emb_pca" -> sqlPcaPower(8),
 
+    "q_emb_pca_project" -> sqlPcaProject(8),
+
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
@@ -826,7 +846,7 @@ object QualityQueries {
     * Every step is BIGINT add/multiply/truncating-divide/bit-length, so
     * the loadings match the Scala driver loop bit for bit.
     */
-  private def sqlPcaPower(iters: Int): String = {
+  private def sqlPcaCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""w$k AS MATERIALIZED (SELECT aq.i, CAST(sum(aq.a * v${k - 1}.v) AS BIGINT) AS w
          |  FROM aq JOIN v${k - 1} ON v${k - 1}.i = aq.j GROUP BY 1),
@@ -851,10 +871,24 @@ object QualityQueries {
        |aq AS MATERIALIZED (SELECT i, j, a // (CAST(1 AS BIGINT) << sh) AS a
        |  FROM af, sh),
        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM af),
-       |""".stripMargin + steps + "\n" +
+       |""".stripMargin + steps
+  }
+
+  private def sqlPcaPower(iters: Int): String =
+    sqlPcaCtes(iters) + "\n" +
       s"""SELECT i, v AS loading_u,
          |  round(CAST(v AS DOUBLE) / 1e6, 6) + 0.0 AS loading FROM v$iters""".stripMargin
-  }
+
+  /** Projection census: each vector's integer dot product with the
+    * iterated loadings, bucketed at 1e8 — the apply-the-learned-transform
+    * serving shape over the corpus.
+    */
+  private def sqlPcaProject(iters: Int): String =
+    sqlPcaCtes(iters) + ",\n" +
+      s"""proj AS MATERIALIZED (SELECT e.vec_id, CAST(sum(e.v * vv.v) AS BIGINT) AS p
+         |  FROM e JOIN v$iters vv ON vv.i = e.i GROUP BY 1)
+         |SELECT p // 100000000 AS bucket, count(*) AS n
+         |FROM proj GROUP BY 1""".stripMargin
 
   private def sqlMad: String =
     """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
