@@ -541,6 +541,26 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Ordered per-user event-sequence export — the behavioral
+    // training-sequence construction (user2vec / next-event-model input):
+    // each user's full event path as one ordered string. One shuffle on
+    // user_id; the per-user array is bounded by per-user activity (the
+    // attribution/funnel bound), array_sort on the (ts, event_id, type)
+    // struct makes the order total and tie-free, and the oracle
+    // re-derives it with ORDER BY inside string_agg — two independent
+    // ordered-aggregation implementations agreeing byte for byte.
+    "q_user_event_path" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("t"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+    }),
+
     // Native session windows, STREAMED — the stateful session_window
     // aggregation under a watermark (merging per-user session state
     // across micro-batches, Append emission on session close). Must
@@ -1106,6 +1126,12 @@ object AnalyticsQueries {
 
     // the streamed monitor's oracle IS the batch trending score
     "q_t19_streaming_trending" -> sqlTrending,
+
+    "q_user_event_path" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '>'
+        |    ORDER BY epoch_us(ts), event_id) AS path
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_t23_streaming_upsert" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,

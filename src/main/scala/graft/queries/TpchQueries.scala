@@ -41,7 +41,61 @@ object TpchQueries {
   private def sqlDisp(sumExpr: String): String =
     s"round(CAST($sumExpr AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)"
 
+  /** Landings for the source-format roundtrip queries: lineitem's key
+    * measure columns (quantized to exact integers BEFORE the text write —
+    * float-text roundtripping is the classic CSV corruption vector; an
+    * integer survives any formatter) written once per JVM as gzip CSV
+    * with a header and as ORC, read back through the respective sources
+    * with an EXPLICIT schema (schema-on-read contract: inference is
+    * banned on ingest paths — S4's lesson). Oracle aggregates the
+    * original parquet — any row or value the format layer dropped or
+    * bent breaks the hash.
+    */
+  private val srcFmtPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def roundtripPath(s: SparkSession, dir: String, fmt: String): String =
+    srcFmtPaths.getOrElseUpdate((dir, fmt), {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_src_${fmt}_").toString + "/t"
+      val slim = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        c100(col("l_extendedprice")).as("price_c"))
+      fmt match {
+        case "csv" => slim.write.option("header", "true")
+          .option("compression", "gzip").csv(out)
+        case "orc" => slim.write.orc(out)
+      }
+      out
+    })
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+        sum(col("price_c")).as("sum_price_c"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  private val sqlRoundtrip =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Source-format breadth: the same slimmed fact read back through the
+    // CSV (gzip, header, explicit schema) and ORC sources must aggregate
+    // identically to the parquet original.
+    "q_src_csv_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "l_orderkey BIGINT, l_linenumber BIGINT, l_returnflag STRING, " +
+          "qty BIGINT, price_c BIGINT")
+      roundtripAgg(s.read.schema(schema).option("header", "true")
+        .csv(roundtripPath(s, dir, "csv")))
+    }),
+    "q_src_orc_roundtrip" -> ((s, dir) =>
+      roundtripAgg(s.read.orc(roundtripPath(s, dir, "orc")))),
+
     // Pricing-summary aggregation (partial+final HashAggregate over the
     // biggest fact table; the A1 rollup shape minus time).
     "q_agg_pricing" -> ((s, dir) => {
@@ -299,6 +353,9 @@ object TpchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_src_csv_roundtrip" -> sqlRoundtrip,
+    "q_src_orc_roundtrip" -> sqlRoundtrip,
+
     "q_join_fullouter" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
         |  COALESCE(c.n_rich_cust, 0) AS n_rich_cust,
