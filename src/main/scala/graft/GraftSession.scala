@@ -29,4 +29,12 @@ object GraftSession {
       // set at build time so Tables.events' runtime fallback never mutates
       // a session mid-flight
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter join pruning: when a selective predicate sits
+      // on one side of a SHUFFLE join, inject a bloom filter of its join
+      // keys into the other side's scan — at 100 TB this prunes most of a
+      // fact-fact join's probe-side shuffle. Fires only past the
+      // application-side scan threshold (10 GB default), so local-fixture
+      // plans are untouched; injection itself is plan-pinned in
+      // PlanShapeSpec under lowered thresholds.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 }

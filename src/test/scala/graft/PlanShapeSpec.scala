@@ -15,6 +15,36 @@ class PlanShapeSpec extends SparkSpec {
     p
   }
 
+  test("runtime bloom filter injects into a selective shuffle join") {
+    // the GraftSession posture: at 100 TB a fact-fact shuffle join with a
+    // selective predicate on one side gets that side's join keys as a
+    // bloom filter on the probe side's scan. The 10 GB application-side
+    // threshold keeps local plans untouched — lower it (and disable
+    // broadcast) to observe the injection itself.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val ord = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p)
+      assert(p.contains("might_contain"), p)
+      // and the filtered plan still returns the right rows
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_contamination: benchmark side broadcast, no cartesian/SMJ") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
