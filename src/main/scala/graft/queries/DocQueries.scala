@@ -630,6 +630,16 @@ object DocQueries {
           sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
     }),
 
+    // Contiguous export ids in key order — the training-shard primitive,
+    // WITHOUT row_number's single-task global window: range partition +
+    // local sort + per-partition offset prefix sums (Ids.contiguous).
+    // The oracle IS the global window form — the two must agree exactly,
+    // which is the operator's correctness claim.
+    "q_export_global_ids" -> ((s, dir) =>
+      graft.ops.Ids.contiguous(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", numParts = 8)),
+
     // MATERIALIZED dedup labels — the deployment shape for the whole
     // cluster-consumer family: the expensive LSH → connected-components
     // derivation runs ONCE and lands as a (doc_id, rep) parquet artifact;
@@ -1253,6 +1263,11 @@ object DocQueries {
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
            |FROM sp GROUP BY 1""".stripMargin,
+
+      "q_export_global_ids" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+          |FROM documents""".stripMargin,
 
       "q_dedup_labels_materialized" ->
         s"""WITH RECURSIVE ${sqlLshPairCtesFrom("documents")},

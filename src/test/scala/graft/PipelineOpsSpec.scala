@@ -10,6 +10,24 @@ import graft.ops.{Packing, Sampling, Similarity, TextAnalysis => TA}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Ids.contiguous: dense rank ids, any input partitioning, survives coalesce(1)") {
+    val rnd = new scala.util.Random(31)
+    val keys = rnd.shuffle((0L until 223L).toVector)
+    for (parts <- Seq(1, 7)) {
+      val df = keys.map(k => (k, s"p$k")).toDF("k", "payload").repartition(parts)
+      val out = graft.ops.Ids.contiguous(df, "k", numParts = 5)
+        // the Verify harness coalesces before writing — the partition
+        // offset must bind to the DEFINING partition, not the running task
+        .coalesce(1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      graft.ops.CacheRegistry.drain()
+      assert(out.size === 223)
+      // gid == rank in key order, dense 0..N-1
+      keys.sorted.zipWithIndex.foreach { case (k, i) =>
+        assert(out(k) === i.toLong, s"key $k parts=$parts") }
+    }
+  }
+
   test("scrubPii redacts emails, phones, and IPv4s; counts match") {
     val text = "mail bob.smith@corp.example.org now or +1-555-123-4567 " +
       "from 10.1.2.3 and 192.168.0.255 end"
