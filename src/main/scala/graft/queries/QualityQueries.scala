@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Profiling, TextAnalysis => TA}
 import graft.sources.Tables
@@ -153,6 +153,68 @@ object QualityQueries {
     "q_label_separability" -> ((s, dir) =>
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
+
+    // Pairwise Pearson correlation of the lineitem measures in ONE pass:
+    // all ten moment sums ride a single partial+final aggregate with
+    // DECIMAL(38,0) accumulators (Σy² at cents quantization brushes 2^63
+    // by sf0.1 — the documented wide-integer path; DuckDB's HUGEINT sums
+    // mirror it exactly), then each correlation is one pinned
+    // left-associated double chain over the exact integer moments.
+    // Per-row products stay far under 2^63; only the sums widen.
+    "q_profile_correlation" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        round(col("l_discount") * 100).cast("long").as("z"))
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("z").cast(dec)).as("sz"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("z") * col("z")).cast(dec)).as("szz"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("z")).cast(dec)).as("sxz"),
+        sum((col("y") * col("z")).cast(dec)).as("syz"))
+      def corr(sab: Column, sa: Column, sb: Column,
+               saa: Column, sbb: Column): Column =
+        round((col("n") * sab - sa * sb).cast("double") /
+          sqrt((col("n") * saa - sa * sa).cast("double")) /
+          sqrt((col("n") * sbb - sb * sb).cast("double")), 6) + lit(0.0)
+      a.select(col("n"),
+        corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+          .as("corr_qty_price"),
+        corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+          .as("corr_qty_disc"),
+        corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+          .as("corr_price_disc"))
+    }),
+
+    // Chi-square independence test: event_type × day-of-week (an
+    // engine-neutral integer weekday — epoch-day mod 7). Observed and
+    // marginal counts are exact integers; each cell's contribution is
+    // floored to integer micro-units BEFORE summing, so the statistic is
+    // a sum of Longs — exact under any partitioning and cell order (a
+    // naive double Σ over cells would hash differently per plan). The
+    // marginals broadcast (config-scale: types × 7 cells).
+    "q_stat_chisq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("wd"))
+      val cells = ev.groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("event_type").agg(sum(col("o")).as("rs"))
+      val cols2 = cells.groupBy("wd").agg(sum(col("o")).as("cs"))
+      val tot = cells.agg(sum(col("o")).as("t"))
+      val e = (col("rs") * col("cs")).cast("double") / col("t")
+      val d = col("o").cast("double") - e
+      val contrib = floor(lit(1000000.0) * d * d / e).cast("long")
+      cells.join(broadcast(rows), "event_type").join(broadcast(cols2), "wd")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(contrib).as("chi2_u"))
+        .select(col("n_cells"), col("chi2_u"),
+          round(col("chi2_u").cast("double") / lit(1e6), 4).as("chi2"))
+    }),
 
     // Top principal component by exact-integer power iteration — one
     // outer-product-fold pass over the corpus, then config-scale driver
@@ -655,6 +717,41 @@ object QualityQueries {
     "q_emb_pca" -> sqlPcaPower(8),
 
     "q_emb_pca_project" -> sqlPcaProject(8),
+
+    "q_profile_correlation" ->
+      """WITH q AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y,
+        |    CAST(round(l_discount*100) AS BIGINT) AS z FROM lineitem),
+        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+        |    sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz FROM q)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |    / sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0.0 AS corr_qty_price,
+        |  round(CAST(n*sxz - sx*sz AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |    / sqrt(CAST(n*szz - sz*sz AS DOUBLE)), 6) + 0.0 AS corr_qty_disc,
+        |  round(CAST(n*syz - sy*sz AS DOUBLE)
+        |    / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+        |    / sqrt(CAST(n*szz - sz*sz AS DOUBLE)), 6) + 0.0 AS corr_price_disc
+        |FROM a""".stripMargin,
+
+    "q_stat_chisq" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS wd, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rs FROM c GROUP BY 1),
+        |w AS (SELECT wd, CAST(sum(o) AS BIGINT) AS cs FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM c),
+        |k AS (SELECT c.o,
+        |    CAST(r.rs * w.cs AS DOUBLE) / t.t AS e
+        |  FROM c JOIN r USING (event_type) JOIN w USING (wd) CROSS JOIN t),
+        |u AS (SELECT CAST(floor(1000000.0 * (CAST(o AS DOUBLE) - e)
+        |    * (CAST(o AS DOUBLE) - e) / e) AS BIGINT) AS cu FROM k)
+        |SELECT count(*) AS n_cells, CAST(sum(cu) AS BIGINT) AS chi2_u,
+        |  round(CAST(sum(cu) AS DOUBLE) / 1e6, 4) AS chi2
+        |FROM u""".stripMargin,
 
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
