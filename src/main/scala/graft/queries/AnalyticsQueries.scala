@@ -177,10 +177,15 @@ object AnalyticsQueries {
             round(col("value") * 100).cast("long")).otherwise(0L))
             .as("mon_cents")))
       // global max-t folds over the cached per-user aggregate (max of
-      // per-user last_t == max event t) — no second events scan
-      val mx = users.agg(max(col("last_t")).as("max_t"))
-      val base = users.crossJoin(broadcast(mx))
-        .withColumn("rec_days", expr("(max_t - last_t) div 86400000000"))
+      // per-user last_t == max event t) — no second events scan. A
+      // DRIVER LITERAL, not a broadcast cross join: the boundary
+      // operator's three config-scale passes would each re-run the
+      // broadcast exchange job (~0.2 s apiece of pure scheduling at
+      // sf0.1); the literal makes every subsequent pass a plain cache
+      // scan. This head() is also what materializes the persist.
+      val maxT = users.agg(max(col("last_t"))).head().getLong(0)
+      val base = users
+        .withColumn("rec_days", expr(s"($maxT - last_t) div 86400000000"))
         .select("user_id", "rec_days", "freq", "mon_cents")
       val stacked = base.selectExpr(
         "stack(3, 'rec_days', CAST(rec_days AS DOUBLE), " +
