@@ -118,7 +118,16 @@ object ScaleStress {
     // the materialized dedup labels run the LSH path once then
     // broadcast-join three consumers
     "q_rfm_segmentation", "q_feat_woe", "q_ab_test", "q_hll_intersection",
-    "q_dedup_labels_materialized")
+    "q_dedup_labels_materialized",
+    // round-9 second wave: PCA's outer-product fold sees ×10 vectors at
+    // constant dim² shuffle; the projection census scans ×10 rows with a
+    // per-row literal dot; correlation/chi-square are one-aggregate
+    // passes; the path export and id assignment grow with users/docs at
+    // bounded per-key state; compaction and the format roundtrips
+    // rebuild their landings at ×10 (landing + query both timed)
+    "q_emb_pca", "q_emb_pca_project", "q_profile_correlation",
+    "q_stat_chisq", "q_user_event_path", "q_export_global_ids",
+    "q_maint_compaction", "q_src_csv_roundtrip", "q_src_orc_roundtrip")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
