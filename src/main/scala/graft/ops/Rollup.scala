@@ -99,6 +99,52 @@ object Rollup {
     df.withColumn("yyyymmdd", TimeFns.toYYYYMMDD(col(tsCol)))
       .write.mode("overwrite").partitionBy("yyyymmdd").parquet(path)
 
+  /** Incremental ADDITIVE refresh of a partitioned rollup store — the
+    * batch-ETL maintenance shape (nightly delta loads into a day-keyed
+    * aggregate table; the reference's pipeline gets this from
+    * SummingMergeTree's background merge, clickhouse/clickhouse.py:35-49;
+    * this is the engine-native equivalent for plain parquet):
+    *
+    *  1. aggregate the delta batch to the store's grain;
+    *  2. read back ONLY the partitions the delta touches;
+    *  3. merge additively (sums/counts re-aggregate exactly — the store
+    *     columns must be mergeable measures, the engine-wide discipline)
+    *     and dynamically overwrite just those partitions.
+    *
+    * Work per refresh is O(delta + touched-partition state), never
+    * O(store) — with time-correlated deltas (the normal case: late data
+    * lands within days, not years) a refresh touches a handful of
+    * partitions of an arbitrarily large store. Idempotence caveat: unlike
+    * UpsertSink's latest-per-key merge, additive refresh applied twice
+    * double-counts — callers running under at-least-once delivery must
+    * dedup deltas upstream (exact dedup or the batch-id landing
+    * discipline). `localCheckpoint` materializes the merge before the
+    * overwrite commits (the read-then-replace rule).
+    */
+  def refreshAdditive(spark: org.apache.spark.sql.SparkSession, path: String,
+                      delta: DataFrame, partCol: String, keyCols: Seq[String],
+                      sumCols: Seq[String]): Unit = {
+    val grain = (partCol +: keyCols).map(c => col(s"`$c`"))
+    val agg = sumCols.map(c => sum(col(s"`$c`")).as(c))
+    val d = delta.groupBy(grain: _*).agg(agg.head, agg.tail: _*)
+    val touched = d.select(col(s"`$partCol`")).distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      val cur =
+        if (new java.io.File(path).exists())
+          spark.read.parquet(path)
+            .filter(col(s"`$partCol`").isin(touched.toIndexedSeq: _*))
+        else d.limit(0)
+      val merged = cur.unionByName(d)
+        .groupBy(grain: _*).agg(agg.head, agg.tail: _*)
+      val snap = merged.localCheckpoint(true)
+      snap.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(path)
+      snap.unpersist(blocking = true)
+    }
+  }
+
   /** Small-files MAINTENANCE COMPACTION for a partitioned parquet store —
     * the background merge every append-only ingest layout eventually
     * needs (each micro-batch/append lands its own files; a year of

@@ -143,6 +143,43 @@ object EventQueries {
     s.read.parquet(path)
   }
 
+  /** Landing for q_a3_incremental_refresh: the day-partitioned rollup
+    * store built from the FIRST 60% of events (by event_id), then
+    * refreshed with two additive delta batches (next 20%, last 20%) via
+    * [[Rollup.refreshAdditive]] — each refresh reads back and rewrites
+    * only the touched day partitions. The query's census must equal a
+    * full recompute from raw events (the oracle), proving delta-merge ==
+    * batch semantics. Memoized per JVM.
+    */
+  private val incrRefreshPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def incrementallyRefreshedStore(s: SparkSession, dir: String): DataFrame = {
+    val path = incrRefreshPaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_incr_store_").toString
+      val ev = Tables.events(s, dir).select(
+        TimeFns.toYYYYMMDD(col("ts")).as("yyyymmdd"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      def slice(lo: Double, hi: Double) =
+        ev.filter(col("event_id") >= (maxId * lo).toLong &&
+            col("event_id") < (maxId * hi).toLong)
+          .withColumn("n", lit(1L))
+          .select("yyyymmdd", "event_type", "n", "cents")
+      slice(0.0, 0.6)
+        .groupBy("yyyymmdd", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .write.mode("overwrite").partitionBy("yyyymmdd").parquet(out)
+      Seq((0.6, 0.8), (0.8, 1.01)).foreach { case (lo, hi) =>
+        Rollup.refreshAdditive(s, out, slice(lo, hi), "yyyymmdd",
+          keyCols = Seq("event_type"), sumCols = Seq("n", "cents"))
+      }
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared streaming-parity landing: drain `stream` into `sink` as
     * checkpointed parquet with one AvailableNow run; `withBatchId` tags
     * rows for Update-mode latest-emission compaction on read. Returns
@@ -954,6 +991,17 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // Incremental additive refresh: the day-partitioned rollup built
+    // from 60% of events then delta-merged twice (Rollup.refreshAdditive,
+    // touched-partitions-only rewrite) must census identically to a full
+    // recompute from raw events — delta-merge == batch semantics.
+    "q_a3_incremental_refresh" -> ((s, dir) => {
+      incrementallyRefreshedStore(s, dir)
+        .groupBy(col("yyyymmdd").cast("string").as("yyyymmdd"),
+          col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    }),
+
     // Maintenance compaction: the fragmented day store rewritten to one
     // file per partition in place (Rollup.compactPartitions); the census
     // against the raw events oracle proves the rewrite moved every row
@@ -1606,6 +1654,12 @@ object EventQueries {
           |  count(*) AS n,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_a3_incremental_refresh" ->
+        """SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS yyyymmdd,
+          |  event_type, count(*) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q_f5_is_ipv4" -> cte(
         """SELECT CAST(event_id % 5 AS INT) AS branch,

@@ -154,6 +154,28 @@ object QualityQueries {
       Profiling.labelSeparability(Tables.embeddings(s, dir),
         "embedding", "label")),
 
+    // Audit manifest — the dataset-versioning fingerprint: per day, the
+    // row count plus an ORDER-INDEPENDENT content fingerprint (modular
+    // sum of per-row md5 hashes over the full row repr). Any inserted,
+    // dropped, or mutated row moves the day's fingerprint; summation
+    // order never does, so the manifest is identical under any
+    // partitioning/cluster size — what makes it usable as a cross-run
+    // integrity check on a 100 TB snapshot (one scan, config-scale
+    // output). Sums widen through DECIMAL(38,0)/HUGEINT, then reduce
+    // mod 2^61 to a comparable BIGINT.
+    "q_audit_manifest" -> ((s, dir) => {
+      val rowRepr = concat_ws("|", col("event_id"),
+        expr("unix_micros(ts)"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          graft.functions.Hashing.md5Long(rowRepr).as("h"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          pmod(sum(col("h").cast("decimal(38,0)")),
+            lit(2305843009213693952L)).cast("long").as("fingerprint"))
+    }),
+
     // Pairwise Pearson correlation of the lineitem measures in ONE pass:
     // all ten moment sums ride a single partial+final aggregate with
     // DECIMAL(38,0) accumulators (Σy² at cents quantization brushes 2^63
@@ -717,6 +739,17 @@ object QualityQueries {
     "q_emb_pca" -> sqlPcaPower(8),
 
     "q_emb_pca_project" -> sqlPcaProject(8),
+
+    "q_audit_manifest" -> {
+      val repr = "event_id || '|' || epoch_us(ts) || '|' || user_id || " +
+        "'|' || event_type || '|' || CAST(round(value*100) AS BIGINT)"
+      s"""WITH r AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ${graft.functions.Hashing.sqlMd5Long(repr)} AS h
+         |  FROM events)
+         |SELECT day, count(*) AS n,
+         |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS fingerprint
+         |FROM r GROUP BY 1""".stripMargin
+    },
 
     "q_profile_correlation" ->
       """WITH q AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS x,

@@ -43,6 +43,28 @@ class SinksSpec extends SparkSpec {
     assert(got.toSeq === rows.sortBy(_._2))
   }
 
+  test("refreshAdditive: delta merges touched partitions; untouched files never rewritten") {
+    val path = java.nio.file.Files.createTempDirectory("graft_refresh_spec_").toString
+    Seq(("d0", "x", 2L, 10L), ("d1", "x", 5L, 50L))
+      .toDF("d", "k", "n", "cents")
+      .write.mode("overwrite").partitionBy("d").parquet(path)
+    def files(p: String) = new java.io.File(s"$path/d=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val d1Before = files("d1")
+    // delta touches d0 (additive) and creates d2; d1 must not be touched
+    val delta = Seq(("d0", "x", 1L, 7L), ("d0", "y", 3L, 30L), ("d2", "x", 4L, 40L))
+      .toDF("d", "k", "n", "cents")
+    Rollup.refreshAdditive(spark, path, delta, "d",
+      keyCols = Seq("k"), sumCols = Seq("n", "cents"))
+    val got = spark.read.parquet(path).select("d", "k", "n", "cents")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("d0", "x") -> ((3L, 17L)), ("d0", "y") -> ((3L, 30L)),
+      ("d1", "x") -> ((5L, 50L)), ("d2", "x") -> ((4L, 40L))))
+    assert(files("d1") === d1Before, "untouched partition was rewritten")
+  }
+
   test("UpsertSink: latest-per-key state, bucket layout, multi-batch drain") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
     val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
