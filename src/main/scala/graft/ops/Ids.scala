@@ -32,11 +32,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Ids {
 
   def contiguous(df: DataFrame, keyCol: String,
+                 numParts: Int): DataFrame =
+    contiguous(df, Seq(keyCol), numParts)
+
+  /** Multi-column form: the total order is the lexicographic order of
+    * `keyCols` — callers make it UNIQUE (append a unique id as the last
+    * column when the leading key can collide).
+    */
+  def contiguous(df: DataFrame, keyCols: Seq[String],
                  numParts: Int = 32): DataFrame = {
     require(numParts >= 1, s"numParts=$numParts")
+    require(keyCols.nonEmpty, "keyCols must order the rows")
+    val kcols = keyCols.map(c => col(s"`$c`"))
     val sorted = CacheRegistry.persist(
-      df.repartitionByRange(numParts, col(keyCol))
-        .sortWithinPartitions(keyCol))
+      df.repartitionByRange(numParts, kcols: _*)
+        .sortWithinPartitions(kcols: _*))
     val counts = sorted
       .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

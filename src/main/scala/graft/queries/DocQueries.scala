@@ -630,6 +630,20 @@ object DocQueries {
           sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
     }),
 
+    // Deterministic training-data shuffle: a seeded md5 permutation key
+    // plus Ids.contiguous gives every document a stable shuffle position
+    // — reproducible epoch ordering across runs and cluster sizes, the
+    // property RNG-based shuffles lose the moment partitioning changes.
+    // doc_id is the tie-break (md5 ties are astronomically unlikely but
+    // the order contract must be total, not probabilistic).
+    "q_sample_permutation" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.Hashing.md5LongSeeded(
+          col("doc_id").cast("string"), 42).as("hk"))
+      graft.ops.Ids.contiguous(keyed, Seq("hk", "doc_id"), numParts = 8)
+        .select(col("doc_id"), col("gid").as("shuffle_pos"))
+    }),
+
     // Contiguous export ids in key order — the training-shard primitive,
     // WITHOUT row_number's single-task global window: range partition +
     // local sort + per-partition offset prefix sums (Ids.contiguous).
@@ -1263,6 +1277,16 @@ object DocQueries {
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
            |FROM sp GROUP BY 1""".stripMargin,
+
+      "q_sample_permutation" -> {
+        val hk = graft.functions.Hashing.sqlMd5LongSeeded(
+          "CAST(doc_id AS VARCHAR)", 42)
+        s"""WITH k AS (SELECT doc_id, $hk AS hk FROM documents)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+           |    AS shuffle_pos
+           |FROM k""".stripMargin
+      },
 
       "q_export_global_ids" ->
         """SELECT doc_id, n_chars,
