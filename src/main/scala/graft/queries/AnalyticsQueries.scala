@@ -546,6 +546,81 @@ object AnalyticsQueries {
             .as("score"))
     }),
 
+    // Per-series OLS trend — slope/intercept of daily volume per
+    // event_type from exact integer moments (the correlation-family
+    // discipline: one aggregate carries n/Σx/Σy/Σxx/Σxy as Longs, the
+    // line parameters are pinned double chains at the end). Day counts
+    // are config-scale, so this is one corpus aggregate + one tiny one.
+    "q_stat_regression" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val m = byDay.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("event_type"), col("n").as("n_days"),
+        (round(slope, 6) + lit(0.0)).as("slope"),
+        (round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double"), 4) + lit(0.0)).as("intercept"))
+    }),
+
+    // Time-series gap fill — the resampling primitive every downstream
+    // window/trend consumer assumes: complete each series' day grid
+    // (min..max per type) and fill missing days with zero. The grid
+    // GENERATES from the config-scale per-type range via sequence —
+    // never a driver-side calendar — and the fill is one left join.
+    "q_ts_gapfill" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = byDay.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .withColumn("day", explode(sequence(col("d0"), col("d1"))))
+        .select("event_type", "day")
+      grid.join(byDay, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // Beaconing / periodicity detector — the reference's security-
+    // analytics domain (regular-interval callbacks stand out by LOW
+    // inter-arrival variance): per user, second-granularity gaps from
+    // one (user, ts) shuffle, exact integer moment sums (DECIMAL-widened
+    // only in the final variance numerator — Σgap² per user brushes
+    // 2^63), coefficient of variation as the periodicity score. Ties in
+    // ts order produce zero gaps regardless of tie-break — the gap
+    // MULTISET is order-invariant, which is what the moments consume.
+    "q_sec_beaconing" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"))
+        .withColumn("gap_s",
+          expr("(t - lag(t, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY t, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+      val m = gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sgg"))
+      val mean = col("sg").cast("double") / col("n").cast("double")
+      val varr = (col("n").cast(dec) * col("sgg").cast(dec) -
+        col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      val cv = sqrt(varr) / mean
+      m.filter(col("n") >= 10)
+        .select(col("user_id"), col("n").as("n_gaps"),
+          (round(mean, 4) + lit(0.0)).as("mean_gap_s"),
+          (round(cv, 4) + lit(0.0)).as("cv"),
+          (cv < 0.5).as("periodic"))
+    }),
+
     // Ordered per-user event-sequence export — the behavioral
     // training-sequence construction (user2vec / next-event-model input):
     // each user's full event path as one ordered string. One shuffle on
@@ -1137,6 +1212,49 @@ object AnalyticsQueries {
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_stat_regression" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx,
+        |    CAST(sum(day * y) AS BIGINT) AS sxy
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0.0 AS intercept
+        |FROM m""".stripMargin,
+
+    "q_ts_gapfill" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM d GROUP BY 1),
+        |grid AS (SELECT event_type, d0 + i AS day
+        |  FROM rng, unnest(generate_series(0, d1 - d0)) AS t(i))
+        |SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+        |FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+        |  AND d.day = g.day""".stripMargin,
+
+    "q_sec_beaconing" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+        |  FROM events),
+        |m AS (SELECT user_id, count(*) AS n,
+        |    sum(gap_s) AS sg, sum(gap_s * gap_s) AS sgg
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |  round(CAST(sg AS DOUBLE) / n, 4) + 0.0 AS mean_gap_s,
+        |  round(sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+        |    / (CAST(sg AS DOUBLE) / n), 4) + 0.0 AS cv,
+        |  sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+        |    / (CAST(sg AS DOUBLE) / n) < 0.5 AS periodic
+        |FROM m WHERE n >= 10""".stripMargin,
 
     "q_t23_streaming_upsert" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
