@@ -127,7 +127,13 @@ object ScaleStress {
     // rebuild their landings at ×10 (landing + query both timed)
     "q_emb_pca", "q_emb_pca_project", "q_profile_correlation",
     "q_stat_chisq", "q_user_event_path", "q_export_global_ids",
-    "q_maint_compaction", "q_src_csv_roundtrip", "q_src_orc_roundtrip")
+    "q_maint_compaction", "q_src_csv_roundtrip", "q_src_orc_roundtrip",
+    // round-9 third wave: regression/gapfill are config-scale math over
+    // one corpus aggregate; beaconing is a (user, ts) shuffle with ×10
+    // users at constant per-user history; the permutation and the
+    // incremental-refresh/manifest grow with rows at bounded state
+    "q_stat_regression", "q_ts_gapfill", "q_sec_beaconing",
+    "q_sample_permutation", "q_a3_incremental_refresh", "q_audit_manifest")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
