@@ -176,6 +176,18 @@ object QualityQueries {
             lit(2305843009213693952L)).cast("long").as("fingerprint"))
     }),
 
+    // The audit manifest maintained AT INGEST — q_audit_manifest's
+    // per-day fingerprints as streaming state; must equal the batch
+    // recompute exactly (shared oracle). An ingest-time manifest means
+    // snapshot integrity is continuously available instead of a
+    // post-hoc full scan.
+    "q_t25_streaming_manifest" -> ((s, dir) => {
+      streamedManifest(s, dir)
+        .select(col("day"), col("n"),
+          pmod(col("hsum"), lit(2305843009213693952L))
+            .cast("long").as("fingerprint"))
+    }),
+
     // Pairwise Pearson correlation of the lineitem measures in ONE pass:
     // all ten moment sums ride a single partial+final aggregate with
     // DECIMAL(38,0) accumulators (Σy² at cents quantization brushes 2^63
@@ -520,6 +532,61 @@ object QualityQueries {
     s.read.parquet(out).groupBy("day").agg(max(col("n")).as("n"))
   }
 
+  /** Shared oracle for the batch and streamed audit manifests. */
+  private def sqlManifest: String = {
+    val repr = "event_id || '|' || epoch_us(ts) || '|' || user_id || " +
+      "'|' || event_type || '|' || CAST(round(value*100) AS BIGINT)"
+    s"""WITH r AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    ${graft.functions.Hashing.sqlMd5Long(repr)} AS h
+       |  FROM events)
+       |SELECT day, count(*) AS n,
+       |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS fingerprint
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
+  /** Landing for q_t25_streaming_manifest: per-day (row count, modular
+    * md5 fingerprint sum) aggregates at INGEST — the audit manifest
+    * maintained as the data lands rather than recomputed per snapshot.
+    * The fingerprint sum accumulates in DECIMAL(38,0) state (Update
+    * mode); day sums are additive re-emissions, so the landing tags
+    * batch_id and the read side keeps each day's LATEST emission (the t2
+    * parity discipline), reducing mod 2^61 batch-side.
+    */
+  private val streamManifestPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = streamManifestPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_manifest_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+          "event_type STRING, cents BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val rowRepr = concat_ws("|", col("event_id"), col("ts_us"),
+        col("user_id"), col("event_type"), col("cents"))
+      val byDay = decoded
+        .select(expr("ts_us div 86400000000").as("day"),
+          graft.functions.Hashing.md5Long(rowRepr)
+            .cast("decimal(38,0)").as("h"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      graft.streaming.Landing.availableNow(byDay, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update, withBatchId = true)
+      sink
+    })
+    s.read.parquet(out).groupBy("day")
+      .agg(max_by(col("n"), col("batch_id")).as("n"),
+        max_by(col("hsum"), col("batch_id")).as("hsum"))
+  }
+
   /** The declarative constraint report (see q_validate_constraints). */
   private def constraintReport(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -740,16 +807,10 @@ object QualityQueries {
 
     "q_emb_pca_project" -> sqlPcaProject(8),
 
-    "q_audit_manifest" -> {
-      val repr = "event_id || '|' || epoch_us(ts) || '|' || user_id || " +
-        "'|' || event_type || '|' || CAST(round(value*100) AS BIGINT)"
-      s"""WITH r AS (SELECT epoch_us(ts) // 86400000000 AS day,
-         |    ${graft.functions.Hashing.sqlMd5Long(repr)} AS h
-         |  FROM events)
-         |SELECT day, count(*) AS n,
-         |  CAST(sum(h) % 2305843009213693952 AS BIGINT) AS fingerprint
-         |FROM r GROUP BY 1""".stripMargin
-    },
+    "q_audit_manifest" -> sqlManifest,
+
+    // the streamed manifest must equal the batch recompute exactly
+    "q_t25_streaming_manifest" -> sqlManifest,
 
     "q_profile_correlation" ->
       """WITH q AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS x,
