@@ -129,8 +129,12 @@ object Rollup {
     val d = delta.groupBy(grain: _*).agg(agg.head, agg.tail: _*)
     val touched = d.select(col(s"`$partCol`")).distinct().collect().map(_.get(0))
     if (touched.nonEmpty) {
+      // Hadoop FS, not java.io.File: the store lives wherever the
+      // warehouse does (HDFS/S3 at scale; local disk here)
+      val sp = new org.apache.hadoop.fs.Path(path)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cur =
-        if (new java.io.File(path).exists())
+        if (fs.exists(sp))
           spark.read.parquet(path)
             .filter(col(s"`$partCol`").isin(touched.toIndexedSeq: _*))
         else d.limit(0)
@@ -167,11 +171,14 @@ object Rollup {
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
                         partCol: String, filesPerPartition: Int = 1): (Long, Long, Long) = {
     require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
+    // Hadoop FS (HDFS/S3-ready) recursive listing for the file census
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(path))
+      var n = 0L
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1L }
+      n
     }
     val before = dataFiles()
     val df = spark.read.parquet(path)
@@ -186,8 +193,9 @@ object Rollup {
       .partitionBy(partCol)
       .parquet(path)
     snap.unpersist(blocking = true)
-    val parts = new java.io.File(path).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith(s"$partCol=")).toLong
+    val parts = fs.listStatus(root)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .toLong
     (parts, before, dataFiles())
   }
 }

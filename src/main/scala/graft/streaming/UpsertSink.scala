@@ -54,8 +54,12 @@ object UpsertSink {
         val touched = b.select("bucket").distinct()
           .collect().map(_.getLong(0))
         if (touched.nonEmpty) {
+          // Hadoop FS, not java.io.File: the state table lives wherever
+          // the warehouse does (HDFS/S3 at scale; local disk here)
+          val sp = new org.apache.hadoop.fs.Path(statePath)
+          val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
           val cur =
-            if (new java.io.File(statePath).exists())
+            if (fs.exists(sp))
               s.read.parquet(statePath)
                 .filter(col("bucket").isin(touched.toSeq: _*))
             else b.limit(0)
