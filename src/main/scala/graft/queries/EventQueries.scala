@@ -1206,6 +1206,32 @@ object EventQueries {
            |GROUP BY 1, 2""".stripMargin)
     }),
 
+    // SQL front-end depth: correlated EXISTS (decorrelated by Catalyst
+    // into a left-semi join) plus uncorrelated scalar subqueries — the
+    // above-average-balance threshold compares in EXACT integer cents
+    // times count (an avg-of-doubles boundary would flip with summation
+    // order). A switching user's hand-written SQL uses exactly these
+    // shapes; the oracle runs the equivalent SQL through DuckDB's own
+    // decorrelator — two independent subquery planners agreeing.
+    "q_sql_subqueries" -> ((s, dir) => {
+      val cv = "customer_v_" + java.lang.Integer.toHexString(dir.hashCode)
+      val ov = "orders_v_" + java.lang.Integer.toHexString(dir.hashCode)
+      Tables.customer(s, dir).createOrReplaceTempView(cv)
+      Tables.orders(s, dir).createOrReplaceTempView(ov)
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  sum(CASE WHEN EXISTS (SELECT 1 FROM $ov o
+           |        WHERE o.o_custkey = c.c_custkey
+           |          AND o.o_orderpriority = '1-URGENT')
+           |      THEN 1 ELSE 0 END) AS n_with_urgent
+           |FROM $cv c
+           |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+           |    * (SELECT count(*) FROM $cv)
+           |  > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+           |     FROM $cv c2)
+           |GROUP BY 1""".stripMargin)
+    }),
+
     // Statistical outlier gating (z-score style, feature-cleaning shape):
     // per-group mean/variance from EXACT integer sums of 2-decimal values
     // scaled to cents (round fixes the float scaling error; sums stay
@@ -1660,6 +1686,19 @@ object EventQueries {
           |  event_type, count(*) AS n,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_sql_subqueries" ->
+        """SELECT c_mktsegment, count(*) AS n_cust,
+          |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+          |        WHERE o.o_custkey = c.c_custkey
+          |          AND o.o_orderpriority = '1-URGENT')
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent
+          |FROM customer c
+          |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+          |    * (SELECT count(*) FROM customer)
+          |  > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+          |       AS BIGINT) FROM customer c2)
+          |GROUP BY 1""".stripMargin,
 
       "q_f5_is_ipv4" -> cte(
         """SELECT CAST(event_id % 5 AS INT) AS branch,
