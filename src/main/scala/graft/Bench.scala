@@ -18,7 +18,10 @@ object Bench {
     "q_sim_topk", "q_sim_ivf_trained", "q_emb_kmeans",
     "q_txt_bpe_train", "q_txt_boilerplate", "q_decontaminate",
     "q_join_bloom", "q_agg_hll_registers", "q_window_range_1h",
-    "q_topk_customers", "q_t2_streaming_parity")
+    "q_topk_customers", "q_t2_streaming_parity",
+    // round-9 additions worth round-over-round stdout diffs: the
+    // single-scan RFM, the labels-artifact consumers, and the PCA fold
+    "q_rfm_segmentation", "q_dedup_labels_materialized", "q_emb_pca")
 
   val DetailFile = "BENCH_LOCAL.json"
 

@@ -630,6 +630,18 @@ object DocQueries {
           sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
     }),
 
+    // k-fold cross-validation assignment — the evaluation-protocol
+    // sibling of the train/val/test split: a pure per-row hash bucket
+    // (no RNG, stable under reruns and data growth) with a per-fold
+    // per-lang census as the balance readout a CV harness checks before
+    // trusting fold variance.
+    "q_sample_kfold" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fold", Sampling.hashBucket(col("doc_id"), 5, "cv"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Deterministic training-data shuffle: a seeded md5 permutation key
     // plus Ids.contiguous gives every document a stable shuffle position
     // — reproducible epoch ordering across runs and cluster sizes, the
@@ -1277,6 +1289,12 @@ object DocQueries {
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
            |FROM sp GROUP BY 1""".stripMargin,
+
+      "q_sample_kfold" ->
+        s"""SELECT ${Sampling.sqlHashBucket("doc_id", 5, "cv")} AS fold,
+           |  lang, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY 1, 2""".stripMargin,
 
       "q_sample_permutation" -> {
         val hk = graft.functions.Hashing.sqlMd5LongSeeded(

@@ -270,6 +270,20 @@ object TpchQueries {
           round(sum(round(col("c_acctbal"), 2)), 2).as("sum_bal"))
     }),
 
+    // Window-function completeness: percent_rank over the same
+    // deterministic (bal, custkey) order as the ntile query — the
+    // remaining SQL-standard rank family member. The sampled output
+    // filter applies AFTER the window (ranks computed over the full
+    // partition, output kept compact).
+    "q_window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(round(col("c_acctbal"), 2), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("pr", round(percent_rank().over(w), 6) + lit(0.0))
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_nationkey"), col("pr"))
+    }),
+
     // §2.4 superset: multi-level ROLLUP (region -> nation -> total) in one
     // pass — Catalyst expands grouping sets before the single shuffle.
     "q_agg_rollup" -> ((s, dir) => {
@@ -355,6 +369,14 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q_src_csv_roundtrip" -> sqlRoundtrip,
     "q_src_orc_roundtrip" -> sqlRoundtrip,
+
+    "q_window_percent_rank" ->
+      """WITH t AS (SELECT c_custkey, c_nationkey,
+        |    round(percent_rank() OVER (PARTITION BY c_nationkey
+        |      ORDER BY round(c_acctbal, 2), c_custkey), 6) + 0.0 AS pr
+        |  FROM customer)
+        |SELECT c_custkey, c_nationkey, pr FROM t
+        |WHERE c_custkey % 7 = 0""".stripMargin,
 
     "q_join_fullouter" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
