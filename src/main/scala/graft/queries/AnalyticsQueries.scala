@@ -621,6 +621,26 @@ object AnalyticsQueries {
           (cv < 0.5).as("periodic"))
     }),
 
+    // Beaconing AT INGEST — q_sec_beaconing's moment accumulators as
+    // mapGroupsWithState streaming state (O(1) per user) over the
+    // ordered topic; the pinned CV chain applies batch-side to the
+    // compacted moments and must equal the batch window scan exactly
+    // (shared oracle).
+    "q_t26_streaming_beacon" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val m = streamedBeaconMoments(s, dir)
+      val mean = col("sg").cast("double") / col("n").cast("double")
+      val varr = (col("n").cast(dec) * col("sgg").cast(dec) -
+        col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      val cv = sqrt(varr) / mean
+      m.filter(col("n") >= 10)
+        .select(col("user_id"), col("n").as("n_gaps"),
+          (round(mean, 4) + lit(0.0)).as("mean_gap_s"),
+          (round(cv, 4) + lit(0.0)).as("cv"),
+          (cv < 0.5).as("periodic"))
+    }),
+
     // Ordered per-user event-sequence export — the behavioral
     // training-sequence construction (user2vec / next-event-model input):
     // each user's full event path as one ordered string. One shuffle on
@@ -767,6 +787,26 @@ object AnalyticsQueries {
          |  CAST(wau_exact AS BIGINT) AS wau_exact
          |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
     }
+
+  /** Shared oracle for the batch and streamed beaconing detectors: the
+    * gap multiset from the (user, ts, event_id)-ordered window, exact
+    * integer moments (HUGEINT-widened), pinned double CV chain.
+    */
+  private def sqlBeaconing: String =
+    """WITH g AS (SELECT user_id,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+      |  FROM events),
+      |m AS (SELECT user_id, count(*) AS n,
+      |    sum(gap_s) AS sg, sum(gap_s * gap_s) AS sgg
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+      |  round(CAST(sg AS DOUBLE) / n, 4) + 0.0 AS mean_gap_s,
+      |  round(sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |    / (CAST(sg AS DOUBLE) / n), 4) + 0.0 AS cv,
+      |  sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |    / (CAST(sg AS DOUBLE) / n) < 0.5 AS periodic
+      |FROM m WHERE n >= 10""".stripMargin
 
   /** Shared oracle for the batch and streamed native session windows:
     * the >=-gap islands replay (session_window's exclusive window end —
@@ -1038,6 +1078,53 @@ object AnalyticsQueries {
     s.read.parquet(out).filter(col("user_id") >= 0)
   }
 
+  /** Landing for q_t26_streaming_beacon: the events topic as FOUR
+    * ts-ranged slices written sequentially (the t18 funnel's ordered-
+    * topic contract — a user's events arrive in time order across
+    * batches), per-user gap moment accumulators via
+    * [[graft.streaming.StreamingBeacon]] in Update mode. All emitted
+    * fields are monotone, so the read side compacts with per-user max.
+    */
+  private val streamBeaconPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedBeaconMoments(s: SparkSession, dir: String): DataFrame = {
+    val out = streamBeaconPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_beacon_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+      val (lo, hi) = {
+        val r = ev.agg(min("t_us"), max("t_us")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val step = math.max(1L, (hi - lo) / 4 + 1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 600000L
+      (0 until 4).foreach { i =>
+        ev.filter(col("t_us") >= lo + i * step &&
+            col("t_us") < lo + (i + 1) * step || lit(i == 3) &&
+            col("t_us") >= lo + 4 * step)
+          .orderBy("t_us")
+          .select(to_json(struct(col("user_id"), col("t_us"),
+            col("event_id"))).as("value"))
+          .coalesce(1).write.mode("append").text(src)
+        pinLandingOrder(src, seen, mtimeBase, i)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, t_us BIGINT, event_id BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val rows = graft.streaming.StreamingBeacon.gaps(s, decoded)
+      graft.streaming.Landing.availableNow(rows.toDF(), sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("user_id")
+      .agg(max(col("n_gaps")).as("n"), max(col("sg")).as("sg"),
+        max(col("sgg")).as("sgg"))
+  }
+
   /** Landing for q_t19_streaming_trending: events as a JSON topic,
     * per-(type, day) counts in Update mode; counts are monotone so the
     * read side compacts with max — the t15/t16/t17 landing discipline.
@@ -1240,21 +1327,10 @@ object AnalyticsQueries {
         |FROM grid g LEFT JOIN d ON d.event_type = g.event_type
         |  AND d.day = g.day""".stripMargin,
 
-    "q_sec_beaconing" ->
-      """WITH g AS (SELECT user_id,
-        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
-        |  FROM events),
-        |m AS (SELECT user_id, count(*) AS n,
-        |    sum(gap_s) AS sg, sum(gap_s * gap_s) AS sgg
-        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
-        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
-        |  round(CAST(sg AS DOUBLE) / n, 4) + 0.0 AS mean_gap_s,
-        |  round(sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-        |    / (CAST(sg AS DOUBLE) / n), 4) + 0.0 AS cv,
-        |  sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-        |    / (CAST(sg AS DOUBLE) / n) < 0.5 AS periodic
-        |FROM m WHERE n >= 10""".stripMargin,
+    "q_sec_beaconing" -> sqlBeaconing,
+
+    // the streamed accumulator must equal the batch window scan exactly
+    "q_t26_streaming_beacon" -> sqlBeaconing,
 
     "q_t23_streaming_upsert" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
