@@ -45,6 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_user_event_path: one user_id exchange, no second shuffle") {
+    val p = plan("q_user_event_path")
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("q_emb_pca_project: per-row literal dot — no Generate before the census shuffle") {
+    val p = plan("q_emb_pca_project")
+    assert(!p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
   test("q_contamination: benchmark side broadcast, no cartesian/SMJ") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
