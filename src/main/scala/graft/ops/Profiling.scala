@@ -169,10 +169,18 @@ object Profiling {
     * ~1300 milli-units ⇒ S_ij per pair < n·1.7e6 — overflow needs
     * n > 5e12 vectors).
     */
-  def embCovariance(df: DataFrame, embCol: String): DataFrame = {
+  /** The shared per-partition outer-product scatter fold over the
+    * milli-quantized vector column `q`: returns (pair sums (i, j, sij, n)
+    * — upper triangle, already combined across partitions — and per-dim
+    * sums (i, s)). `q` is CacheRegistry-persisted because both outputs
+    * scan it (the quantize pass runs once). One copy of the fold and its
+    * overflow-headroom reasoning serves [[embCovariance]] and
+    * [[pcaTopComponent]].
+    */
+  private def scatterFold(q0: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val q = df.select(Similarity.quantize(col(embCol)).as("q"))
+    val q = CacheRegistry.persist(q0)
     val pairSchema = StructType(Seq(
       StructField("i", IntegerType, nullable = false),
       StructField("j", IntegerType, nullable = false),
@@ -202,6 +210,12 @@ object Profiling {
       .groupBy("i").agg(sum(col("qi")).as("s"))
     val pair = partials.groupBy("i", "j")
       .agg(sum(col("sij")).as("sij"), sum(col("n")).as("n"))
+    (pair, sums)
+  }
+
+  def embCovariance(df: DataFrame, embCol: String): DataFrame = {
+    val (pair, sums) =
+      scatterFold(df.select(Similarity.quantize(col(embCol)).as("q")))
     pair
       .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
@@ -238,40 +252,10 @@ object Profiling {
     */
   def pcaTopComponent(df: DataFrame, embCol: String,
                       iters: Int = 8): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val q = df.select(Similarity.quantize(col(embCol)).as("q"))
-    val pairSchema = StructType(Seq(
-      StructField("i", IntegerType, nullable = false),
-      StructField("j", IntegerType, nullable = false),
-      StructField("sij", LongType, nullable = false),
-      StructField("n", LongType, nullable = false)))
-    val partials = q.mapPartitions { it =>
-      var mat: Array[Array[Long]] = null
-      var n = 0L
-      var dim = 0
-      it.foreach { r =>
-        val v = r.getSeq[Long](0)
-        if (mat == null) { dim = v.length; mat = Array.ofDim[Long](dim, dim) }
-        n += 1
-        var i = 0
-        while (i < dim) {
-          val vi = v(i)
-          var j = i
-          while (j < dim) { mat(i)(j) += vi * v(j); j += 1 }
-          i += 1
-        }
-      }
-      if (mat == null) Iterator.empty
-      else (for { i <- 0 until dim; j <- i until dim }
-        yield Row(i, j, mat(i)(j), n)).iterator
-    }(org.apache.spark.sql.Encoders.row(pairSchema))
-    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i").agg(sum(col("qi")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pairRows = partials.groupBy("i", "j")
-      .agg(sum(col("sij")).as("sij"), sum(col("n")).as("n"))
-      .collect()
+    val (pair, sumsDf) =
+      scatterFold(df.select(Similarity.quantize(col(embCol)).as("q")))
+    val sums = sumsDf.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pairRows = pair.collect()
     require(pairRows.nonEmpty, "pcaTopComponent: empty input")
     val n = pairRows.head.getAs[Long]("n")
     val dim = sums.size

@@ -133,10 +133,16 @@ object Rollup {
       // warehouse does (HDFS/S3 at scale; local disk here)
       val sp = new org.apache.hadoop.fs.Path(path)
       val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // null-SAFE touched-partition match: isin() is three-valued and
+      // never matches stored null-partition rows, so a delta touching
+      // the null partition would read back nothing and dynamic
+      // overwrite would replace its accumulated state with delta-only
+      // sums — silent additive-state loss. <=> matches null to null.
+      val touchedPred = touched.toIndexedSeq
+        .map(v => col(s"`$partCol`") <=> lit(v)).reduce(_ || _)
       val cur =
         if (fs.exists(sp))
-          spark.read.parquet(path)
-            .filter(col(s"`$partCol`").isin(touched.toIndexedSeq: _*))
+          spark.read.parquet(path).filter(touchedPred)
         else d.limit(0)
       val merged = cur.unionByName(d)
         .groupBy(grain: _*).agg(agg.head, agg.tail: _*)

@@ -519,13 +519,21 @@ object AnalyticsQueries {
     // overflow-free integer math (score_u > mass_u div (cap+1), exactly
     // the > mass/(cap+1) test for integers).
     "q_t22_streaming_trending_heavy" -> ((s, dir) => {
+      // dyadic weight sums widen through DECIMAL(38,0) (oracle: HUGEINT)
+      // — Σ N_d·2^(30−age) crosses 2^63 near 9e9 in-window events; the
+      // heavy test is the overflow-free integer comparison
+      // score·(cap+1) > mass (⟺ score > mass/(cap+1) for integers).
+      // The DISPLAYED score_u casts back to long — the 2^63 display
+      // bound, not a threshold-math bound.
+      val dec = "decimal(38,0)"
       val perDay = streamedDayHeavyCandidates(s, dir)
       val mx = perDay.agg(max(col("day")).as("maxd"))
       val aged = perDay.crossJoin(broadcast(mx))
         .withColumn("age", (col("maxd") - col("day")).cast("int"))
         .filter(col("age") <= 30)
       val mass = aged
-        .agg(sum(col("total") * expr("shiftleft(1L, 30 - age)")).as("mass_u"))
+        .agg(sum(col("total").cast(dec) * expr("shiftleft(1L, 30 - age)"))
+          .as("mass_u"))
       val candTopics = aged.select(explode(col("cands")).as("topic")).distinct()
       Tables.events(s, dir)
         .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
@@ -537,11 +545,11 @@ object AnalyticsQueries {
         .crossJoin(broadcast(mx))
         .withColumn("age", (col("maxd") - col("day")).cast("int"))
         .filter(col("age") <= 30)
-        .withColumn("w", col("n") * expr("shiftleft(1L, 30 - age)"))
+        .withColumn("w", col("n").cast(dec) * expr("shiftleft(1L, 30 - age)"))
         .groupBy("topic").agg(sum(col("w")).as("score_u"))
         .crossJoin(broadcast(mass))
-        .filter(col("score_u") > expr(s"mass_u div ${TrendingHeavyCap + 1}"))
-        .select(col("topic"), col("score_u"),
+        .filter(col("score_u") * lit(TrendingHeavyCap + 1) > col("mass_u"))
+        .select(col("topic"), col("score_u").cast("long").as("score_u"),
           round(col("score_u").cast("double") / lit(1073741824.0), 6)
             .as("score"))
     }),
@@ -598,7 +606,6 @@ object AnalyticsQueries {
     // ts order produce zero gaps regardless of tie-break — the gap
     // MULTISET is order-invariant, which is what the moments consume.
     "q_sec_beaconing" -> ((s, dir) => {
-      val dec = "decimal(38,0)"
       val gaps = Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("t"),
           col("event_id"))
@@ -606,40 +613,18 @@ object AnalyticsQueries {
           expr("(t - lag(t, 1) OVER (PARTITION BY user_id " +
             "ORDER BY t, event_id)) div 1000000"))
         .filter(col("gap_s").isNotNull)
-      val m = gaps.groupBy("user_id").agg(
+      beaconReadout(gaps.groupBy("user_id").agg(
         count(lit(1)).as("n"), sum(col("gap_s")).as("sg"),
-        sum(col("gap_s") * col("gap_s")).as("sgg"))
-      val mean = col("sg").cast("double") / col("n").cast("double")
-      val varr = (col("n").cast(dec) * col("sgg").cast(dec) -
-        col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
-        (col("n").cast("double") * col("n").cast("double"))
-      val cv = sqrt(varr) / mean
-      m.filter(col("n") >= 10)
-        .select(col("user_id"), col("n").as("n_gaps"),
-          (round(mean, 4) + lit(0.0)).as("mean_gap_s"),
-          (round(cv, 4) + lit(0.0)).as("cv"),
-          (cv < 0.5).as("periodic"))
+        sum(col("gap_s") * col("gap_s")).as("sgg")))
     }),
 
     // Beaconing AT INGEST — q_sec_beaconing's moment accumulators as
     // mapGroupsWithState streaming state (O(1) per user) over the
-    // ordered topic; the pinned CV chain applies batch-side to the
+    // ordered topic; the shared CV readout applies batch-side to the
     // compacted moments and must equal the batch window scan exactly
     // (shared oracle).
-    "q_t26_streaming_beacon" -> ((s, dir) => {
-      val dec = "decimal(38,0)"
-      val m = streamedBeaconMoments(s, dir)
-      val mean = col("sg").cast("double") / col("n").cast("double")
-      val varr = (col("n").cast(dec) * col("sgg").cast(dec) -
-        col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
-        (col("n").cast("double") * col("n").cast("double"))
-      val cv = sqrt(varr) / mean
-      m.filter(col("n") >= 10)
-        .select(col("user_id"), col("n").as("n_gaps"),
-          (round(mean, 4) + lit(0.0)).as("mean_gap_s"),
-          (round(cv, 4) + lit(0.0)).as("cv"),
-          (cv < 0.5).as("periodic"))
-    }),
+    "q_t26_streaming_beacon" -> ((s, dir) =>
+      beaconReadout(streamedBeaconMoments(s, dir))),
 
     // Ordered per-user event-sequence export — the behavioral
     // training-sequence construction (user2vec / next-event-model input):
@@ -788,9 +773,31 @@ object AnalyticsQueries {
          |FROM ad JOIN agg ON agg.rday = ad.day JOIN ex ON ex.rday = ad.day""".stripMargin
     }
 
+  /** Shared CV readout over per-user gap moments (n, sg, sgg) — used by
+    * the batch and streamed beaconing queries so the pinned double chain
+    * exists exactly once. cv := 0 when every gap is zero (a burst key
+    * emitting 10+ events inside one second has mean 0, and 0/0 = NaN
+    * whose repr/ordering semantics differ across engines — the oracle
+    * carries the same guard).
+    */
+  private def beaconReadout(m: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mean = col("sg").cast("double") / col("n").cast("double")
+    val varr = (col("n").cast(dec) * col("sgg").cast(dec) -
+      col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    val cv = when(col("sg") === 0L, lit(0.0)).otherwise(sqrt(varr) / mean)
+    m.filter(col("n") >= 10)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        (round(mean, 4) + lit(0.0)).as("mean_gap_s"),
+        (round(cv, 4) + lit(0.0)).as("cv"),
+        (cv < 0.5).as("periodic"))
+  }
+
   /** Shared oracle for the batch and streamed beaconing detectors: the
     * gap multiset from the (user, ts, event_id)-ordered window, exact
-    * integer moments (HUGEINT-widened), pinned double CV chain.
+    * integer moments (HUGEINT-widened), pinned double CV chain with the
+    * zero-mean guard.
     */
   private def sqlBeaconing: String =
     """WITH g AS (SELECT user_id,
@@ -802,10 +809,12 @@ object AnalyticsQueries {
       |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
       |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
       |  round(CAST(sg AS DOUBLE) / n, 4) + 0.0 AS mean_gap_s,
-      |  round(sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-      |    / (CAST(sg AS DOUBLE) / n), 4) + 0.0 AS cv,
-      |  sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-      |    / (CAST(sg AS DOUBLE) / n) < 0.5 AS periodic
+      |  round(CASE WHEN sg = 0 THEN 0.0 ELSE
+      |    sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |      / (CAST(sg AS DOUBLE) / n) END, 4) + 0.0 AS cv,
+      |  (CASE WHEN sg = 0 THEN 0.0 ELSE
+      |    sqrt(CAST(n*sgg - sg*sg AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |      / (CAST(sg AS DOUBLE) / n) END) < 0.5 AS periodic
       |FROM m WHERE n >= 10""".stripMargin
 
   /** Shared oracle for the batch and streamed native session windows:
@@ -1352,13 +1361,14 @@ object AnalyticsQueries {
         |      WHERE topic IS NOT NULL GROUP BY 1, 2),
         |m AS (SELECT max(day) AS maxd FROM c),
         |w AS (SELECT topic,
-        |    n * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
+        |    CAST(n AS HUGEINT)
+        |      * (CAST(1 AS BIGINT) << (30 - CAST(maxd - day AS INTEGER))) AS w
         |  FROM c, m WHERE maxd - day <= 30),
-        |sc AS (SELECT topic, CAST(sum(w) AS BIGINT) AS score_u FROM w GROUP BY 1),
-        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS mass_u FROM w)
-        |SELECT topic, score_u,
+        |sc AS (SELECT topic, sum(w) AS score_u FROM w GROUP BY 1),
+        |tot AS (SELECT sum(w) AS mass_u FROM w)
+        |SELECT topic, CAST(score_u AS BIGINT) AS score_u,
         |  round(CAST(score_u AS DOUBLE) / 1073741824.0, 6) AS score
-        |FROM sc, tot WHERE score_u > mass_u // 49""".stripMargin,
+        |FROM sc, tot WHERE score_u * 49 > mass_u""".stripMargin,
 
     "q_hll_intersection" -> {
       import graft.functions.Hll

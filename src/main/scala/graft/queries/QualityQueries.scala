@@ -239,7 +239,11 @@ object QualityQueries {
       val rows = cells.groupBy("event_type").agg(sum(col("o")).as("rs"))
       val cols2 = cells.groupBy("wd").agg(sum(col("o")).as("cs"))
       val tot = cells.agg(sum(col("o")).as("t"))
-      val e = (col("rs") * col("cs")).cast("double") / col("t")
+      // marginal product as a DOUBLE product, not a Long one: rs·cs is
+      // ~ (n/|types|)·(n/7) and crosses 2^63 near 1.6e10 events — well
+      // inside the 100 TB posture. The double product rounds once,
+      // identically on both engines (oracle mirrors the cast order).
+      val e = col("rs").cast("double") * col("cs").cast("double") / col("t")
       val d = col("o").cast("double") - e
       val contrib = floor(lit(1000000.0) * d * d / e).cast("long")
       cells.join(broadcast(rows), "event_type").join(broadcast(cols2), "wd")
@@ -839,7 +843,7 @@ object QualityQueries {
         |w AS (SELECT wd, CAST(sum(o) AS BIGINT) AS cs FROM c GROUP BY 1),
         |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM c),
         |k AS (SELECT c.o,
-        |    CAST(r.rs * w.cs AS DOUBLE) / t.t AS e
+        |    CAST(r.rs AS DOUBLE) * CAST(w.cs AS DOUBLE) / t.t AS e
         |  FROM c JOIN r USING (event_type) JOIN w USING (wd) CROSS JOIN t),
         |u AS (SELECT CAST(floor(1000000.0 * (CAST(o AS DOUBLE) - e)
         |    * (CAST(o AS DOUBLE) - e) / e) AS BIGINT) AS cu FROM k)

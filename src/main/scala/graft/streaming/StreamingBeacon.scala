@@ -24,7 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 object StreamingBeacon {
 
   case class Ev(user_id: Long, t_us: Long, event_id: Long)
-  case class BeaconState(last: Long, n: Long, sg: Long, sgg: Long)
+  // explicit seen-flag, NOT a -1 timestamp sentinel: a magic negative
+  // `last` would conflate "no previous event" with valid pre-1970
+  // timestamps and silently skip their gaps — the engine keeps
+  // pre-epoch time in-discipline (see RangeJoin's exact floor division)
+  case class BeaconState(seen: Boolean, last: Long, n: Long, sg: Long, sgg: Long)
   case class BeaconRow(user_id: Long, n_gaps: Long, sg: Long, sgg: Long)
 
   def gaps(spark: SparkSession, events: DataFrame): Dataset[BeaconRow] = {
@@ -32,12 +36,12 @@ object StreamingBeacon {
 
     def fn(uid: Long, batch: Iterator[Ev],
            state: GroupState[BeaconState]): BeaconRow = {
-      var s = state.getOption.getOrElse(BeaconState(-1L, 0L, 0L, 0L))
+      var s = state.getOption.getOrElse(BeaconState(false, 0L, 0L, 0L, 0L))
       batch.toArray.sortBy(e => (e.t_us, e.event_id)).foreach { e =>
-        if (s.last >= 0) {
+        if (s.seen) {
           val g = (e.t_us - s.last) / 1000000L
-          s = BeaconState(e.t_us, s.n + 1L, s.sg + g, s.sgg + g * g)
-        } else s = s.copy(last = e.t_us)
+          s = BeaconState(seen = true, e.t_us, s.n + 1L, s.sg + g, s.sgg + g * g)
+        } else s = s.copy(seen = true, last = e.t_us)
       }
       state.update(s)
       BeaconRow(uid, s.n, s.sg, s.sgg)

@@ -44,16 +44,24 @@ object UpsertSink {
                    keyCol: String, orderCols: Seq[String],
                    nBuckets: Int = 16): Int = {
     require(orderCols.nonEmpty, "orderCols must order versions per key")
+    val nonEmptyBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
+        // a null key is malformed CDC input (decodeJson keeps records
+        // whose fields are null) — bucket it to the -1 sentinel and fail
+        // LOUDLY rather than NPE-ing the drain or silently merging a
+        // null-key state row
         val b = batch.withColumn("bucket",
-          pmod(col(keyCol), lit(nBuckets.toLong)))
+          coalesce(pmod(col(keyCol), lit(nBuckets.toLong)), lit(-1L)))
         val touched = b.select("bucket").distinct()
           .collect().map(_.getLong(0))
+        require(!touched.contains(-1L),
+          s"UpsertSink: null $keyCol in the change stream — upsert keys must be non-null")
         if (touched.nonEmpty) {
+          nonEmptyBatches.incrementAndGet()
           // Hadoop FS, not java.io.File: the state table lives wherever
           // the warehouse does (HDFS/S3 at scale; local disk here)
           val sp = new org.apache.hadoop.fs.Path(statePath)
@@ -85,6 +93,9 @@ object UpsertSink {
       throw new IllegalStateException(
         s"upsert drain to $statePath did not terminate within ${DrainTimeoutMs / 1000}s")
     }
-    q.recentProgress.count(_.numInputRows > 0)
+    // counted inside foreachBatch: recentProgress is a ring buffer
+    // (numRecentProgressUpdates, default 100) and would undercount a
+    // drain longer than its window
+    nonEmptyBatches.get()
   }
 }
