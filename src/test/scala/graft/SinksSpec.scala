@@ -65,6 +65,39 @@ class SinksSpec extends SparkSpec {
     assert(files("d1") === d1Before, "untouched partition was rewritten")
   }
 
+  test("refreshAdditive: a delta touching the NULL partition merges, not replaces") {
+    val path = java.nio.file.Files.createTempDirectory("graft_refresh_null_").toString
+    Seq((Option("d0"), "x", 2L), (Option.empty[String], "x", 5L))
+      .toDF("d", "k", "n")
+      .write.mode("overwrite").partitionBy("d").parquet(path)
+    Rollup.refreshAdditive(spark,
+      path, Seq((Option.empty[String], "x", 3L)).toDF("d", "k", "n"),
+      "d", keyCols = Seq("k"), sumCols = Seq("n"))
+    val got = spark.read.parquet(path).select("d", "n")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // null-partition state merged additively (5 + 3), d0 untouched
+    assert(got === Map(Option("d0") -> 2L, None -> 8L))
+  }
+
+  test("UpsertSink fails loudly on a null key instead of corrupting state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_null_").toString
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(new java.io.File(src, "b0.json").toPath,
+      """{"ver":1,"payload":"nokey"}""".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ver BIGINT, payload STRING")
+    val decoded = graft.streaming.KafkaSource.decodeJson(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.UpsertSink.availableNow(decoded,
+        s"$root/state", s"$root/ckpt", keyCol = "k", orderCols = Seq("ver"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("upsert keys must be non-null")), e)
+  }
+
   test("UpsertSink: latest-per-key state, bucket layout, multi-batch drain") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
     val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
