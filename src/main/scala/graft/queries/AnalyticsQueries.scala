@@ -597,6 +597,33 @@ object AnalyticsQueries {
           coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // Exponentially smoothed daily series (EWMA, half-life 1 day) — the
+    // q_trending_decay weights reported at EVERY day, not only the
+    // latest: each (type, day) count scatters onto the ≤31 report days
+    // it influences with dyadic integer weights (the invert-the-window
+    // trick — never a per-day backward scan), summed exactly. Weight
+    // sums widen through DECIMAL(38,0)/HUGEINT (the t22 discipline);
+    // the display cast documents the 2^63 bound.
+    "q_ts_ewma" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mx = byDay.agg(max(col("day")).as("maxd"))
+      byDay.withColumn("off", explode(sequence(lit(0), lit(30))))
+        .withColumn("rday", col("day") + col("off"))
+        .crossJoin(broadcast(mx))
+        .filter(col("rday") <= col("maxd"))
+        .withColumn("w", col("n").cast(dec) * expr("shiftleft(1L, 30 - off)"))
+        .groupBy(col("event_type"), col("rday").as("day"))
+        .agg(sum(col("w")).as("wsum"))
+        .select(col("event_type"), col("day"),
+          col("wsum").cast("long").as("ewma_u"),
+          round(col("wsum").cast("double") / lit(1073741824.0), 6)
+            .as("ewma"))
+    }),
+
     // Beaconing / periodicity detector — the reference's security-
     // analytics domain (regular-interval callbacks stand out by LOW
     // inter-arrival variance): per user, second-granularity gaps from
@@ -1335,6 +1362,18 @@ object AnalyticsQueries {
         |SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
         |FROM grid g LEFT JOIN d ON d.event_type = g.event_type
         |  AND d.day = g.day""".stripMargin,
+
+    "q_ts_ewma" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(day) AS maxd FROM d),
+        |sc AS (SELECT event_type, day + i AS rday,
+        |    CAST(n AS HUGEINT) * (CAST(1 AS BIGINT) << (30 - i)) AS w
+        |  FROM d, unnest(generate_series(0, 30)) AS t(i), m
+        |  WHERE day + i <= maxd)
+        |SELECT event_type, rday AS day, CAST(sum(w) AS BIGINT) AS ewma_u,
+        |  round(CAST(sum(w) AS DOUBLE) / 1073741824.0, 6) AS ewma
+        |FROM sc GROUP BY 1, 2""".stripMargin,
 
     "q_sec_beaconing" -> sqlBeaconing,
 
