@@ -261,15 +261,25 @@ object Profiling {
     val dim = sums.size
     require(dim <= 64, s"pcaTopComponent: dim=$dim exceeds the 2^50 " +
       "overflow headroom bound (64)")
-    val a = Array.ofDim[Long](dim, dim)
+    // A = n·S_ij − S_i·S_j is assembled in BigInt: in raw Long the
+    // n·S_ij product wraps silently once n exceeds ~2.3e6 vectors
+    // (n²·|q|²_max > 2^63 at |q| ≤ ~1300 milli-units), while the DuckDB
+    // oracle's checked BIGINT would error. BigInt is exact at any n —
+    // dim² driver-side entries, config-scale cost — and BigInt `/`
+    // truncates toward zero exactly like the Long division it replaces,
+    // so fixture hashes are unchanged. Post-shift entries fit 2^24 and
+    // the Long iteration headroom argument below takes over.
+    val aBig = Array.ofDim[BigInt](dim, dim)
     pairRows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val v = n * r.getAs[Long]("sij") - sums(i) * sums(j)
-      a(i)(j) = v; a(j)(i) = v
+      val v = BigInt(n) * BigInt(r.getAs[Long]("sij")) -
+        BigInt(sums(i)) * BigInt(sums(j))
+      aBig(i)(j) = v; aBig(j)(i) = v
     }
-    val m0 = a.iterator.flatten.map(math.abs).max
-    val shift = math.max(0, java.lang.Long.toBinaryString(m0).length - 24)
-    for (i <- 0 until dim; j <- 0 until dim) a(i)(j) = a(i)(j) / (1L << shift)
+    val m0 = aBig.iterator.flatten.map(_.abs).max
+    val shift = math.max(0, m0.bitLength - 24)
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      (aBig(i)(j) / (BigInt(1) << shift)).toLong)
     var v = Array.fill(dim)(1000000L)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dim) { i =>

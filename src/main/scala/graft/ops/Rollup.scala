@@ -102,7 +102,7 @@ object Rollup {
   /** Incremental ADDITIVE refresh of a partitioned rollup store — the
     * batch-ETL maintenance shape (nightly delta loads into a day-keyed
     * aggregate table; the reference's pipeline gets this from
-    * SummingMergeTree's background merge, clickhouse/clickhouse.py:35-49;
+    * SummingMergeTree's background merge, clickhouse/clickhouse.py:70-81;
     * this is the engine-native equivalent for plain parquet):
     *
     *  1. aggregate the delta batch to the store's grain;

@@ -569,9 +569,15 @@ object AnalyticsQueries {
         sum(col("y")).as("sy"),
         sum(col("day") * col("day")).as("sxx"),
         sum(col("day") * col("y")).as("sxy"))
-      val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
-        .cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      // A series spanning exactly one distinct day has zero x-variance:
+      // n*sxx - sx*sx = 0, where Spark's double division yields NaN but
+      // DuckDB returns NULL. Guard the degenerate fit on BOTH sides
+      // (slope 0, intercept = mean) so the oracle contract holds on any
+      // input, not just fixtures that happen to span multiple days.
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = when(den === 0, lit(0.0)).otherwise(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double"))
       m.select(col("event_type"), col("n").as("n_days"),
         (round(slope, 6) + lit(0.0)).as("slope"),
         (round((col("sy").cast("double") - slope * col("sx").cast("double"))
@@ -1343,14 +1349,17 @@ object AnalyticsQueries {
         |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(day * day) AS BIGINT) AS sxx,
         |    CAST(sum(day * y) AS BIGINT) AS sxy
-        |  FROM d GROUP BY 1)
+        |  FROM d GROUP BY 1),
+        |s AS (SELECT event_type, n, sx, sy,
+        |    CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+        |         ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+        |           / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope_raw
+        |  FROM m)
         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
-        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS slope,
-        |  round((CAST(sy AS DOUBLE)
-        |    - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0.0 AS intercept
-        |FROM m""".stripMargin,
+        |  round(slope_raw, 6) + 0.0 AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 4) + 0.0 AS intercept
+        |FROM s""".stripMargin,
 
     "q_ts_gapfill" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -7,9 +7,11 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Streaming UPSERT sink: maintains a compacted latest-per-key state
   * table under `statePath` from a change stream — the Delta-style
-  * CDC-apply deployment shape (reference sibling: the rollup rows its
-  * pipeline upserts into ClickHouse via ReplacingMergeTree semantics,
-  * clickhouse/main.py:61-78), built on plain checkpointed parquet.
+  * CDC-apply deployment shape, built on plain checkpointed parquet.
+  * (The reference's nearest sibling is its continuous insert loop into a
+  * ClickHouse MergeTree-family table, clickhouse/clickhouse.py:60-81;
+  * latest-per-key merge-on-write is an ANALOGY to that warehouse's
+  * background-merge model, not a behavior the reference itself ships.)
   *
   * Mechanics per micro-batch (`foreachBatch`):
   *  1. incoming rows are hash-bucketed on the key (`pmod(key, nBuckets)`
@@ -25,12 +27,19 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * buckets and the rewrite is bounded. The compaction window partitions
   * by key (bucket-local, never global). `localCheckpoint` materializes
   * the merge BEFORE the overwrite commits, so the job never scans the
-  * files it is replacing mid-write. Exactly-once: re-running a batch
-  * after a crash re-merges the same rows into the same buckets — the
-  * merge is idempotent (latest-per-key of an already-applied batch is a
-  * no-op), which is the foreachBatch idempotency contract. At warehouse
-  * scale the same loop runs against a transactional table format; the
-  * bucket-pruned merge is the part that must hold either way.
+  * files it is replacing mid-write. Replay safety: re-running a batch
+  * after a crash OUTSIDE the overwrite commit window re-merges the same
+  * rows into the same buckets — the merge is idempotent (latest-per-key
+  * of an already-applied batch is a no-op), the foreachBatch contract.
+  * The commit window itself is NOT atomic on plain parquet: dynamic
+  * partition overwrite deletes a touched bucket's old files before the
+  * new ones commit, so a crash inside that window can lose that bucket's
+  * accumulated state, and replay then merges against the damaged bucket.
+  * Exactly-once across arbitrary crash points therefore requires a
+  * transactional table format (or staging the merged bucket to a temp
+  * path and swapping); at warehouse scale the same loop runs against
+  * such a format, and the bucket-pruned merge is the part that must hold
+  * either way.
   *
   * Ties on `orderCols` must be impossible by construction (callers
   * include a unique id as the last order column) — otherwise
