@@ -559,19 +559,25 @@ object PipelineQueries {
     // the price of candidates staying linear).
     "q_sim_knn_graph" -> ((s, dir) => knnGraphDf(s, dir)),
 
+    // MATERIALIZED kNN edge artifact (see [[knnEdgesArtifact]]): the
+    // one-per-snapshot ANN-graph build, exposed as the edge table its
+    // consumers join. Oracle = the full kNN derivation replayed in SQL,
+    // folded to undirected distinct pairs — proving the artifact IS the
+    // graph, not a cache of convenience.
+    "q_knn_edges_materialized" -> ((s, dir) =>
+      s.read.parquet(knnEdgesArtifact(s, dir))),
+
     // Triangle counting over the kNN graph — the third classic graph
     // kernel beside PageRank and connected components (local clustering /
-    // community signal over the ANN neighborhood structure). Edges are
-    // the undirected kNN pairs; the node-iterator join is degree-bounded:
-    // k neighbors per vector ⇒ |edges| ≤ kN and the wedge join ≤ k²N —
-    // triangle counting on a bounded-degree graph is linear in the
-    // corpus, never the |V|³ of the dense form.
+    // community signal over the ANN neighborhood structure). Edges come
+    // from the MATERIALIZED artifact (undirected distinct kNN pairs,
+    // [[knnEdgesArtifact]]) — the kernel never touches raw vectors. The
+    // node-iterator join is degree-bounded: k neighbors per vector ⇒
+    // |edges| ≤ kN and the wedge join ≤ k²N — triangle counting on a
+    // bounded-degree graph is linear in the corpus, never the |V|³ of
+    // the dense form.
     "q_graph_triangles" -> ((s, dir) => {
-      val e = CacheRegistry.persist(knnGraphDf(s, dir)
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(least(col("query_id"), col("cand_id")).as("a"),
-          greatest(col("query_id"), col("cand_id")).as("b"))
-        .distinct())
+      val e = CacheRegistry.persist(s.read.parquet(knnEdgesArtifact(s, dir)))
       val tri = e.join(e.toDF("b", "c"), "b").join(e.toDF("a", "c"), Seq("a", "c"))
       tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -682,13 +688,10 @@ object PipelineQueries {
     // closes on itself): coef(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), top-20
     // by the rounded coefficient. Same degree-bounded wedge joins; the
     // per-node triangle count is three projections of the one triangle
-    // table.
+    // table. Edges come from the materialized artifact
+    // ([[knnEdgesArtifact]]) — no per-kernel ANN rebuild.
     "q_graph_clustering_coef" -> ((s, dir) => {
-      val e = CacheRegistry.persist(knnGraphDf(s, dir)
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(least(col("query_id"), col("cand_id")).as("a"),
-          greatest(col("query_id"), col("cand_id")).as("b"))
-        .distinct())
+      val e = CacheRegistry.persist(s.read.parquet(knnEdgesArtifact(s, dir)))
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -972,6 +975,35 @@ object PipelineQueries {
     Similarity.knnGraph(em, "vec_id", "embedding", cents.toSeq,
       k = 3, nprobe = 2)
   }
+
+  private val knnEdgePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** MATERIALIZED kNN edge set — the graph-family sibling of
+    * [[DocQueries.dedupLabelsArtifact]]: the expensive derivation
+    * (k-means training + IVF-pruned top-3 cosine self-join,
+    * [[knnGraphDf]]) runs ONCE per corpus snapshot and lands as an
+    * undirected, deduplicated `(a, b)` parquet edge table; every graph
+    * kernel (triangles, clustering coefficient, and any future
+    * label-propagation/community pass) joins the edge artifact instead
+    * of rebuilding the ANN graph from raw vectors. Degree is bounded by
+    * construction (k=3 neighbors per query vertex ⇒ |E| ≤ kN), so the
+    * artifact is corpus-linear and the consumers' wedge joins stay ≤ k²N.
+    * At 100 TB this is one ANN-graph job per snapshot instead of one per
+    * kernel — the same materialize-once deployment shape as the dedup
+    * label table.
+    */
+  private[graft] def knnEdgesArtifact(s: SparkSession, dir: String): String =
+    knnEdgePaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_knn_edges_").toString + "/edges"
+      knnGraphDf(s, dir)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(least(col("query_id"), col("cand_id")).as("a"),
+          greatest(col("query_id"), col("cand_id")).as("b"))
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 
   private val streamCmsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def streamedCountMinRegs(s: SparkSession, dir: String): DataFrame = {
@@ -1627,6 +1659,14 @@ object PipelineQueries {
     // same CTE chain as q_sim_ivf_trained with the query restriction
     // dropped: every vector ranks its probed-cell candidates
     "q_sim_knn_graph" -> sqlKnnGraph,
+
+    // the artifact IS the undirected distinct fold of the full kNN
+    // derivation — same CTE chain as q_sim_knn_graph, edges only
+    "q_knn_edges_materialized" ->
+      ("""WITH g AS (SELECT * FROM (""" + sqlKnnGraph + """) t)
+        |SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id""".stripMargin),
 
     // edges = the undirected kNN pairs (the q_sim_knn_graph oracle as a
     // derived table), then the a<b<c wedge-close join

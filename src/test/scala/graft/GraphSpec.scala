@@ -66,4 +66,26 @@ class GraphSpec extends SparkSpec {
     // leaves get no in-mass: exactly the teleport base after any round
     assert(got(1L) === 150000L)
   }
+
+  test("materialized kNN edges: graph-kernel plans are ANN-build-free") {
+    // the materialize-once contract: triangles / clustering-coef consume
+    // the parquet edge artifact — no k-means training, no embedding scan,
+    // no cosine scoring machinery anywhere in the consumer plan
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_graph_triangles", "q_graph_clustering_coef")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_knn_edges_"), s"$q: $plan")
+      assert(!plan.contains("embeddings"), s"$q: $plan")
+      assert(!plan.toLowerCase.contains("aggregate_dot"), s"$q: $plan")
+      graft.ops.CacheRegistry.drain()
+    }
+    // and the artifact is edge-shaped: undirected (a < b), deduplicated
+    val e = spark.read.parquet(
+      graft.queries.PipelineQueries.knnEdgesArtifact(spark, sf))
+    assert(e.columns.toSeq === Seq("a", "b"))
+    import org.apache.spark.sql.functions.col
+    assert(e.filter(col("a") >= col("b")).count() === 0)
+    assert(e.distinct().count() === e.count())
+  }
 }
