@@ -485,26 +485,6 @@ object TextAnalysis {
   val sqlSetFingerprint =
     s"md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))"
 
-  /** SPARSE cosine top-k via an inverted index — the IR-shaped sibling of
-    * the dense ANN family: documents as tf-idf term vectors, similarity
-    * scored through a posting-list equi-join on shared terms (two docs
-    * sharing no term contribute nothing, which is exactly what the join
-    * skips), never an all-pairs product. The classic sparse
-    * retrieval trade at 100 TB:
-    *  - posting fanout is bounded by the corpus-relative STOP-TERM guard
-    *    (`df <= max(5, frac·n_docs)` — the stop-shingle rule; a term in
-    *    every document would otherwise contribute O(n²) join rows);
-    *  - weights are INTEGERS (`tf · (10⁶ div df)`, the q_txt_tfidf
-    *    idf surrogate) so partial dot products merge exactly and the
-    *    oracle reproduces every cosine bit for bit;
-    *  - per-(query, doc) dot products aggregate with map-side partials,
-    *    then one window ranks each query's candidates.
-    *
-    * `isQuery` marks the query rows (they remain candidates for other
-    * queries; self-matches are excluded). Returns
-    * (qid, rnk, did, cos) — cosine over the integer weight vectors,
-    * rounded to 4dp.
-    */
   /** BM25 top-k retrieval (Robertson–Spärck Jones, the Lucene idf form)
     * over the same inverted-index shape as [[sparseCosineTopK]]:
     * score(q,d) = Σ_{t∈q∩d} idf_t · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)),
@@ -521,25 +501,56 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                isQuery: Column, k: Int,
                stopTermFrac: Double = 0.02): DataFrame = {
-    // ONE tokenize pass: tf is persisted (it feeds doc lengths, the df
-    // aggregate, and the posting build), and len = Σtf per doc rather
-    // than a second scan of the raw token stream
+    val (postings, doclen) = irIndex(df, idCol, textCol, isQuery, stopTermFrac)
+    bm25FromIndex(postings, doclen, k)
+  }
+
+  /** Shared inverted-index build for the sparse-retrieval family — the
+    * part of [[bm25TopK]] / [[sparseCosineTopK]] that is corpus-priced
+    * and identical between them, split out so a deployment can run it
+    * ONCE per snapshot and land it as a parquet artifact (the
+    * materialize-once shape; see `q_ir_index_materialized`). Returns
+    *  - `postings` (id, isq, token, tf, df): per-(doc, term) frequencies
+    *    joined with term document-frequency, stop-capped
+    *    (`df ≤ max(5, frac·n_docs)` — a universal term is O(n²) join
+    *    rows regardless of idf down-weighting);
+    *  - `doclen` (id, len): per-doc token counts PRE-stop-cap (BM25's
+    *    length normalization is over the raw document, not the kept
+    *    postings).
+    * One tokenize pass feeds both: tf is persisted, len = Σtf per doc.
+    * Tokens are 64-bit-hashed BEFORE anything shuffles (the substringRuns
+    * lesson: string agg/join keys are a hidden cache-pressure trap at
+    * scale; 8-byte keys restore it). A collision merging two terms is the
+    * canonical hashed-vocabulary trade — it only perturbs a score if the
+    * merged terms co-occur in scored pairs. The hash sits in the Project
+    * ABOVE the explode Generate (the Generate/CollapseProject trap).
+    */
+  def irIndex(df: DataFrame, idCol: String, textCol: String,
+              isQuery: Column, stopTermFrac: Double = 0.02)
+      : (DataFrame, DataFrame) = {
     val tf = CacheRegistry.persist(
       df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
           explode(tokens(col(textCol))).as("tok"))
         .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
         .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf")))
-    val len = tf.groupBy("id").agg(sum(col("tf")).as("len"))
-    val stats = len.agg(count(lit(1)).as("__n"),
-      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
-        .as("__avgdl"))
+    val doclen = tf.groupBy("id").agg(sum(col("tf")).as("len"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val cap = df.select(
       greatest(lit(5.0), count(lit(1)) * lit(stopTermFrac)).as("__cap"))
     val kept = dfreq.crossJoin(broadcast(cap))
       .filter(col("df") <= col("__cap")).select("token", "df")
-    val post = CacheRegistry.persist(tf.join(kept, "token")
-      .join(len, "id").crossJoin(broadcast(stats)))
+    (tf.join(kept, "token").select("id", "isq", "token", "tf", "df"), doclen)
+  }
+
+  /** BM25 scoring over a prebuilt [[irIndex]] — tokenization-free: the
+    * consumer's plan starts at the (postings, doclen) tables. */
+  def bm25FromIndex(postings: DataFrame, doclen: DataFrame, k: Int)
+      : DataFrame = {
+    val stats = doclen.agg(count(lit(1)).as("__n"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+    val post = CacheRegistry.persist(postings
+      .join(doclen, "id").crossJoin(broadcast(stats)))
     val qside = post.filter(col("isq"))
       .select(col("id").as("qid"), col("token"))
     val dside = post.select(col("id").as("did"), col("token"), col("tf"),
@@ -561,29 +572,38 @@ object TextAnalysis {
         round(col("sq").cast("double") / lit(1e6), 4).as("bm25"))
   }
 
+  /** SPARSE cosine top-k via an inverted index — the IR-shaped sibling of
+    * the dense ANN family: documents as tf-idf term vectors, similarity
+    * scored through a posting-list equi-join on shared terms (two docs
+    * sharing no term contribute nothing, which is exactly what the join
+    * skips), never an all-pairs product. The classic sparse
+    * retrieval trade at 100 TB:
+    *  - posting fanout is bounded by the corpus-relative STOP-TERM guard
+    *    (`df <= max(5, frac·n_docs)` — the stop-shingle rule; a term in
+    *    every document would otherwise contribute O(n²) join rows);
+    *  - weights are INTEGERS (`tf · (10⁶ div df)`, the q_txt_tfidf
+    *    idf surrogate) so partial dot products merge exactly and the
+    *    oracle reproduces every cosine bit for bit;
+    *  - per-(query, doc) dot products aggregate with map-side partials,
+    *    then one window ranks each query's candidates.
+    *
+    * `isQuery` marks the query rows (they remain candidates for other
+    * queries; self-matches are excluded). Returns
+    * (qid, rnk, did, cos) — cosine over the integer weight vectors,
+    * rounded to 4dp.
+    */
   def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
                        isQuery: Column, k: Int,
                        stopTermFrac: Double = 0.02): DataFrame = {
-    // Tokens are 64-bit-hashed BEFORE anything shuffles (the substringRuns
-    // lesson: string agg/join keys are a hidden cache-pressure trap at
-    // scale; 8-byte keys restore it). A collision merging two terms is the
-    // canonical hashed-vocabulary trade — it only perturbs a cosine if the
-    // merged terms co-occur in scored pairs. The hash sits in the Project
-    // ABOVE the explode Generate (the Generate/CollapseProject trap).
-    // tf feeds BOTH the df aggregate and the posting build — persist or
-    // the corpus tokenize+groupBy runs twice
-    val tf = CacheRegistry.persist(
-      df.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
-          explode(tokens(col(textCol))).as("tok"))
-        .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
-        .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf")))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val cap = df.select(
-      greatest(lit(5.0), count(lit(1)) * lit(stopTermFrac)).as("__cap"))
-    val kept = dfreq.crossJoin(broadcast(cap))
-      .filter(col("df") <= col("__cap")).select("token", "df")
+    val (postings, _) = irIndex(df, idCol, textCol, isQuery, stopTermFrac)
+    sparseCosineFromIndex(postings, k)
+  }
+
+  /** Sparse-cosine scoring over a prebuilt [[irIndex]] postings table —
+    * tokenization-free (see [[bm25FromIndex]]). */
+  def sparseCosineFromIndex(postings: DataFrame, k: Int): DataFrame = {
     // posting list feeds three branches (norms + both join sides)
-    val post = CacheRegistry.persist(tf.join(kept, "token")
+    val post = CacheRegistry.persist(postings
       .withColumn("w", col("tf") * expr("1000000 div df"))
       .select("id", "isq", "token", "w"))
     val norms = post.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))

@@ -738,28 +738,40 @@ object PipelineQueries {
         .select(col("x"), col("y"), col("cxy"), col("pmi"))
     }),
 
+    // MATERIALIZED inverted index (see [[irIndexArtifact]]): exposed as
+    // a per-doc census over the landed tables — n_terms/kept_tf pin the
+    // postings + stop-cap, sum_w pins every (tf, df) pair through the
+    // integer tf-idf weight, len pins the doclen table. The oracle
+    // replays the whole build relationally, so the artifact is proven
+    // equal to the derivation, not just present.
+    "q_ir_index_materialized" -> ((s, dir) => {
+      val root = irIndexArtifact(s, dir)
+      s.read.parquet(root + "/postings")
+        .withColumn("w", col("tf") * expr("1000000 div df"))
+        .groupBy("id", "isq")
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("kept_tf"),
+          sum(col("w")).as("sum_w"))
+        .join(s.read.parquet(root + "/doclen"), "id")
+    }),
+
     // BM25 retrieval — the standard IR ranking over the same inverted
     // index and planted-signal fixture as q_sim_sparse_cosine; per-term
     // contributions floor-quantized to integer micros so the distributed
     // sum is order-free and the oracle replays every score bit for bit.
+    // Scores off the MATERIALIZED index ([[irIndexArtifact]]) —
+    // tokenization-free consumer plan.
     "q_sim_bm25" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          lit(" topic"), (col("doc_id") % 40).cast("string"),
-          lit(" topic"), (col("doc_id") % 40).cast("string"),
-          lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
-      TA.bm25TopK(docs, "doc_id", "text",
-        isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05)
+      val root = irIndexArtifact(s, dir)
+      TA.bm25FromIndex(s.read.parquet(root + "/postings"),
+        s.read.parquet(root + "/doclen"), k = 5)
     }),
 
+    // Sparse tf-idf cosine — scores off the MATERIALIZED index
+    // ([[irIndexArtifact]]); the build-from-raw path stays exercised by
+    // TA.sparseCosineTopK's spec and the Recall harness.
     "q_sim_sparse_cosine" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          lit(" topic"), (col("doc_id") % 40).cast("string"),
-          lit(" topic"), (col("doc_id") % 40).cast("string"),
-          lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
-      TA.sparseCosineTopK(docs, "doc_id", "text",
-        isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05)
+      val root = irIndexArtifact(s, dir)
+      TA.sparseCosineFromIndex(s.read.parquet(root + "/postings"), k = 5)
     }),
 
     // ---- vocabulary ----
@@ -1003,6 +1015,38 @@ object PipelineQueries {
         .distinct()
         .write.mode("overwrite").parquet(out)
       out
+    })
+
+  /** The planted-signal retrieval fixture shared by the sparse IR family
+    * (see q_sim_sparse_cosine's scaladoc for why signals are planted). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" topic"), (col("doc_id") % 40).cast("string"),
+        lit(" topic"), (col("doc_id") % 40).cast("string"),
+        lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
+
+  private val irIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** MATERIALIZED inverted index — the IR-family materialize-once
+    * artifact: the corpus-priced build (tokenize → hash → tf → df →
+    * stop-cap, [[TA.irIndex]]) runs ONCE per snapshot and lands as two
+    * parquet tables, `postings` (id, isq, token, tf, df) and `doclen`
+    * (id, len); both sparse retrieval consumers (tf-idf cosine, BM25)
+    * score straight off the tables — no per-query tokenization. At
+    * 100 TB the index is the expensive part (a full corpus scan +
+    * vocabulary aggregate); scoring is posting-join-sized. Returns the
+    * artifact ROOT (two subdirs).
+    */
+  private[graft] def irIndexArtifact(s: SparkSession, dir: String): String =
+    irIndexPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ir_index_").toString
+      val (postings, doclen) = TA.irIndex(plantedDocs(s, dir),
+        "doc_id", "text", isQuery = col("doc_id") < 20, stopTermFrac = 0.05)
+      postings.write.mode("overwrite").parquet(root + "/postings")
+      doclen.write.mode("overwrite").parquet(root + "/doclen")
+      root
     })
 
   private val streamCmsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1795,6 +1839,30 @@ object PipelineQueries {
         |      / (CAST(cxa AS DOUBLE) * CAST(cyb AS DOUBLE))), 6) + 0.0 AS pmi
         |  FROM p, n) t
         |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
+
+    // replay of the whole index build (tokenize → tf → df → stop-cap →
+    // postings + doclen) folded per doc; sum_w pins each (tf, df) pair
+    // through the integer tf-idf weight
+    "q_ir_index_materialized" ->
+      """WITH docs AS (SELECT doc_id,
+        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT token, df FROM dfreq
+        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+        |census AS (SELECT t.doc_id, count(*) AS n_terms,
+        |    CAST(sum(t.tf) AS BIGINT) AS kept_tf,
+        |    CAST(sum(t.tf * (1000000 // k.df)) AS BIGINT) AS sum_w
+        |  FROM tf t JOIN kept k USING (token) GROUP BY 1)
+        |SELECT c.doc_id AS id, c.doc_id < 20 AS isq, c.n_terms, c.kept_tf,
+        |  c.sum_w, l.len
+        |FROM census c JOIN len l USING (doc_id)""".stripMargin,
 
     "q_sim_bm25" ->
       """WITH docs AS (SELECT doc_id,

@@ -196,4 +196,35 @@ class TextAnalysisSpec extends SparkSpec {
     graft.ops.CacheRegistry.drain()
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("materialized IR index: consumer plans are tokenization-free") {
+    // the materialize-once contract for the sparse retrieval family:
+    // BM25 / sparse-cosine score off the parquet (postings, doclen)
+    // artifact — no explode/Generate, no xxhash64 of raw tokens, no
+    // documents scan anywhere in the consumer plan
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_sim_bm25", "q_sim_sparse_cosine")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_ir_index_"), s"$q: $plan")
+      assert(!plan.contains("Generate"), s"$q: $plan")
+      assert(!plan.contains("documents"), s"$q: $plan")
+      graft.ops.CacheRegistry.drain()
+    }
+    // index-scored results == build-from-raw results (same fixture)
+    val root = graft.queries.PipelineQueries.irIndexArtifact(spark, sf)
+    val fromIdx = TA.bm25FromIndex(spark.read.parquet(root + "/postings"),
+      spark.read.parquet(root + "/doclen"), k = 5).collect().toSet
+    graft.ops.CacheRegistry.drain()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.{concat, lit}
+    val planted = docs.select(col("doc_id"), concat(col("text"),
+      lit(" topic"), (col("doc_id") % 40).cast("string"),
+      lit(" topic"), (col("doc_id") % 40).cast("string"),
+      lit(" ent"), (col("doc_id") % 200).cast("string")).as("text"))
+    val fromRaw = TA.bm25TopK(planted, "doc_id", "text",
+      isQuery = col("doc_id") < 20, k = 5, stopTermFrac = 0.05).collect().toSet
+    graft.ops.CacheRegistry.drain()
+    assert(fromIdx === fromRaw)
+  }
 }
