@@ -1157,7 +1157,12 @@ object AnalyticsQueries {
         "user_id BIGINT, t_us BIGINT, event_id BIGINT")
       val decoded = graft.streaming.KafkaSource.decodeJson(
         s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
-      val rows = graft.streaming.StreamingBeacon.gaps(s, decoded)
+      // idle-TTL sized past the fixture topic's span (the detection
+      // window here is the whole topic): state stays bounded by contract,
+      // nothing expires mid-stream, oracle unchanged. The expiry path is
+      // pinned in StreamingTtlSpec on a short-horizon fixture.
+      val rows = graft.streaming.StreamingBeacon.gaps(s, decoded,
+        idleHorizonUs = 365L * 86400000000L)
       graft.streaming.Landing.availableNow(rows.toDF(), sink, ckpt,
         org.apache.spark.sql.streaming.OutputMode.Update)
       sink
@@ -1250,8 +1255,13 @@ object AnalyticsQueries {
         "user_id BIGINT, event_type STRING, t_us BIGINT")
       val decoded = graft.streaming.KafkaSource.decodeJson(
         s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      // idle-TTL sized past the fixture topic's span (the batch oracle
+      // analyzes the whole topic as one funnel window, so the retention
+      // horizon must cover it): state bounded by contract, nothing
+      // expires mid-stream. Expiry is pinned in StreamingTtlSpec.
       val stages = graft.streaming.StreamingFunnel
-        .funnel(s, decoded, windowUs = 86400000000L)
+        .funnel(s, decoded, windowUs = 86400000000L,
+          idleHorizonUs = 365L * 86400000000L)
       graft.streaming.Landing.availableNow(stages.toDF(), sink, ckpt,
         org.apache.spark.sql.streaming.OutputMode.Update)
       sink
