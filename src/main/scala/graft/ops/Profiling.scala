@@ -501,157 +501,192 @@ object Profiling {
       .agg(count(lit(1)).as("n_bins"), round(max(col("__d")), 6).as("ks"))
   }
 
-  /** Exact k-th smallest (k = (n+1) div 2 → lower median) WITHOUT a
-    * global sort — the 100 TB shape for exact order statistics: a global
-    * `ORDER BY` is one task at the limit, and `percentile` holds a
-    * per-group value buffer. Two passes instead:
-    *   1. one binning aggregate (nBins counts to the driver —
-    *      config-scale metadata, the deriveBlocks pattern) locates the
-    *      bin containing the k-th value and the residual rank r within
-    *      it;
-    *   2. one filtered scan of ONLY that bin, grouped by exact value
-    *      (duplicates collapse, so the ordered window runs over the
-    *      bin's DISTINCT values — bounded by bin granularity, not rows),
-    *      picking the first value whose cumulative count reaches r.
-    * Returns one row (n, median) — the picked value is exact, no
-    * floating arithmetic touches it. All-equal columns short-circuit at
-    * the zero-width guard.
-    *
-    * The hit bin is RECURSED once before the ordered pick: a second
-    * config-scale binning round splits the hit bin into `nBins` sub-bins
-    * and relocates the residual rank, so the final cumulative window runs
-    * over the DISTINCT values of one sub-bin — n/nBins² rows in
-    * expectation (single-digit at 100 TB with nBins=1024), vs n/nBins for
-    * the one-level form, whose window was the suite's one remaining
-    * single-task straggler shape under a skewed bin. The window is
-    * partitioned by the sub-bin key (constant on the filtered set but
-    * structurally partitioned — no unpartitioned WindowExec in the plan;
-    * pinned in ProfilingSpec). Both binning rounds are monotone in the
-    * value (floor and clamp are monotone), so the driver's sorted-key
-    * rank walk matches the engine's assignment bit for bit regardless of
-    * float rounding at bin edges.
+  /** Exact k-th smallest (k = (n+1) div 2 → lower median, equal to the
+    * (n−1)p index at p = 0.5) WITHOUT a global sort — the single-group
+    * form of [[exactQuantilesBinnedGrouped]]. Returns one row
+    * (n, median); the picked value is exact, no floating arithmetic
+    * touches it.
     */
   def exactMedianBinned(df: DataFrame, value: Column,
-                        nBins: Int = 1024): DataFrame = {
-    val v = value.cast("double")
-    val base = df.select(v.as("__v")).filter(col("__v").isNotNull)
-    val st = base.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"),
-      count(lit(1)).as("n")).head()
-    val (mn, mx, n) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
-    require(n > 0, "exactMedianBinned: empty input")
-    val k = (n + 1) / 2
-    val spark = df.sparkSession
-    import spark.implicits._
-    if (mn == mx) return Seq((n, mn)).toDF("n", "median")
-    val w = (mx - mn) / nBins.toDouble
-    val binOf = least(floor((col("__v") - lit(mn)) / lit(w)).cast("long"),
-      lit(nBins - 1L))
-    // Round 1: locate the bin holding the k-th value and the residual
-    // rank r within it (nBins counts to the driver — config-scale).
-    def locate(counts: Array[(Long, Long)], target: Long): (Long, Long) = {
-      var cum = 0L; var hit = -1L; var r = 0L
-      counts.foreach { case (b, c) =>
-        if (hit < 0 && cum + c >= target) { hit = b; r = target - cum }
-        cum += c
-      }
-      (hit, r)
-    }
-    val binCounts = base.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val (hit, r) = locate(binCounts, k)
-    // Round 2: recurse the binning inside the hit bin. lo is the hit
-    // bin's nominal lower edge; clamp keeps edge-rounded values monotone.
-    val lo = mn + hit * w
-    val w2 = w / nBins.toDouble
-    val inHit = base.filter(binOf === lit(hit))
-    val subOf = greatest(lit(0L),
-      least(floor((col("__v") - lit(lo)) / lit(w2)).cast("long"),
-        lit(nBins - 1L)))
-    val subCounts = inHit.groupBy(subOf.as("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val (hit2, r2) = locate(subCounts, r)
-    val cw = Window.partitionBy("__b2").orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    inHit.withColumn("__b2", subOf)
-      .filter(col("__b2") === lit(hit2))
-      .groupBy("__b2", "__v").agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(cw))
-      .filter(col("__cum") >= r2)
-      .agg(min(col("__v")).as("median"))
-      .select(lit(n).as("n"), col("median"))
+                        nBins: Int = 1024): DataFrame =
+    exactQuantilesBinnedGrouped(df, lit("all"), value, Seq(50), nBins)
+      .select(col("n"), col("value").as("median"))
+
+  /** The exact MONOTONE fixed-point fold the one-pass grouped quantile
+    * keys on — a piecewise power-of-two scale (both branches are exact
+    * in binary floating point: only the exponent moves) mapped to Long:
+    *
+    *   |v| < 2^41 : x = floor(v·2^20)                     (|x| < 2^61)
+    *   else       : x = sign(v)·(2^61 + min(floor(|v|·2^−20), 2^61))
+    *
+    * Monotone across the seam (±2^61 < ±(2^61 + 2^21)) and exact up to
+    * |v| = 2^81 ≈ 2.4e24 — past any epoch-nanos or cents magnitude the
+    * engine carries; beyond that values saturate at ±2^62 (one shared
+    * cell — still correct, only the pick window widens). Values
+    * differing by < 2^−20 (or < 2^20 on the wide branch) collapse into
+    * one x — harmless: x never decides the result, it only bounds the
+    * final pick window, which runs over DISTINCT exact `__v` values.
+    */
+  private def xOf(v: Column): Column = {
+    val wide = (lit(1L << 61) +
+      least(floor(abs(v) / lit(1048576.0)).cast("long"), lit(1L << 61))) *
+      when(v < 0.0, lit(-1L)).otherwise(lit(1L))
+    when(abs(v) < lit(2199023255552.0) /* 2^41 */,
+      floor(v * lit(1048576.0)).cast("long")).otherwise(wide)
   }
 
-  /** Grouped generalization of [[exactMedianBinned]]: exact order
-    * statistics (k = floor(q·(n−1)) + 1, the (n−1)p index rule) for
-    * several quantiles per group, still without sorting any group — the
-    * per-group `percentile`/sort forms hold a group's values in one task
-    * at 100 TB. Pass 1: per-(group, bin) counts (groups × nBins rows to
-    * the driver — config-scale metadata). Driver: locate each (group, q)
-    * target's bin and residual rank. Pass 2: ONE scan filtered to the
-    * hit bins, grouped by exact value, cumulative window per (group,
-    * bin) over DISTINCT values only, broadcast-joined against the
-    * config-scale hit spec to pick each target exactly. Values are
-    * picked, never computed — bit-exact under any partitioning.
+  /** The data-independent MONOTONE cell key over [[xOf]]'s fixed-point
+    * fold: (bit-length, top-7-bits) of |x| with the sign mirrored —
+    *
+    *   x > 0 : key = bitlen(x)·64 + (x >> max(bitlen−7, 0))
+    *   x = 0 : key = 0
+    *   x < 0 : key = −keyOf(−x)
+    *
+    * Every step is exact integer arithmetic (`length(bin(x))` and
+    * `shiftright` — no libm call whose rounding could reorder a cell
+    * edge), and the key is monotone in `__v`: within one bit-length the
+    * shifted prefix is monotone, across bit-lengths the ranges are
+    * disjoint and ordered (bl·64+127 < (bl+1)·64+64), and negation
+    * mirrors. Cell resolution is ~1/64 relative width (64 sub-cells per
+    * octave); the key SPACE is ≤ ~8k per sign regardless of data, so a
+    * per-(group, cell) aggregate is config-scale metadata by
+    * construction — no prior stats pass needed to define the grid.
+    */
+  private def cellKey(x: Column): Column = {
+    def keyPos(xc: Column): Column = {
+      val bl = length(bin(xc)).cast("long")
+      bl * 64L + call_function("shiftright", xc,
+        greatest(bl - 7L, lit(0L)).cast("int"))
+    }
+    when(x > 0L, keyPos(x))
+      .when(x < 0L, -keyPos(-x))
+      .otherwise(lit(0L))
+  }
+
+  /** Grouped exact order statistics (k = floor(q·(n−1)) + 1, the (n−1)p
+    * index rule) for several quantiles per group, without sorting any
+    * group — the per-group `percentile`/sort forms hold a group's values
+    * in one task at 100 TB — and with ONE eager metadata pass on the
+    * common path:
+    *
+    *   1. ONE aggregate over the data-independent monotone log-grid
+    *      ([[cellKey]]): per-(group, cell) count + exact x-bounds —
+    *      group sizes, target cells, and residual ranks all fall out of
+    *      this single config-scale collect (the former separate stats
+    *      pass existed only to define an affine grid; the log grid needs
+    *      no stats).
+    *   2. Only for targets whose hit cell exceeds `pickWindowCap` rows:
+    *      one ADAPTIVE recursion — per-cell integer sub-binning
+    *      (nBins sub-cells over the cell's collected x-span, exact Long
+    *      arithmetic) restricted to the oversized cells, relocating the
+    *      residual rank. Fixture- and config-scale runs never enter it;
+    *      at 100 TB it bounds the pick window to ~cellspan/nBins.
+    *   3. One lazy pick pass: semi-join the hit (group, cell, sub)
+    *      spec, group by exact value (duplicates collapse — the
+    *      cumulative window runs over the cell's DISTINCT values),
+    *      broadcast-join the residual ranks, pick each target exactly.
+    *
+    * Bin parameters travel as BROADCAST JOINS against config-scale
+    * frames — never per-group when-chain literals, whose O(#groups)
+    * expression depth hits the Janino 64KB interpreted-fallback wall
+    * past a few hundred groups (codegen at 1k groups pinned in
+    * ProfilingSpec). Values are picked, never computed — bit-exact under
+    * any partitioning.
     */
   def exactQuantilesBinnedGrouped(df: DataFrame, grp: Column, value: Column,
-                                  qPcts: Seq[Int],
-                                  nBins: Int = 1024): DataFrame = {
+                                  qPcts: Seq[Int], nBins: Int = 1024,
+                                  pickWindowCap: Long = 1L << 16)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(grp.cast("string").as("__g"),
       value.cast("double").as("__v")).filter(col("__v").isNotNull)
-    val st = base.groupBy("__g").agg(min(col("__v")).as("mn"),
-        max(col("__v")).as("mx"), count(lit(1)).as("n"))
+    val keyed = base.withColumn("__x", xOf(col("__v")))
+      .withColumn("__k", cellKey(col("__x")))
+    // Eager round 1 (the only one on the common path): per-(group, cell)
+    // count and exact integer bounds — config-scale by the key-space
+    // bound, collected sorted so the rank walk below reads value order.
+    val cells = keyed.groupBy("__g", "__k")
+      .agg(count(lit(1)).as("c"), min(col("__x")).as("xmn"),
+        max(col("__x")).as("xmx"))
       .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
-      .toMap
-    require(st.nonEmpty, "exactQuantilesBinnedGrouped: empty input")
-    // Per-group affine bin parameters travel as a BROADCAST JOIN against
-    // the config-scale (group, mn, width) frame — not a per-group
-    // when-chain literal, whose O(#groups) expression depth hits the
-    // Janino 64KB interpreted-fallback wall past a few hundred groups
-    // (codegen at 1k groups pinned in ProfilingSpec). The frame is built
-    // from the COLLECTED doubles, so the joined mn/w are bit-identical to
-    // the driver's own rank walk.
-    val statsDf = st.toSeq.sortBy(_._1)
-      .map { case (g, (mn, mx, _)) => (g, mn, (mx - mn) / nBins.toDouble) }
-      .toDF("__g", "__mn", "__w")
-    val binCol: Column =
-      when(col("__w") === 0.0, lit(0L)).otherwise(
-        least(floor((col("__v") - col("__mn")) / col("__w")).cast("long"),
-          lit(nBins - 1L)))
-    val binned = base.join(broadcast(statsDf), Seq("__g"))
-      .withColumn("__b", binCol)
-    val binCounts = binned.groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // driver-side target location: (group, qPct) -> (bin, residual rank)
-    val hits = for {
-      (g, (_, _, n)) <- st.toSeq
-      q <- qPcts
-    } yield {
-      val k = math.floor(q / 100.0 * (n - 1)).toLong + 1
-      var cum = 0L; var hit = -1L; var r = 0L
-      (0L until nBins.toLong).foreach { b =>
-        val c = binCounts.getOrElse((g, b), 0L)
-        if (hit < 0 && cum + c >= k) { hit = b; r = k - cum }
-        cum += c
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    require(cells.nonEmpty, "exactQuantilesBinnedGrouped: empty input")
+    val byGroup = cells.groupBy(_._1)
+    // driver-side target location: (group, qPct) -> (cell, residual rank)
+    case class Hit(g: String, q: Long, k: Long, cnt: Long, xmn: Long,
+                   xmx: Long, r: Long, n: Long)
+    val hits = byGroup.toSeq.flatMap { case (g, cs) =>
+      val n = cs.map(_._3).sum
+      qPcts.map { q =>
+        val target = math.floor(q / 100.0 * (n - 1)).toLong + 1
+        var cum = 0L
+        var hit: Hit = null
+        cs.foreach { case (_, k, c, xmn, xmx) =>
+          if (hit == null && cum + c >= target)
+            hit = Hit(g, q.toLong, k, c, xmn, xmx, target - cum, n)
+          cum += c
+        }
+        hit
       }
-      (g, q.toLong, hit, r, n)
     }
-    val hitSpec = hits.toDF("__g", "q_pct", "__b", "__r", "n")
-    // hit-bin filter as a broadcast LEFT SEMI join on (group, bin) — the
-    // OR-chain predicate form had the same O(#hits) expression-depth trap
-    // as the when-chain binning.
-    val hitBins = hits.map(h => (h._1, h._3)).distinct
-      .toDF("__g", "__b")
-    val cw = Window.partitionBy("__g", "__b").orderBy("__v")
+    // Adaptive recursion: sub-bin ONLY the oversized hit cells (exact
+    // Long arithmetic: sub = (x - xmn) div w). Undersized cells get the
+    // degenerate grid w = span+1 (all rows in sub 0), so the pick pass
+    // below is one uniform shape either way.
+    val needSub = hits.filter(h => h.cnt > pickWindowCap)
+      .map(h => (h.g, h.k, h.xmn, h.xmx)).distinct
+    val located: Seq[(String, Long, Long, Long, Long, Long)] =
+      if (needSub.isEmpty) hits.map(h => (h.g, h.q, h.k, 0L, h.r, h.n))
+      else {
+        val subW = needSub
+          .map { case (g, k, xmn, xmx) =>
+            (g, k, xmn, math.max(1L, (xmx - xmn) / nBins + 1L)) }
+        val subFrame = subW.toDF("__g", "__k", "__xmn", "__w")
+        val subCounts = keyed
+          .join(broadcast(subFrame), Seq("__g", "__k"))
+          // `div` is exact integer division — a double `/` would wobble
+          // ulps at sub-bin edges against the driver's Long walk
+          .groupBy(col("__g"), col("__k"),
+            expr("(__x - __xmn) div __w").as("__s"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+          .toMap
+        val wOf = subW.map(t => (t._1, t._2) -> t._4).toMap
+        hits.map { h =>
+          if (h.cnt <= pickWindowCap) (h.g, h.q, h.k, 0L, h.r, h.n)
+          else {
+            val maxSub = (h.xmx - h.xmn) / wOf((h.g, h.k))
+            var cum = 0L; var sub = -1L; var r2 = 0L
+            (0L to maxSub).foreach { s =>
+              val c = subCounts.getOrElse((h.g, h.k, s), 0L)
+              if (sub < 0 && cum + c >= h.r) { sub = s; r2 = h.r - cum }
+              cum += c
+            }
+            (h.g, h.q, h.k, sub, r2, h.n)
+          }
+        }
+      }
+    // Uniform pick frame: every hit cell carries its sub-grid params
+    // (degenerate w = span+1 when not recursed).
+    val pickFrame = hits.map { h =>
+      val w = if (h.cnt > pickWindowCap)
+        math.max(1L, (h.xmx - h.xmn) / nBins + 1L)
+      else h.xmx - h.xmn + 1L
+      (h.g, h.k, h.xmn, w)
+    }.distinct.toDF("__g", "__k", "__xmn", "__w")
+    val hitSpec = located.toDF("__g", "q_pct", "__k", "__s", "__r", "n")
+    val cw = Window.partitionBy("__g", "__k", "__s").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.join(broadcast(hitBins), Seq("__g", "__b"), "left_semi")
-      .groupBy(col("__g"), col("__b"), col("__v"))
+    keyed.join(broadcast(pickFrame), Seq("__g", "__k"))
+      .withColumn("__s", expr("(__x - __xmn) div __w"))
+      .groupBy(col("__g"), col("__k"), col("__s"), col("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(cw))
-      .join(broadcast(hitSpec), Seq("__g", "__b"))
+      .join(broadcast(hitSpec), Seq("__g", "__k", "__s"))
       .filter(col("__cum") >= col("__r"))
       .groupBy(col("__g").as("grp"), col("q_pct"))
       .agg(max(col("n")).as("n"), min(col("__v")).as("value"))

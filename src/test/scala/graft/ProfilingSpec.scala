@@ -227,6 +227,75 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesBinnedGrouped: one eager metadata action on the common path") {
+    // the round-10 contract: group stats + cell counts fold into ONE
+    // collect over the data-independent monotone log-grid; only the
+    // final pick adds a second action. Count ACTIONS (QueryExecutions),
+    // not jobs — AQE splits one action into several jobs.
+    val data = (0 until 4).flatMap { g =>
+      (1 to 200).map(i => (s"g$g", ((i * 37) % 101).toDouble)) }
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Profiling.exactQuantilesBinnedGrouped(
+        data.toDF("g", "v"), col("g"), col("v"), Seq(25, 50, 75), nBins = 16)
+        .collect()
+      // listener delivery is async (round-6 gotcha): poll to settle
+      val deadline = System.nanoTime() + 10000000000L
+      while (actions.get() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // settle window: catch any EXTRA action arriving
+      assert(actions.get() === 2,
+        s"expected exactly 2 eager actions (metadata + pick), got ${actions.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("exactQuantilesBinnedGrouped: oversized-cell recursion stays exact") {
+    // force the adaptive sub-binning path: cap far below the group size,
+    // heavy duplication AND a wide-spread cell so relocation matters
+    val rnd = new scala.util.Random(31)
+    val data = (1 to 3000).map(_ => ("a", rnd.nextInt(500).toDouble)) ++
+      (1 to 2000).map(_ => ("a", 1000000.0 + rnd.nextInt(1000))) ++
+      (1 to 50).map(_ => ("b", rnd.nextDouble() * 10))
+    val got = Profiling.exactQuantilesBinnedGrouped(
+        data.toDF("g", "v"), col("g"), col("v"), Seq(10, 50, 90),
+        nBins = 8, pickWindowCap = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val byG = data.groupBy(_._1)
+    for ((g, vs) <- byG; q <- Seq(10, 50, 90)) {
+      val sorted = vs.map(_._2).sorted
+      val k = math.floor(q / 100.0 * (sorted.size - 1)).toInt
+      assert(got((g, q.toLong)) === ((sorted.size.toLong, sorted(k))),
+        s"group $g q$q")
+    }
+  }
+
+  test("exactQuantilesBinnedGrouped: negative, fractional, and clamp-range values") {
+    // the monotone key must order correctly across the sign mirror, the
+    // 2^-20 fixed-point fold, and the +/-2^42 clamp cells
+    val data = Seq.tabulate(400)(i => ("m", (i - 200) * 7.25)) ++
+      Seq.tabulate(100)(i => ("m", i * 1e13)) // beyond the clamp: one cell
+    val got = Profiling.exactQuantilesBinnedGrouped(
+        data.toDF("g", "v"), col("g"), col("v"), Seq(10, 50, 90), nBins = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val sorted = data.map(_._2).sorted
+    for (q <- Seq(10, 50, 90)) {
+      val k = math.floor(q / 100.0 * (sorted.size - 1)).toInt
+      assert(got(("m", q.toLong)) === sorted(k), s"q$q")
+    }
+  }
+
   test("exactQuantilesBinnedGrouped == per-group sorted reference") {
     val rnd = new scala.util.Random(23)
     val data = Seq("a", "b", "c").flatMap { g =>
