@@ -72,14 +72,25 @@ object UpsertSink {
         if (touched.nonEmpty) {
           nonEmptyBatches.incrementAndGet()
           // Hadoop FS, not java.io.File: the state table lives wherever
-          // the warehouse does (HDFS/S3 at scale; local disk here)
+          // the warehouse does (HDFS/S3 at scale; local disk here).
+          // The touched buckets' directories are addressed DIRECTLY
+          // (`bucket=<b>` — always a non-null long): `read.parquet(root)`
+          // would list every bucket directory before pruning, a
+          // store-size-dependent metadata cost the O(batch + touched
+          // buckets) claim excludes. The isin filter stays on top —
+          // directory targeting is an optimization, not the correctness
+          // boundary.
           val sp = new org.apache.hadoop.fs.Path(statePath)
           val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
           val cur =
-            if (fs.exists(sp))
-              s.read.parquet(statePath)
+            if (fs.exists(sp)) {
+              val dirs = touched.toIndexedSeq
+                .map(v => new org.apache.hadoop.fs.Path(sp, s"bucket=$v"))
+                .filter(fs.exists).map(_.toString)
+              if (dirs.isEmpty) b.limit(0)
+              else s.read.option("basePath", statePath).parquet(dirs: _*)
                 .filter(col("bucket").isin(touched.toSeq: _*))
-            else b.limit(0)
+            } else b.limit(0)
           val w = Window.partitionBy(keyCol)
             .orderBy(orderCols.map(c => col(c).desc): _*)
           val merged = cur.unionByName(b)
