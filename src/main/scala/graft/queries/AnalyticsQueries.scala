@@ -618,25 +618,9 @@ object AnalyticsQueries {
     // trick — never a per-day backward scan), summed exactly. Weight
     // sums widen through DECIMAL(38,0)/HUGEINT (the t22 discipline);
     // the display cast documents the 2^63 bound.
-    "q_ts_ewma" -> ((s, dir) => {
-      val dec = "decimal(38,0)"
-      val byDay = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(count(lit(1)).as("n"))
-      val mx = byDay.agg(max(col("day")).as("maxd"))
-      byDay.withColumn("off", explode(sequence(lit(0), lit(30))))
-        .withColumn("rday", col("day") + col("off"))
-        .crossJoin(broadcast(mx))
-        .filter(col("rday") <= col("maxd"))
-        .withColumn("w", col("n").cast(dec) * expr("shiftleft(1L, 30 - off)"))
-        .groupBy(col("event_type"), col("rday").as("day"))
-        .agg(sum(col("w")).as("wsum"))
-        .select(col("event_type"), col("day"),
-          col("wsum").cast("long").as("ewma_u"),
-          round(col("wsum").cast("double") / lit(1073741824.0), 6)
-            .as("ewma"))
-    }),
+    "q_ts_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDaily(Tables.events(s, dir),
+        col("event_type"), col("ts"), windowDays = 31, halfLifeDays = 1)),
 
     // Beaconing / periodicity detector — the reference's security-
     // analytics domain (regular-interval callbacks stand out by LOW

@@ -178,6 +178,47 @@ class AnalyticsSpec extends SparkSpec {
       "no unmatched purchases — outer emission untested")
   }
 
+  test("ewmaDaily: alternate (window, half-life) matches a brute-force reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // two series, sparse days, counts that differ per day
+    val day = 86400000000L
+    val evs = Seq(
+      ("a", 0L, 3), ("a", 1L, 1), ("a", 4L, 2), ("a", 7L, 5),
+      ("b", 2L, 4), ("b", 3L, 1)
+    ).flatMap { case (t, d, n) => Seq.fill(n)((t, d * day + 17L)) }
+      .toDF("event_type", "t_us")
+      .select(col("event_type"), timestamp_micros(col("t_us")).as("ts"))
+    val w = 8; val h = 2
+    val got = graft.ops.TimeSeries.ewmaDaily(evs, col("event_type"),
+        col("ts"), windowDays = w, halfLifeDays = h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // reference: per report day, sum over the window of n * 2^(maxShift
+    // - off div h) — the block-dyadic staircase the operator documents
+    val counts = Map(("a", 0L) -> 3L, ("a", 1L) -> 1L, ("a", 4L) -> 2L,
+      ("a", 7L) -> 5L, ("b", 2L) -> 4L, ("b", 3L) -> 1L)
+    val maxShift = (w - 1) / h
+    val maxDay = 7L
+    for (t <- Seq("a", "b"); rd <- 0L to maxDay) {
+      val u = (0 until w).map { off =>
+        counts.getOrElse((t, rd - off), 0L) * (1L << (maxShift - off / h))
+      }.sum
+      if (u > 0 || got.contains((t, rd))) {
+        assert(got((t, rd))._1 === u, s"series $t day $rd")
+        assert(got((t, rd))._2 ===
+          math.rint(u.toDouble / (1L << maxShift) * 1e6) / 1e6, s"series $t day $rd")
+      }
+    }
+    // the dyadic-precision guard fires rather than wrapping shiftleft
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.ewmaDaily(evs, col("event_type"), col("ts"),
+        windowDays = 80, halfLifeDays = 1)
+    }
+    assert(ex.getMessage.contains("62-bit"))
+  }
+
   test("assoc rules: support bounds, confidence/lift consistency") {
     val rows = q("q_assoc_rules").collect()
     assert(rows.nonEmpty)
