@@ -622,6 +622,109 @@ object AnalyticsQueries {
       graft.ops.TimeSeries.ewmaDaily(Tables.events(s, dir),
         col("event_type"), col("ts"), windowDays = 31, halfLifeDays = 1)),
 
+    // Lag-k autocorrelation (k = 1..3) of the GAP-FILLED daily series —
+    // the periodicity readout behind seasonality/beaconing hunches, as
+    // exact integer moment sums per (series, lag): the gap-filled grid
+    // (missing days count 0 — ACF over a sparse series without fill is a
+    // different, misleading statistic), one equi-join of the series onto
+    // itself shifted by the exploded lag (day+lag is a join KEY, never a
+    // per-lag rescan), Pearson sums in BIGINT (daily counts bound the
+    // products far under 2^63), one final float expression with each
+    // factor sqrt'd separately (the q_feat_corr discipline). Zero
+    // variance on either side (constant series) → 0.0 on BOTH engines —
+    // the NaN-vs-NULL guard q_stat_regression learned.
+    "q_ts_acf" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val filled = graft.ops.CacheRegistry.persist(
+        byDay.groupBy("event_type")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .withColumn("day", explode(sequence(col("d0"), col("d1"))))
+          .select("event_type", "day")
+          .join(byDay, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("x")))
+      val paired = filled
+        .withColumn("lag", explode(typedLit(Seq(1L, 2L, 3L))))
+        .withColumn("rday", col("day") + col("lag"))
+        .join(filled.select(col("event_type"), col("day").as("rday"),
+          col("x").as("y")), Seq("event_type", "rday"))
+      val dxx = col("n_pairs") * col("sx2") - col("sx") * col("sx")
+      val dyy = col("n_pairs") * col("sy2") - col("sy") * col("sy")
+      paired.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          when(dxx === 0 || dyy === 0, lit(0.0)).otherwise(
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double"))), 4)
+              + lit(0.0)).as("acf"))
+    }),
+
+    // Day-of-week seasonal index — idx_ppm = 10⁶ · (dow share · 7), the
+    // per-series weekly profile a forecasting/capacity readout starts
+    // from. dow = day % 7 (pure integer epoch arithmetic — Spark's and
+    // DuckDB's dayofweek() disagree on week start, day%7 cannot). The
+    // per-series totals frame is config-scale → broadcast.
+    "q_ts_dow_seasonality" -> ((s, dir) => {
+      val byDow = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = byDow.groupBy("event_type").agg(sum(col("n")).as("n_total"))
+      byDow.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("(7 * n * 1000000) div n_total").as("idx_ppm"))
+    }),
+
+    // Volume-spike detection — the reference's security domain (a surge
+    // of one event type against its own trailing week is the classic
+    // triage signal): per (type, day), the trailing-7-day event sum via
+    // a RANGE window (days are sparse — a ROWS frame would silently
+    // reach past the week on gappy series), spike score as the exact
+    // integer ppm ratio of today's count to the trailing daily mean.
+    // Days with an empty trailing frame (series start) carry no
+    // denominator and are excluded on both engines identically.
+    "q_sec_spike" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail7", sum(col("n")).over(w))
+        .filter(col("trail7").isNotNull && col("trail7") > 0)
+        .select(col("event_type"), col("day"), col("n"), col("trail7"),
+          expr("(7 * n * 1000000) div trail7").as("spike_ppm"))
+    }),
+
+    // First-seen census — "new behavior" detection (a (user, event_type)
+    // pair appearing for the first time is the anomaly primitive under
+    // lateral-movement / new-service alerts): per day, how many active
+    // pairs, how many of them are first-ever-seen. One (user, type, day)
+    // aggregate feeds both sides; the pair-first-day table is key-scale
+    // (distinct (user, type)), never event-scale.
+    "q_sec_first_seen" -> ((s, dir) => {
+      val pairDays = graft.ops.CacheRegistry.persist(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_ev")))
+      val newPerDay = pairDays.groupBy("user_id", "event_type")
+        .agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new_pairs"))
+      pairDays.groupBy("day")
+        .agg(count(lit(1)).as("n_active_pairs"), sum(col("n_ev")).as("n_events"))
+        .join(newPerDay, Seq("day"), "left")
+        .select(col("day"), col("n_active_pairs"), col("n_events"),
+          coalesce(col("n_new_pairs"), lit(0L)).as("n_new_pairs"))
+    }),
+
     // Beaconing / periodicity detector — the reference's security-
     // analytics domain (regular-interval callbacks stand out by LOW
     // inter-arrival variance): per user, second-granularity gaps from
@@ -1385,6 +1488,74 @@ object AnalyticsQueries {
         |SELECT event_type, rday AS day, CAST(sum(w) AS BIGINT) AS ewma_u,
         |  round(CAST(sum(w) AS DOUBLE) / 1073741824.0, 6) AS ewma
         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // same grid + fill as q_ts_gapfill, self-joined at day+lag; Pearson
+    // factors sqrt'd separately, zero-variance CASE mirrored
+    "q_ts_acf" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM d GROUP BY 1),
+        |grid AS (SELECT event_type, d0 + i AS day
+        |  FROM rng, unnest(generate_series(0, d1 - d0)) AS t(i)),
+        |f AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+        |  FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+        |    AND d.day = g.day),
+        |p AS (SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+        |  FROM f a CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+        |  JOIN f b ON b.event_type = a.event_type
+        |    AND b.day = a.day + l.lag),
+        |m AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2,
+        |    CAST(sum(y * y) AS BIGINT) AS sy2
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN n_pairs*sx2 - sx*sx = 0 OR n_pairs*sy2 - sy*sy = 0
+        |    THEN 0.0
+        |    ELSE round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs*sx2 - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs*sy2 - sy*sy AS DOUBLE))), 4) + 0.0
+        |  END AS acf
+        |FROM m""".stripMargin,
+
+    "q_ts_dow_seasonality" ->
+      """WITH d AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, dow, n,
+        |  (7 * n * 1000000) // n_total AS idx_ppm
+        |FROM d JOIN t ON d.event_type = t.event_type""".stripMargin,
+
+    "q_sec_spike" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail7
+        |  FROM d)
+        |SELECT event_type, day, n, trail7,
+        |  (7 * n * 1000000) // trail7 AS spike_ppm
+        |FROM w WHERE trail7 IS NOT NULL AND trail7 > 0""".stripMargin,
+
+    "q_sec_first_seen" ->
+      """WITH pd AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS n_ev
+        |  FROM events GROUP BY 1, 2, 3),
+        |fs AS (SELECT min(day) AS day
+        |  FROM pd GROUP BY user_id, event_type),
+        |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_pairs
+        |  FROM fs GROUP BY 1),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active_pairs,
+        |    CAST(sum(n_ev) AS BIGINT) AS n_events
+        |  FROM pd GROUP BY 1)
+        |SELECT act.day, n_active_pairs, n_events,
+        |  COALESCE(n_new_pairs, 0) AS n_new_pairs
+        |FROM act LEFT JOIN nw ON act.day = nw.day""".stripMargin,
 
     "q_sec_beaconing" -> sqlBeaconing,
 

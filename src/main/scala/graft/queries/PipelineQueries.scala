@@ -567,6 +567,21 @@ object PipelineQueries {
     "q_knn_edges_materialized" -> ((s, dir) =>
       s.read.parquet(knnEdgesArtifact(s, dir))),
 
+    // Connected components over the kNN edge artifact — the classic
+    // third graph kernel (community structure of the ANN neighborhood),
+    // and the third artifact consumer: the CC kernel is the SAME
+    // min-label propagation + pointer jumping the dedup family runs
+    // (Dedup.dedupClusters — one join + one aggregate per round,
+    // log-diameter rounds, labels are node ids so the oracle replays it
+    // as a recursive reachability closure). Census per component.
+    "q_graph_cc" -> ((s, dir) => {
+      val e = s.read.parquet(knnEdgesArtifact(s, dir))
+        .select(col("a").as("i"), col("b").as("j"))
+      Dedup.dedupClusters(e)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
+    }),
+
     // Triangle counting over the kNN graph — the third classic graph
     // kernel beside PageRank and connected components (local clustering /
     // community signal over the ANN neighborhood structure). Edges come
@@ -1703,6 +1718,22 @@ object PipelineQueries {
     // same CTE chain as q_sim_ivf_trained with the query restriction
     // dropped: every vector ranks its probed-cell candidates
     "q_sim_knn_graph" -> sqlKnnGraph,
+
+    // components as the transitive closure of the undirected kNN edges
+    // (the q_dedup_clusters reach pattern over the knn-edge derivation)
+    "q_graph_cc" ->
+      ("""WITH RECURSIVE g AS (SELECT * FROM (""" + sqlKnnGraph + """) t),
+        |e AS (SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id),
+        |syme AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM syme
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN syme s ON r.b = s.a),
+        |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT cluster, count(*) AS n_nodes, max(a) AS max_node
+        |FROM lab GROUP BY 1""".stripMargin),
 
     // the artifact IS the undirected distinct fold of the full kNN
     // derivation — same CTE chain as q_sim_knn_graph, edges only
