@@ -666,6 +666,63 @@ object AnalyticsQueries {
               + lit(0.0)).as("acf"))
     }),
 
+    // CUSUM changepoint candidate — per series, the day where the
+    // cumulative deviation from the series mean peaks (the classic
+    // level-shift detector). EXACT integers end to end: the fractional
+    // mean never appears — cusum_t = Σ_{i≤t}(N·x_i − T) is the
+    // N-scaled CUSUM (N = series length, T = series total), so the
+    // argmax day is bit-deterministic under any partitioning; ties break
+    // to the earliest day. Gap-filled grid (a missing day IS a deviation)
+    // and a broadcast of the config-scale per-series (N, T) frame.
+    "q_ts_cusum" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val filled = byDay.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .withColumn("day", explode(sequence(col("d0"), col("d1"))))
+        .select("event_type", "day")
+        .join(byDay, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("x"))
+      val st = filled.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("tot"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day"))
+      filled.join(broadcast(st), "event_type")
+        .withColumn("cusum", sum(col("nd") * col("x") - col("tot")).over(cw))
+        .withColumn("rn", row_number().over(rk))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"), col("cusum"),
+          col("nd").as("n_days"))
+    }),
+
+    // Per-user behavioral entropy — Shannon entropy of each user's
+    // event-type mix (uniform mixes score high, single-type bots score
+    // 0), the account-triage diversity signal. The distributed double
+    // sum Σ nᵢ·ln(nᵢ) is floor-quantized to integer MICROS per term
+    // before summation (the BM25 cents discipline — double addition is
+    // order-dependent and a shuffle has no order), then one final float
+    // chain H = ln(n) − q/10⁶/n, mirrored token for token in the oracle.
+    "q_user_entropy" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+        .withColumn("qi", floor(col("ni").cast("double") *
+          log(col("ni").cast("double")) * lit(1000000.0)).cast("long"))
+        .groupBy("user_id")
+        .agg(sum(col("ni")).as("n_events"), count(lit(1)).as("n_types"),
+          sum(col("qi")).as("q"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          (round(log(col("n_events").cast("double")) -
+            col("q").cast("double") / lit(1000000.0) /
+              col("n_events").cast("double"), 4) + lit(0.0)).as("entropy"))
+    }),
+
     // Day-of-week seasonal index — idx_ppm = 10⁶ · (dow share · 7), the
     // per-series weekly profile a forecasting/capacity readout starts
     // from. dow = day % 7 (pure integer epoch arithmetic — Spark's and
@@ -1520,6 +1577,45 @@ object AnalyticsQueries {
         |       sqrt(CAST(n_pairs*sy2 - sy*sy AS DOUBLE))), 4) + 0.0
         |  END AS acf
         |FROM m""".stripMargin,
+
+    // the N-scaled integer CUSUM: no fractional mean, argmax by
+    // (|cusum| desc, day) — identical tie-break both engines
+    "q_ts_cusum" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM d GROUP BY 1),
+        |grid AS (SELECT event_type, d0 + i AS day
+        |  FROM rng, unnest(generate_series(0, d1 - d0)) AS t(i)),
+        |f AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+        |  FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+        |    AND d.day = g.day),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS tot FROM f GROUP BY 1),
+        |c AS (SELECT f.event_type, f.day, st.nd,
+        |    CAST(sum(st.nd * f.x - st.tot) OVER (PARTITION BY f.event_type
+        |      ORDER BY f.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cusum
+        |  FROM f JOIN st ON f.event_type = st.event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rn FROM c)
+        |SELECT event_type, day AS cp_day, cusum, nd AS n_days
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // per-term micro-quantized nᵢ·ln(nᵢ) (exact Long sum), one final
+    // float chain mirrored token for token
+    "q_user_entropy" ->
+      """WITH t AS (SELECT user_id, event_type, count(*) AS ni
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(floor(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+        |  FROM t GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  round(ln(CAST(n_events AS DOUBLE)) - CAST(q AS DOUBLE) / 1000000.0
+        |    / CAST(n_events AS DOUBLE), 4) + 0.0 AS entropy
+        |FROM q""".stripMargin,
 
     "q_ts_dow_seasonality" ->
       """WITH d AS (SELECT event_type,

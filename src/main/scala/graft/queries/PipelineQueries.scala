@@ -567,6 +567,39 @@ object PipelineQueries {
     "q_knn_edges_materialized" -> ((s, dir) =>
       s.read.parquet(knnEdgesArtifact(s, dir))),
 
+    // kNN-graph label propagation (one hop) — semi-supervised labeling
+    // over the MATERIALIZED edge artifact (fourth consumer): 80% of
+    // vectors act as labeled seeds, the held-out 20% take the majority
+    // label of their graph neighbors (ties to the smallest label, no
+    // labeled neighbor → −1). The weak-supervision primitive a labeling
+    // pipeline runs over an ANN graph at corpus scale — and because the
+    // edges come from the artifact, the classifier is one join + one
+    // argmax, no vector math. Output is the (true, predicted) confusion
+    // census, so the oracle also pins classification quality drift.
+    "q_graph_knn_classify" -> ((s, dir) => {
+      val e = s.read.parquet(knnEdgesArtifact(s, dir))
+      val syme = e.select(col("a").as("node"), col("b").as("nb"))
+        .unionAll(e.select(col("b").as("node"), col("a").as("nb")))
+      val em = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+      val votes = syme
+        .join(em.filter(col("id") % 5 =!= 0)
+          .select(col("id").as("nb"), col("label").as("nb_label")), "nb")
+        .groupBy("node", "nb_label").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("cnt").desc, col("nb_label"))
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nb_label").as("pred"))
+      em.filter(col("id") % 5 === 0)
+        .select(col("id").as("node"), col("label").as("true_label"))
+        .join(pred, Seq("node"), "left")
+        .groupBy(col("true_label"),
+          coalesce(col("pred"), lit(-1L)).as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Connected components over the kNN edge artifact — the classic
     // third graph kernel (community structure of the ANN neighborhood),
     // and the third artifact consumer: the CC kernel is the SAME
@@ -1718,6 +1751,30 @@ object PipelineQueries {
     // same CTE chain as q_sim_ivf_trained with the query restriction
     // dropped: every vector ranks its probed-cell candidates
     "q_sim_knn_graph" -> sqlKnnGraph,
+
+    // one-hop majority vote over the replayed kNN edges; tie-break
+    // (cnt desc, label) identical on both engines
+    "q_graph_knn_classify" ->
+      ("""WITH g AS (SELECT * FROM (""" + sqlKnnGraph + """) t),
+        |e AS (SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id),
+        |syme AS (SELECT a AS node, b AS nb FROM e
+        |         UNION ALL SELECT b, a FROM e),
+        |emx AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |votes AS (SELECT s.node, m.label AS nb_label, count(*) AS cnt
+        |  FROM syme s JOIN emx m ON m.id = s.nb AND m.id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT node, nb_label AS pred FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, nb_label) AS rn FROM votes) v
+        |  WHERE rn = 1)
+        |SELECT t.label AS true_label,
+        |  CAST(COALESCE(p.pred, -1) AS BIGINT) AS pred_label,
+        |  count(*) AS n
+        |FROM emx t LEFT JOIN pred p ON p.node = t.id
+        |WHERE t.id % 5 = 0 GROUP BY 1, 2""".stripMargin),
 
     // components as the transitive closure of the undirected kNN edges
     // (the q_dedup_clusters reach pattern over the knn-edge derivation)
