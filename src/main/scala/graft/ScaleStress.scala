@@ -133,7 +133,17 @@ object ScaleStress {
     // users at constant per-user history; the permutation and the
     // incremental-refresh/manifest grow with rows at bounded state
     "q_stat_regression", "q_ts_gapfill", "q_sec_beaconing",
-    "q_sample_permutation", "q_a3_incremental_refresh", "q_audit_manifest")
+    "q_sample_permutation", "q_a3_incremental_refresh", "q_audit_manifest",
+    // round-10 wave: the two materialize-once artifacts (their own
+    // queries pay the ×10 build; the consumers should read near-flat
+    // plus a linear artifact scan); the detection layer is one corpus
+    // aggregate + config-scale math (near-linear expected); the graph
+    // kernels consume the ×10 artifact (wedge joins ≤ k²N); entropy /
+    // first-seen grow with users at constant per-user state
+    "q_knn_edges_materialized", "q_graph_triangles", "q_graph_clustering_coef",
+    "q_graph_cc", "q_graph_knn_classify", "q_ir_index_materialized",
+    "q_sim_bm25", "q_ts_acf", "q_ts_cusum", "q_ts_dow_seasonality",
+    "q_sec_spike", "q_sec_first_seen", "q_user_entropy")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third

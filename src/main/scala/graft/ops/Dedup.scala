@@ -421,11 +421,22 @@ object Dedup {
       // the table (labels are mins over node ids), and lbl(x) <= x, so
       // jumping never leaves the component and never increases a label.
       val ptr = labels.select(col("a").as("plabel"), col("label").as("jlabel"))
-      val next = prop.join(ptr, Seq("plabel"), "left")
+      val ckpt = prop.join(ptr, Seq("plabel"), "left")
         .select(col("a"),
           least(col("plabel"), coalesce(col("jlabel"), col("plabel"))).as("label"),
           col("old"))
         .localCheckpoint(true) // eager: materialize + flatten lineage
+      // REBASE the plan stats: localCheckpoint copies the origin plan's
+      // ESTIMATED statistics into its LogicalRDD, and a round's estimate
+      // is the product of the previous round's (two joins ⇒ the
+      // size-in-bytes BigInt's bit-length ~triples per round). 15 rounds
+      // sit just under BigInteger's 2^31-bit ceiling; round 16+ threw
+      // "BigInteger would overflow supported range" during planning
+      // (caught by the 10× q_graph_cc stress, which needs 16 rounds).
+      // Rebuilding the frame from the checkpointed RDD resets stats to
+      // the session default each round — compounding broken, the
+      // materialized data untouched.
+      val next = ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
       converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next.select("a", "label")
       round += 1

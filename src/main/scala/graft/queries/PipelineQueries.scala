@@ -610,7 +610,11 @@ object PipelineQueries {
     "q_graph_cc" -> ((s, dir) => {
       val e = s.read.parquet(knnEdgesArtifact(s, dir))
         .select(col("a").as("i"), col("b").as("j"))
-      Dedup.dedupClusters(e)
+      // the kNN graph is one near-giant component: convergence rounds
+      // grow ~log₂(N) with pointer jumping, and the dedup default (15)
+      // sits exactly at the 20k-node boundary (measured: the 10× stress
+      // fixture needs round 16). 30 covers a billion-node component.
+      Dedup.dedupClusters(e, maxRounds = 30)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
     }),
