@@ -808,6 +808,14 @@ object AnalyticsQueries {
     // ordered topic; the shared CV readout applies batch-side to the
     // compacted moments and must equal the batch window scan exactly
     // (shared oracle).
+    // First-seen AT INGEST (the q_sec_first_seen primitive as a live
+    // alert): per-user seen-type state in flatMapGroupsWithState
+    // (config-scale per key, EventTimeTimeout retention), each novel
+    // (user, type) pair emitted exactly once in Append mode — the
+    // landing needs no compaction; the per-day census equals the batch
+    // first-seen census exactly (shared derivation in the oracle).
+    "q_t27_streaming_first_seen" -> ((s, dir) => streamedFirstSeen(s, dir)),
+
     "q_t26_streaming_beacon" -> ((s, dir) =>
       beaconReadout(streamedBeaconMoments(s, dir))),
 
@@ -1372,6 +1380,55 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(t3 - g2) AS BIGINT) FROM s3""".stripMargin
 
+  /** Landing for q_t27_streaming_first_seen: the t18 time-ordered topic
+    * contract, per-(user, type) novelty emissions in APPEND mode — each
+    * pair lands exactly once (state dedups), so the read side needs no
+    * compaction at all; the census over the landed pairs must equal the
+    * batch first-seen census exactly.
+    */
+  private val streamFirstSeenPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedFirstSeen(s: SparkSession, dir: String): DataFrame = {
+    val out = streamFirstSeenPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_firstseen_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      val (lo, hi) = {
+        val r = ev.agg(min("t_us"), max("t_us")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val step = math.max(1L, (hi - lo) / 4 + 1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val mtimeBase = System.currentTimeMillis() - 600000L
+      (0 until 4).foreach { i =>
+        ev.filter(col("t_us") >= lo + i * step &&
+            col("t_us") < lo + (i + 1) * step || lit(i == 3) &&
+            col("t_us") >= lo + 4 * step)
+          .orderBy("t_us")
+          .select(to_json(struct(col("user_id"), col("event_type"),
+            col("t_us"))).as("value"))
+          .coalesce(1).write.mode("append").text(src)
+        pinLandingOrder(src, seen, mtimeBase, i)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, t_us BIGINT")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      // novelty horizon sized past the topic span: streamed == all-time
+      // batch first-seen (the TTL contract is "first seen within the
+      // horizon"; expiry is pinned in StreamingTtlSpec)
+      val pairs = graft.streaming.StreamingFirstSeen.firstSeen(s, decoded,
+        idleHorizonUs = 365L * 86400000000L)
+      graft.streaming.Landing.availableNow(pairs.toDF(), sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      sink
+    })
+    s.read.parquet(out).groupBy("day")
+      .agg(count(lit(1)).as("n_new_pairs"))
+  }
+
   /** Landing for q_t18_streaming_funnel: events as a time-ordered JSON
     * topic (four ts-ranged slices written SEQUENTIALLY so the file
     * source's mtime ordering delivers them in time order — the per-key
@@ -1637,6 +1694,16 @@ object AnalyticsQueries {
         |SELECT event_type, day, n, trail7,
         |  (7 * n * 1000000) // trail7 AS spike_ppm
         |FROM w WHERE trail7 IS NOT NULL AND trail7 > 0""".stripMargin,
+
+    // streamed novelty emissions == the batch first-day census
+    "q_t27_streaming_first_seen" ->
+      """WITH pd AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events GROUP BY 1, 2, 3),
+        |fs AS (SELECT min(day) AS day
+        |  FROM pd GROUP BY user_id, event_type)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_new_pairs
+        |FROM fs GROUP BY 1""".stripMargin,
 
     "q_sec_first_seen" ->
       """WITH pd AS (SELECT user_id, event_type,

@@ -54,6 +54,38 @@ class StreamingTtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("first-seen: within-horizon dedup, post-expiry reappearance re-emits as new") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val pairs = graft.streaming.StreamingFirstSeen.firstSeen(spark,
+      input.toDF().toDF("user_id", "event_type", "t_us"), idleHorizonUs = H)
+    val q = pairs.toDF().writeStream
+      .format("memory").queryName("firstseen_ttl").outputMode("append").start()
+    try {
+      // batch 1: two events of the same type — exactly ONE emission
+      input.addData((1L, "login", B), (1L, "login", B + 60000000L))
+      q.processAllAvailable()
+      // a repeat in a later batch stays deduped (state remembers)
+      input.addData((1L, "login", B + 2 * H))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's last + horizon
+      input.addData((99L, "x", B + 6 * H))
+      q.processAllAvailable()
+      input.addData((99L, "x", B + 7 * H)) // trigger: user 1 expires
+      q.processAllAvailable()
+      // post-expiry: the SAME type re-emits — novelty is horizon-scoped
+      input.addData((1L, "login", B + 8 * H))
+      q.processAllAvailable()
+
+      val rows = spark.table("firstseen_ttl").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._3)
+      assert(u1.length === 2, rows.mkString(", "))
+      assert(u1(0)._3 === B / 86400000000L)
+      assert(u1(1)._3 === (B + 8 * H) / 86400000000L)
+    } finally q.stop()
+  }
+
   test("beacon: idle key expires; post-expiry gaps never bridge the horizon") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)]
