@@ -1206,6 +1206,29 @@ object EventQueries {
            |GROUP BY 1, 2""".stripMargin)
     }),
 
+    // SQL front-end depth: RECURSIVE CTE (Spark 4's WITH RECURSIVE —
+    // UnionLoop under the hood): nations arranged as the implicit
+    // binary-heap hierarchy (parent = node div 2, root = 1; node 0 is
+    // its own parent and stays outside), walked root-down with a depth
+    // counter, census per level. Both engines run their OWN recursive
+    // planner over dialect-native SQL (Spark `div`, DuckDB `//`) — two
+    // independent fixpoint evaluators agreeing on the closure, the same
+    // two-planners discipline as q_sql_subqueries' decorrelation.
+    "q_sql_recursive" -> ((s, dir) => {
+      val nv = "nation_v_" + java.lang.Integer.toHexString(dir.hashCode)
+      Tables.nation(s, dir).createOrReplaceTempView(nv)
+      s.sql(
+        s"""WITH RECURSIVE h(node, depth) AS (
+           |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION ALL
+           |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1
+           |  FROM $nv n JOIN h ON h.node = n.n_nationkey DIV 2
+           |  WHERE n.n_nationkey > 1)
+           |SELECT depth, count(*) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS sum_nodes
+           |FROM h GROUP BY 1""".stripMargin)
+    }),
+
     // SQL front-end depth: correlated EXISTS (decorrelated by Catalyst
     // into a left-semi join) plus uncorrelated scalar subqueries — the
     // above-average-balance threshold compares in EXACT integer cents
@@ -1686,6 +1709,17 @@ object EventQueries {
           |  event_type, count(*) AS n,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_sql_recursive" ->
+        """WITH RECURSIVE h(node, depth) AS (
+          |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          |  UNION ALL
+          |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1
+          |  FROM nation n JOIN h ON h.node = n.n_nationkey // 2
+          |  WHERE n.n_nationkey > 1)
+          |SELECT depth, count(*) AS n_nodes,
+          |  CAST(sum(node) AS BIGINT) AS sum_nodes
+          |FROM h GROUP BY 1""".stripMargin,
 
       "q_sql_subqueries" ->
         """SELECT c_mktsegment, count(*) AS n_cust,

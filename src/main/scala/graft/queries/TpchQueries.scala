@@ -270,6 +270,24 @@ object TpchQueries {
           round(sum(round(col("c_acctbal"), 2)), 2).as("sum_bal"))
     }),
 
+    // Window-function completeness: nth_value over the FULL-partition
+    // frame (the default running frame would return null until row n)
+    // plus lag with an explicit default — the value-navigation family
+    // members the suite hadn't pinned. Same deterministic order as the
+    // ntile query; sampled output filter after the window.
+    "q_window_nth_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(round(col("c_acctbal"), 2), col("c_custkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          nth_value(col("c_custkey"), 2).over(full).as("second_cust"),
+          lag(col("c_custkey"), 1, -1L).over(w).as("prev_cust"),
+          lead(col("c_custkey"), 1, -1L).over(w).as("next_cust"))
+        .filter(col("c_custkey") % 7 === 0)
+    }),
+
     // Window-function completeness: percent_rank over the same
     // deterministic (bal, custkey) order as the ntile query — the
     // remaining SQL-standard rank family member. The sampled output
@@ -369,6 +387,22 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q_src_csv_roundtrip" -> sqlRoundtrip,
     "q_src_orc_roundtrip" -> sqlRoundtrip,
+
+    "q_window_nth_lag" ->
+      """WITH t AS (SELECT c_custkey, c_nationkey,
+        |    nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+        |      ORDER BY round(c_acctbal, 2), c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS second_cust,
+        |    lag(c_custkey, 1, -1) OVER (PARTITION BY c_nationkey
+        |      ORDER BY round(c_acctbal, 2), c_custkey) AS prev_cust,
+        |    lead(c_custkey, 1, -1) OVER (PARTITION BY c_nationkey
+        |      ORDER BY round(c_acctbal, 2), c_custkey) AS next_cust
+        |  FROM customer)
+        |SELECT c_custkey, c_nationkey, second_cust,
+        |  CAST(prev_cust AS BIGINT) AS prev_cust,
+        |  CAST(next_cust AS BIGINT) AS next_cust
+        |FROM t WHERE c_custkey % 7 = 0""".stripMargin,
 
     "q_window_percent_rank" ->
       """WITH t AS (SELECT c_custkey, c_nationkey,
