@@ -21,7 +21,10 @@ object Bench {
     "q_topk_customers", "q_t2_streaming_parity",
     // round-9 additions worth round-over-round stdout diffs: the
     // single-scan RFM, the labels-artifact consumers, and the PCA fold
-    "q_rfm_segmentation", "q_dedup_labels_materialized", "q_emb_pca")
+    "q_rfm_segmentation", "q_dedup_labels_materialized", "q_emb_pca",
+    // round-10: the two new materialize-once consumers (artifact-scan
+    // bounded) — the suite's former #1/#2 heavies
+    "q_graph_clustering_coef", "q_sim_bm25")
 
   val DetailFile = "BENCH_LOCAL.json"
 

@@ -552,16 +552,7 @@ object Profiling {
     * per-(group, cell) aggregate is config-scale metadata by
     * construction — no prior stats pass needed to define the grid.
     */
-  private def cellKey(x: Column): Column = {
-    def keyPos(xc: Column): Column = {
-      val bl = length(bin(xc)).cast("long")
-      bl * 64L + call_function("shiftright", xc,
-        greatest(bl - 7L, lit(0L)).cast("int"))
-    }
-    when(x > 0L, keyPos(x))
-      .when(x < 0L, -keyPos(-x))
-      .otherwise(lit(0L))
-  }
+  private def cellKey(x: Column): Column = graft.plans.CellKey.keyCol(x)
 
   /** Grouped exact order statistics (k = floor(q·(n−1)) + 1, the (n−1)p
     * index rule) for several quantiles per group, without sorting any
@@ -681,7 +672,14 @@ object Profiling {
     val hitSpec = located.toDF("__g", "q_pct", "__k", "__s", "__r", "n")
     val cw = Window.partitionBy("__g", "__k", "__s").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed.join(broadcast(pickFrame), Seq("__g", "__k"))
+    // cheap x-range prefilter from the driver-known hit-cell spans: two
+    // Long comparisons drop almost every row BEFORE the key expression
+    // and the join evaluate (the single-group median case keeps ~1/cells
+    // of the scan; multi-group unions of spans keep it conservative)
+    val gxmn = hits.map(_.xmn).min
+    val gxmx = hits.map(_.xmx).max
+    keyed.filter(col("__x") >= lit(gxmn) && col("__x") <= lit(gxmx))
+      .join(broadcast(pickFrame), Seq("__g", "__k"))
       .withColumn("__s", expr("(__x - __xmn) div __w"))
       .groupBy(col("__g"), col("__k"), col("__s"), col("__v"))
       .agg(count(lit(1)).as("__c"))
