@@ -65,6 +65,9 @@ object TpchQueries {
         case "csv" => slim.write.option("header", "true")
           .option("compression", "gzip").csv(out)
         case "orc" => slim.write.orc(out)
+        // the reference's actual wire format: gzip JSON lines
+        // (qradar/qradarconnector.py streams gzipped JSON results)
+        case "json" => slim.write.option("compression", "gzip").json(out)
       }
       out
     })
@@ -95,6 +98,15 @@ object TpchQueries {
     }),
     "q_src_orc_roundtrip" -> ((s, dir) =>
       roundtripAgg(s.read.orc(roundtripPath(s, dir, "orc")))),
+    // JSON-lines (gzip) — the reference's own result wire format; the
+    // explicit schema keeps the read one pass (no inference scan).
+    "q_src_json_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "l_orderkey BIGINT, l_linenumber BIGINT, l_returnflag STRING, " +
+          "qty BIGINT, price_c BIGINT")
+      roundtripAgg(s.read.schema(schema)
+        .json(roundtripPath(s, dir, "json")))
+    }),
 
     // Pricing-summary aggregation (partial+final HashAggregate over the
     // biggest fact table; the A1 rollup shape minus time).
@@ -387,6 +399,7 @@ object TpchQueries {
   val oracles: Map[String, String] = Map(
     "q_src_csv_roundtrip" -> sqlRoundtrip,
     "q_src_orc_roundtrip" -> sqlRoundtrip,
+    "q_src_json_roundtrip" -> sqlRoundtrip,
 
     "q_window_nth_lag" ->
       """WITH t AS (SELECT c_custkey, c_nationkey,
