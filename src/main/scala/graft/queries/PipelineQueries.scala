@@ -826,6 +826,32 @@ object PipelineQueries {
       TA.sparseCosineFromIndex(s.read.parquet(root + "/postings"), k = 5)
     }),
 
+    // Reciprocal-rank fusion of the two lexical rankers — the ensemble
+    // retrieval shape (hybrid search fuses ranker outputs by RANK, never
+    // by incomparable raw scores; RRF is its standard instance). Both
+    // rankers score off the SHARED materialized index, so the fusion
+    // costs two posting joins + one outer merge; contributions are the
+    // EXACT integers 10⁶ div (60 + rank) (a float 1/(60+r) sum would be
+    // order-dependent), absent ranks contribute 0 via the full outer
+    // join, ties break on doc id. Top-3 fused per query.
+    "q_sim_rrf_hybrid" -> ((s, dir) => {
+      val root = irIndexArtifact(s, dir)
+      val post = s.read.parquet(root + "/postings")
+      val bm = TA.bm25FromIndex(post, s.read.parquet(root + "/doclen"), k = 5)
+        .select(col("qid"), col("did"), expr("1000000 div (60 + rnk)").as("c1"))
+      val cos = TA.sparseCosineFromIndex(post, k = 5)
+        .select(col("qid"), col("did"), expr("1000000 div (60 + rnk)").as("c2"))
+      val fused = bm.join(cos, Seq("qid", "did"), "full_outer")
+        .select(col("qid"), col("did"),
+          (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L)))
+            .as("rrf_u"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf_u").desc, col("did"))
+      fused.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("did"), col("rrf_u"))
+    }),
+
     // ---- vocabulary ----
 
     // Global top-50 tokens by raw count with a deterministic tie-break —
@@ -1411,6 +1437,72 @@ object PipelineQueries {
        |  CAST(sum(dist) AS BIGINT) AS inertia
        |FROM af GROUP BY 1""".stripMargin
 
+  /** Shared oracle bodies: BM25 and sparse-cosine replays over the
+    * relational index build — referenced by their own entries and
+    * composed by the RRF fusion oracle. */
+  private def sqlBm25Oracle: String =
+    """WITH docs AS (SELECT doc_id,
+        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  GROUP BY 1, 2),
+        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM len),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT token, df FROM dfreq
+        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+        |post AS (SELECT t.doc_id, t.token, t.tf, k.df, l.len
+        |  FROM tf t JOIN kept k USING (token) JOIN len l USING (doc_id)),
+        |sc AS (SELECT q.doc_id AS qid, d.doc_id AS did,
+        |    CAST(sum(CAST(floor(
+        |      ln((CAST(n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(d.tf AS DOUBLE) * 2.2)
+        |      / (CAST(d.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.len AS DOUBLE) / avgdl)))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
+        |  CROSS JOIN st
+        |  WHERE q.doc_id < 20 GROUP BY 1, 2)
+        |SELECT qid, rnk, did, round(CAST(sq AS DOUBLE) / 1e6, 4) AS bm25 FROM (
+        |  SELECT qid, did, sq,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, did) AS rnk
+        |  FROM sc) r WHERE rnk <= 5""".stripMargin
+
+  private def sqlSparseCosOracle: String =
+    """WITH docs AS (SELECT doc_id,
+        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT token, df FROM dfreq
+        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+        |post AS (SELECT t.doc_id, t.token, t.tf * (1000000 // k.df) AS w
+        |  FROM tf t JOIN kept k USING (token)),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |  FROM post GROUP BY 1),
+        |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did,
+        |    CAST(sum(q.w * d.w) AS BIGINT) AS dot
+        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
+        |  WHERE q.doc_id < 20
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT qid, did,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms nq ON nq.doc_id = dots.qid
+        |  JOIN norms nd ON nd.doc_id = dots.did)
+        |SELECT qid, rnk, did, round(cos, 4) AS cos FROM (
+        |  SELECT qid, did, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rnk
+        |  FROM scored) r WHERE rnk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q_txt_pii_scrub" ->
@@ -1957,67 +2049,25 @@ object PipelineQueries {
         |FROM census c JOIN len l USING (doc_id)""".stripMargin,
 
     "q_sim_bm25" ->
-      """WITH docs AS (SELECT doc_id,
-        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
-        |  GROUP BY 1, 2),
-        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n,
-        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM len),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |kept AS (SELECT token, df FROM dfreq
-        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
-        |post AS (SELECT t.doc_id, t.token, t.tf, k.df, l.len
-        |  FROM tf t JOIN kept k USING (token) JOIN len l USING (doc_id)),
-        |sc AS (SELECT q.doc_id AS qid, d.doc_id AS did,
-        |    CAST(sum(CAST(floor(
-        |      ln((CAST(n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(d.tf AS DOUBLE) * 2.2)
-        |      / (CAST(d.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.len AS DOUBLE) / avgdl)))
-        |      * 1e6) AS BIGINT)) AS BIGINT) AS sq
-        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
-        |  CROSS JOIN st
-        |  WHERE q.doc_id < 20 GROUP BY 1, 2)
-        |SELECT qid, rnk, did, round(CAST(sq AS DOUBLE) / 1e6, 4) AS bm25 FROM (
-        |  SELECT qid, did, sq,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, did) AS rnk
-        |  FROM sc) r WHERE rnk <= 5""".stripMargin,
+      sqlBm25Oracle,
 
     "q_sim_sparse_cosine" ->
-      """WITH docs AS (SELECT doc_id,
-        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |kept AS (SELECT token, df FROM dfreq
-        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
-        |post AS (SELECT t.doc_id, t.token, t.tf * (1000000 // k.df) AS w
-        |  FROM tf t JOIN kept k USING (token)),
-        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-        |  FROM post GROUP BY 1),
-        |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did,
-        |    CAST(sum(q.w * d.w) AS BIGINT) AS dot
-        |  FROM post q JOIN post d ON q.token = d.token AND q.doc_id != d.doc_id
-        |  WHERE q.doc_id < 20
-        |  GROUP BY 1, 2),
-        |scored AS (SELECT qid, did,
-        |    CAST(dot AS DOUBLE) /
-        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))) AS cos
-        |  FROM dots JOIN norms nq ON nq.doc_id = dots.qid
-        |  JOIN norms nd ON nd.doc_id = dots.did)
-        |SELECT qid, rnk, did, round(cos, 4) AS cos FROM (
-        |  SELECT qid, did, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rnk
-        |  FROM scored) r WHERE rnk <= 5""".stripMargin,
+      sqlSparseCosOracle,
+
+    // fusion of the two ranker oracles by rank — integer RRF
+    // contributions, absent ranks contribute 0 through the FULL JOIN
+    "q_sim_rrf_hybrid" ->
+      ("WITH b AS (SELECT * FROM (" + sqlBm25Oracle + ") tb),\n" +
+        "c AS (SELECT * FROM (" + sqlSparseCosOracle + ") tc),\n" +
+        """f AS (SELECT COALESCE(b.qid, c.qid) AS qid,
+          |    COALESCE(b.did, c.did) AS did,
+          |    COALESCE(1000000 // (60 + b.rnk), 0)
+          |      + COALESCE(1000000 // (60 + c.rnk), 0) AS rrf_u
+          |  FROM b FULL JOIN c ON b.qid = c.qid AND b.did = c.did)
+          |SELECT qid, rnk, did, CAST(rrf_u AS BIGINT) AS rrf_u FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY qid
+          |      ORDER BY rrf_u DESC, did) AS rnk FROM f) r
+          |WHERE rnk <= 3""".stripMargin),
 
     "q_txt_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf
