@@ -588,6 +588,7 @@ object Profiling {
                                   qPcts: Seq[Int], nBins: Int = 1024,
                                   pickWindowCap: Long = 1L << 16)
       : DataFrame = {
+    require(qPcts.nonEmpty, "exactQuantilesBinnedGrouped: no quantiles requested")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(grp.cast("string").as("__g"),

@@ -674,6 +674,9 @@ object AnalyticsQueries {
     // argmax day is bit-deterministic under any partitioning; ties break
     // to the earliest day. Gap-filled grid (a missing day IS a deviation)
     // and a broadcast of the config-scale per-series (N, T) frame.
+    // Headroom: |cusum| ≤ N·T — a decade of days (N ≈ 3.7e3) against a
+    // 100 TB corpus (T ≈ 1e12 events) is ~4e15, far inside 2^63; the
+    // oracle's HUGEINT→BIGINT cast errors loudly past the bound.
     "q_ts_cusum" -> ((s, dir) => {
       val byDay = Tables.events(s, dir)
         .groupBy(col("event_type"),
@@ -727,7 +730,9 @@ object AnalyticsQueries {
     // per-series weekly profile a forecasting/capacity readout starts
     // from. dow = day % 7 (pure integer epoch arithmetic — Spark's and
     // DuckDB's dayofweek() disagree on week start, day%7 cannot). The
-    // per-series totals frame is config-scale → broadcast.
+    // per-series totals frame is config-scale → broadcast. Headroom:
+    // 7·10⁶·n needs n < 1.3e12 events per (series, dow) — above a
+    // 100 TB corpus's total; DuckDB would error (not wrap) first.
     "q_ts_dow_seasonality" -> ((s, dir) => {
       val byDow = Tables.events(s, dir)
         .groupBy(col("event_type"),
@@ -747,6 +752,8 @@ object AnalyticsQueries {
     // integer ppm ratio of today's count to the trailing daily mean.
     // Days with an empty trailing frame (series start) carry no
     // denominator and are excluded on both engines identically.
+    // Headroom: 7·10⁶·n bounds daily counts at 1.3e12 (cf. the dow
+    // index note) — far past any per-(series, day) reality.
     "q_sec_spike" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
