@@ -849,6 +849,29 @@ object DocQueries {
           max(col("energy_u")).as("max_energy"))
     }),
 
+    // Scene-cut detection (STUB decode, real plumbing) — the video-
+    // curation step that segments a clip before per-scene sampling is
+    // spent: ordered fixed-size frames, per-frame integer energy (the
+    // byte-sum stand-in for a real frame histogram — embedStub at
+    // dim = 1), a CUT wherever the adjacent-frame delta exceeds the
+    // threshold. The lag window is per-clip frame-count-bounded, never
+    // corpus-wide; a real codec slots into the same 1→N flatMap seam.
+    "q_mm_scenecut" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+        .filter(col("kind") === "video")
+      val frames = Multimodal.frameSampleStub(s, media,
+        frameBytes = 64, stride = 1)
+      val fe = Multimodal.embedStub(s, frames.toDF(), dim = 1).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("v").as("energy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      fe.withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(w)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("delta") > 600L, 1L).otherwise(0L)).as("n_cuts"),
+          max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+    }),
+
     "q_mm_search" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       val resized = Multimodal.resizeStub(s, media, w = 16, h = 16)
@@ -1494,6 +1517,26 @@ object DocQueries {
           |  CAST(sum(CASE WHEN energy > 96 * n_bytes THEN n_bytes ELSE 0 END) AS BIGINT) AS voiced_bytes,
           |  CAST(max(energy) AS BIGINT) AS max_energy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // ASCII-pinned payloads again: per-frame energies replay via ord
+      "q_mm_scenecut" ->
+        """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+          |fr AS (SELECT doc_id, i AS fi,
+          |    substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+          |  FROM m, unnest(generate_series(0,
+          |    CAST(floor((length(text) - 1) / 64.0) AS BIGINT))) AS t(i)),
+          |e AS (SELECT doc_id, fi,
+          |    CAST(sum(ord(substring(frame, CAST(j AS INT), 1))) AS BIGINT) AS energy
+          |  FROM fr, unnest(generate_series(1, length(frame))) AS s(j)
+          |  GROUP BY 1, 2),
+          |d AS (SELECT doc_id,
+          |    abs(energy - lag(energy, 1) OVER (PARTITION BY doc_id
+          |      ORDER BY fi)) AS delta
+          |  FROM e)
+          |SELECT doc_id, count(*) AS n_frames,
+          |  CAST(sum(CASE WHEN delta > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |  CAST(max(COALESCE(delta, 0)) AS BIGINT) AS max_delta
+          |FROM d GROUP BY 1""".stripMargin,
 
       "q_mm_pipeline" ->
         """WITH base AS (
