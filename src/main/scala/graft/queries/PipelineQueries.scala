@@ -600,6 +600,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Degree distribution of the kNN graph — the first census anyone
+    // runs against a graph artifact (validates the k-bound: max degree
+    // is capped by how many queries keep a vector in their top-k, and a
+    // heavy-tailed histogram flags hub vectors that would skew every
+    // downstream wedge join). Two aggregates over the edge artifact.
+    "q_graph_degree_hist" -> ((s, dir) => {
+      val e = s.read.parquet(knnEdgesArtifact(s, dir))
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"))
+    }),
+
     // Connected components over the kNN edge artifact — the classic
     // third graph kernel (community structure of the ANN neighborhood),
     // and the third artifact consumer: the CC kernel is the SAME
@@ -1871,6 +1884,17 @@ object PipelineQueries {
         |  count(*) AS n
         |FROM emx t LEFT JOIN pred p ON p.node = t.id
         |WHERE t.id % 5 = 0 GROUP BY 1, 2""".stripMargin),
+
+    // two aggregates over the replayed edge set
+    "q_graph_degree_hist" ->
+      ("""WITH g AS (SELECT * FROM (""" + sqlKnnGraph + """) t),
+        |e AS (SELECT DISTINCT least(query_id, cand_id) AS a,
+        |    greatest(query_id, cand_id) AS b
+        |  FROM g WHERE query_id <> cand_id),
+        |d AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) s GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes, min(node) AS min_node
+        |FROM d GROUP BY 1""".stripMargin),
 
     // components as the transitive closure of the undirected kNN edges
     // (the q_dedup_clusters reach pattern over the knn-edge derivation)

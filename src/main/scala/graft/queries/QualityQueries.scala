@@ -147,6 +147,26 @@ object QualityQueries {
     "q_emb_covariance" -> ((s, dir) =>
       Profiling.embCovariance(Tables.embeddings(s, dir), "embedding")),
 
+    // Embedding-table QA census — the gate an ANN pipeline runs before
+    // indexing a new vector snapshot: per label, zero-norm vectors (a
+    // dead encoder emits them; cosine against one is undefined) and
+    // exact integer norm² + dimension bounds over the milli-quantized
+    // vectors. One scan, config-scale output; min/max (not sums) keep
+    // every value inside Long at any corpus size.
+    "q_emb_quality" -> ((s, dir) => {
+      import graft.ops.Similarity
+      val n2 = aggregate(Similarity.quantize(col("embedding")), lit(0L),
+        (acc: Column, x: Column) => acc + x * x)
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"), n2.as("n2"),
+          size(col("embedding")).cast("long").as("d"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+          min(col("d")).as("min_dim"), max(col("d")).as("max_dim"))
+    }),
+
     // Label-separability QA: intra-label spread vs nearest-other-centroid
     // distance over the embeddings table — "are these labels learnable
     // from these vectors" before classifier training spends compute.
@@ -850,6 +870,22 @@ object QualityQueries {
         |SELECT count(*) AS n_cells, CAST(sum(cu) AS BIGINT) AS chi2_u,
         |  round(CAST(sum(cu) AS DOUBLE) / 1e6, 4) AS chi2
         |FROM u""".stripMargin,
+
+    "q_emb_quality" ->
+      """WITH em AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q,
+        |    len(embedding) AS d
+        |  FROM embeddings),
+        |n AS (SELECT label, d,
+        |    CAST(COALESCE(list_sum(list_transform(q, x -> x * x)), 0)
+        |      AS BIGINT) AS n2
+        |  FROM em)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(min(n2) AS BIGINT) AS min_n2, CAST(max(n2) AS BIGINT) AS max_n2,
+        |  CAST(min(d) AS BIGINT) AS min_dim, CAST(max(d) AS BIGINT) AS max_dim
+        |FROM n GROUP BY 1""".stripMargin,
 
     "q_emb_covariance" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
