@@ -630,6 +630,47 @@ object DocQueries {
           sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
     }),
 
+    // Stratified sampling with EXACT largest-remainder allocation — the
+    // per-language budget split a balanced eval/calibration set needs:
+    // alloc_h = floor(B·N_h/N) plus +1 for the `leftover` strata with the
+    // largest SCALED remainder B·N_h − base_h·N (the fraction never
+    // appears — pure integers, deterministic tie-break on lang), then
+    // the per-stratum take is the seeded-md5 rank (reproducible under
+    // reruns and data growth, the q_sample_permutation key). Strata
+    // windows are config-scale (partitioned by a constant — never a
+    // data-scale unpartitioned window); the census pins membership via
+    // the sampled char sum.
+    "q_sample_budget_alloc" -> ((s, dir) => {
+      // budget below every fixture's corpus size so the sample is a real
+      // subset at sf0.01 too (B > N degenerates to take-everything)
+      val B = 200L
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("nh"))
+      val withTot = counts
+        .crossJoin(broadcast(counts.agg(sum(col("nh")).as("n"))))
+        .withColumn("base", expr(s"($B * nh) div n"))
+        .withColumn("rem", lit(B) * col("nh") - col("base") * col("n"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("rem").desc, col("lang"))
+      val alloc = withTot
+        .withColumn("rk", row_number().over(wl))
+        .crossJoin(broadcast(
+          withTot.agg((lit(B) - sum(col("base"))).as("leftover"))))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select("lang", "nh", "alloc")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(graft.functions.Hashing.md5LongSeeded(
+          col("doc_id").cast("string"), 7), col("doc_id"))
+      docs.withColumn("rn", row_number().over(wr))
+        .join(broadcast(alloc), "lang")
+        .filter(col("rn") <= col("alloc"))
+        .groupBy("lang")
+        .agg(max(col("nh")).as("nh"), max(col("alloc")).as("alloc"),
+          count(lit(1)).as("taken"), sum(col("n_chars")).as("sample_chars"))
+    }),
+
     // k-fold cross-validation assignment — the evaluation-protocol
     // sibling of the train/val/test split: a pure per-row hash bucket
     // (no RNG, stable under reruns and data growth) with a per-fold
@@ -1318,6 +1359,31 @@ object DocQueries {
            |  lang, count(*) AS n,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "q_sample_budget_alloc" -> {
+        val hk = graft.functions.Hashing.sqlMd5LongSeeded(
+          "CAST(doc_id AS VARCHAR)", 7)
+        """WITH c AS (SELECT lang, count(*) AS nh FROM documents GROUP BY 1),
+          |t AS (SELECT c.lang, c.nh, (200 * c.nh) // s.n AS base,
+          |    200 * c.nh - ((200 * c.nh) // s.n) * s.n AS rem
+          |  FROM c, (SELECT CAST(sum(nh) AS BIGINT) AS n FROM c) s),
+          |a AS (SELECT lang, nh,
+          |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+          |      <= (SELECT 200 - CAST(sum(base) AS BIGINT) FROM t)
+          |      THEN 1 ELSE 0 END AS alloc
+          |  FROM t),
+          |r AS (SELECT d.lang, d.n_chars,
+          |    row_number() OVER (PARTITION BY d.lang
+          |      ORDER BY """.stripMargin + hk + """, d.doc_id) AS rn
+          |  FROM documents d)
+          |SELECT a.lang, CAST(a.nh AS BIGINT) AS nh,
+          |  CAST(a.alloc AS BIGINT) AS alloc,
+          |  count(*) AS taken,
+          |  CAST(sum(r.n_chars) AS BIGINT) AS sample_chars
+          |FROM r JOIN a ON r.lang = a.lang
+          |WHERE r.rn <= a.alloc
+          |GROUP BY 1, 2, 3""".stripMargin
+      },
 
       "q_sample_permutation" -> {
         val hk = graft.functions.Hashing.sqlMd5LongSeeded(
