@@ -280,6 +280,27 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesBinnedGrouped: wide-branch seam and saturation ordering") {
+    // values straddling the piecewise fold's 2^41 seam exactly, the wide
+    // branch proper, and the 2^81 saturation cells — ordering must hold
+    // across every boundary (the monotone-key contract at its edges)
+    val seam = 2199023255552.0 // 2^41
+    val data =
+      Seq.tabulate(50)(i => ("s", seam - 1000.0 + i * 40.0)) ++ // across the seam
+      Seq.tabulate(50)(i => ("s", -seam - 1000.0 + i * 40.0)) ++ // mirrored seam
+      Seq.tabulate(30)(i => ("s", i * 1e20)) ++                 // wide branch
+      Seq.tabulate(20)(i => ("s", 2.5e24 + i * 1e22))           // saturated cells
+    val got = Profiling.exactQuantilesBinnedGrouped(
+        data.toDF("g", "v"), col("g"), col("v"), Seq(10, 50, 90), nBins = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val sorted = data.map(_._2).sorted
+    for (q <- Seq(10, 50, 90)) {
+      val k = math.floor(q / 100.0 * (sorted.size - 1)).toInt
+      assert(got(("s", q.toLong)) === sorted(k), s"q$q")
+    }
+  }
+
   test("exactQuantilesBinnedGrouped: negative, fractional, and clamp-range values") {
     // the monotone key must order correctly across the sign mirror, the
     // 2^-20 fixed-point fold, and the +/-2^42 clamp cells
