@@ -634,41 +634,53 @@ object DocQueries {
     // per-language budget split a balanced eval/calibration set needs:
     // alloc_h = floor(B·N_h/N) plus +1 for the `leftover` strata with the
     // largest SCALED remainder B·N_h − base_h·N (the fraction never
-    // appears — pure integers, deterministic tie-break on lang), then
-    // the per-stratum take is the seeded-md5 rank (reproducible under
-    // reruns and data growth, the q_sample_permutation key). Strata
-    // windows are config-scale (partitioned by a constant — never a
-    // data-scale unpartitioned window); the census pins membership via
-    // the sampled char sum.
+    // appears — pure integers, deterministic tie-break on lang). The
+    // per-stratum take is the alloc_h SMALLEST seeded-md5 keys
+    // (reproducible under reruns and data growth, the
+    // q_sample_permutation key) — selected with the MERGEABLE map-side
+    // top-K aggregate at k = B (a superset of every alloc_h ≤ B), never
+    // a per-stratum rank window, which would global-sort each stratum in
+    // one task at 100 TB. The ≤B-row selection broadcasts back onto the
+    // corpus for the census, which pins sample membership via the
+    // sampled char sum. Strata-frame windows partition by a constant
+    // (config-scale rows only).
     "q_sample_budget_alloc" -> ((s, dir) => {
       // budget below every fixture's corpus size so the sample is a real
       // subset at sf0.01 too (B > N degenerates to take-everything)
-      val B = 200L
+      val B = 200
       val docs = Tables.documents(s, dir)
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("nh"))
       val withTot = counts
         .crossJoin(broadcast(counts.agg(sum(col("nh")).as("n"))))
         .withColumn("base", expr(s"($B * nh) div n"))
-        .withColumn("rem", lit(B) * col("nh") - col("base") * col("n"))
+        .withColumn("rem", lit(B.toLong) * col("nh") - col("base") * col("n"))
       val wl = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(0)).orderBy(col("rem").desc, col("lang"))
       val alloc = withTot
         .withColumn("rk", row_number().over(wl))
         .crossJoin(broadcast(
-          withTot.agg((lit(B) - sum(col("base"))).as("leftover"))))
+          withTot.agg((lit(B.toLong) - sum(col("base"))).as("leftover"))))
         .withColumn("alloc",
           col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
         .select("lang", "nh", "alloc")
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang")
-        .orderBy(graft.functions.Hashing.md5LongSeeded(
-          col("doc_id").cast("string"), 7), col("doc_id"))
-      docs.withColumn("rn", row_number().over(wr))
-        .join(broadcast(alloc), "lang")
-        .filter(col("rn") <= col("alloc"))
+      // hk ∈ [0, 2^60) so the negation (topK keeps LARGEST v) is safe
+      val sel = docs
+        .select(col("lang"),
+          (-graft.functions.Hashing.md5LongSeeded(
+            col("doc_id").cast("string"), 7)).as("nv"), col("doc_id"))
         .groupBy("lang")
-        .agg(max(col("nh")).as("nh"), max(col("alloc")).as("alloc"),
-          count(lit(1)).as("taken"), sum(col("n_chars")).as("sample_chars"))
+        .agg(graft.functions.TopK.topK(col("nv"), col("doc_id"), B).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("pos").cast("long").as("pos"),
+          col("col._2").as("doc_id"))
+        .join(broadcast(alloc.select("lang", "alloc")), "lang")
+        .filter(col("pos") < col("alloc"))
+        .select("lang", "doc_id")
+      docs.join(broadcast(sel), Seq("lang", "doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("taken"), sum(col("n_chars")).as("sample_chars"))
+        .join(broadcast(alloc), "lang")
+        .select("lang", "nh", "alloc", "taken", "sample_chars")
     }),
 
     // k-fold cross-validation assignment — the evaluation-protocol
