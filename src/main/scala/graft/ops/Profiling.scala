@@ -531,8 +531,14 @@ object Profiling {
     val wide = (lit(1L << 61) +
       least(floor(abs(v) / lit(1048576.0)).cast("long"), lit(1L << 61))) *
       when(v < 0.0, lit(-1L)).otherwise(lit(1L))
-    when(abs(v) < lit(2199023255552.0) /* 2^41 */,
-      floor(v * lit(1048576.0)).cast("long")).otherwise(wide)
+    // NaN: every comparison is false, so it would fall through to the
+    // wide branch where cast(NaN as long) = 0 lands it on the MID-range
+    // 2^61 cell — but both engines SORT NaN above every value, so the
+    // monotone key must too: pin it to the +saturation cell (+2^62),
+    // where the pick window's distinct-__v sort puts it last.
+    when(isnan(v), lit(1L << 62))
+      .when(abs(v) < lit(2199023255552.0) /* 2^41 */,
+        floor(v * lit(1048576.0)).cast("long")).otherwise(wide)
   }
 
   /** The data-independent MONOTONE cell key over [[xOf]]'s fixed-point

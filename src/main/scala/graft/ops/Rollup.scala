@@ -160,10 +160,21 @@ object Rollup {
       val cur =
         if (fs.exists(sp)) directDirs match {
           case Some(dirs) =>
-            val existing = dirs.filter(fs.exists).map(_.toString)
+            // skip dirs holding no data file (a torn dynamic overwrite
+            // can leave an empty partition dir; reading it fails with
+            // "Unable to infer schema"), and cast the dir-name-inferred
+            // partition column back to the delta's type explicitly
+            // rather than leaning on unionByName coercion
+            val existing = dirs
+              .filter(p => fs.exists(p) &&
+                fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+              .map(_.toString)
             if (existing.isEmpty) d.limit(0)
             else spark.read.option("basePath", path)
-              .parquet(existing: _*).filter(touchedPred)
+              .parquet(existing: _*)
+              .withColumn(partCol, col(s"`$partCol`")
+                .cast(d.schema(partCol).dataType))
+              .filter(touchedPred)
           case None => spark.read.parquet(path).filter(touchedPred)
         }
         else d.limit(0)

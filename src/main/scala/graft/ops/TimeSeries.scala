@@ -61,7 +61,15 @@ object TimeSeries {
       .groupBy(col("event_type"), col("rday").as("day"))
       .agg(sum(col("w")).as("wsum"))
       .select(col("event_type"), col("day"),
-        col("wsum").cast("long").as("ewma_u"),
+        // loud guard: a non-ANSI decimal→long cast out of range yields
+        // NULL silently — enforce the documented 2^63 bound instead of
+        // nulling the "exact unnormalized" column
+        when(col("wsum") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("ewmaDaily: unnormalized weight sum exceeds 2^63-1 for "),
+            col("event_type").cast("string"),
+            lit(" — narrow windowDays or raise halfLifeDays"))))
+          .otherwise(col("wsum")).cast("long").as("ewma_u"),
         round(col("wsum").cast("double") / lit(norm), 6).as("ewma"))
   }
 }

@@ -56,7 +56,12 @@ object StreamingFirstSeen {
           lastUs = math.max(lastUs, e.t_us)
           if (!seen.contains(e.typ)) {
             seen += e.typ
-            out += NewPair(uid, e.typ, Math.floorDiv(e.t_us, 86400000000L))
+            // Java `/` truncates toward zero — the SAME convention as the
+            // batch queries' Spark `div` AND the DuckDB oracles' `//`
+            // (both truncate; verified `(-5)//3 = -1` in DuckDB), so the
+            // streamed day equals the batch census day even for
+            // pre-1970 (negative-epoch) timestamps.
+            out += NewPair(uid, e.typ, e.t_us / 86400000000L)
           }
         }
         state.update(SeenState(seen.toSeq.sorted))

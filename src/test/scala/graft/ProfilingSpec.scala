@@ -248,11 +248,11 @@ class ProfilingSpec extends SparkSpec {
       Profiling.exactQuantilesBinnedGrouped(
         data.toDF("g", "v"), col("g"), col("v"), Seq(25, 50, 75), nBins = 16)
         .collect()
-      // listener delivery is async (round-6 gotcha): poll to settle
-      val deadline = System.nanoTime() + 10000000000L
-      while (actions.get() < 2 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(500) // settle window: catch any EXTRA action arriving
+      // listener delivery is async (round-6 gotcha): drain the listener
+      // bus deterministically instead of wall-clock polling — after
+      // waitUntilEmpty every event posted by the collect above has been
+      // delivered, so the count can neither under- nor over-shoot later
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
       assert(actions.get() === 2,
         s"expected exactly 2 eager actions (metadata + pick), got ${actions.get()}")
     } finally spark.listenerManager.unregister(l)

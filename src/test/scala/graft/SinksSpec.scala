@@ -135,6 +135,80 @@ class SinksSpec extends SparkSpec {
     assert(dirs.nonEmpty)
   }
 
+  test("UpsertSink: torn commit (crash mid-swap) replays clean via undo recovery") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_torn_").toString
+    val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def land(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      assert(f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    land("b0.json", Seq(
+      """{"k":1,"ver":10,"payload":"old"}""",
+      """{"k":5,"ver":11,"payload":"keep"}"""), t0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ver BIGINT, payload STRING")
+    def drain(): Int = graft.streaming.UpsertSink.availableNow(
+      graft.streaming.KafkaSource.decodeJson(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(src), schema),
+      state, ckpt, keyCol = "k", orderCols = Seq("ver"), nBuckets = 4)
+    drain()
+    val sp = new Path(state)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Simulate a crash INSIDE the swap window of a later batch touching
+    // bucket 1 (k=1 and k=5 both hash there, pmod(k,4)): the live bucket
+    // was already moved into the undo dir, a DAMAGED half-written bucket
+    // sits in its place (empty dir — the exact state the old dynamic
+    // overwrite could leave, which also used to crash the direct read),
+    // and the manifest records the bucket existed.
+    val live = new Path(sp, "bucket=1")
+    val undo = new Path(sp, ".graft_undo/999")
+    fs.mkdirs(undo)
+    assert(fs.rename(live, new Path(undo, "bucket=1")))
+    fs.mkdirs(live) // damaged: exists but holds zero data files
+    val out = fs.create(new Path(undo, "MANIFEST"), true)
+    out.write("1 1\n".getBytes("UTF-8")); out.close()
+    // also a stray staged dir from the crashed batch
+    fs.mkdirs(new Path(sp, ".graft_stage/999/bucket=1"))
+
+    // replayed/next batch: recovery must restore the saved bucket before
+    // merging, so k=1 upgrades from the ORIGINAL ver=10 state and k=5
+    // survives untouched
+    land("b1.json", Seq("""{"k":1,"ver":20,"payload":"new"}"""), t0 + 60000L)
+    drain()
+    val st = spark.read.parquet(state)
+      .select("k", "ver", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(st === Map(1L -> ((20L, "new")), 5L -> ((11L, "keep"))))
+    assert(!fs.exists(new Path(sp, ".graft_undo")), "undo dir not cleaned")
+    assert(!fs.exists(new Path(sp, ".graft_stage")), "stage dir not cleaned")
+  }
+
+  test("UpsertSink recover: half-committed previously-absent bucket is removed") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_rec_").toString
+    val sp = new Path(s"$root/state")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bucket=2 did NOT exist before the crashed batch (manifest says 0)
+    // but its staged data already renamed in → recovery must delete it
+    // to restore the pre-batch state
+    fs.mkdirs(new Path(sp, "bucket=2"))
+    val f = fs.create(new Path(sp, "bucket=2/part-0.parquet"), true)
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    val undo = new Path(sp, ".graft_undo/7")
+    fs.mkdirs(undo)
+    val out = fs.create(new Path(undo, "MANIFEST"), true)
+    out.write("2 0\n".getBytes("UTF-8")); out.close()
+    graft.streaming.UpsertSink.recover(fs, sp)
+    assert(!fs.exists(new Path(sp, "bucket=2")))
+    assert(!fs.exists(new Path(sp, ".graft_undo")))
+  }
+
   test("q_p8 plan prunes day partitions via PartitionFilters, no data filter") {
     val df = graft.SparkEntry.queries("q_p8_partition_pruning")(
       spark, "/root/testdata/sf0.001")
