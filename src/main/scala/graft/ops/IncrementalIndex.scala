@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance for the materialize-once artifacts — the
+  * r10 artifacts (kNN edge set, inverted index) were build-once,
+  * full-rebuild-on-change, and the BUILD is the expensive part (the only
+  * 40 s+ SCALE row). These stores apply the `q_dedup_incremental`
+  * delta-vs-corpus pattern to the artifacts themselves: a new batch
+  * probes the existing structure, only the touched partitions rewrite,
+  * untouched partitions stay byte-identical on disk (the
+  * `Rollup.refreshAdditive` discipline), and the refreshed store equals
+  * a full rebuild on (corpus + delta) exactly — the DuckDB oracles
+  * replay the full rebuild. Reference analog: the pipeline's whole point
+  * is incremental landings (etl.py:32-45 batches into an additive
+  * store); these are the index-side equivalents.
+  *
+  * Scale posture: per refresh the work is O(delta + touched cells /
+  * buckets), never O(store). Centroids/vocabulary metadata are
+  * config-scale; everything heavy is partition-pruned parquet IO plus
+  * one bounded scoring pass.
+  */
+object IncrementalIndex {
+
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
+    graft.streaming.UpsertSink.hasDataFile(fs, p)
+
+  /** IVF-cell kNN-graph store. Layout under `root`:
+    *  - `centroids/` (cid, q): the snapshot-trained k-means cells —
+    *    FROZEN at build (the IVF discipline: cells define the index;
+    *    retraining is a rebuild, not a refresh);
+    *  - `assign/` partitioned by `cell`: multi-probe rows (rk, id, q,
+    *    nrm) — rank 1 is membership, ranks ≤ nprobe are the probe list;
+    *  - `edges/` partitioned by `pcell` (the query's rank-1 cell):
+    *    (query_id, rnk, cand_id, cos) — the consumer-facing kNN graph.
+    *
+    * Refresh contract (proved by the oracle): after `refresh(delta)` the
+    * edge table equals `Similarity.knnGraph(base ∪ delta)` under the
+    * BUILD-time centroids. A delta vector becomes a new candidate only
+    * in its rank-1 cell, so the affected queries are exactly those
+    * probing a delta rank-1 cell; they re-score against their probed
+    * cells' full membership (old top-k ∪ anything new — re-scoring the
+    * whole cell avoids comparing stored rounded scores), every other
+    * query's candidate set is unchanged and its rows are never read or
+    * rewritten.
+    */
+  object Knn {
+
+    val NProbe = 2
+    val KNn = 3
+
+    def build(em: DataFrame, idCol: String, embCol: String,
+              root: String, iters: Int = 2): Unit = {
+      val s = em.sparkSession
+      val k = Similarity.deriveK(em.count())
+      val cents = Similarity.kmeansTrain(em, idCol, embCol, k, iters)
+      s.createDataFrame(cents.toIndexedSeq.map { case (cid, q) => (cid, q.toSeq) })
+        .toDF("cid", "q")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+      val assigned = CacheRegistry.persist(
+        Similarity.probeAssign(em, idCol, embCol, cents.toSeq, NProbe))
+      assigned.write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$root/assign")
+      val tagged = assigned.select(col("cell"), (col("rk") === 1).as("ism"),
+        lit(true).as("isq"), col("id"), col("q"), col("nrm"))
+      val edges = Similarity.knnTopK(
+        Similarity.scoreCellsLocal(tagged, KNn), KNn)
+      val pcell = assigned.filter(col("rk") === 1)
+        .select(col("id").as("query_id"), col("cell").as("pcell"))
+      edges.join(pcell, "query_id")
+        .write.mode(SaveMode.Overwrite).partitionBy("pcell")
+        .parquet(s"$root/edges")
+      CacheRegistry.release(assigned)
+    }
+
+    /** Read back the frozen centroids (config-scale, ≤ 1024 × 64 longs). */
+    private def centroids(s: SparkSession, root: String): Array[(Long, Array[Long])] =
+      s.read.parquet(s"$root/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+
+    def refresh(s: SparkSession, root: String, deltaEm: DataFrame,
+                idCol: String, embCol: String): Unit = {
+      val cents = centroids(s, root)
+      val dAss = CacheRegistry.persist(
+        Similarity.probeAssign(deltaEm, idCol, embCol, cents.toSeq, NProbe))
+      // cells that gain a MEMBER (rank-1) — the only cells whose
+      // candidate sets change; config-scale (≤ k values)
+      val touchedCells = dAss.filter(col("rk") === 1)
+        .select("cell").distinct().collect().map(_.getLong(0))
+      if (touchedCells.nonEmpty) {
+        // 1. delta probe rows append into the store (new files only —
+        //    existing assign files stay byte-identical)
+        dAss.write.mode(SaveMode.Append).partitionBy("cell")
+          .parquet(s"$root/assign")
+        val sp = new Path(s"$root/assign")
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def cellDirs(cells: Seq[Long]): Seq[String] = cells
+          .map(v => new Path(sp, s"cell=$v")).filter(hasData(fs, _))
+          .map(_.toString)
+        def readCells(cells: Seq[Long]): DataFrame =
+          s.read.option("basePath", s"$root/assign")
+            .parquet(cellDirs(cells): _*)
+            .withColumn("cell", col("cell").cast("long"))
+        // 2. touched queries: every vector PROBING a touched cell (its
+        //    candidate set changed) — O(touched-cell rows), partition-
+        //    pruned; includes the delta vectors themselves (their rows
+        //    were just appended)
+        val touchedRows = readCells(touchedCells.toIndexedSeq)
+        val qvecs = touchedRows.select(col("id"), col("q"))
+          .dropDuplicates("id")
+        // 3. full probe lists of the touched queries, recomputed from
+        //    their vectors against the frozen centroids (the store is
+        //    cell-partitioned, so re-probing beats scanning every cell
+        //    for their rows)
+        val qProbe = CacheRegistry.persist(
+          Similarity.probeAssignQ(qvecs, cents.toSeq, NProbe))
+        val candCells = qProbe.select("cell").distinct()
+          .collect().map(_.getLong(0))
+        // 4. members of every probed cell (store post-append = corpus +
+        //    delta) vs the touched queries — the same kernel as the
+        //    build, queries restricted to the touched set
+        val members = readCells(candCells.toIndexedSeq)
+          .filter(col("rk") === 1)
+          .select(col("cell"), lit(true).as("ism"), lit(false).as("isq"),
+            col("id"), col("q"), col("nrm"))
+        val queries = qProbe.select(col("cell"), lit(false).as("ism"),
+          lit(true).as("isq"), col("id"), col("q"), col("nrm"))
+        val newEdges = Similarity.knnTopK(
+          Similarity.scoreCellsLocal(members.unionByName(queries), KNn), KNn)
+        val pcellMap = qProbe.filter(col("rk") === 1)
+          .select(col("id").as("query_id"), col("cell").as("pcell"))
+        val newE = newEdges.join(pcellMap, "query_id")
+        // 5. rewrite ONLY the edge partitions holding touched queries:
+        //    keep co-located untouched queries' rows, replace the
+        //    touched set's, dynamic-overwrite those pcells (the
+        //    refreshAdditive read-then-replace discipline)
+        val touchedPcells = pcellMap.select("pcell").distinct()
+          .collect().map(_.getLong(0))
+        val ep = new Path(s"$root/edges")
+        val edirs = touchedPcells.toIndexedSeq
+          .map(v => new Path(ep, s"pcell=$v")).filter(hasData(fs, _))
+          .map(_.toString)
+        val oldKept =
+          if (edirs.isEmpty)
+            newE.limit(0)
+          else s.read.option("basePath", s"$root/edges").parquet(edirs: _*)
+            .withColumn("pcell", col("pcell").cast("long"))
+            .join(broadcast(qProbe.select(col("id").as("query_id")).distinct()),
+              Seq("query_id"), "left_anti")
+        val merged = oldKept.unionByName(newE.select(oldKept.columns.map(col): _*))
+        val snap = merged.localCheckpoint(true)
+        snap.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pcell").parquet(s"$root/edges")
+        snap.unpersist(blocking = true)
+        CacheRegistry.release(qProbe)
+      }
+      CacheRegistry.release(dAss)
+    }
+
+    /** The consumer-facing kNN graph off the store. */
+    def edges(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(s"$root/edges")
+        .select("query_id", "rnk", "cand_id", "cos")
+  }
+
+  /** Inverted-index store — [[TextAnalysis.irIndex]] re-shaped for
+    * incremental landings. Layout under `root`:
+    *  - `tf/` partitioned by `bucket = pmod(id, nBuckets)`: per-(doc,
+    *    hashed-term) frequencies (id, isq, token, tf) — documents are
+    *    immutable, so a delta batch APPENDS files and every existing
+    *    file stays byte-identical;
+    *  - `doclen/` same bucketing: (id, len) — append-only likewise;
+    *  - `df/` partitioned by `dbucket = pmod(token, nBuckets)`:
+    *    per-term document frequency — the only MUTABLE table (a new doc
+    *    increments df for each of its distinct terms), refreshed
+    *    additively via [[Rollup.refreshAdditive]]: only buckets holding
+    *    delta-vocabulary terms rewrite;
+    *  - `meta/`: (n_docs) — the stop-cap input (counts ALL landed docs,
+    *    token-empty ones included, matching the build-from-raw cap).
+    *
+    * The store keeps tf UNCAPPED and applies the stop-cap at view time
+    * ([[Ir.postings]]): the cap threshold max(5, frac·n_docs) moves as
+    * the corpus grows, so a term dropped at snapshot N can come back
+    * under the cap at N+1 — capping inside the store would lose its
+    * rows and break refresh == rebuild.
+    */
+  object Ir {
+
+    private def tfOf(docs: DataFrame, idCol: String, textCol: String,
+                     isQuery: org.apache.spark.sql.Column): DataFrame =
+      docs.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
+          explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
+        .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
+
+    private def writeMeta(s: SparkSession, root: String, nDocs: Long): Unit =
+      s.createDataFrame(Seq(Tuple1(nDocs))).toDF("n_docs")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/meta")
+
+    private def nDocs(s: SparkSession, root: String): Long =
+      s.read.parquet(s"$root/meta").head().getLong(0)
+
+    def build(docs: DataFrame, idCol: String, textCol: String,
+              isQuery: org.apache.spark.sql.Column, root: String,
+              nBuckets: Int = 16): Unit = {
+      val s = docs.sparkSession
+      val tf = CacheRegistry.persist(tfOf(docs, idCol, textCol, isQuery))
+      tf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$root/tf")
+      tf.groupBy("id").agg(sum(col("tf")).as("len"))
+        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$root/doclen")
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
+        .parquet(s"$root/df")
+      writeMeta(s, root, docs.count())
+      CacheRegistry.release(tf)
+    }
+
+    def refresh(s: SparkSession, root: String, deltaDocs: DataFrame,
+                idCol: String, textCol: String,
+                isQuery: org.apache.spark.sql.Column,
+                nBuckets: Int = 16): Unit = {
+      val dtf = CacheRegistry.persist(tfOf(deltaDocs, idCol, textCol, isQuery))
+      dtf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(s"$root/tf")
+      dtf.groupBy("id").agg(sum(col("tf")).as("len"))
+        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(s"$root/doclen")
+      Rollup.refreshAdditive(s, s"$root/df",
+        dtf.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong))),
+        "dbucket", keyCols = Seq("token"), sumCols = Seq("df"))
+      writeMeta(s, root, nDocs(s, root) + deltaDocs.count())
+      CacheRegistry.release(dtf)
+    }
+
+    /** Stop-capped postings view (id, isq, token, tf, df) — equals
+      * [[TextAnalysis.irIndex]]'s postings on the full landed corpus. */
+    def postings(s: SparkSession, root: String,
+                 stopTermFrac: Double = 0.02): DataFrame = {
+      val cap = math.max(5.0, stopTermFrac * nDocs(s, root))
+      s.read.parquet(s"$root/tf")
+        .join(s.read.parquet(s"$root/df")
+          .filter(col("df") <= lit(cap)).select("token", "df"), "token")
+        .select("id", "isq", "token", "tf", "df")
+    }
+
+    def doclen(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(s"$root/doclen").select("id", "len")
+  }
+}

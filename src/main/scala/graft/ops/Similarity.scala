@@ -371,6 +371,29 @@ object Similarity {
   def knnGraph(em: DataFrame, idCol: String, embCol: String,
                cents: Seq[(Long, Array[Long])], k: Int,
                nprobe: Int): DataFrame = {
+    val assigned = probeAssign(em, idCol, embCol, cents, nprobe)
+    val tagged = assigned.select(col("cell"), (col("rk") === 1).as("ism"),
+      lit(true).as("isq"), col("id"), col("q"), col("nrm"))
+    knnTopK(scoreCellsLocal(tagged, k), k)
+  }
+
+  /** Multi-probe COSINE assignment rows (cell, rk, id, q, nrm): each
+    * vector probes its `nprobe` highest-cosine cells (max cos first,
+    * ties to the lowest cid — ivfTopK's max_by rule); the rank-1 row IS
+    * the membership row. Split out of [[knnGraph]] so the incremental
+    * index store can assign a DELTA batch against snapshot centroids
+    * without touching the corpus.
+    */
+  def probeAssign(em: DataFrame, idCol: String, embCol: String,
+                  cents: Seq[(Long, Array[Long])], nprobe: Int): DataFrame =
+    probeAssignQ(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")),
+      cents, nprobe)
+
+  /** [[probeAssign]] over already-quantized (id, q) rows — the refresh
+    * path re-probes vectors read back from the index store. */
+  private[graft] def probeAssignQ(q: DataFrame,
+      cents: Seq[(Long, Array[Long])], nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= cents.length)
     val carr = cents.toArray
     val cnorm = carr.map { case (_, cv) =>
@@ -379,8 +402,7 @@ object Similarity {
       while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
       math.sqrt(d.toDouble)
     }
-    val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
-    val assigned = q.mapPartitions { rows =>
+    q.select(col("id"), col("q")).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Long](1)
@@ -405,28 +427,41 @@ object Similarity {
           }
       }
     }(org.apache.spark.sql.Encoders.row(knnAssignSchema))
-    val scored = assigned
+  }
+
+  /** Cell-local bounded top-k scoring over TAGGED rows (cell, ism, isq,
+    * id, q, nrm): per cell the `ism` rows are the candidate set and
+    * every `isq` row emits its top-k by (cos desc, cand_id asc) —
+    * [[knnGraph]] tags every probe row a query and rank-1 rows members;
+    * the incremental refresh feeds members from the STORE and queries
+    * from the touched set only. Emits cell-local winners; callers merge
+    * with [[knnTopK]]. One shuffle (repartition by cell), plain integer
+    * loops, task memory one cell's rows.
+    */
+  private[graft] def scoreCellsLocal(tagged: DataFrame, k: Int): DataFrame =
+    tagged
       .repartition(col("cell"))
-      .sortWithinPartitions("cell", "id", "rk")
+      .sortWithinPartitions("cell", "id")
       .mapPartitions { rows =>
-        type R = (Int, Long, Seq[Long], Double) // (rk, id, q, nrm)
+        type R = (Boolean, Boolean, Long, Seq[Long], Double) // (ism, isq, id, q, nrm)
         val in = rows.buffered
         def group(): Iterator[org.apache.spark.sql.Row] = {
           val cell = in.head.getLong(0)
           val grp = scala.collection.mutable.ArrayBuffer.empty[R]
           while (in.hasNext && in.head.getLong(0) == cell)  {
             val r = in.next()
-            grp += ((r.getInt(1), r.getLong(2), r.getSeq[Long](3), r.getDouble(4)))
+            grp += ((r.getBoolean(1), r.getBoolean(2), r.getLong(3),
+              r.getSeq[Long](4), r.getDouble(5)))
           }
-          val cands = grp.filter(_._1 == 1).toArray // rank-1 rows = members
-          grp.iterator.flatMap { case (_, qid, qv, qn) =>
+          val cands = grp.filter(_._1).toArray // ism rows = members
+          grp.iterator.filter(_._2).flatMap { case (_, _, qid, qv, qn) =>
             // bounded local top-k by (cos desc, cand_id asc)
             val a = new Array[Double](k)
             val ii = new Array[Long](k)
             var n = 0
             var m = 0
             while (m < cands.length) {
-              val (_, cid, cv, cn) = cands(m)
+              val (_, _, cid, cv, cn) = cands(m)
               if (cid != qid) {
                 var dot = 0L
                 var j = 0
@@ -457,6 +492,10 @@ object Similarity {
           def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
         }
       }(org.apache.spark.sql.Encoders.row(knnPairSchema))
+
+  /** Global per-query merge of cell-local winners: (query_id, rnk,
+    * cand_id, cos@4dp), rnk by (cos desc, cand_id asc). */
+  private[graft] def knnTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))

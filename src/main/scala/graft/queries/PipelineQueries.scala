@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
-import graft.ops.{CacheRegistry, Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{CacheRegistry, Dedup, IncrementalIndex, Packing, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Training-data pipeline operators, batch 2: PII scrubbing, repetition
@@ -567,6 +567,18 @@ object PipelineQueries {
     "q_knn_edges_materialized" -> ((s, dir) =>
       s.read.parquet(knnEdgesArtifact(s, dir))),
 
+    // INCREMENTAL maintenance of the kNN-graph artifact (the r10 verdict
+    // item: the ANN build was the last full-rebuild cost in an otherwise
+    // incremental engine): the newest 20% of vectors land as a delta
+    // against a store built on the first 80% — new vectors probe the
+    // FROZEN snapshot cells, only queries probing a delta-membered cell
+    // re-score, untouched edge partitions never rewrite
+    // (IncrementalIndexSpec pins them byte-identical). The oracle is the
+    // FULL REBUILD on (base + delta) under base-trained centroids — the
+    // refresh is proven equal to rebuilding, not just plausible.
+    "q_knn_edges_incremental" -> ((s, dir) =>
+      IncrementalIndex.Knn.edges(s, knnIncArtifact(s, dir))),
+
     // kNN-graph label propagation (one hop) — semi-supervised labeling
     // over the MATERIALIZED edge artifact (fourth consumer): 80% of
     // vectors act as labeled seeds, the held-out 20% take the majority
@@ -819,6 +831,25 @@ object PipelineQueries {
         .join(s.read.parquet(root + "/doclen"), "id")
     }),
 
+    // INCREMENTAL maintenance of the inverted index (the IR sibling of
+    // q_knn_edges_incremental): the newest 20% of docs land as a delta —
+    // tf/doclen APPEND (documents are immutable; existing files stay
+    // byte-identical), df refreshes ADDITIVELY bucket-pruned
+    // (refreshAdditive — only delta-vocabulary buckets rewrite), and the
+    // stop-cap applies at view time against the grown corpus count so a
+    // term can cross the cap in either direction. Same per-doc census as
+    // the materialized index; the oracle replays the FULL build on
+    // (base + delta), proving refresh == rebuild.
+    "q_ir_index_incremental" -> ((s, dir) => {
+      val root = irIncArtifact(s, dir)
+      IncrementalIndex.Ir.postings(s, root, stopTermFrac = 0.05)
+        .withColumn("w", col("tf") * expr("1000000 div df"))
+        .groupBy("id", "isq")
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("kept_tf"),
+          sum(col("w")).as("sum_w"))
+        .join(IncrementalIndex.Ir.doclen(s, root), "id")
+    }),
+
     // BM25 retrieval — the standard IR ranking over the same inverted
     // index and planted-signal fixture as q_sim_sparse_cosine; per-term
     // contributions floor-quantized to integer micros so the distributed
@@ -1068,6 +1099,42 @@ object PipelineQueries {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** DuckDB replay of q_knn_edges_incremental: the FULL kNN rebuild over
+    * (base + delta) with centroids trained on the BASE 80% only — the
+    * frozen-cells contract the incremental store maintains. Identical to
+    * [[sqlKnnGraph]] except the k-means CTE chain trains on the filtered
+    * `em` while assignment/scoring run over the unfiltered `emf`.
+    */
+  private def sqlKnnGraphInc: String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    val baseWhere =
+      " WHERE vec_id < (SELECT (max(vec_id)+1)*4//5 FROM embeddings)"
+    s"""WITH ${sqlKmeansCtes(k = 8, iters = 2, dim = 64, where = baseWhere)},
+       |emf AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cents AS (SELECT cid, q AS qc FROM cents2),
+       |cassign AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.q, c.qc) /
+       |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+       |        c.cid) AS rk
+       |  FROM emf e, cents c),
+       |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
+       |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= 2),
+       |scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+       |  FROM emf a JOIN cells ca ON ca.vec_id = a.vec_id,
+       |       emf b JOIN qcells cb ON cb.vec_id = b.vec_id
+       |  WHERE a.vec_id <> b.vec_id AND ca.cell = cb.cell)
+       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** The kNN graph (see q_sim_knn_graph); also the edge source for
     * q_graph_triangles. */
   private def knnGraphDf(s: SparkSession, dir: String): DataFrame = {
@@ -1137,6 +1204,48 @@ object PipelineQueries {
         "doc_id", "text", isQuery = col("doc_id") < 20, stopTermFrac = 0.05)
       postings.write.mode("overwrite").parquet(root + "/postings")
       doclen.write.mode("overwrite").parquet(root + "/doclen")
+      root
+    })
+
+  private val knnIncPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** INCREMENTALLY-maintained kNN store (see `q_knn_edges_incremental`):
+    * built on the first 80% of vectors, refreshed with the newest 20% —
+    * the deriveBlocks boundary rule (`(max+1)·4/5`, one metadata
+    * aggregate), matching the oracle's base/delta split.
+    */
+  private[graft] def knnIncArtifact(s: SparkSession, dir: String): String =
+    knnIncPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_knn_inc_").toString
+      val em = Tables.embeddings(s, dir)
+      val deltaFrom =
+        (em.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 4L / 5L
+      IncrementalIndex.Knn.build(
+        em.filter(col("vec_id") < deltaFrom), "vec_id", "embedding", root)
+      IncrementalIndex.Knn.refresh(s, root,
+        em.filter(col("vec_id") >= deltaFrom), "vec_id", "embedding")
+      root
+    })
+
+  private val irIncPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** INCREMENTALLY-maintained inverted-index store (see
+    * `q_ir_index_incremental`): base = first 80% of docs, delta = the
+    * newest 20%, same planted-signal fixture as the materialized index.
+    */
+  private[graft] def irIncArtifact(s: SparkSession, dir: String): String =
+    irIncPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ir_inc_").toString
+      val docs = plantedDocs(s, dir)
+      val deltaFrom =
+        (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+      val isq = col("doc_id") < 20
+      IncrementalIndex.Ir.build(docs.filter(col("doc_id") < deltaFrom),
+        "doc_id", "text", isq, root)
+      IncrementalIndex.Ir.refresh(s, root,
+        docs.filter(col("doc_id") >= deltaFrom), "doc_id", "text", isq)
       root
     })
 
@@ -1449,6 +1558,32 @@ object PipelineQueries {
        |  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
        |  CAST(sum(dist) AS BIGINT) AS inertia
        |FROM af GROUP BY 1""".stripMargin
+
+  /** Replay of the whole index build (tokenize → tf → df → stop-cap →
+    * postings + doclen) folded per doc; sum_w pins each (tf, df) pair
+    * through the integer tf-idf weight. Shared by the materialized AND
+    * incremental index entries — the refresh contract is precisely that
+    * both equal this from-scratch derivation. */
+  private def sqlIrIndexCensus: String =
+    """WITH docs AS (SELECT doc_id,
+      |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+      |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
+      |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+      |  GROUP BY 1, 2),
+      |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |kept AS (SELECT token, df FROM dfreq
+      |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
+      |census AS (SELECT t.doc_id, count(*) AS n_terms,
+      |    CAST(sum(t.tf) AS BIGINT) AS kept_tf,
+      |    CAST(sum(t.tf * (1000000 // k.df)) AS BIGINT) AS sum_w
+      |  FROM tf t JOIN kept k USING (token) GROUP BY 1)
+      |SELECT c.doc_id AS id, c.doc_id < 20 AS isq, c.n_terms, c.kept_tf,
+      |  c.sum_w, l.len
+      |FROM census c JOIN len l USING (doc_id)""".stripMargin
 
   /** Shared oracle bodies: BM25 and sparse-cosine replays over the
     * relational index build — referenced by their own entries and
@@ -1920,6 +2055,9 @@ object PipelineQueries {
         |    greatest(query_id, cand_id) AS b
         |  FROM g WHERE query_id <> cand_id""".stripMargin),
 
+    // the refreshed store == the full rebuild under base-trained cells
+    "q_knn_edges_incremental" -> sqlKnnGraphInc,
+
     // edges = the undirected kNN pairs (the q_sim_knn_graph oracle as a
     // derived table), then the a<b<c wedge-close join
     "q_graph_triangles" ->
@@ -2052,25 +2190,14 @@ object PipelineQueries {
     // postings + doclen) folded per doc; sum_w pins each (tf, df) pair
     // through the integer tf-idf weight
     "q_ir_index_materialized" ->
-      """WITH docs AS (SELECT doc_id,
-        |    text || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' topic' || CAST(doc_id % 40 AS VARCHAR)
-        |         || ' ent' || CAST(doc_id % 200 AS VARCHAR) AS text
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
-        |  GROUP BY 1, 2),
-        |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |kept AS (SELECT token, df FROM dfreq
-        |  WHERE df <= greatest(5.0, 0.05 * (SELECT count(*) FROM docs))),
-        |census AS (SELECT t.doc_id, count(*) AS n_terms,
-        |    CAST(sum(t.tf) AS BIGINT) AS kept_tf,
-        |    CAST(sum(t.tf * (1000000 // k.df)) AS BIGINT) AS sum_w
-        |  FROM tf t JOIN kept k USING (token) GROUP BY 1)
-        |SELECT c.doc_id AS id, c.doc_id < 20 AS isq, c.n_terms, c.kept_tf,
-        |  c.sum_w, l.len
-        |FROM census c JOIN len l USING (doc_id)""".stripMargin,
+      sqlIrIndexCensus,
+
+    // incremental store == full rebuild on (base + delta): the SAME
+    // census replay as q_ir_index_materialized — the whole point of the
+    // refresh contract (tf/doclen appends + additive bucket-pruned df +
+    // view-time stop-cap reproduce the from-scratch build exactly)
+    "q_ir_index_incremental" ->
+      sqlIrIndexCensus,
 
     "q_sim_bm25" ->
       sqlBm25Oracle,
