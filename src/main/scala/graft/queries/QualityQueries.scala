@@ -17,10 +17,12 @@ object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // One-scan numeric profile of lineitem: count/nulls/exact-distinct/
-    // min/max plus an exact fixed-point mean per column. The four
-    // count-distincts compile to a single Expand feeding one
-    // partial+final aggregate — one pass, four rows out.
+    // Numeric profile of lineitem: count/nulls/exact-distinct/min/max
+    // plus an exact fixed-point mean per column — one column-pruned
+    // single-distinct aggregate per column, unioned (the r11 measured
+    // decision: the former one-Expand multi-distinct scan pushed 5x the
+    // rows through the distinct aggregate, 10x slower; see
+    // Profiling.profileNumeric).
     "q_profile_numeric" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       Profiling.profileNumeric(li, Seq(
