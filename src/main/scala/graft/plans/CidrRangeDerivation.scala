@@ -78,5 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => CidrRangeDerivation)
     ext.injectOptimizerRule(_ => NanosRangeDerivation)
     ext.injectOptimizerRule(_ => StreamingScanFilterPushdown)
+    ext.injectOptimizerRule(_ => RollupNavigation)
   }
 }

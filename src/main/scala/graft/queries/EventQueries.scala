@@ -17,6 +17,28 @@ object EventQueries {
   private def se(spark: SparkSession, dir: String): DataFrame =
     Enrich.securityEvents(Tables.events(spark, dir))
 
+  private val navRollupPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialize the A1-grain hourly rollup once per fixture dir and
+    * register it with [[graft.plans.RollupNavigation]] — after this,
+    * hour-or-coarser groupBy-SUMs over the events frame navigate to the
+    * rollup (see `q_a2_reagg_navigated`). */
+  private def navigationReady(s: SparkSession, dir: String): Unit = {
+    navRollupPaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_nav_rollup_").toString + "/hourly"
+      val raw = se(s, dir)
+      Rollup.hourly(raw, "ts", "value", dims = Seq("event_type"),
+          hourColName = "hour", sumColName = "sum_value")
+        .write.mode("overwrite").parquet(out)
+      graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
+        "value", out, "hour", "sum_value")
+      out
+    })
+    ()
+  }
+
   private def cte(body: String): String =
     s"WITH e AS (\n${Enrich.sqlCte}\n)\n$body"
 
@@ -939,6 +961,24 @@ object EventQueries {
           round(col("sum_value"), 2).as("sum_value"))
     }),
 
+    // A2 under AGGREGATE NAVIGATION (plans/RollupNavigation — the
+    // engine-native analog of the reference's "query the rollup, not
+    // raw" SummingMergeTree architecture): the query code is IDENTICAL
+    // to q_a2_reagg_daily, but a materialized hourly rollup is
+    // registered with the optimizer rule first, so the inner hourly
+    // aggregate rewrites onto the rollup parquet — the oracle still
+    // recomputes from RAW events in DuckDB, proving the navigated plan
+    // is semantically invisible. RollupNavigationSpec pins the plan
+    // shape and the staleness stand-down.
+    "q_a2_reagg_navigated" -> ((s, dir) => {
+      navigationReady(s, dir)
+      val hourly = Rollup.hourly(se(s, dir), "ts", "value",
+        dims = Seq("event_type"), hourColName = "hour", sumColName = "sum_value")
+      Rollup.reaggregate(hourly, "hour", "sum_value", "day", Seq("event_type"), "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1664,6 +1704,15 @@ object EventQueries {
            |GROUP BY 1, 2, 3""".stripMargin),
 
       "q_a2_reagg_daily" -> cte(
+        """SELECT strftime(CAST(hour AS DATE), '%Y-%m-%d') AS day, event_type,
+          |round(sum(sum_value),2) AS sum_value
+          |FROM (SELECT date_trunc('hour', ts) AS hour, event_type, sum(value) AS sum_value
+          |      FROM e GROUP BY 1, 2) h
+          |GROUP BY 1, 2""".stripMargin),
+
+      // navigated == raw: the oracle recomputes from raw events — the
+      // materialized-rollup rewrite must be invisible to the hash
+      "q_a2_reagg_navigated" -> cte(
         """SELECT strftime(CAST(hour AS DATE), '%Y-%m-%d') AS day, event_type,
           |round(sum(sum_value),2) AS sum_value
           |FROM (SELECT date_trunc('hour', ts) AS hour, event_type, sum(value) AS sum_value

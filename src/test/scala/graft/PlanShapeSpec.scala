@@ -174,6 +174,18 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("q_a2_reagg_navigated: the inner hourly aggregate reads the rollup, not raw events") {
+    try {
+      val df = SparkEntry.queries("q_a2_reagg_navigated")(spark, sf)
+      val p = df.queryExecution.optimizedPlan.toString
+      // navigated: the only relation is the materialized rollup (hour,
+      // event_type, sum_value) — no events-schema scan survives
+      assert(p.contains("sum_value#"), s"not navigated:\n$p")
+      assert(!p.contains("event_id"), s"raw events scan survived:\n$p")
+      assert(df.collect().nonEmpty)
+    } finally graft.plans.RollupNavigation.clear()
+  }
+
   test("q_outlier_mad: both stat joins broadcast, never an SMJ of the facts") {
     val p = plan("q_outlier_mad")
     // med/mad are config-scale (one row per group) — they must come back
