@@ -1331,6 +1331,14 @@ object AnalyticsQueries {
           .coalesce(1).write.mode("append").text(src)
         pinLandingOrder(src, seen, mtimeBase, i)
       }
+      // watermark sentinel (the t24 discipline): flush the sub-ms tail
+      // the ms-granularity watermark can never pass; filtered on read
+      s.createDataFrame(Seq((-1L, hi + 86400000000L, 0L)))
+        .toDF("user_id", "t_us", "event_id")
+        .select(to_json(struct(col("user_id"), col("t_us"),
+          col("event_id"))).as("value"))
+        .coalesce(1).write.mode("append").text(src)
+      pinLandingOrder(src, seen, mtimeBase, 4)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, t_us BIGINT, event_id BIGINT")
       val decoded = graft.streaming.KafkaSource.decodeJson(
@@ -1345,7 +1353,7 @@ object AnalyticsQueries {
         org.apache.spark.sql.streaming.OutputMode.Update)
       sink
     })
-    s.read.parquet(out).groupBy("user_id")
+    s.read.parquet(out).filter(col("user_id") >= 0).groupBy("user_id")
       .agg(max(col("n_gaps")).as("n"), max(col("sg")).as("sg"),
         max(col("sgg")).as("sgg"))
   }
@@ -1430,6 +1438,17 @@ object AnalyticsQueries {
           .coalesce(1).write.mode("append").text(src)
         pinLandingOrder(src, seen, mtimeBase, i)
       }
+      // watermark sentinel (the t24 discipline): the buffered fold
+      // releases events only once the ms-granularity watermark passes
+      // them, and the watermark can never pass the topic's own max
+      // event — a negative-keyed far-future row advances it so the tail
+      // flushes; filtered on read
+      s.createDataFrame(Seq((-1L, "x", hi + 86400000000L)))
+        .toDF("user_id", "event_type", "t_us")
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("t_us"))).as("value"))
+        .coalesce(1).write.mode("append").text(src)
+      pinLandingOrder(src, seen, mtimeBase, 4)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_type STRING, t_us BIGINT")
       val decoded = graft.streaming.KafkaSource.decodeJson(
@@ -1443,7 +1462,7 @@ object AnalyticsQueries {
         org.apache.spark.sql.streaming.OutputMode.Append)
       sink
     })
-    s.read.parquet(out).groupBy("day")
+    s.read.parquet(out).filter(col("user_id") >= 0).groupBy("day")
       .agg(count(lit(1)).as("n_new_pairs"))
   }
 
@@ -1478,6 +1497,14 @@ object AnalyticsQueries {
           .coalesce(1).write.mode("append").text(src)
         pinLandingOrder(src, seen, mtimeBase, i)
       }
+      // watermark sentinel (the t24 discipline): flush the sub-ms tail
+      // the ms-granularity watermark can never pass; filtered on read
+      s.createDataFrame(Seq((-1L, "x", hi + 86400000000L)))
+        .toDF("user_id", "event_type", "t_us")
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("t_us"))).as("value"))
+        .coalesce(1).write.mode("append").text(src)
+      pinLandingOrder(src, seen, mtimeBase, 4)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, event_type STRING, t_us BIGINT")
       val decoded = graft.streaming.KafkaSource.decodeJson(
@@ -1493,7 +1520,7 @@ object AnalyticsQueries {
         org.apache.spark.sql.streaming.OutputMode.Update)
       sink
     })
-    s.read.parquet(out).groupBy("user_id")
+    s.read.parquet(out).filter(col("user_id") >= 0).groupBy("user_id")
       .agg(max(col("stage")).as("stage"), max(col("t1")).as("t1"),
         max(col("t2")).as("t2"), max(col("t3")).as("t3"))
   }
