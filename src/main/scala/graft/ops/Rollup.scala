@@ -38,6 +38,26 @@ object Rollup {
       .agg(sum(col(s"`$measureCol`")).as(sumColName))
   }
 
+  /** Hourly rollup carrying the FULL re-aggregable partial set — sum,
+    * count, min, max per (hour, dims) — the artifact
+    * [[graft.plans.RollupNavigation]] serves SUM/COUNT/MIN/MAX/AVG
+    * dashboards from (AVG recombines as Σsum/Σcnt). Same one-shuffle
+    * partial-aggregate plan as [[hourly]]; the three extra columns cost
+    * bytes, not passes.
+    */
+  def hourlyStats(df: DataFrame, tsCol: String, measureCol: String,
+                  dims: Seq[String] = Seq.empty,
+                  hourColName: String = "hour"): DataFrame = {
+    val dimCols =
+      if (dims.nonEmpty) dims
+      else df.columns.toSeq.filterNot(c => c == tsCol || c == measureCol)
+    val m = col(s"`$measureCol`")
+    df.groupBy(
+        (TimeFns.toStartOfHour(col(tsCol)).as(hourColName) +: dimCols.map(c => col(s"`$c`"))): _*)
+      .agg(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
+        min(m).as("min_value"), max(m).as("max_value"))
+  }
+
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */
   def reaggregate(hourlyDf: DataFrame, hourCol: String, sumCol: String,
                   grain: String, dims: Seq[String],

@@ -5,18 +5,18 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** AGGREGATE NAVIGATION — the engine-native analog of the reference's
   * "query the rollup, not raw" architecture (its warehouse delegates
   * hourly aggregation to a SummingMergeTree table and every dashboard
   * query reads the rollup, clickhouse/clickhouse.py:70-81). Here the
-  * same navigation is an OPTIMIZER rule: a groupBy-SUM over the raw
+  * same navigation is an OPTIMIZER rule: an aggregate over the raw
   * events frame whose grouping is `date_trunc` at hour or coarser plus a
   * subset of the registered rollup's dimensions rewrites onto the
   * MATERIALIZED hourly rollup — sums of hourly sums re-aggregate
@@ -25,23 +25,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * sum in the engine carries, absorbed by the round-at-display
   * discipline), while the scan drops from O(events) to O(hourly keys).
   *
+  * Served aggregate shapes (r11 widened beyond SUM — each is the exact
+  * re-aggregation of an hourly partial the rollup can carry):
+  *  - `SUM(measure)`            → `SUM(sum_col)` (sum of sums)
+  *  - `COUNT(*)` / `COUNT(1)`   → `SUM(cnt_col)` (sum of counts)
+  *  - `MIN(measure)`            → `MIN(min_col)` (min of mins)
+  *  - `MAX(measure)`            → `MAX(max_col)` (max of maxes)
+  *  - `AVG(measure)`            → `SUM(sum_col) / SUM(cnt_col)` (the
+  *    weighted recombination; declined for decimal measures, whose
+  *    result-scale rules the quotient would not reproduce)
+  * The cnt/min/max columns are OPTIONAL registrations — absent columns
+  * simply decline their shapes (a sum-only rollup still navigates SUMs).
+  *
+  * FILTER REPLAY (r11): a `Filter` between the aggregate and the scan no
+  * longer always blocks — when every column the predicate references
+  * traces to a REGISTERED DIMENSION, the same predicate evaluated over
+  * the rollup's dim columns selects exactly the same groups (dims are
+  * stored verbatim, hour groups partition rows within dim values), so
+  * the filter is replayed on the navigated scan. Any reference to a
+  * non-dim column (the measure, the time column, anything the rollup
+  * does not carry), a non-deterministic predicate, or a subquery still
+  * stands the rule down — row-level predicates cannot be replayed over
+  * pre-aggregated rows.
+  *
   * Matching is conservative by construction — every check must pass or
   * the plan is left untouched:
   *  - the aggregate's child must trace to the SAME base relation as the
   *    registered raw frame (file-source root paths equal), through
-  *    Project/SubqueryAlias nodes only (a Filter between aggregate and
-  *    scan blocks navigation: the rollup cannot replay row-level
-  *    predicates);
+  *    Project/SubqueryAlias/replayable-Filter nodes only;
   *  - each referenced column (time, dims, measure) must trace to the
   *    SAME canonicalized expression over the base relation as the
   *    registered frame's column (so renames/normalization projections
   *    match, but any semantic drift does not);
-  *  - the time grouping must be `date_trunc` at {hour, day, week, month,
-  *    quarter, year} of the registered time column — truncating the
-  *    rollup's hour-start column at the same level is then identical;
-  *  - aggregates must be plain SUMs of the registered measure (no
-  *    DISTINCT, no FILTER) — the only shape hourly partial sums can
-  *    serve exactly;
+  *  - grouping expressions must each be a registered dim or `date_trunc`
+  *    at {hour, day, week, month, quarter, year} of the registered time
+  *    column (at most one time grouping; ZERO groupings navigate too —
+  *    the global dashboard aggregate — as do dims-only groupings, both
+  *    exact because the rollup key partitions raw rows);
+  *  - aggregates must be the served shapes above (no DISTINCT, no
+  *    FILTER clauses);
   *  - the STALENESS GATE: the raw directory's listing signature
   *    (file count, total bytes, max mtime) must equal the signature
   *    captured when the rollup was registered — a landed batch flips the
@@ -67,6 +89,9 @@ object RollupNavigation extends Rule[LogicalPlan] {
       rollupRelation: LogicalRelation,
       hourCol: String,
       sumCol: String,
+      cntCol: Option[String],
+      minCol: Option[String],
+      maxCol: Option[String],
       rawSignature: String)
 
   private val regs = TrieMap.empty[String, Registration]
@@ -89,10 +114,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
     }.mkString(";")
   }
 
-  /** Trace `e` through Project/SubqueryAlias down to an expression over
-    * the base file relation, with base attributes POSITION-normalized
+  /** Trace `e` through Project/SubqueryAlias/Filter down to an expression
+    * over the base file relation, with base attributes POSITION-normalized
     * (BoundReference) so traced expressions compare across plan
-    * instances. Returns (root paths, normalized canonical expr). */
+    * instances. Filters pass through untouched (they never rebind
+    * attributes); whether a filter may sit on the spine at all is the
+    * separate replay check in [[tryNavigate]]. Returns (root paths,
+    * normalized canonical expr). */
   private def trace(plan: LogicalPlan, e: Expression): Option[(Set[String], Expression)] =
     plan match {
       case p: Project =>
@@ -107,6 +135,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
         }
         if (ok) trace(p.child, replaced) else None
       case s: SubqueryAlias => trace(s.child, e)
+      case f: Filter => trace(f.child, e)
       case r @ LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
         var ok = true
         val bound = e.transformUp {
@@ -124,12 +153,17 @@ object RollupNavigation extends Rule[LogicalPlan] {
   /** Register a materialized hourly rollup for `raw`. `rollupPath` holds
     * parquet with `hourCol` (hour-start timestamp), the dim columns
     * (same names as in `raw`), and `sumCol` = hourly SUM of
-    * `measureCol`. Captures the raw store's current signature — the
+    * `measureCol`; optionally `cntCol` (hourly COUNT(*)), `minCol` /
+    * `maxCol` (hourly MIN/MAX of the measure) widen the served shapes to
+    * COUNT/MIN/MAX/AVG. Captures the raw store's current signature — the
     * freshness token. Re-registering after a refresh re-arms the rule.
     */
   def register(spark: SparkSession, raw: DataFrame, tsCol: String,
                dims: Seq[String], measureCol: String,
-               rollupPath: String, hourCol: String, sumCol: String): Unit = {
+               rollupPath: String, hourCol: String, sumCol: String,
+               cntCol: Option[String] = None,
+               minCol: Option[String] = None,
+               maxCol: Option[String] = None): Unit = {
     val plan = raw.queryExecution.analyzed
     def attrOf(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"RollupNavigation: no column $n in raw frame"))
@@ -143,9 +177,14 @@ object RollupNavigation extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(
       s"RollupNavigation: $rollupPath did not analyze to a file relation"))
+    (Seq(hourCol, sumCol) ++ cntCol ++ minCol ++ maxCol).foreach { c =>
+      require(rollupRel.output.exists(_.name == c),
+        s"RollupNavigation: rollup at $rollupPath has no column $c")
+    }
     regs.put(roots.toSeq.sorted.mkString(","), Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
-      ms.get._2, rollupRel, hourCol, sumCol, signature(spark, roots)))
+      ms.get._2, rollupRel, hourCol, sumCol, cntCol, minCol, maxCol,
+      signature(spark, roots)))
   }
 
   /** Drop all registrations (spec hygiene). */
@@ -162,15 +201,57 @@ object RollupNavigation extends Rule[LogicalPlan] {
   private final case class TsG(level: String, tz: Option[String]) extends GKind
   private final case class DimG(name: String) extends GKind
 
+  /** Navigable aggregate shapes (what the rollup's partials can serve). */
+  private sealed trait ANav
+  private final case class SumNav(orig: AggregateExpression, sum: Sum) extends ANav
+  private case object CntNav extends ANav
+  private case object MinNav extends ANav
+  private case object MaxNav extends ANav
+  private case object AvgNav extends ANav
+
   private def tryNavigate(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
-    // classify each grouping expression against each registration on its
-    // TRACED form (the main optimizer pulls grouping expressions into a
-    // Project below the Aggregate, so the raw grouping list is plain
-    // attributes); all-or-nothing
     regs.values.view.flatMap { reg =>
       def traced(e: Expression): Option[Expression] =
         trace(agg.child, e).collect { case (roots, t) if roots == reg.rootPaths => t }
+
+      // ---- filter spine: every Filter between aggregate and scan must
+      // be dim-replayable (references only registered dims, deterministic,
+      // no subqueries); collect (condition, attr -> dim name) for replay.
+      // The base case anchors RELATION IDENTITY — root paths must equal
+      // the registration's (a COUNT(*)-only aggregate traces no column,
+      // so the spine is the only witness that this is the registered
+      // table at all)
+      def spineFilters(p: LogicalPlan): Option[List[Filter]] = p match {
+        case f: Filter => spineFilters(f.child).map(f :: _)
+        case pr: Project => spineFilters(pr.child)
+        case s: SubqueryAlias => spineFilters(s.child)
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if h.location.rootPaths.map(_.toString).toSet == reg.rootPaths =>
+          Some(Nil)
+        case _ => None
+      }
+      def replayOf(f: Filter): Option[(Expression, Map[ExprId, String])] = {
+        if (!f.condition.deterministic) return None
+        if (f.condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        val mapped = f.condition.references.toSeq.map { a =>
+          trace(f.child, a).collect { case (roots, t) if roots == reg.rootPaths => t }
+            .flatMap(t => reg.dimsTraced.collectFirst {
+              case (d, dt) if dt == t => a.exprId -> d
+            })
+        }
+        if (mapped.forall(_.nonEmpty)) Some((f.condition, mapped.flatten.toMap))
+        else None
+      }
+      val replays: Option[Seq[(Expression, Map[ExprId, String])]] =
+        spineFilters(agg.child).flatMap { fs =>
+          val rs = fs.map(replayOf)
+          if (rs.forall(_.nonEmpty)) Some(rs.flatten) else None
+        }
+
+      // ---- grouping classification on the TRACED form (the main
+      // optimizer pulls grouping expressions into a Project below the
+      // Aggregate, so the raw grouping list is plain attributes)
       def classify(e: Expression): Option[GKind] = traced(e).flatMap {
         case t if reg.dimsTraced.exists(_._2 == t) =>
           Some(DimG(reg.dimsTraced.collectFirst { case (d, dt) if dt == t => d }.get))
@@ -181,6 +262,26 @@ object RollupNavigation extends Rule[LogicalPlan] {
         case _ => None
       }
       def isMeasure(e: Expression) = traced(e).exists(_ == reg.measureTraced)
+
+      // ---- aggregate-shape classification
+      def navAgg(ae: AggregateExpression): Option[ANav] = ae match {
+        case AggregateExpression(s @ Sum(m, _), _, false, None, _) if isMeasure(m) =>
+          Some(SumNav(ae, s))
+        case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+            if l.value != null && reg.cntCol.nonEmpty =>
+          Some(CntNav)
+        case AggregateExpression(Min(m), _, false, None, _)
+            if isMeasure(m) && reg.minCol.nonEmpty =>
+          Some(MinNav)
+        case AggregateExpression(Max(m), _, false, None, _)
+            if isMeasure(m) && reg.maxCol.nonEmpty =>
+          Some(MaxNav)
+        case AggregateExpression(Average(m, _), _, false, None, _)
+            if isMeasure(m) && reg.cntCol.nonEmpty &&
+              !m.dataType.isInstanceOf[DecimalType] =>
+          Some(AvgNav)
+        case _ => None
+      }
 
       val classified = agg.groupingExpressions.map(classify)
       val tsGroups = classified.count(_.exists(_.isInstanceOf[TsG]))
@@ -196,19 +297,20 @@ object RollupNavigation extends Rule[LogicalPlan] {
           case _: AttributeReference => false
           case _ => e.children.forall(groundedInGroups)
         }
-      // aggregate list: grouping-derived outputs + plain SUM(measure)
-      val aggsOk = agg.aggregateExpressions.forall {
-        case Alias(AggregateExpression(Sum(m, _), _, false, None, _), _) =>
-          isMeasure(m)
-        case Alias(child, _) => groundedInGroups(child)
-        case a: AttributeReference => groupIndexOf(a) >= 0
-        case _ => false
+      // aggregate list: grouping-derived outputs + navigable aggregates
+      val navs: Seq[Option[Either[ANav, Unit]]] = agg.aggregateExpressions.map {
+        case Alias(ae: AggregateExpression, _) => navAgg(ae).map(Left(_))
+        case Alias(child, _) =>
+          if (groundedInGroups(child) &&
+              !child.exists(_.isInstanceOf[AggregateExpression]))
+            Some(Right(())) else None
+        case a: AttributeReference =>
+          if (groupIndexOf(a) >= 0) Some(Right(())) else None
+        case _ => None
       }
-      val hasSum = agg.aggregateExpressions.exists {
-        case Alias(AggregateExpression(_: Sum, _, _, _, _), _) => true
-        case _ => false
-      }
-      if (classified.forall(_.nonEmpty) && tsGroups == 1 && aggsOk && hasSum &&
+      if (classified.forall(_.nonEmpty) && tsGroups <= 1 &&
+          navs.forall(_.nonEmpty) && replays.nonEmpty &&
+          agg.aggregateExpressions.nonEmpty &&
           signature(spark, reg.rootPaths) == reg.rawSignature) {
         // fresh output ids for the navigated relation (it may appear
         // several times in one tree)
@@ -230,19 +332,45 @@ object RollupNavigation extends Rule[LogicalPlan] {
           if (i >= 0) newGe(i)
           else e.withNewChildren(e.children.map(substGroupRefs))
         }
-        val newAe = agg.aggregateExpressions.map {
-          case al @ Alias(ae @ AggregateExpression(s: Sum, _, false, None, _), name) =>
-            Alias(ae.copy(aggregateFunction =
-              s.withNewChildren(Seq(sumAttr)).asInstanceOf[Sum]), name)(
-              exprId = al.exprId, qualifier = al.qualifier)
-          case al @ Alias(child, name) =>
+        def navExpr(n: ANav): Expression = n match {
+          case SumNav(ae, s) =>
+            ae.copy(aggregateFunction =
+              s.withNewChildren(Seq(sumAttr)).asInstanceOf[Sum])
+          case CntNav =>
+            // COUNT is non-nullable 0 on an empty (global) input; SUM of
+            // an empty rollup is null — coalesce restores the contract
+            Coalesce(Seq(
+              Sum(rollAttr(reg.cntCol.get)).toAggregateExpression(),
+              Literal(0L)))
+          case MinNav => Min(rollAttr(reg.minCol.get)).toAggregateExpression()
+          case MaxNav => Max(rollAttr(reg.maxCol.get)).toAggregateExpression()
+          case AvgNav =>
+            // the weighted recombination Σsum/Σcnt — double division, the
+            // same last-ulp contract as re-associated SUMs
+            new Divide(
+              Cast(Sum(sumAttr).toAggregateExpression(), DoubleType),
+              Cast(Sum(rollAttr(reg.cntCol.get)).toAggregateExpression(),
+                DoubleType))
+        }
+        val newAe = agg.aggregateExpressions.zip(navs.map(_.get)).map {
+          case (al @ Alias(_, name), Left(n)) =>
+            Alias(navExpr(n), name)(exprId = al.exprId, qualifier = al.qualifier)
+          case (al @ Alias(child, name), Right(_)) =>
             Alias(substGroupRefs(child), name)(
               exprId = al.exprId, qualifier = al.qualifier)
-          case a: AttributeReference =>
+          case (a: AttributeReference, _) =>
             Alias(newGe(groupIndexOf(a)), a.name)(
               exprId = a.exprId, qualifier = a.qualifier)
+          case (other, _) => other // unreachable: navs gate
         }
-        Some(Aggregate(newGe, newAe, rel))
+        val newChild = replays.get.foldLeft(rel: LogicalPlan) {
+          case (c, (cond, attrDims)) =>
+            Filter(cond.transformUp {
+              case a: AttributeReference if attrDims.contains(a.exprId) =>
+                rollAttr(attrDims(a.exprId))
+            }, c)
+        }
+        Some(Aggregate(newGe, newAe, newChild))
       } else None
     }.headOption
   }

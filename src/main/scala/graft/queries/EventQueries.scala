@@ -22,18 +22,20 @@ object EventQueries {
 
   /** Materialize the A1-grain hourly rollup once per fixture dir and
     * register it with [[graft.plans.RollupNavigation]] — after this,
-    * hour-or-coarser groupBy-SUMs over the events frame navigate to the
-    * rollup (see `q_a2_reagg_navigated`). */
+    * hour-or-coarser aggregates (SUM/COUNT/MIN/MAX/AVG, optionally
+    * dim-filtered) over the events frame navigate to the rollup (see
+    * `q_a2_reagg_navigated`, `q_a2_nav_filtered`, `q_a2_nav_mixed`). */
   private def navigationReady(s: SparkSession, dir: String): Unit = {
     navRollupPaths.getOrElseUpdate(dir, {
       val out = java.nio.file.Files
         .createTempDirectory("graft_nav_rollup_").toString + "/hourly"
       val raw = se(s, dir)
-      Rollup.hourly(raw, "ts", "value", dims = Seq("event_type"),
-          hourColName = "hour", sumColName = "sum_value")
+      Rollup.hourlyStats(raw, "ts", "value", dims = Seq("event_type"),
+          hourColName = "hour")
         .write.mode("overwrite").parquet(out)
       graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
-        "value", out, "hour", "sum_value")
+        "value", out, "hour", "sum_value", cntCol = Some("cnt"),
+        minCol = Some("min_value"), maxCol = Some("max_value"))
       out
     })
     ()
@@ -979,6 +981,39 @@ object EventQueries {
           round(col("sum_value"), 2).as("sum_value"))
     }),
 
+    // AGGREGATE NAVIGATION with FILTER REPLAY (r11): the canonical
+    // dashboard shape — a WHERE on a rollup DIMENSION above the daily
+    // SUM. The predicate references only the registered event_type dim,
+    // so RollupNavigation replays it over the rollup's dim column and
+    // the query never scans raw events (plan-pinned in
+    // RollupNavigationSpec); the oracle recomputes from raw in DuckDB.
+    "q_a2_nav_filtered" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir).filter(col("event_type").isin("view", "click"))
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(sum("value").as("sv"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), round(col("sv"), 2).as("sum_value"))
+    }),
+
+    // AGGREGATE NAVIGATION beyond SUM (r11): COUNT(*) rides the rollup's
+    // hourly cnt (sum of counts), MIN/MAX ride min-of-mins/max-of-maxes
+    // — every aggregate in this daily dashboard is served by the
+    // materialized hourly partials; the raw-events scan disappears. AVG
+    // navigation (Σsum/Σcnt recombination) is exercised in
+    // RollupNavigationSpec on a dyadic-valued fixture (exact equality);
+    // the engine keeps double quotients out of hash-checked oracles.
+    "q_a2_nav_mixed" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_value"),
+          max("value").as("max_value"), sum("value").as("sv"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("min_value"), col("max_value"),
+          round(col("sv"), 2).as("sum_value"))
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1718,6 +1753,18 @@ object EventQueries {
           |FROM (SELECT date_trunc('hour', ts) AS hour, event_type, sum(value) AS sum_value
           |      FROM e GROUP BY 1, 2) h
           |GROUP BY 1, 2""".stripMargin),
+
+      "q_a2_nav_filtered" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |event_type, round(sum(value),2) AS sum_value
+          |FROM e WHERE event_type IN ('view','click')
+          |GROUP BY 1, 2""".stripMargin),
+
+      "q_a2_nav_mixed" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |event_type, count(*) AS n, min(value) AS min_value,
+          |max(value) AS max_value, round(sum(value),2) AS sum_value
+          |FROM e GROUP BY 1, 2""".stripMargin),
 
       "q_a4_observed" ->
         """SELECT 'ingest' AS stage, count(*) AS n_rows, round(sum(value),2) AS value_total FROM events

@@ -3,45 +3,65 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.plans.RollupNavigation
 
-/** Aggregate navigation: an hour-or-coarser groupBy-SUM over the
-  * registered raw frame rewrites onto the materialized hourly rollup
-  * (plan-pinned), results bit-identical, and the rule STANDS DOWN when
-  * the raw store's signature no longer matches the registration (stale
-  * rollup) or when the shape can't be served (filter, non-sum).
+/** Aggregate navigation: hour-or-coarser aggregates over the registered
+  * raw frame rewrite onto the materialized hourly rollup (plan-pinned),
+  * results identical, and the rule STANDS DOWN when the raw store's
+  * signature no longer matches the registration (stale rollup) or when
+  * the shape can't be served (row-level filter, unsupported aggregate).
+  * r11 widens the served surface: COUNT/MIN/MAX/AVG over the stats
+  * rollup, dim-filter replay, global and dims-only groupings.
+  *
+  * Fixture values are DYADIC rationals ((i % 8) * 0.25): every partial
+  * double sum is exact under ANY association, so navigated results are
+  * compared with exact equality — no rounding indirection.
   */
 class RollupNavigationSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fixture(): (String, String) = {
+  /** (rawPath, sumOnlyRollupPath, statsRollupPath) */
+  private def fixture(): (String, String, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft_nav_").toString
     val raw = s"$root/events"; val roll = s"$root/rollup"
+    val stats = s"$root/rollup_stats"
     val base = 1700000000000000L
     (0 until 5000).map { i =>
       (new java.sql.Timestamp(base / 1000 + i * 97000L),
-        if (i % 3 == 0) "view" else "purchase", (i % 50) / 10.0)
+        if (i % 3 == 0) "view" else "purchase", (i % 8) * 0.25)
     }.toDF("ts", "event_type", "value")
       .write.mode("overwrite").parquet(raw)
     spark.read.parquet(raw)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(sum("value").as("sum_value"))
       .write.mode("overwrite").parquet(roll)
-    (raw, roll)
+    graft.ops.Rollup.hourlyStats(spark.read.parquet(raw), "ts", "value",
+        dims = Seq("event_type"), hourColName = "hour")
+      .write.mode("overwrite").parquet(stats)
+    (raw, roll, stats)
   }
+
+  private def registerStats(raw: String, stats: String): Unit =
+    RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+      Seq("event_type"), "value", stats, "hour", "sum_value",
+      cntCol = Some("cnt"), minCol = Some("min_value"),
+      maxCol = Some("max_value"))
 
   private def dayAgg(raw: String) =
     spark.read.parquet(raw)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(sum("value").as("s"))
 
+  private def navigated(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan.toString
+    !p.contains("ts#") && (p.contains("sum_value") || p.contains("cnt#") ||
+      p.contains("min_value") || p.contains("max_value"))
+  }
+
   test("day-grain SUM over raw navigates to the rollup; values identical; stale gate stands down") {
-    val (raw, roll) = fixture()
-    // double sums re-associate under navigation (hourly partials first),
-    // moving the last ulps — compare under the engine's 2-dp rounding
-    // discipline, the same contract q_a2's oracle runs under; integer /
-    // decimal measures re-aggregate bit-identically
+    val (raw, roll, _) = fixture()
+    // dyadic values: double sums are exact under any association —
+    // exact-equality compare
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getTimestamp(0), r.getString(1),
-        math.round(r.getDouble(2) * 100))).toSet
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
     val expected = rows(dayAgg(raw))
     try {
       RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
@@ -68,28 +88,120 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
-  test("navigation declines shapes the rollup cannot serve exactly") {
-    val (raw, roll) = fixture()
+  test("COUNT/MIN/MAX/AVG navigate onto the stats rollup; values exactly the raw answers") {
+    val (raw, _, stats) = fixture()
+    def mixed() = spark.read.parquet(raw)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("mn"),
+        max("value").as("mx"), avg("value").as("av"), sum("value").as("sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    val expected = rows(mixed()) // rule not yet registered: raw plan
     try {
-      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
-        Seq("event_type"), "value", roll, "hour", "sum_value")
-      // row-level filter between aggregate and scan
-      val f = spark.read.parquet(raw).filter(col("value") > 2.0)
+      registerStats(raw, stats)
+      val q = mixed()
+      assert(navigated(q), q.queryExecution.optimizedPlan.toString)
+      // dyadic sums: AVG's Σsum/Σcnt recombination is exact too
+      assert(rows(q) === expected)
+    } finally RollupNavigation.clear()
+  }
+
+  test("a dim filter REPLAYS over the rollup; measure/time/nondeterministic filters stand down") {
+    val (raw, _, stats) = fixture()
+    def filtered() = spark.read.parquet(raw)
+      .filter(col("event_type") === "view")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum("value").as("s"), count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2))).toSet
+    val expected = rows(filtered())
+    try {
+      registerStats(raw, stats)
+      val q = filtered()
+      assert(navigated(q), q.queryExecution.optimizedPlan.toString)
+      assert(rows(q) === expected)
+
+      // row-level (measure) filter cannot replay over pre-aggregated rows
+      val f = spark.read.parquet(raw).filter(col("value") > 1.0)
         .groupBy(date_trunc("day", col("ts"))).agg(sum("value"))
-      assert(!f.queryExecution.optimizedPlan.toString.contains("sum_value"))
+      assert(!navigated(f))
+      // time filter: the rollup carries hour starts, not raw timestamps
+      val t = spark.read.parquet(raw)
+        .filter(col("ts") > lit("2023-11-15").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts"))).agg(sum("value"))
+      assert(!navigated(t))
+      // nondeterministic predicate never replays
+      val nd = spark.read.parquet(raw).filter(rand() > -1)
+        .groupBy(date_trunc("day", col("ts"))).agg(sum("value"))
+      assert(!navigated(nd))
+    } finally RollupNavigation.clear()
+  }
+
+  test("global and dims-only groupings navigate (the dashboard totals row)") {
+    val (raw, _, stats) = fixture()
+    def global() = spark.read.parquet(raw)
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    def byDim() = spark.read.parquet(raw)
+      .groupBy("event_type").agg(sum("value").as("s"), max("value").as("mx"))
+    val expGlobal = global().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expDim = byDim().collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    try {
+      registerStats(raw, stats)
+      val g = global()
+      assert(navigated(g), g.queryExecution.optimizedPlan.toString)
+      assert(g.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === expGlobal)
+      val d = byDim()
+      assert(navigated(d), d.queryExecution.optimizedPlan.toString)
+      assert(d.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet === expDim)
+    } finally RollupNavigation.clear()
+  }
+
+  test("navigation declines shapes the rollup cannot serve exactly") {
+    val (raw, roll, stats) = fixture()
+    try {
+      registerStats(raw, stats)
       // sub-hour grain
       val m = spark.read.parquet(raw)
         .groupBy(date_trunc("minute", col("ts"))).agg(sum("value"))
-      assert(!m.queryExecution.optimizedPlan.toString.contains("sum_value"))
-      // non-sum aggregate
-      val a = spark.read.parquet(raw)
-        .groupBy(date_trunc("day", col("ts"))).agg(avg("value"))
-      assert(!a.queryExecution.optimizedPlan.toString.contains("sum_value"))
+      assert(!navigated(m))
+      // COUNT(col) counts non-nulls — only COUNT(*) rides the cnt column
+      val c = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts"))).agg(count(col("value")))
+      assert(!navigated(c))
+      // DISTINCT aggregates have no hourly partial
+      val dd = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts"))).agg(countDistinct(col("value")))
+      assert(!navigated(dd))
       // grouping by a column the rollup doesn't carry
       val g = spark.read.parquet(raw)
         .groupBy(date_trunc("day", col("ts")), col("value"))
         .agg(sum("value"))
-      assert(!g.queryExecution.optimizedPlan.toString.contains("sum_value"))
+      assert(!navigated(g))
+      // a COUNT(*)-only aggregate over a DIFFERENT table traces no
+      // column — relation identity must come from the scan itself, so
+      // an unrelated table's count must never ride this rollup's cnt
+      val other = java.nio.file.Files.createTempDirectory("graft_nav_other_")
+        .toString + "/t"
+      Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+        .write.mode("overwrite").parquet(other)
+      val oc = spark.read.parquet(other).agg(count(lit(1)).as("n"))
+      assert(!navigated(oc), oc.queryExecution.optimizedPlan.toString)
+      assert(oc.head().getLong(0) === 3L)
+    } finally RollupNavigation.clear()
+
+    // a SUM-ONLY registration declines the widened shapes
+    try {
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", roll, "hour", "sum_value")
+      val a = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts"))).agg(avg("value"))
+      assert(!navigated(a))
+      val n = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts"))).agg(count(lit(1)))
+      assert(!navigated(n))
     } finally RollupNavigation.clear()
   }
 }
