@@ -55,6 +55,10 @@ object Rollup {
     df.groupBy(
         (TimeFns.toStartOfHour(col(tsCol)).as(hourColName) +: dimCols.map(c => col(s"`$c`"))): _*)
       .agg(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
+        // non-null measure count: the AVG-navigation denominator (and the
+        // COUNT(measure) partial) — COUNT(*) would over-count the moment
+        // the measure column admits a null
+        count(m).as("cnt_measure"),
         min(m).as("min_value"), max(m).as("max_value"))
   }
 

@@ -12,6 +12,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.util.{Either, Left, Right}
+
 /** AGGREGATE NAVIGATION — the engine-native analog of the reference's
   * "query the rollup, not raw" architecture (its warehouse delegates
   * hourly aggregation to a SummingMergeTree table and every dashboard
@@ -27,15 +29,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Served aggregate shapes (r11 widened beyond SUM — each is the exact
   * re-aggregation of an hourly partial the rollup can carry):
-  *  - `SUM(measure)`            → `SUM(sum_col)` (sum of sums)
+  *  - `SUM(measure)`            → `SUM(sum_col)` (sum of sums; decimal
+  *    measures cast the widened re-sum back to the original result type)
   *  - `COUNT(*)` / `COUNT(1)`   → `SUM(cnt_col)` (sum of counts)
+  *  - `COUNT(measure)`          → `SUM(cnt_measure_col)` (sum of
+  *    non-null counts)
   *  - `MIN(measure)`            → `MIN(min_col)` (min of mins)
   *  - `MAX(measure)`            → `MAX(max_col)` (max of maxes)
-  *  - `AVG(measure)`            → `SUM(sum_col) / SUM(cnt_col)` (the
-  *    weighted recombination; declined for decimal measures, whose
-  *    result-scale rules the quotient would not reproduce)
-  * The cnt/min/max columns are OPTIONAL registrations — absent columns
-  * simply decline their shapes (a sum-only rollup still navigates SUMs).
+  *  - `AVG(measure)`            → `SUM(sum_col) / SUM(cnt_measure_col)`
+  *    — the weighted recombination over the NON-NULL measure count
+  *    (`Average` ignores null measures, so `COUNT(*)` would be the wrong
+  *    denominator the moment the measure column admits a null);
+  *    declined for decimal measures, whose result-scale rules the
+  *    quotient would not reproduce, and null-guarded so an all-null
+  *    group divides by NULL, not by zero (ANSI-safe)
+  * The cnt/cnt-measure/min/max columns are OPTIONAL registrations —
+  * absent columns simply decline their shapes (a sum-only rollup still
+  * navigates SUMs).
   *
   * FILTER REPLAY (r11): a `Filter` between the aggregate and the scan no
   * longer always blocks — when every column the predicate references
@@ -70,6 +80,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    signature and the rule stands down until re-registration (the
   *    local-FS stand-in for a table format's commit version; wired to
   *    [[graft.ops.Rollup.refreshAdditive]]'s refresh in deployment).
+  *    The deep O(files) listing runs at REGISTRATION only; each plan
+  *    match re-checks freshness with one shallow `listStatus` per root
+  *    (a cheap commit token — see [[rootToken]]), re-listing deeply only
+  *    when that token moves. At 100 TB / millions of files the planner
+  *    never pays the metadata walk ([[deepListings]] is the spec hook
+  *    pinning this).
   *
   * The rewrite keeps every output name AND ExprId (aliases re-point at
   * the rollup's columns under the original ids), so parent operators
@@ -90,14 +106,22 @@ object RollupNavigation extends Rule[LogicalPlan] {
       hourCol: String,
       sumCol: String,
       cntCol: Option[String],
+      cntMeasureCol: Option[String],
       minCol: Option[String],
       maxCol: Option[String],
       rawSignature: String)
 
   private val regs = TrieMap.empty[String, Registration]
 
-  /** Listing signature of the raw store (count, bytes, max mtime). */
-  private def signature(spark: SparkSession, paths: Set[String]): String = {
+  /** Count of DEEP store listings performed (spec hook: a warm
+    * registration must plan with zero deep listings). */
+  private[graft] val deepListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Deep listing signature of the raw store (count, bytes, max mtime).
+    * O(files) metadata walk — runs at registration and again only when
+    * the shallow [[rootToken]] moves; never on a warm per-plan check. */
+  private def deepSignature(spark: SparkSession, paths: Set[String]): String = {
+    deepListings.incrementAndGet()
     val conf = spark.sparkContext.hadoopConfiguration
     paths.toSeq.sorted.map { p =>
       val hp = new Path(p)
@@ -114,14 +138,63 @@ object RollupNavigation extends Rule[LogicalPlan] {
     }.mkString(";")
   }
 
+  /** O(1)-RPC freshness token: one shallow `listStatus` per root —
+    * (name, len, mtime) of each DIRECT child plus the root's own mtime.
+    * Every commit protocol moves it: part files / `_SUCCESS` land in the
+    * root (their entries change), and a file added inside a partition
+    * subdir bumps that subdir's mtime, which the shallow listing carries.
+    * A writer that bypasses the commit protocol and leaves every direct
+    * child's stat unchanged would evade the token — the accepted local-FS
+    * stand-in bound; a table format's commit version replaces this in
+    * deployment. */
+  private def rootToken(spark: SparkSession, paths: Set[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.toSeq.sorted.map { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (!fs.exists(hp)) s"$p:absent"
+      else {
+        val self = fs.getFileStatus(hp)
+        val kids = fs.listStatus(hp).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(",")
+        s"$p:${self.getModificationTime}[$kids]"
+      }
+    }.mkString(";")
+  }
+
+  // pathsKey -> (rootToken at last deep listing, its deep signature)
+  private val sigCache = TrieMap.empty[String, (String, String)]
+
+  /** Current deep signature, served from the token cache: a warm check
+    * costs one shallow listStatus per root; only a moved token pays the
+    * deep walk (and re-primes the cache, so a stale store stays O(1) to
+    * re-detect). */
+  private def currentSignature(spark: SparkSession, paths: Set[String]): String = {
+    val key = paths.toSeq.sorted.mkString(",")
+    val tok = rootToken(spark, paths)
+    sigCache.get(key) match {
+      case Some((t, sig)) if t == tok => sig
+      case _ =>
+        val sig = deepSignature(spark, paths)
+        sigCache.put(key, (tok, sig))
+        sig
+    }
+  }
+
   /** Trace `e` through Project/SubqueryAlias/Filter down to an expression
     * over the base file relation, with base attributes POSITION-normalized
     * (BoundReference) so traced expressions compare across plan
     * instances. Filters pass through untouched (they never rebind
     * attributes); whether a filter may sit on the spine at all is the
-    * separate replay check in [[tryNavigate]]. Returns (root paths,
-    * normalized canonical expr). */
-  private def trace(plan: LogicalPlan, e: Expression): Option[(Set[String], Expression)] =
+    * separate replay check in [[tryNavigate]] — EXCEPT at registration
+    * (`throughFilters = false`), where a Filter on the spine is a hard
+    * reject: a rollup built from a row-filtered frame must never serve an
+    * unfiltered (or differently filtered) query over the same root paths,
+    * and rootPaths are the only relation identity the registration keeps.
+    * Returns (root paths, normalized canonical expr). */
+  private def trace(plan: LogicalPlan, e: Expression,
+                    throughFilters: Boolean = true): Option[(Set[String], Expression)] =
     plan match {
       case p: Project =>
         var ok = true
@@ -133,9 +206,9 @@ object RollupNavigation extends Rule[LogicalPlan] {
               case _ => ok = false; a
             }
         }
-        if (ok) trace(p.child, replaced) else None
-      case s: SubqueryAlias => trace(s.child, e)
-      case f: Filter => trace(f.child, e)
+        if (ok) trace(p.child, replaced, throughFilters) else None
+      case s: SubqueryAlias => trace(s.child, e, throughFilters)
+      case f: Filter if throughFilters => trace(f.child, e, throughFilters)
       case r @ LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
         var ok = true
         val bound = e.transformUp {
@@ -153,9 +226,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
   /** Register a materialized hourly rollup for `raw`. `rollupPath` holds
     * parquet with `hourCol` (hour-start timestamp), the dim columns
     * (same names as in `raw`), and `sumCol` = hourly SUM of
-    * `measureCol`; optionally `cntCol` (hourly COUNT(*)), `minCol` /
-    * `maxCol` (hourly MIN/MAX of the measure) widen the served shapes to
-    * COUNT/MIN/MAX/AVG. Captures the raw store's current signature — the
+    * `measureCol`; optionally `cntCol` (hourly COUNT(*)),
+    * `cntMeasureCol` (hourly COUNT(measure) — non-null count, the AVG
+    * denominator), `minCol` / `maxCol` (hourly MIN/MAX of the measure)
+    * widen the served shapes to COUNT/MIN/MAX/AVG. The raw frame must be
+    * Project/Alias over ONE file relation with NO row filter on the
+    * spine — a rollup of a filtered subset must never answer for the
+    * whole table. Captures the raw store's current signature — the
     * freshness token. Re-registering after a refresh re-arms the rule.
     */
   def register(spark: SparkSession, raw: DataFrame, tsCol: String,
@@ -163,32 +240,33 @@ object RollupNavigation extends Rule[LogicalPlan] {
                rollupPath: String, hourCol: String, sumCol: String,
                cntCol: Option[String] = None,
                minCol: Option[String] = None,
-               maxCol: Option[String] = None): Unit = {
+               maxCol: Option[String] = None,
+               cntMeasureCol: Option[String] = None): Unit = {
     val plan = raw.queryExecution.analyzed
     def attrOf(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"RollupNavigation: no column $n in raw frame"))
-    val ts = trace(plan, attrOf(tsCol))
-    val ms = trace(plan, attrOf(measureCol))
-    val ds = dims.map(d => d -> trace(plan, attrOf(d)))
+    val ts = trace(plan, attrOf(tsCol), throughFilters = false)
+    val ms = trace(plan, attrOf(measureCol), throughFilters = false)
+    val ds = dims.map(d => d -> trace(plan, attrOf(d), throughFilters = false))
     require(ts.nonEmpty && ms.nonEmpty && ds.forall(_._2.nonEmpty),
-      "RollupNavigation: raw frame must be Project/Alias over one file relation")
+      "RollupNavigation: raw frame must be Project/Alias (no Filter) over one file relation")
     val roots = ts.get._1
     val rollupRel = spark.read.parquet(rollupPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(
       s"RollupNavigation: $rollupPath did not analyze to a file relation"))
-    (Seq(hourCol, sumCol) ++ cntCol ++ minCol ++ maxCol).foreach { c =>
+    (Seq(hourCol, sumCol) ++ cntCol ++ cntMeasureCol ++ minCol ++ maxCol).foreach { c =>
       require(rollupRel.output.exists(_.name == c),
         s"RollupNavigation: rollup at $rollupPath has no column $c")
     }
     regs.put(roots.toSeq.sorted.mkString(","), Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
-      ms.get._2, rollupRel, hourCol, sumCol, cntCol, minCol, maxCol,
-      signature(spark, roots)))
+      ms.get._2, rollupRel, hourCol, sumCol, cntCol, cntMeasureCol,
+      minCol, maxCol, currentSignature(spark, roots)))
   }
 
   /** Drop all registrations (spec hygiene). */
-  def clear(): Unit = regs.clear()
+  def clear(): Unit = { regs.clear(); sigCache.clear() }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (regs.isEmpty) return plan
@@ -205,6 +283,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
   private sealed trait ANav
   private final case class SumNav(orig: AggregateExpression, sum: Sum) extends ANav
   private case object CntNav extends ANav
+  private case object CntMeasureNav extends ANav
   private case object MinNav extends ANav
   private case object MaxNav extends ANav
   private case object AvgNav extends ANav
@@ -270,14 +349,21 @@ object RollupNavigation extends Rule[LogicalPlan] {
         case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
             if l.value != null && reg.cntCol.nonEmpty =>
           Some(CntNav)
+        case AggregateExpression(Count(Seq(m)), _, false, None, _)
+            if isMeasure(m) && reg.cntMeasureCol.nonEmpty =>
+          Some(CntMeasureNav)
         case AggregateExpression(Min(m), _, false, None, _)
             if isMeasure(m) && reg.minCol.nonEmpty =>
           Some(MinNav)
         case AggregateExpression(Max(m), _, false, None, _)
             if isMeasure(m) && reg.maxCol.nonEmpty =>
           Some(MaxNav)
+        // AVG needs the NON-NULL measure count as denominator (Average
+        // ignores null measures; COUNT(*) over-counts the moment the
+        // measure admits a null) — a registration without cntMeasureCol
+        // declines, whatever the column's nullability flag says
         case AggregateExpression(Average(m, _), _, false, None, _)
-            if isMeasure(m) && reg.cntCol.nonEmpty &&
+            if isMeasure(m) && reg.cntMeasureCol.nonEmpty &&
               !m.dataType.isInstanceOf[DecimalType] =>
           Some(AvgNav)
         case _ => None
@@ -311,7 +397,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
       if (classified.forall(_.nonEmpty) && tsGroups <= 1 &&
           navs.forall(_.nonEmpty) && replays.nonEmpty &&
           agg.aggregateExpressions.nonEmpty &&
-          signature(spark, reg.rootPaths) == reg.rawSignature) {
+          currentSignature(spark, reg.rootPaths) == reg.rawSignature) {
         // fresh output ids for the navigated relation (it may appear
         // several times in one tree)
         val rel = reg.rollupRelation.newInstance()
@@ -332,29 +418,46 @@ object RollupNavigation extends Rule[LogicalPlan] {
           if (i >= 0) newGe(i)
           else e.withNewChildren(e.children.map(substGroupRefs))
         }
-        def navExpr(n: ANav): Expression = n match {
+        def navExpr(n: ANav, origType: org.apache.spark.sql.types.DataType): Expression = n match {
           case SumNav(ae, s) =>
-            ae.copy(aggregateFunction =
+            val resum = ae.copy(aggregateFunction =
               s.withNewChildren(Seq(sumAttr)).asInstanceOf[Sum])
+            // decimal: Sum over the (already-widened) sum_col widens the
+            // precision AGAIN — cast back so downstream AttributeReferences
+            // under the kept ExprId see the original result type
+            if (resum.dataType == origType) resum else Cast(resum, origType)
           case CntNav =>
             // COUNT is non-nullable 0 on an empty (global) input; SUM of
             // an empty rollup is null — coalesce restores the contract
             Coalesce(Seq(
               Sum(rollAttr(reg.cntCol.get)).toAggregateExpression(),
               Literal(0L)))
+          case CntMeasureNav =>
+            Coalesce(Seq(
+              Sum(rollAttr(reg.cntMeasureCol.get)).toAggregateExpression(),
+              Literal(0L)))
           case MinNav => Min(rollAttr(reg.minCol.get)).toAggregateExpression()
           case MaxNav => Max(rollAttr(reg.maxCol.get)).toAggregateExpression()
           case AvgNav =>
-            // the weighted recombination Σsum/Σcnt — double division, the
-            // same last-ulp contract as re-associated SUMs
+            // the weighted recombination Σsum/Σcnt_measure — double
+            // division, the same last-ulp contract as re-associated SUMs.
+            // The zero denominator (an all-null-measure group) maps to
+            // NULL before dividing: Average returns null there, and ANSI
+            // division must never see a literal 0 (the If is the inlined
+            // form of NullIf — RuntimeReplaceable can't be introduced
+            // after ReplaceExpressions has run)
+            val cntD = Cast(
+              Sum(rollAttr(reg.cntMeasureCol.get)).toAggregateExpression(),
+              DoubleType)
             new Divide(
               Cast(Sum(sumAttr).toAggregateExpression(), DoubleType),
-              Cast(Sum(rollAttr(reg.cntCol.get)).toAggregateExpression(),
-                DoubleType))
+              If(EqualTo(cntD, Literal(0.0d)),
+                Literal(null, DoubleType), cntD))
         }
         val newAe = agg.aggregateExpressions.zip(navs.map(_.get)).map {
-          case (al @ Alias(_, name), Left(n)) =>
-            Alias(navExpr(n), name)(exprId = al.exprId, qualifier = al.qualifier)
+          case (al @ Alias(child, name), Left(n)) =>
+            Alias(navExpr(n, child.dataType), name)(
+              exprId = al.exprId, qualifier = al.qualifier)
           case (al @ Alias(child, name), Right(_)) =>
             Alias(substGroupRefs(child), name)(
               exprId = al.exprId, qualifier = al.qualifier)

@@ -35,7 +35,8 @@ object EventQueries {
         .write.mode("overwrite").parquet(out)
       graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
         "value", out, "hour", "sum_value", cntCol = Some("cnt"),
-        minCol = Some("min_value"), maxCol = Some("max_value"))
+        minCol = Some("min_value"), maxCol = Some("max_value"),
+        cntMeasureCol = Some("cnt_measure"))
       out
     })
     ()
@@ -1014,6 +1015,23 @@ object EventQueries {
           round(col("sv"), 2).as("sum_value"))
     }),
 
+    // AGGREGATE NAVIGATION, AVG + COUNT(measure) (r12): AVG recombines
+    // as Σ(hourly sum)/Σ(hourly COUNT(measure)) — the NON-NULL measure
+    // count, so a null-bearing measure column cannot skew the
+    // denominator (ADVICE r11); COUNT(value) rides the same cnt_measure
+    // partial. The raw-events scan disappears (plan pinned in
+    // RollupNavigationSpec, which also exercises the null/all-null
+    // groups); the oracle recomputes both from raw in DuckDB.
+    "q_a2_nav_avg" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(avg("value").as("av"), count(col("value")).as("n_value"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), round(col("av"), 2).as("avg_value"),
+          col("n_value"))
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1764,6 +1782,12 @@ object EventQueries {
         """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
           |event_type, count(*) AS n, min(value) AS min_value,
           |max(value) AS max_value, round(sum(value),2) AS sum_value
+          |FROM e GROUP BY 1, 2""".stripMargin),
+
+      "q_a2_nav_avg" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |event_type, round(avg(value),2) AS avg_value,
+          |count(value) AS n_value
           |FROM e GROUP BY 1, 2""".stripMargin),
 
       "q_a4_observed" ->

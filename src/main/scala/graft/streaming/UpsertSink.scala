@@ -192,8 +192,17 @@ object UpsertSink {
               renameOrThrow(fs, live, new Path(undo, s"bucket=$v"))
             renameOrThrow(fs, staged, live)
           }
-          // (d) cleanup — entries first, then the (now empty) roots
-          // best-effort: a non-recursive delete refuses a non-empty dir
+          // (d) cleanup — the MANIFEST first, and CHECKED: recover() is
+          // manifest-gated, so an undo dir that lost its manifest is
+          // inert, but a surviving manifest after this batch commits to
+          // the checkpoint would make the next recover() roll the
+          // committed buckets back with no replay pending — silent data
+          // loss. Everything after the manifest is best-effort (a
+          // non-recursive delete refuses a non-empty dir).
+          val mfPath = new Path(undo, "MANIFEST")
+          require(fs.delete(mfPath, false) || !fs.exists(mfPath),
+            s"UpsertSink: could not retire undo manifest $mfPath — " +
+              "aborting before checkpoint commit (recover() would roll back)")
           fs.delete(undo, true)
           fs.delete(stage, true)
           fs.delete(new Path(sp, ".graft_undo"), false)

@@ -43,7 +43,7 @@ class RollupNavigationSpec extends SparkSpec {
     RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
       Seq("event_type"), "value", stats, "hour", "sum_value",
       cntCol = Some("cnt"), minCol = Some("min_value"),
-      maxCol = Some("max_value"))
+      maxCol = Some("max_value"), cntMeasureCol = Some("cnt_measure"))
 
   private def dayAgg(raw: String) =
     spark.read.parquet(raw)
@@ -53,7 +53,8 @@ class RollupNavigationSpec extends SparkSpec {
   private def navigated(df: org.apache.spark.sql.DataFrame): Boolean = {
     val p = df.queryExecution.optimizedPlan.toString
     !p.contains("ts#") && (p.contains("sum_value") || p.contains("cnt#") ||
-      p.contains("min_value") || p.contains("max_value"))
+      p.contains("cnt_measure") || p.contains("min_value") ||
+      p.contains("max_value"))
   }
 
   test("day-grain SUM over raw navigates to the rollup; values identical; stale gate stands down") {
@@ -131,8 +132,10 @@ class RollupNavigationSpec extends SparkSpec {
         .filter(col("ts") > lit("2023-11-15").cast("timestamp"))
         .groupBy(date_trunc("day", col("ts"))).agg(sum("value"))
       assert(!navigated(t))
-      // nondeterministic predicate never replays
-      val nd = spark.read.parquet(raw).filter(rand() > -1)
+      // nondeterministic predicate never replays (must be one the
+      // optimizer can't remove: Spark 4 simplifies rand() > -1 away via
+      // rand's [0,1) range, leaving a clean — navigable — aggregate)
+      val nd = spark.read.parquet(raw).filter(rand() > 0.5)
         .groupBy(date_trunc("day", col("ts"))).agg(sum("value"))
       assert(!navigated(nd))
     } finally RollupNavigation.clear()
@@ -167,9 +170,14 @@ class RollupNavigationSpec extends SparkSpec {
       val m = spark.read.parquet(raw)
         .groupBy(date_trunc("minute", col("ts"))).agg(sum("value"))
       assert(!navigated(m))
-      // COUNT(col) counts non-nulls — only COUNT(*) rides the cnt column
+      // COUNT(measure) counts non-nulls — it rides the cnt_measure
+      // column (r12), NOT the COUNT(*) cnt column
+      val cm = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts"))).agg(count(col("value")).as("n"))
+      assert(navigated(cm), cm.queryExecution.optimizedPlan.toString)
+      // ...but COUNT of a non-measure column has no hourly partial
       val c = spark.read.parquet(raw)
-        .groupBy(date_trunc("day", col("ts"))).agg(count(col("value")))
+        .groupBy(date_trunc("day", col("ts"))).agg(count(col("event_type")))
       assert(!navigated(c))
       // DISTINCT aggregates have no hourly partial
       val dd = spark.read.parquet(raw)
@@ -202,6 +210,80 @@ class RollupNavigationSpec extends SparkSpec {
       val n = spark.read.parquet(raw)
         .groupBy(date_trunc("day", col("ts"))).agg(count(lit(1)))
       assert(!navigated(n))
+    } finally RollupNavigation.clear()
+  }
+
+  test("registration REJECTS a row-filtered raw frame (a subset rollup must never answer for the table)") {
+    val (raw, _, stats) = fixture()
+    try {
+      val filtered = spark.read.parquet(raw).filter(col("event_type") === "view")
+      val ex = intercept[IllegalArgumentException] {
+        RollupNavigation.register(spark, filtered, "ts",
+          Seq("event_type"), "value", stats, "hour", "sum_value")
+      }
+      assert(ex.getMessage.contains("no Filter"))
+      // and nothing got registered: queries over the root stay raw
+      assert(!navigated(dayAgg(raw)))
+    } finally RollupNavigation.clear()
+  }
+
+  test("AVG over a NULL-bearing measure recombines on COUNT(measure), matching the raw answer") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nav_null_").toString
+    val raw = s"$root/events"; val stats = s"$root/rollup_stats"
+    val base = 1700000000000000L
+    // every 5th measure NULL; one event_type ("gap") ALL-null — its AVG
+    // is null, and the navigated divide must yield null, not a
+    // divide-by-zero (ANSI) or 0
+    (0 until 4000).map { i =>
+      val et = if (i % 11 == 0) "gap" else if (i % 3 == 0) "view" else "purchase"
+      val v: Option[Double] =
+        if (et == "gap" || i % 5 == 0) None else Some((i % 8) * 0.25)
+      (new java.sql.Timestamp(base / 1000 + i * 97000L), et, v)
+    }.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(raw)
+    graft.ops.Rollup.hourlyStats(spark.read.parquet(raw), "ts", "value",
+        dims = Seq("event_type"), hourColName = "hour")
+      .write.mode("overwrite").parquet(stats)
+    def q() = spark.read.parquet(raw)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(avg("value").as("av"), count(col("value")).as("nv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getLong(3))).toSet
+    val expected = rows(q())
+    assert(expected.exists(_._3 == null), "fixture must exercise the all-null group")
+    try {
+      registerStats(raw, stats)
+      val nav = q()
+      assert(navigated(nav), nav.queryExecution.optimizedPlan.toString)
+      assert(rows(nav) === expected)
+    } finally RollupNavigation.clear()
+  }
+
+  test("warm freshness check is O(1): repeated plans do ZERO deep store listings") {
+    val (raw, _, stats) = fixture()
+    try {
+      registerStats(raw, stats)
+      assert(navigated(dayAgg(raw))) // prime the token cache
+      val before = RollupNavigation.deepListings.get()
+      (1 to 5).foreach { _ =>
+        assert(navigated(dayAgg(raw)))
+        assert(navigated(spark.read.parquet(raw)
+          .groupBy("event_type").agg(max("value").as("mx"))))
+      }
+      assert(RollupNavigation.deepListings.get() === before,
+        "warm plans must not deep-list the raw store")
+      // a landed batch moves the shallow token -> ONE deep re-list, rule
+      // stands down, and detecting the same staleness again is O(1)
+      Seq((new java.sql.Timestamp(1700990000000L), "view", 1.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(raw)
+      assert(!navigated(dayAgg(raw)))
+      val afterStale = RollupNavigation.deepListings.get()
+      assert(afterStale === before + 1)
+      assert(!navigated(dayAgg(raw)))
+      assert(RollupNavigation.deepListings.get() === afterStale,
+        "re-detecting a known-stale store must stay O(1)")
     } finally RollupNavigation.clear()
   }
 }
