@@ -132,6 +132,28 @@ object Recall {
       }
     }
 
+    // --- probe-2 margin gate: rank-2 kept only while d2 <= m × d1 ---
+    // The 2nd probe's recall comes from Voronoi-BOUNDARY vectors (d2 ≈
+    // d1); interior vectors' rank-2 rows are candidate volume with no
+    // pairs in them. Each margin row measures recall kept AND assignment
+    // rows shed (the Σ|cell|² driver) at the production k.
+    val semMarginRows = {
+      val kc = Similarity.deriveK(nVec)
+      val c = Similarity.kmeansTrain(em, "vec_id", "embedding", kc, iters = 2)
+      Seq(0L, 8L, 4L, 2L).map { mx =>
+        val asg = Similarity
+          .assignWithCentroidsTopP(em, "vec_id", "embedding", c.toSeq, 2, marginX = mx)
+          .select(col("id"), col("cell"))
+        val nRows = asg.count()
+        val cellsOf = asg.collect().groupBy(_.getLong(0))
+          .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+        val caught = allDupPairs.count { case (i, j) =>
+          cellsOf(i).exists(cellsOf(j)) }
+        CacheRegistry.drain()
+        (kc, mx, caught, allDupPairs.size, nRows)
+      }
+    }
+
     // --- capped-path pair recall: the hot-cell chain bound, forced ---
     // DefaultMaxCell (4096) never engages on the fixture, so the cap's
     // recall price is measured by forcing caps far below the fixture's
@@ -216,6 +238,29 @@ object Recall {
       "(SemDeDup-style pipelines accept <1.0 pair recall as the price of " +
       "escaping the corpus-squared kernel; probes is the cheap recall dial " +
       "at fixed k).\n")
+    sb.append("\n### Probe-2 margin gate (q_dedup_semantic_probe2's marginX dial)\n\n")
+    sb.append("Rank-2 assignments kept only while d2 <= marginX × d1 " +
+      "(exact integer compare on quantized L2; marginX=0 is ungated). The " +
+      "2nd probe's recall lives on Voronoi-boundary vectors where d2 ≈ d1; " +
+      "interior vectors' rank-2 rows multiply the Σ|cell|² pair kernel and " +
+      "hold no pairs. Assignment rows = N×2 ungated; every shed row cuts " +
+      s"candidate volume (at k=${semMarginRows.head._1}):\n\n")
+    sb.append("| marginX | caught dup pairs | pair recall | assignment rows |\n|---|---|---|---|\n")
+    semMarginRows.foreach { case (_, mx, caught, total, nRows) =>
+      val label = if (mx == 0L) "off" else s"$mx"
+      sb.append(f"| $label | $caught/$total | ${caught.toDouble / total}%.3f | $nRows |\n")
+    }
+    sb.append("\nReading: a MEASURED NEGATIVE — even marginX=2 sheds zero " +
+      "rows on this corpus. In 64-dim quantized embeddings every vector is " +
+      "near-equidistant to its top-2 centroids (the concentration-of-" +
+      "distances effect: d2/d1 < 2 corpus-wide), so there are no 'interior' " +
+      "rank-2 rows to drop and the probe-2 candidate volume is irreducible " +
+      "by this dial at unchanged recall. The q_dedup_semantic_probe2 10× " +
+      "ratio (8.1x in SCALE.md) is therefore the deriveK-linear Σ|cell|² " +
+      "bound itself materializing — near-linear work per row, accepted — " +
+      "not interior-vector waste; the dial stays available for " +
+      "low-dimensional or strongly clustered embedding spaces where the " +
+      "margin does discriminate.\n")
     sb.append("\n## Hot-cell cap (Similarity.cellPairsCapped's maxCell dial)\n\n")
     sb.append("Cells over `maxCell` SIGN-SPLIT into subcells (locality-" +
       "preserving sign-LSH bits; subcells ≤ cap are all-paired exactly), and " +
@@ -334,7 +379,17 @@ object Recall {
       "candidate loss (there is no approximation to 'recall' here; the " +
       "dense ANN tables above carry that dial).\n")
 
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    // Carry over the hand-maintained appendix (cross-checks measured by
+    // other harnesses — HLL error bands, PCA Rayleigh audit) so a Recall
+    // rerun never silently drops them from the published file.
+    val outPath = java.nio.file.Paths.get(outFile)
+    val appendixMarker = "<!-- persistent appendix:"
+    if (java.nio.file.Files.exists(outPath)) {
+      val prev = java.nio.file.Files.readString(outPath)
+      val at = prev.indexOf(appendixMarker)
+      if (at >= 0) sb.append("\n").append(prev.substring(at))
+    }
+    java.nio.file.Files.writeString(outPath, sb.toString)
     println(sb.toString)
     spark.stop()
   }

@@ -62,6 +62,40 @@ object Rollup {
         min(m).as("min_value"), max(m).as("max_value"))
   }
 
+  /** [[hourlyStats]] at an arbitrary `date_trunc` grain — one rung of the
+    * summary LADDER ([[graft.plans.RollupNavigation]]'s grain selection):
+    * hourly + daily + monthly stats stores registered side by side let a
+    * yearly dashboard read the monthly store (~720× fewer rows than
+    * hourly over the same span). Same one-shuffle partial-aggregate plan;
+    * coarser rungs are usually built FROM the next-finer store via
+    * [[reaggregateStats]], never from raw again.
+    */
+  def statsAtGrain(df: DataFrame, tsCol: String, measureCol: String,
+                   dims: Seq[String], grain: String,
+                   timeColName: String = "bucket"): DataFrame = {
+    val m = col(s"`$measureCol`")
+    df.groupBy(
+        (date_trunc(grain, col(s"`$tsCol`")).as(timeColName) +: dims.map(c => col(s"`$c`"))): _*)
+      .agg(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
+        count(m).as("cnt_measure"),
+        min(m).as("min_value"), max(m).as("max_value"))
+  }
+
+  /** Re-aggregate a stats rollup to a coarser grain WITHOUT touching raw:
+    * every partial re-composes (sum of sums, sum of counts, min of mins,
+    * max of maxes) — the property that makes the ladder's upper rungs
+    * O(next-finer store), not O(events).
+    */
+  def reaggregateStats(statsDf: DataFrame, timeCol: String, grain: String,
+                       dims: Seq[String],
+                       outTimeCol: String = "bucket"): DataFrame =
+    statsDf.groupBy(
+        (date_trunc(grain, col(s"`$timeCol`")).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
+      .agg(sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"),
+        sum(col("cnt_measure")).as("cnt_measure"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */
   def reaggregate(hourlyDf: DataFrame, hourCol: String, sumCol: String,
                   grain: String, dims: Seq[String],

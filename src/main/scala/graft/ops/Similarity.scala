@@ -933,9 +933,23 @@ object Similarity {
     * the p cells, trading ~p× candidate volume for pair recall (measured
     * in RECALL.md). One row per (vector, probed cell); stateless per row,
     * centroids ride as a broadcast literal exactly like the top-1 path.
+    *
+    * `marginX` (0 = off) gates the EXTRA probes by centroid-distance
+    * margin: rank-r > 1 cells are kept only while `dist_r <= marginX *
+    * dist_1` (exact integer compare on the quantized L2 — cross-engine
+    * stable). Rationale: the recall a 2nd probe buys comes from vectors
+    * near a Voronoi BOUNDARY (d2 ≈ d1); a vector deep inside its cell
+    * spends its extra probe on a far cell holding none of its near-dups
+    * — pure Σ|cell|² candidate volume. MEASURED NEGATIVE on the recall
+    * fixture (RECALL.md "Probe-2 margin gate"): in 64-dim quantized
+    * embeddings every vector is near-equidistant to its top cells
+    * (d2/d1 < 2 corpus-wide), so even marginX = 2 sheds zero rows — the
+    * dial only bites on low-dimensional or strongly clustered data, and
+    * the default path leaves it off.
     */
   def assignWithCentroidsTopP(em: DataFrame, idCol: String, embCol: String,
-                              cents: Seq[(Long, Array[Long])], p: Int): DataFrame = {
+                              cents: Seq[(Long, Array[Long])], p: Int,
+                              marginX: Long = 0L): DataFrame = {
     require(p >= 1 && p <= cents.length, s"p=$p out of range 1..${cents.length}")
     val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
     val carr = cents.toArray
@@ -955,8 +969,12 @@ object Similarity {
           ds(ci) = d
           ci += 1
         }
-        carr.indices.sortBy(i => (ds(i), carr(i)._1)).take(p).map(i =>
-          org.apache.spark.sql.Row(id, v, carr(i)._1, ds(i)))
+        val ranked = carr.indices.sortBy(i => (ds(i), carr(i)._1)).take(p)
+        val kept =
+          if (marginX <= 0L) ranked
+          else ranked.take(1) ++
+            ranked.drop(1).filter(i => ds(i) <= marginX * ds(ranked.head))
+        kept.map(i => org.apache.spark.sql.Row(id, v, carr(i)._1, ds(i)))
       }
     }(org.apache.spark.sql.Encoders.row(assignSchema))
   }

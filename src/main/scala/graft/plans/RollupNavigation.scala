@@ -90,12 +90,52 @@ import scala.util.{Either, Left, Right}
   * The rewrite keeps every output name AND ExprId (aliases re-point at
   * the rollup's columns under the original ids), so parent operators
   * resolve unchanged — the navigated plan is a drop-in subtree.
+  *
+  * GRAIN LADDER (r12): several rollups of the SAME raw store register
+  * side by side (hourly + daily + monthly — the classic summary
+  * hierarchy), each tagged with its `grain`. A query bucket level is
+  * servable by a grain iff every bucket is a union of whole grain
+  * buckets (hour→all; day→week/month/quarter/year; month→quarter/year;
+  * quarter→year; week composes into nothing coarser). Among the
+  * registrations that can serve, the COARSEST grain wins — the monthly
+  * store is ~720× smaller than the hourly one over the same span, so a
+  * yearly dashboard reads hundreds of rows, not millions — with fewest
+  * dims as tiebreak. Dims-only and global (no time bucket) aggregates
+  * are servable by ANY grain, so they also land on the smallest store.
   */
 object RollupNavigation extends Rule[LogicalPlan] {
 
-  /** Hour-or-coarser `date_trunc` levels (rollup grain = hour). */
-  private val CoarserLevels =
-    Set("hour", "day", "week", "month", "quarter", "year", "mon", "mm", "dd")
+  /** Canonical `date_trunc` level name (Spark accepts aliases). */
+  private def normLevel(l: String): String = l.toLowerCase match {
+    case "mon" | "mm" => "month"
+    case "dd"         => "day"
+    case other        => other
+  }
+
+  /** Can a rollup at `grain` serve a query bucketed at `level`? True iff
+    * every `level` bucket is a union of whole `grain` buckets: hour
+    * composes into everything; days compose into weeks (ISO weeks are
+    * day-aligned), months, quarters, years; months into quarters/years;
+    * quarters into years. Weeks compose into NOTHING coarser (month
+    * boundaries split weeks) and nothing finer serves from them.
+    */
+  private def serves(grain: String, level: String): Boolean = {
+    val g = normLevel(grain); val l = normLevel(level)
+    if (g == l) true
+    else g match {
+      case "hour"    => Set("day", "week", "month", "quarter", "year")(l)
+      case "day"     => Set("week", "month", "quarter", "year")(l)
+      case "month"   => Set("quarter", "year")(l)
+      case "quarter" => l == "year"
+      case _         => false // week/year serve only themselves
+    }
+  }
+
+  /** Coarser grain = fewer rollup rows = cheaper scan; selection prefers
+    * the highest rank among the registrations that can serve a query. */
+  private val GrainRank = Map(
+    "hour" -> 0, "day" -> 1, "week" -> 2, "month" -> 3,
+    "quarter" -> 4, "year" -> 5)
 
   final case class Registration(
       rootPaths: Set[String],
@@ -109,7 +149,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
       cntMeasureCol: Option[String],
       minCol: Option[String],
       maxCol: Option[String],
-      rawSignature: String)
+      rawSignature: String,
+      grain: String)
 
   private val regs = TrieMap.empty[String, Registration]
 
@@ -241,7 +282,10 @@ object RollupNavigation extends Rule[LogicalPlan] {
                cntCol: Option[String] = None,
                minCol: Option[String] = None,
                maxCol: Option[String] = None,
-               cntMeasureCol: Option[String] = None): Unit = {
+               cntMeasureCol: Option[String] = None,
+               grain: String = "hour"): Unit = {
+    require(GrainRank.contains(normLevel(grain)),
+      s"RollupNavigation: unknown grain $grain")
     val plan = raw.queryExecution.analyzed
     def attrOf(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"RollupNavigation: no column $n in raw frame"))
@@ -259,10 +303,20 @@ object RollupNavigation extends Rule[LogicalPlan] {
       require(rollupRel.output.exists(_.name == c),
         s"RollupNavigation: rollup at $rollupPath has no column $c")
     }
-    regs.put(roots.toSeq.sorted.mkString(","), Registration(
+    // keyed by (raw roots, rollup roots): SEVERAL rollups of the same raw
+    // store coexist (the grain ladder — hourly + daily + monthly);
+    // re-registering the same rollup path after a refresh replaces its
+    // entry only
+    val rollupRoots = rollupRel.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).toSet
+      case _ => Set(rollupPath)
+    }
+    val key = roots.toSeq.sorted.mkString(",") + "|" +
+      rollupRoots.toSeq.sorted.mkString(",")
+    regs.put(key, Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
       ms.get._2, rollupRel, hourCol, sumCol, cntCol, cntMeasureCol,
-      minCol, maxCol, currentSignature(spark, roots)))
+      minCol, maxCol, currentSignature(spark, roots), normLevel(grain)))
   }
 
   /** Drop all registrations (spec hygiene). */
@@ -290,7 +344,15 @@ object RollupNavigation extends Rule[LogicalPlan] {
 
   private def tryNavigate(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
-    regs.values.view.flatMap { reg =>
+    // GRAIN-LADDER SELECTION: every registration is offered the
+    // aggregate; among those that can serve it (grain composes into the
+    // query's bucket, needed partials present, dims/filters replayable,
+    // store fresh) the COARSEST grain wins — its rollup has the fewest
+    // rows (a monthly store is ~720× smaller than the hourly one for the
+    // same span) — with fewer dims as the tiebreak (narrower key = more
+    // collapsed rows). Candidate construction is plan-shape work only;
+    // the per-candidate freshness probe is one shallow listStatus.
+    regs.values.toSeq.flatMap { reg =>
       def traced(e: Expression): Option[Expression] =
         trace(agg.child, e).collect { case (roots, t) if roots == reg.rootPaths => t }
 
@@ -335,8 +397,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
         case t if reg.dimsTraced.exists(_._2 == t) =>
           Some(DimG(reg.dimsTraced.collectFirst { case (d, dt) if dt == t => d }.get))
         case TruncTimestamp(Literal(l: UTF8String, StringType), inner, tz)
-            if CoarserLevels.contains(l.toString.toLowerCase) &&
-              inner == reg.tsTraced =>
+            if serves(reg.grain, l.toString) && inner == reg.tsTraced =>
           Some(TsG(l.toString, tz))
         case _ => None
       }
@@ -473,8 +534,10 @@ object RollupNavigation extends Rule[LogicalPlan] {
                 rollAttr(attrDims(a.exprId))
             }, c)
         }
-        Some(Aggregate(newGe, newAe, newChild))
+        Some((reg, Aggregate(newGe, newAe, newChild)))
       } else None
-    }.headOption
+    }.sortBy { case (reg, _) =>
+      (-GrainRank(reg.grain), reg.dimsTraced.size)
+    }.headOption.map(_._2)
   }
 }

@@ -20,23 +20,38 @@ object EventQueries {
   private val navRollupPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Materialize the A1-grain hourly rollup once per fixture dir and
-    * register it with [[graft.plans.RollupNavigation]] — after this,
-    * hour-or-coarser aggregates (SUM/COUNT/MIN/MAX/AVG, optionally
-    * dim-filtered) over the events frame navigate to the rollup (see
-    * `q_a2_reagg_navigated`, `q_a2_nav_filtered`, `q_a2_nav_mixed`). */
+  /** Materialize the summary LADDER (hourly + daily + monthly stats
+    * rollups — the coarser rungs re-aggregated from the hourly store,
+    * never from raw) once per fixture dir and register every rung with
+    * [[graft.plans.RollupNavigation]] — after this, hour-or-coarser
+    * aggregates (SUM/COUNT/MIN/MAX/AVG, optionally dim-filtered) over
+    * the events frame navigate to the COARSEST rung that composes into
+    * the query's bucket: hour queries ride the hourly store, day/week
+    * the daily, month/quarter/year the monthly (see
+    * `q_a2_reagg_navigated`, `q_a2_nav_filtered`, `q_a2_nav_mixed`,
+    * `q_a2_nav_monthly`). */
   private def navigationReady(s: SparkSession, dir: String): Unit = {
     navRollupPaths.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_nav_rollup_").toString + "/hourly"
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_nav_rollup_").toString
+      val out = base + "/hourly"
       val raw = se(s, dir)
       Rollup.hourlyStats(raw, "ts", "value", dims = Seq("event_type"),
           hourColName = "hour")
         .write.mode("overwrite").parquet(out)
-      graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
-        "value", out, "hour", "sum_value", cntCol = Some("cnt"),
-        minCol = Some("min_value"), maxCol = Some("max_value"),
-        cntMeasureCol = Some("cnt_measure"))
+      val hourlyDf = s.read.parquet(out)
+      Rollup.reaggregateStats(hourlyDf, "hour", "day", Seq("event_type"))
+        .write.mode("overwrite").parquet(base + "/daily")
+      Rollup.reaggregateStats(s.read.parquet(base + "/daily"), "bucket",
+          "month", Seq("event_type"))
+        .write.mode("overwrite").parquet(base + "/monthly")
+      Seq("hourly" -> ("hour", "hour"), "daily" -> ("bucket", "day"),
+          "monthly" -> ("bucket", "month")).foreach { case (rung, (tc, g)) =>
+        graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
+          "value", s"$base/$rung", tc, "sum_value", cntCol = Some("cnt"),
+          minCol = Some("min_value"), maxCol = Some("max_value"),
+          cntMeasureCol = Some("cnt_measure"), grain = g)
+      }
       out
     })
     ()
@@ -1032,6 +1047,25 @@ object EventQueries {
           col("n_value"))
     }),
 
+    // GRAIN-LADDER NAVIGATION (r12): a MONTHLY dashboard with hourly,
+    // daily and monthly rollups all registered — the optimizer must pick
+    // the MONTHLY store (coarsest grain that composes into month
+    // buckets, ~720× fewer rows than hourly; RollupNavigationSpec pins
+    // the selection). The oracle recomputes from raw in DuckDB, so the
+    // two re-aggregation hops (hour→day→month partials) must be exact —
+    // which COUNT/MIN/MAX are by algebra and SUM is here because the
+    // fixture values are 2-decimal (scaled integers in binary).
+    "q_a2_nav_monthly" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("month", col("ts")).as("m0"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_value"),
+          max("value").as("max_value"), sum("value").as("sv"))
+        .select(date_format(col("m0"), "yyyy-MM").as("month"),
+          col("event_type"), col("n"), col("min_value"), col("max_value"),
+          round(col("sv"), 2).as("sum_value"))
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1788,6 +1822,12 @@ object EventQueries {
         """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
           |event_type, round(avg(value),2) AS avg_value,
           |count(value) AS n_value
+          |FROM e GROUP BY 1, 2""".stripMargin),
+
+      "q_a2_nav_monthly" -> cte(
+        """SELECT strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m') AS month,
+          |event_type, count(*) AS n, min(value) AS min_value,
+          |max(value) AS max_value, round(sum(value),2) AS sum_value
           |FROM e GROUP BY 1, 2""".stripMargin),
 
       "q_a4_observed" ->

@@ -260,6 +260,30 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
+  test("EMPTY store: global COUNT(*) navigates to 0 (coalesce), not NULL; SUM stays NULL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nav_empty_").toString
+    val raw = s"$root/events"; val stats = s"$root/rollup_stats"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(raw)
+    graft.ops.Rollup.hourlyStats(spark.read.parquet(raw), "ts", "value",
+        dims = Seq("event_type"), hourColName = "hour")
+      .write.mode("overwrite").parquet(stats)
+    try {
+      registerStats(raw, stats)
+      val g = spark.read.parquet(raw)
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+          sum("value").as("s"))
+      assert(navigated(g), g.queryExecution.optimizedPlan.toString)
+      val r = g.head()
+      assert(r.getLong(0) === 0L, "COUNT(*) over an empty store must be 0")
+      assert(r.getLong(1) === 0L, "COUNT(measure) over an empty store must be 0")
+      assert(r.isNullAt(2), "SUM over an empty store must be NULL")
+    } finally RollupNavigation.clear()
+  }
+
   test("warm freshness check is O(1): repeated plans do ZERO deep store listings") {
     val (raw, _, stats) = fixture()
     try {
@@ -284,6 +308,116 @@ class RollupNavigationSpec extends SparkSpec {
       assert(!navigated(dayAgg(raw)))
       assert(RollupNavigation.deepListings.get() === afterStale,
         "re-detecting a known-stale store must stay O(1)")
+    } finally RollupNavigation.clear()
+  }
+
+  /** Which rollup store does the optimized plan scan? Identified by the
+    * file relation's root paths. */
+  private def scannedStore(df: org.apache.spark.sql.DataFrame,
+                           stores: Map[String, String]): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    stores.collectFirst {
+      case (name, path) if roots.exists(_.contains(path)) => name }
+  }
+
+  test("GRAIN LADDER: coarsest serving rung wins; week rides daily; hour rides hourly; global rides monthly") {
+    val (raw, _, stats) = fixture()
+    val base = stats.stripSuffix("/rollup_stats")
+    val daily = s"$base/rollup_daily"; val monthly = s"$base/rollup_monthly"
+    val hourlyDf = spark.read.parquet(stats)
+    graft.ops.Rollup.reaggregateStats(hourlyDf, "hour", "day", Seq("event_type"))
+      .write.mode("overwrite").parquet(daily)
+    graft.ops.Rollup.reaggregateStats(spark.read.parquet(daily), "bucket",
+        "month", Seq("event_type"))
+      .write.mode("overwrite").parquet(monthly)
+    val stores = Map("hourly" -> stats, "daily" -> daily, "monthly" -> monthly)
+    def reg(path: String, tc: String, g: String): Unit =
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", path, tc, "sum_value",
+        cntCol = Some("cnt"), minCol = Some("min_value"),
+        maxCol = Some("max_value"), cntMeasureCol = Some("cnt_measure"),
+        grain = g)
+    def agg(level: String) = spark.read.parquet(raw)
+      .groupBy(date_trunc(level, col("ts")).as("b"), col("event_type"))
+      .agg(sum("value").as("s"), count(lit(1)).as("n"),
+        min("value").as("mn"), max("value").as("mx"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    // raw truth BEFORE registration (dyadic values: exact equality)
+    val truthM = rows(agg("month")); val truthW = rows(agg("week"))
+    val truthH = rows(agg("hour")); val truthD = rows(agg("day"))
+    try {
+      reg(stats, "hour", "hour"); reg(daily, "bucket", "day")
+      reg(monthly, "bucket", "month")
+      // month query: monthly rung (not just any rung)
+      assert(scannedStore(agg("month"), stores) === Some("monthly"))
+      assert(rows(agg("month")) === truthM)
+      // week buckets split months -> daily is the coarsest that composes
+      assert(scannedStore(agg("week"), stores) === Some("daily"))
+      assert(rows(agg("week")) === truthW)
+      // hour: only the hourly rung serves
+      assert(scannedStore(agg("hour"), stores) === Some("hourly"))
+      assert(rows(agg("hour")) === truthH)
+      assert(scannedStore(agg("day"), stores) === Some("daily"))
+      assert(rows(agg("day")) === truthD)
+      // no time bucket at all: ANY rung serves -> coarsest (monthly)
+      val global = spark.read.parquet(raw)
+        .groupBy("event_type").agg(sum("value").as("s"))
+      assert(scannedStore(global, stores) === Some("monthly"))
+      // quarter/year compose from months
+      val yearly = spark.read.parquet(raw)
+        .groupBy(date_trunc("year", col("ts")).as("y"))
+        .agg(avg("value").as("a"), count(col("value")).as("nv"))
+      assert(scannedStore(yearly, stores) === Some("monthly"))
+    } finally RollupNavigation.clear()
+  }
+
+  test("GRAIN LADDER: a stale coarse rung stands down, finer fresh rung still serves") {
+    val (raw, _, stats) = fixture()
+    val base = stats.stripSuffix("/rollup_stats")
+    val daily = s"$base/rollup_daily"
+    graft.ops.Rollup.reaggregateStats(spark.read.parquet(stats), "hour",
+        "day", Seq("event_type"))
+      .write.mode("overwrite").parquet(daily)
+    val stores = Map("hourly" -> stats, "daily" -> daily)
+    try {
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", stats, "hour", "sum_value", grain = "hour")
+      // raw moves between the two registrations: the daily registration
+      // captures the NEW signature, the hourly one is now stale
+      Seq((new java.sql.Timestamp(1700991100000L), "view", 0.25))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(raw)
+      graft.ops.Rollup.reaggregateStats(
+          graft.ops.Rollup.hourlyStats(spark.read.parquet(raw), "ts", "value",
+            dims = Seq("event_type"), hourColName = "hour"),
+          "hour", "day", Seq("event_type"))
+        .write.mode("overwrite").parquet(daily)
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", daily, "bucket", "sum_value", grain = "day")
+      val q = dayAgg(raw)
+      assert(scannedStore(q, stores) === Some("daily"),
+        "fresh daily rung must serve while the stale hourly stands down")
+      val truth = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(sum("value").as("s"))
+      // both sides navigationally independent? truth re-navigates onto
+      // daily too — compare against a DISARMED run instead
+      RollupNavigation.clear()
+      val expected = truth.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", daily, "bucket", "sum_value", grain = "day")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === expected)
     } finally RollupNavigation.clear()
   }
 }
