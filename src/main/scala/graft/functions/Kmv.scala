@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.udaf
 object Kmv {
 
   /** Typed aggregator over pre-hashed values (null-free Long hashes). */
-  class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  class KmvAggregator(val k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
     override def zero: Array[Long] = Array.empty[Long]
 
@@ -65,7 +65,32 @@ object Kmv {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
   }
 
-  private object ExpressionEncoderHelper {
+  /** Merge STORED k-minima states (array&lt;long&gt; columns) into the
+    * k minima of the union — the KMV re-aggregation property: the global
+    * k smallest hashes are contained in the union of per-partial k
+    * smallest, so merging partials is EXACT (bit-identical to sketching
+    * the union directly). This is what lets a rollup store per-hour
+    * sketch states and serve day/month distinct-count dashboards without
+    * rescanning raw ([[graft.plans.RollupNavigation]]'s KMV navigation).
+    */
+  class KmvMergeAggregator(val k: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val base = new KmvAggregator(k)
+    override def zero: Array[Long] = Array.empty[Long]
+    override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
+      if (in == null) buf else base.merge(buf, in)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      base.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  }
+
+  /** Merge a column of stored k-minima arrays (see [[KmvMergeAggregator]]). */
+  def mergeMinima(minimaCol: Column, k: Int): Column =
+    udaf(new KmvMergeAggregator(k), ExpressionEncoderHelper.arrayLong).apply(minimaCol)
+
+  private[graft] object ExpressionEncoderHelper {
     val arrayLong: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }

@@ -47,19 +47,25 @@ object Rollup {
     */
   def hourlyStats(df: DataFrame, tsCol: String, measureCol: String,
                   dims: Seq[String] = Seq.empty,
-                  hourColName: String = "hour"): DataFrame = {
+                  hourColName: String = "hour",
+                  kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None): DataFrame = {
     val dimCols =
       if (dims.nonEmpty) dims
       else df.columns.toSeq.filterNot(c => c == tsCol || c == measureCol)
     val m = col(s"`$measureCol`")
+    val aggs = Seq(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
+      // non-null measure count: the AVG-navigation denominator (and the
+      // COUNT(measure) partial) — COUNT(*) would over-count the moment
+      // the measure column admits a null
+      count(m).as("cnt_measure"),
+      min(m).as("min_value"), max(m).as("max_value")) ++
+      // optional KMV distinct-sketch partial: per-bucket k-minima of the
+      // given (pre-hashed Long) column — merging partials is EXACT, so
+      // distinct-count dashboards navigate too (KmvMergeAggregator)
+      kmvOf.map { case (c, k) => graft.functions.Kmv.kMinima(c, k).as("kmv_minima") }
     df.groupBy(
         (TimeFns.toStartOfHour(col(tsCol)).as(hourColName) +: dimCols.map(c => col(s"`$c`"))): _*)
-      .agg(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
-        // non-null measure count: the AVG-navigation denominator (and the
-        // COUNT(measure) partial) — COUNT(*) would over-count the moment
-        // the measure column admits a null
-        count(m).as("cnt_measure"),
-        min(m).as("min_value"), max(m).as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** [[hourlyStats]] at an arbitrary `date_trunc` grain — one rung of the
@@ -86,15 +92,119 @@ object Rollup {
     * max of maxes) — the property that makes the ladder's upper rungs
     * O(next-finer store), not O(events).
     */
+  /** The stats partials' MERGE aggregates — every one is re-aggregable
+    * (merge(old, delta) == partial of the union), which is what makes
+    * both coarser-rung derivation and O(delta) refresh exact. */
+  private def statsMergeAggs(kmvK: Option[Int]): Seq[org.apache.spark.sql.Column] =
+    Seq(
+      sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"),
+      sum(col("cnt_measure")).as("cnt_measure"),
+      min(col("min_value")).as("min_value"),
+      max(col("max_value")).as("max_value")) ++
+      kmvK.map(k =>
+        graft.functions.Kmv.mergeMinima(col("kmv_minima"), k).as("kmv_minima"))
+
   def reaggregateStats(statsDf: DataFrame, timeCol: String, grain: String,
                        dims: Seq[String],
-                       outTimeCol: String = "bucket"): DataFrame =
+                       outTimeCol: String = "bucket",
+                       kmvK: Option[Int] = None): DataFrame = {
+    val aggs = statsMergeAggs(kmvK)
     statsDf.groupBy(
         (date_trunc(grain, col(s"`$timeCol`")).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
-      .agg(sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"),
-        sum(col("cnt_measure")).as("cnt_measure"),
-        min(col("min_value")).as("min_value"),
-        max(col("max_value")).as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** O(touched) additive refresh of a partitioned STATS store: merge the
+    * delta's partials (same schema as the store) into the touched
+    * partitions only — the stats sibling of [[refreshAdditive]], sharing
+    * its directory-targeted read + dynamic-overwrite core. `partKeyOf`
+    * derives the partition value from the store's time column (the
+    * caller's layout choice: days for the hourly rung, months for daily,
+    * years for monthly).
+    */
+  def refreshStatsAdditive(spark: org.apache.spark.sql.SparkSession,
+                           path: String, deltaStats: DataFrame,
+                           timeCol: String, dims: Seq[String],
+                           partCol: String,
+                           partKeyOf: org.apache.spark.sql.Column,
+                           kmvK: Option[Int] = None): Unit =
+    mergeIntoPartitions(spark, path, deltaStats.withColumn(partCol, partKeyOf),
+      partCol, timeCol +: dims, statsMergeAggs(kmvK))
+
+  /** The summary LADDER as a managed artifact: hourly + daily + monthly
+    * stats stores under one base path, partitioned for O(touched)
+    * maintenance (hourly by day, daily by month, monthly by year).
+    * [[buildStatsLadder]] materializes all rungs (coarser rungs derived
+    * from the next-finer store, never from raw); [[refreshStatsLadder]]
+    * folds an append-only raw delta into every rung at O(delta) — ONE
+    * pass over the delta computes hourly partials, and each coarser
+    * rung's delta is re-aggregated from the finer rung's delta partials;
+    * [[registerStatsLadder]] (re-)arms [[graft.plans.RollupNavigation]]
+    * on all rungs, capturing the raw store's current freshness
+    * signature. Refresh-then-register is the deployment loop the
+    * reference's warehouse runs implicitly via its SummingMergeTree
+    * inserts (clickhouse/clickhouse.py:70-81).
+    */
+  final case class StatsLadder(base: String, tsCol: String, measureCol: String,
+      dims: Seq[String],
+      kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None) {
+    def hourlyPath: String = s"$base/hourly"
+    def dailyPath: String = s"$base/daily"
+    def monthlyPath: String = s"$base/monthly"
+  }
+
+  private def pkeyDay(t: org.apache.spark.sql.Column) =
+    date_format(t, "yyyyMMdd").cast("int")
+  private def pkeyMonth(t: org.apache.spark.sql.Column) =
+    date_format(t, "yyyyMM").cast("int")
+
+  def buildStatsLadder(spark: org.apache.spark.sql.SparkSession,
+                       raw: DataFrame, ladder: StatsLadder): Unit = {
+    val k = ladder.kmvOf.map(_._2)
+    hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
+        kmvOf = ladder.kmvOf)
+      .withColumn("pkey", pkeyDay(col("hour")))
+      .write.mode("overwrite").partitionBy("pkey").parquet(ladder.hourlyPath)
+    reaggregateStats(spark.read.parquet(ladder.hourlyPath), "hour", "day",
+        ladder.dims, "bucket", k)
+      .withColumn("pkey", pkeyMonth(col("bucket")))
+      .write.mode("overwrite").partitionBy("pkey").parquet(ladder.dailyPath)
+    reaggregateStats(spark.read.parquet(ladder.dailyPath), "bucket", "month",
+        ladder.dims, "bucket", k)
+      .withColumn("pkey", year(col("bucket")))
+      .write.mode("overwrite").partitionBy("pkey").parquet(ladder.monthlyPath)
+  }
+
+  def refreshStatsLadder(spark: org.apache.spark.sql.SparkSession,
+                         delta: DataFrame, ladder: StatsLadder): Unit = {
+    val k = ladder.kmvOf.map(_._2)
+    // one pass over the delta; coarser rungs re-aggregate the finer
+    // rung's DELTA PARTIALS (never raw, never the stores)
+    val hd = CacheRegistry.persist(hourlyStats(delta, ladder.tsCol,
+      ladder.measureCol, ladder.dims, "hour", kmvOf = ladder.kmvOf))
+    val dd = CacheRegistry.persist(
+      reaggregateStats(hd, "hour", "day", ladder.dims, "bucket", k))
+    try {
+      refreshStatsAdditive(spark, ladder.hourlyPath, hd, "hour", ladder.dims,
+        "pkey", pkeyDay(col("hour")), k)
+      refreshStatsAdditive(spark, ladder.dailyPath, dd, "bucket", ladder.dims,
+        "pkey", pkeyMonth(col("bucket")), k)
+      refreshStatsAdditive(spark, ladder.monthlyPath,
+        reaggregateStats(dd, "bucket", "month", ladder.dims, "bucket", k),
+        "bucket", ladder.dims, "pkey", year(col("bucket")), k)
+    } finally { CacheRegistry.release(hd); CacheRegistry.release(dd) }
+  }
+
+  def registerStatsLadder(spark: org.apache.spark.sql.SparkSession,
+                          raw: DataFrame, ladder: StatsLadder): Unit =
+    Seq((ladder.hourlyPath, "hour", "hour"), (ladder.dailyPath, "bucket", "day"),
+        (ladder.monthlyPath, "bucket", "month")).foreach { case (p, tc, g) =>
+      graft.plans.RollupNavigation.register(spark, raw, ladder.tsCol,
+        ladder.dims, ladder.measureCol, p, tc, "sum_value",
+        cntCol = Some("cnt"), cntMeasureCol = Some("cnt_measure"),
+        minCol = Some("min_value"), maxCol = Some("max_value"), grain = g,
+        kmv = ladder.kmvOf.map { case (c, kk) => (c, kk, "kmv_minima") })
+    }
 
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */
   def reaggregate(hourlyDf: DataFrame, hourCol: String, sumCol: String,
@@ -182,8 +292,26 @@ object Rollup {
   def refreshAdditive(spark: org.apache.spark.sql.SparkSession, path: String,
                       delta: DataFrame, partCol: String, keyCols: Seq[String],
                       sumCols: Seq[String]): Unit = {
-    val grain = (partCol +: keyCols).map(c => col(s"`$c`"))
     val agg = sumCols.map(c => sum(col(s"`$c`")).as(c))
+    mergeIntoPartitions(spark, path, delta, partCol, keyCols, agg)
+  }
+
+  /** Generic O(touched) partition-merge core shared by [[refreshAdditive]]
+    * (SUM-only stores) and [[refreshStatsAdditive]] (full stats partials):
+    * pre-aggregate the delta on (partCol, keyCols) with `mergeAggs`, read
+    * back ONLY the touched partitions (directory-targeted for primitive
+    * partition values), re-merge with the same aggregates, and
+    * dynamic-overwrite the touched partitions — untouched files are never
+    * rewritten. Requires every merge aggregate to be RE-AGGREGABLE
+    * (merge(old partial, delta partial) == partial of the union): sums,
+    * counts-as-sums, min/max, and KMV sketch merges all are.
+    */
+  private def mergeIntoPartitions(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, delta: DataFrame,
+                                  partCol: String, keyCols: Seq[String],
+                                  mergeAggs: Seq[org.apache.spark.sql.Column]): Unit = {
+    val grain = (partCol +: keyCols).map(c => col(s"`$c`"))
+    val agg = mergeAggs
     val d = delta.groupBy(grain: _*).agg(agg.head, agg.tail: _*)
     val touched = d.select(col(s"`$partCol`")).distinct().collect().map(_.get(0))
     if (touched.nonEmpty) {

@@ -43,7 +43,13 @@ import scala.util.{Either, Left, Right}
   *    declined for decimal measures, whose result-scale rules the
   *    quotient would not reproduce, and null-guarded so an all-null
   *    group divides by NULL, not by zero (ANSI-safe)
-  * The cnt/cnt-measure/min/max columns are OPTIONAL registrations —
+  *  - `kMinima(hash, k)` (KMV distinct sketch, r12) →
+  *    `mergeMinima(kmv_col, k)` over stored per-bucket sketch states —
+  *    EXACT, not approximate-on-approximate: the union's k smallest
+  *    hashes are contained in the union of per-bucket k smallest, so
+  *    the merged state (and thus the estimate) is bit-identical to
+  *    sketching raw. Distinct-count dashboards never rescan raw.
+  * The cnt/cnt-measure/min/max/kmv columns are OPTIONAL registrations —
   * absent columns simply decline their shapes (a sum-only rollup still
   * navigates SUMs).
   *
@@ -150,7 +156,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
       minCol: Option[String],
       maxCol: Option[String],
       rawSignature: String,
-      grain: String)
+      grain: String,
+      // KMV distinct-sketch partials: rollup column holding per-bucket
+      // k-minima arrays, its k, and the traced hash-input expression the
+      // query-side sketch must match
+      kmvCol: Option[String] = None,
+      kmvK: Int = 0,
+      kmvTraced: Option[Expression] = None)
 
   private val regs = TrieMap.empty[String, Registration]
 
@@ -283,7 +295,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
                minCol: Option[String] = None,
                maxCol: Option[String] = None,
                cntMeasureCol: Option[String] = None,
-               grain: String = "hour"): Unit = {
+               grain: String = "hour",
+               kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None): Unit = {
     require(GrainRank.contains(normLevel(grain)),
       s"RollupNavigation: unknown grain $grain")
     val plan = raw.queryExecution.analyzed
@@ -299,9 +312,29 @@ object RollupNavigation extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(
       s"RollupNavigation: $rollupPath did not analyze to a file relation"))
-    (Seq(hourCol, sumCol) ++ cntCol ++ cntMeasureCol ++ minCol ++ maxCol).foreach { c =>
+    (Seq(hourCol, sumCol) ++ cntCol ++ cntMeasureCol ++ minCol ++ maxCol ++
+        kmv.map(_._3)).foreach { c =>
       require(rollupRel.output.exists(_.name == c),
         s"RollupNavigation: rollup at $rollupPath has no column $c")
+    }
+    // KMV hash-input trace: the input is an EXPRESSION over raw (e.g.
+    // md5Long(cast(user_id))), not a named column — trace it through the
+    // OPTIMIZED select plan so cast-simplification etc. normalizes it to
+    // the same form the optimizer will have applied to the query side by
+    // the time this rule runs
+    val kmvInfo = kmv.map { case (c, kk, rollCol) =>
+      require(kk >= 2, s"RollupNavigation: kmv k=$kk must be >= 2")
+      val pr = raw.select(c.as("__kmv_in")).queryExecution.optimizedPlan
+      val tr = pr match {
+        case Project(Seq(al: Alias), child) =>
+          trace(child, al.child, throughFilters = false)
+        case _ => None
+      }
+      require(tr.nonEmpty && tr.get._1 == roots,
+        "RollupNavigation: kmv input must be a deterministic expression over the registered relation")
+      require(tr.get._2.deterministic,
+        "RollupNavigation: kmv input must be deterministic")
+      (rollCol, kk, tr.get._2)
     }
     // keyed by (raw roots, rollup roots): SEVERAL rollups of the same raw
     // store coexist (the grain ladder — hourly + daily + monthly);
@@ -316,7 +349,9 @@ object RollupNavigation extends Rule[LogicalPlan] {
     regs.put(key, Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
       ms.get._2, rollupRel, hourCol, sumCol, cntCol, cntMeasureCol,
-      minCol, maxCol, currentSignature(spark, roots), normLevel(grain)))
+      minCol, maxCol, currentSignature(spark, roots), normLevel(grain),
+      kmvCol = kmvInfo.map(_._1), kmvK = kmvInfo.map(_._2).getOrElse(0),
+      kmvTraced = kmvInfo.map(_._3)))
   }
 
   /** Drop all registrations (spec hygiene). */
@@ -341,6 +376,9 @@ object RollupNavigation extends Rule[LogicalPlan] {
   private case object MinNav extends ANav
   private case object MaxNav extends ANav
   private case object AvgNav extends ANav
+  private final case class KmvNav(
+      orig: AggregateExpression,
+      sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]) extends ANav
 
   private def tryNavigate(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -427,6 +465,20 @@ object RollupNavigation extends Rule[LogicalPlan] {
             if isMeasure(m) && reg.cntMeasureCol.nonEmpty &&
               !m.dataType.isInstanceOf[DecimalType] =>
           Some(AvgNav)
+        // KMV distinct sketch: kMinima(hash, k) over raw rewrites to
+        // mergeMinima(kmv_col, k) over the rollup's stored per-bucket
+        // states — EXACT (the union's k minima live in the union of
+        // per-bucket k minima), so even the estimate is bit-identical.
+        // Requires the same k and the same traced hash-input expression.
+        case AggregateExpression(
+            sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _],
+            _, false, None, _)
+            if reg.kmvCol.nonEmpty &&
+              sa.agg.isInstanceOf[graft.functions.Kmv.KmvAggregator] &&
+              sa.agg.asInstanceOf[graft.functions.Kmv.KmvAggregator].k == reg.kmvK &&
+              sa.children.size == 1 &&
+              traced(sa.children.head).exists(t => reg.kmvTraced.contains(t)) =>
+          Some(KmvNav(ae, sa))
         case _ => None
       }
 
@@ -514,6 +566,20 @@ object RollupNavigation extends Rule[LogicalPlan] {
               Cast(Sum(sumAttr).toAggregateExpression(), DoubleType),
               If(EqualTo(cntD, Literal(0.0d)),
                 Literal(null, DoubleType), cntD))
+          case KmvNav(orig, sa) =>
+            // reuse the query-side BUFFER encoder (Array[Long], resolved
+            // by the analyzer's ResolveEncodersInScalaAgg — this rewrite
+            // runs post-analysis, so a fresh encoder would never resolve)
+            // as both input and buffer encoder of the merge: a KMV state
+            // and its merge input are the same array<long> shape
+            val enc = sa.bufferEncoder.asInstanceOf[
+              org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]]
+            orig.copy(aggregateFunction =
+              new org.apache.spark.sql.execution.aggregate.ScalaAggregator[
+                  Array[Long], Array[Long], Array[Long]](
+                Seq(rollAttr(reg.kmvCol.get)),
+                new graft.functions.Kmv.KmvMergeAggregator(reg.kmvK),
+                enc, enc, sa.nullable, true, 0, 0, Some("kmv_merge")))
         }
         val newAe = agg.aggregateExpressions.zip(navs.map(_.get)).map {
           case (al @ Alias(child, name), Left(n)) =>

@@ -20,6 +20,10 @@ object EventQueries {
   private val navRollupPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** k of the ladder's KMV distinct-user sketch (every day×type group in
+    * the fixture holds ≥ 42 distinct users, so estimates never null). */
+  private val NavKmvK = 32
+
   /** Materialize the summary LADDER (hourly + daily + monthly stats
     * rollups — the coarser rungs re-aggregated from the hourly store,
     * never from raw) once per fixture dir and register every rung with
@@ -34,25 +38,45 @@ object EventQueries {
     navRollupPaths.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_nav_rollup_").toString
-      val out = base + "/hourly"
       val raw = se(s, dir)
-      Rollup.hourlyStats(raw, "ts", "value", dims = Seq("event_type"),
-          hourColName = "hour")
-        .write.mode("overwrite").parquet(out)
-      val hourlyDf = s.read.parquet(out)
-      Rollup.reaggregateStats(hourlyDf, "hour", "day", Seq("event_type"))
-        .write.mode("overwrite").parquet(base + "/daily")
-      Rollup.reaggregateStats(s.read.parquet(base + "/daily"), "bucket",
-          "month", Seq("event_type"))
-        .write.mode("overwrite").parquet(base + "/monthly")
-      Seq("hourly" -> ("hour", "hour"), "daily" -> ("bucket", "day"),
-          "monthly" -> ("bucket", "month")).foreach { case (rung, (tc, g)) =>
-        graft.plans.RollupNavigation.register(s, raw, "ts", Seq("event_type"),
-          "value", s"$base/$rung", tc, "sum_value", cntCol = Some("cnt"),
-          minCol = Some("min_value"), maxCol = Some("max_value"),
-          cntMeasureCol = Some("cnt_measure"), grain = g)
-      }
-      out
+      // per-hour KMV distinct-user sketch rides every rung: merging
+      // partials is exact, so distinct-count dashboards navigate too
+      val kmvIn = graft.functions.Hashing.md5Long(col("user_id").cast("string"))
+      val ladder = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
+        kmvOf = Some((kmvIn, NavKmvK)))
+      Rollup.buildStatsLadder(s, raw, ladder)
+      Rollup.registerStatsLadder(s, raw, ladder)
+      base + "/hourly"
+    })
+    ()
+  }
+
+  /** Landing for q_a2_nav_refreshed: the ladder built from the FIRST 60%
+    * of events (by event_id), then folded forward with the remaining 40%
+    * via [[Rollup.refreshStatsLadder]] — O(delta) per rung, and because
+    * the event_id slicing splits EVERY hour bucket across both halves,
+    * every merge (sum-add, min/max re-min/max, KMV state merge) takes
+    * the nontrivial old⊕delta path. Registration after the refresh
+    * re-arms navigation; the query's navigated daily dashboard must
+    * equal a full recompute from raw (the oracle), proving
+    * refresh-merge == batch semantics through the OPTIMIZER rewrite.
+    */
+  private val refreshedLadderBases =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def refreshedLadderReady(s: SparkSession, dir: String): Unit = {
+    refreshedLadderBases.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_nav_refresh_").toString
+      val raw = se(s, dir)
+      val kmvIn = graft.functions.Hashing.md5Long(col("user_id").cast("string"))
+      val ladder = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
+        kmvOf = Some((kmvIn, NavKmvK)))
+      val maxId = raw.agg(max(col("event_id"))).head().getLong(0)
+      val cut = (maxId * 0.6).toLong
+      Rollup.buildStatsLadder(s, raw.filter(col("event_id") < cut), ladder)
+      Rollup.refreshStatsLadder(s, raw.filter(col("event_id") >= cut), ladder)
+      Rollup.registerStatsLadder(s, raw, ladder)
+      base
     })
     ()
   }
@@ -1066,6 +1090,48 @@ object EventQueries {
           round(col("sv"), 2).as("sum_value"))
     }),
 
+    // SKETCH-PARTIAL NAVIGATION (r12): the daily distinct-users
+    // dashboard via the KMV sketch — kMinima(md5(user), 32) over raw
+    // rewrites onto mergeMinima of the rollup's stored per-hour sketch
+    // states (the DAILY rung serves, so each group merges ~24 arrays).
+    // KMV re-aggregation is EXACT — the union's k minima live in the
+    // union of per-hour k minima — so the navigated estimate is
+    // bit-identical to sketching raw, and the DuckDB oracle (rank-k
+    // over md5 hashes recomputed from raw) hash-matches it. The one
+    // distinct-count shape no SUM/COUNT rollup can serve is exactly why
+    // warehouses bolt sketch columns onto their summary tables.
+    "q_a2_nav_kmv" -> ((s, dir) => {
+      import graft.functions.{Hashing, Kmv}
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(Kmv.kMinima(Hashing.md5Long(col("user_id").cast("string")), 32).as("m"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), Kmv.estimate(col("m"), 32).as("est_users"))
+        .filter(col("est_users").isNotNull)
+    }),
+
+    // LADDER REFRESH + RE-ARM (r12): the store behind this dashboard was
+    // built from 60% of events and folded forward with the other 40% via
+    // Rollup.refreshStatsLadder (O(delta) per rung; every bucket's
+    // sum/min/max/KMV partial took the old⊕delta merge path because the
+    // split is by event_id, not time). Registration after the refresh
+    // re-arms navigation, so this daily dashboard — COUNT, SUM, and the
+    // KMV distinct-user estimate — reads merged partials; the oracle
+    // recomputes everything from raw.
+    "q_a2_nav_refreshed" -> ((s, dir) => {
+      import graft.functions.{Hashing, Kmv}
+      refreshedLadderReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          Kmv.kMinima(Hashing.md5Long(col("user_id").cast("string")), 32).as("m"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), round(col("sv"), 2).as("sum_value"),
+          Kmv.estimate(col("m"), 32).as("est_users"))
+        .filter(col("est_users").isNotNull)
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1829,6 +1895,32 @@ object EventQueries {
           |event_type, count(*) AS n, min(value) AS min_value,
           |max(value) AS max_value, round(sum(value),2) AS sum_value
           |FROM e GROUP BY 1, 2""".stripMargin),
+
+      // independent re-derivation from RAW (rank-32 of the md5 hash per
+      // day×type) — the navigated sketch-merge must be invisible
+      "q_a2_nav_kmv" -> cte(
+        """SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day, event_type,
+          |  CAST(round(31.0 * 1152921504606846976 / CAST(h AS DOUBLE)) AS BIGINT) AS est_users
+          |FROM (SELECT d, event_type, h,
+          |    row_number() OVER (PARTITION BY d, event_type ORDER BY h) AS rk
+          |  FROM (SELECT DISTINCT date_trunc('day', ts) AS d, event_type,
+          |      ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          |    FROM e))
+          |WHERE rk = 32""".stripMargin),
+
+      "q_a2_nav_refreshed" -> cte(
+        """SELECT g.day, g.event_type, g.n, g.sum_value, k.est_users
+          |FROM (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |        event_type, count(*) AS n, round(sum(value),2) AS sum_value
+          |      FROM e GROUP BY 1, 2) g
+          |JOIN (SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day, event_type,
+          |        CAST(round(31.0 * 1152921504606846976 / CAST(h AS DOUBLE)) AS BIGINT) AS est_users
+          |      FROM (SELECT d, event_type, h,
+          |          row_number() OVER (PARTITION BY d, event_type ORDER BY h) AS rk
+          |        FROM (SELECT DISTINCT date_trunc('day', ts) AS d, event_type,
+          |            ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          |          FROM e))
+          |      WHERE rk = 32) k USING (day, event_type)""".stripMargin),
 
       "q_a4_observed" ->
         """SELECT 'ingest' AS stage, count(*) AS n_rows, round(sum(value),2) AS value_total FROM events

@@ -379,6 +379,43 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
+  test("KMV sketch navigation: kMinima over raw rewrites to mergeMinima over stored states, bit-identical; wrong k / wrong input decline") {
+    import graft.functions.{Hashing, Kmv}
+    val (raw, _, _) = fixture()
+    val root = raw.stripSuffix("/events")
+    val stats = s"$root/rollup_kmv"
+    val kmvIn = Hashing.md5Long(col("event_type")) // low-card but exact
+    graft.ops.Rollup.hourlyStats(spark.read.parquet(raw), "ts", "value",
+        dims = Seq("event_type"), hourColName = "hour",
+        kmvOf = Some((kmvIn, 8)))
+      .write.mode("overwrite").parquet(stats)
+    def q(k: Int, in: org.apache.spark.sql.Column) = spark.read.parquet(raw)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(Kmv.kMinima(in, k).as("m"))
+    // raw truth BEFORE registration
+    val truth = q(8, kmvIn).collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[Long](1).toList)).toMap
+    try {
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", stats, "hour", "sum_value",
+        kmv = Some((kmvIn, 8, "kmv_minima")))
+      val nav = q(8, kmvIn)
+      val plan = nav.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ts#") && plan.contains("kmv_minima"),
+        s"not navigated:\n$plan")
+      val got = nav.collect()
+        .map(r => (r.getTimestamp(0), r.getSeq[Long](1).toList)).toMap
+      assert(got === truth, "merged sketch states must be bit-identical to raw sketching")
+      // wrong k: the stored states can't serve a different sketch width
+      assert(q(4, kmvIn).queryExecution.optimizedPlan.toString.contains("ts#"),
+        "k mismatch must decline")
+      // different hash input: sketches of another column must not serve
+      val other = Hashing.md5Long(col("value").cast("string"))
+      assert(q(8, other).queryExecution.optimizedPlan.toString.contains("ts#"),
+        "different sketch input must decline")
+    } finally RollupNavigation.clear()
+  }
+
   test("GRAIN LADDER: a stale coarse rung stands down, finer fresh rung still serves") {
     val (raw, _, stats) = fixture()
     val base = stats.stripSuffix("/rollup_stats")

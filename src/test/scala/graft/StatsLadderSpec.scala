@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, Kmv}
+import graft.ops.Rollup
+import graft.plans.RollupNavigation
+
+/** The summary ladder as a MAINTAINED artifact: build + O(delta) refresh
+  * + navigation re-arm. Dyadic measure values make every double sum exact
+  * under any association, so refreshed rungs are compared to full
+  * rebuilds with exact equality — including the KMV sketch arrays, whose
+  * old⊕delta state merge must be bit-identical to sketching the union.
+  */
+class StatsLadderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+
+  /** 5000 rows over ~5.6 days; uid cycles 0..96 so every day holds all
+    * 97 distinct uids (>= K for non-null estimates). */
+  private def fixture(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ladder_").toString
+    val raw = s"$root/events"
+    val base = 1700000000000000L
+    (0 until 5000).map { i =>
+      (i.toLong, new java.sql.Timestamp(base / 1000 + i * 97000L),
+        if (i % 3 == 0) "view" else "purchase", (i % 8) * 0.25, (i % 97).toLong)
+    }.toDF("event_id", "ts", "event_type", "value", "uid")
+      .write.mode("overwrite").parquet(raw)
+    raw
+  }
+
+  private def ladderOf(base: String) = Rollup.StatsLadder(
+    base, "ts", "value", Seq("event_type"),
+    kmvOf = Some((Hashing.md5Long(col("uid").cast("string")), K)))
+
+  private def rungRows(path: String): Set[(java.sql.Timestamp, String, Double,
+      Long, Long, Double, Double, List[Long])] = {
+    val df = spark.read.parquet(path)
+    val tc = if (df.columns.contains("hour")) "hour" else "bucket"
+    df.select(col(tc), col("event_type"), col("sum_value"), col("cnt"),
+        col("cnt_measure"), col("min_value"), col("max_value"), col("kmv_minima"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getSeq[Long](7).toList))
+      .toSet
+  }
+
+  test("refreshStatsLadder(60/40 by event_id) == full rebuild on every rung, KMV states bit-identical") {
+    val raw = fixture()
+    val df = spark.read.parquet(raw)
+    val full = java.nio.file.Files.createTempDirectory("graft_ladder_full_").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft_ladder_incr_").toString
+    Rollup.buildStatsLadder(spark, df, ladderOf(full))
+    // event_id split: every hour bucket straddles the cut, so every
+    // stored partial takes the nontrivial old-merge-delta path
+    Rollup.buildStatsLadder(spark, df.filter(col("event_id") < 3000), ladderOf(incr))
+    Rollup.refreshStatsLadder(spark, df.filter(col("event_id") >= 3000), ladderOf(incr))
+    for (rung <- Seq("hourly", "daily", "monthly")) {
+      assert(rungRows(s"$incr/$rung") === rungRows(s"$full/$rung"),
+        s"rung $rung diverged from full rebuild")
+    }
+  }
+
+  test("time-sliced delta touches only its partitions: untouched hourly day-dirs byte-identical") {
+    val raw = fixture()
+    val df = spark.read.parquet(raw)
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder_tt_").toString
+    val cutTs = new java.sql.Timestamp(1700000000000L + 3 * 86400000L) // day 4+
+    Rollup.buildStatsLadder(spark, df.filter(col("ts") < lit(cutTs)), ladderOf(base))
+    // (path -> mtime): an unchanged mtime means the file was never
+    // rewritten, which is the O(touched) claim
+    def fileState(): Map[String, Long] = {
+      val root = new java.io.File(s"$base/hourly")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileState()
+    Rollup.refreshStatsLadder(spark, df.filter(col("ts") >= lit(cutTs)), ladderOf(base))
+    val after = fileState()
+    val untouchedBefore = before.filter { case (p, _) =>
+      !df.filter(col("ts") >= lit(cutTs)) // delta days
+        .select(date_format(col("ts"), "yyyyMMdd")).distinct().collect()
+        .map(_.getString(0)).exists(d => p.contains(s"pkey=$d")) }
+    assert(untouchedBefore.nonEmpty, "fixture must leave some days untouched")
+    untouchedBefore.foreach { case (p, mtime) =>
+      assert(after.contains(p) && after(p) == mtime,
+        s"untouched partition file rewritten: $p") }
+    // and the refreshed store equals a full rebuild
+    val full = java.nio.file.Files.createTempDirectory("graft_ladder_tt_full_").toString
+    Rollup.buildStatsLadder(spark, df, ladderOf(full))
+    assert(rungRows(s"$base/hourly") === rungRows(s"$full/hourly"))
+  }
+
+  test("refresh + registerStatsLadder re-arms navigation; navigated monthly dashboard == raw truth") {
+    val raw = fixture()
+    val df = spark.read.parquet(raw)
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder_nav_").toString
+    val L = ladderOf(base)
+    def dash() = df
+      .groupBy(date_trunc("month", col("ts")).as("m"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        Kmv.kMinima(Hashing.md5Long(col("uid").cast("string")), K).as("mn"))
+    val truth = dash().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getSeq[Long](4).toList)).toSet
+    try {
+      Rollup.buildStatsLadder(spark, df.filter(col("event_id") < 3000), L)
+      Rollup.refreshStatsLadder(spark, df.filter(col("event_id") >= 3000), L)
+      Rollup.registerStatsLadder(spark, df, L)
+      val q = dash()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ts#") && plan.contains("kmv_minima"),
+        s"not navigated:\n$plan")
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      assert(roots.exists(_.contains("/monthly")),
+        s"monthly rung must serve a month query, scanned: $roots")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getSeq[Long](4).toList)).toSet
+      assert(got === truth)
+    } finally RollupNavigation.clear()
+  }
+}
