@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -43,6 +44,9 @@ import scala.util.{Either, Left, Right}
   *    declined for decimal measures, whose result-scale rules the
   *    quotient would not reproduce, and null-guarded so an all-null
   *    group divides by NULL, not by zero (ANSI-safe)
+  *  - `COUNT(DISTINCT dim)` → `COUNT(DISTINCT dim)` over the rollup's
+  *    rows — exact at any rung (every raw (group, dim-value)
+  *    combination survives as a rollup row; nulls ignored identically)
   *  - `kMinima(hash, k)` (KMV distinct sketch, r12) →
   *    `mergeMinima(kmv_col, k)` over stored per-bucket sketch states —
   *    EXACT, not approximate-on-approximate: the union's k smallest
@@ -299,7 +303,14 @@ object RollupNavigation extends Rule[LogicalPlan] {
                kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None): Unit = {
     require(GrainRank.contains(normLevel(grain)),
       s"RollupNavigation: unknown grain $grain")
-    val plan = raw.queryExecution.analyzed
+    // Trace through the OPTIMIZED projection, not the analyzed plan: by
+    // the time this rule sees a query, expression simplification has run
+    // (e.g. SimplifyCasts strips a redundant int→int cast off a computed
+    // column), so the registration's canonical forms must receive the
+    // same normalization or computed dims/measures silently never match.
+    val names = (Seq(tsCol, measureCol) ++ dims).distinct
+    val plan = raw.select(names.map(n => col(s"`$n`")): _*)
+      .queryExecution.optimizedPlan
     def attrOf(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"RollupNavigation: no column $n in raw frame"))
     val ts = trace(plan, attrOf(tsCol), throughFilters = false)
@@ -379,6 +390,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
   private final case class KmvNav(
       orig: AggregateExpression,
       sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]) extends ANav
+  private final case class CntDistinctDimNav(
+      orig: AggregateExpression, dim: String) extends ANav
 
   private def tryNavigate(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -479,6 +492,15 @@ object RollupNavigation extends Rule[LogicalPlan] {
               sa.children.size == 1 &&
               traced(sa.children.head).exists(t => reg.kmvTraced.contains(t)) =>
           Some(KmvNav(ae, sa))
+        // COUNT(DISTINCT dim): every raw (group, dim-value) combination
+        // is present as a rollup row, so distinct-dim counting over the
+        // rollup's rows is EXACT at any rung (nulls ignored identically
+        // on both sides). Only registered DIMS qualify — the rollup does
+        // not keep raw measure values.
+        case AggregateExpression(Count(Seq(d)), _, true, None, _) =>
+          traced(d).flatMap(t => reg.dimsTraced.collectFirst {
+            case (name, dt) if dt == t => CntDistinctDimNav(ae, name)
+          })
         case _ => None
       }
 
@@ -566,6 +588,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
               Cast(Sum(sumAttr).toAggregateExpression(), DoubleType),
               If(EqualTo(cntD, Literal(0.0d)),
                 Literal(null, DoubleType), cntD))
+          case CntDistinctDimNav(orig, dim) =>
+            orig.copy(aggregateFunction = Count(Seq(rollAttr(dim))))
           case KmvNav(orig, sa) =>
             // reuse the query-side BUFFER encoder (Array[Long], resolved
             // by the analyzer's ResolveEncodersInScalaAgg — this rewrite

@@ -51,6 +51,33 @@ object EventQueries {
     ()
   }
 
+  /** The HLL register frame: events + computed register index (a
+    * DIMENSION to navigation) and rho (the MEASURE). Shared by
+    * q_a2_nav_hll's query and its ladder registration so both sides
+    * trace to the same canonical expressions.
+    */
+  private def hllFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hashing, Hll}
+    val h = Hashing.md5Long(col("user_id").cast("string"))
+    se(s, dir).withColumn("reg_idx", Hll.regIdx(h)).withColumn("rho", Hll.rho(h))
+  }
+
+  private val hllNavBases =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hllNavigationReady(s: SparkSession, dir: String): Unit = {
+    hllNavBases.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_nav_hll_").toString
+      val raw = hllFrame(s, dir)
+      val ladder = Rollup.StatsLadder(base, "ts", "rho",
+        Seq("event_type", "reg_idx"))
+      Rollup.buildStatsLadder(s, raw, ladder)
+      Rollup.registerStatsLadder(s, raw, ladder)
+      base
+    })
+    ()
+  }
+
   /** Landing for q_a2_nav_refreshed: the ladder built from the FIRST 60%
     * of events (by event_id), then folded forward with the remaining 40%
     * via [[Rollup.refreshStatsLadder]] — O(delta) per rung, and because
@@ -1132,6 +1159,38 @@ object EventQueries {
         .filter(col("est_users").isNotNull)
     }),
 
+    // COUNT(DISTINCT dim) NAVIGATION (r12): "how many event types were
+    // active each day" — the distinct count of a registered DIMENSION is
+    // exact over rollup rows (every raw (day, type) combination survives
+    // as at least one rollup row), so this dashboard reads the daily
+    // rung and never rescans raw. Mixed with COUNT(*) and SUM in one
+    // aggregate — all three shapes must classify or the rule stands down.
+    "q_a2_nav_distinct_dims" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("n_types"), col("n"), round(col("sv"), 2).as("sum_value"))
+    }),
+
+    // HLL REGISTER-TABLE NAVIGATION (r12): proof the navigation
+    // machinery serves HLL sketches with ZERO new rule code — the
+    // register index is just a COMPUTED DIMENSION (shiftright of the
+    // md5 hash) and rho a computed measure, so a per-hour register
+    // rollup re-aggregates by max-of-maxes exactly (the HLL merge IS
+    // max over registers). This dims-only dashboard rides the COARSEST
+    // rung; every register value hash-matches the oracle's bit-exact
+    // recomputation from raw.
+    "q_a2_nav_hll" -> ((s, dir) => {
+      import graft.functions.{Hashing, Hll}
+      hllNavigationReady(s, dir)
+      hllFrame(s, dir)
+        .groupBy(col("event_type"), col("reg_idx"))
+        .agg(max(col("rho")).as("rho"))
+    }),
+
     // A4 running record count as an ORACLE-CHECKED result (judge r5 #7):
     // the reference's tqdm progress counter (etl.py:25-29) is
     // `Dataset.observe` here — accumulator-backed per-stage counters that
@@ -1908,6 +1967,12 @@ object EventQueries {
           |    FROM e))
           |WHERE rk = 32""".stripMargin),
 
+      "q_a2_nav_distinct_dims" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |count(DISTINCT event_type) AS n_types, count(*) AS n,
+          |round(sum(value),2) AS sum_value
+          |FROM e GROUP BY 1""".stripMargin),
+
       "q_a2_nav_refreshed" -> cte(
         """SELECT g.day, g.event_type, g.n, g.sum_value, k.est_users
           |FROM (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
@@ -2023,6 +2088,18 @@ object EventQueries {
           |WHERE rk = 32""".stripMargin,
 
       "q_agg_hll_registers" -> {
+        import graft.functions.Hll
+        s"""WITH h AS (SELECT event_type,
+           |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+           |  FROM events)
+           |SELECT event_type, ${Hll.sqlRegIdx("h")} AS reg_idx,
+           |  CAST(max(${Hll.sqlRho("h")}) AS INT) AS rho
+           |FROM h GROUP BY 1, 2""".stripMargin
+      },
+
+      // same bit-exact register recomputation from raw — the navigated
+      // max-of-hourly-maxes must be invisible
+      "q_a2_nav_hll" -> {
         import graft.functions.Hll
         s"""WITH h AS (SELECT event_type,
            |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h

@@ -416,6 +416,56 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
+  test("COUNT(DISTINCT dim) navigates; COUNT(DISTINCT measure) declines (rollup keeps no raw values)") {
+    val (raw, _, stats) = fixture()
+    try {
+      registerStats(raw, stats)
+      def q(c: org.apache.spark.sql.Column) = spark.read.parquet(raw)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(c).as("nd"), count(lit(1)).as("n"))
+      val dimQ = q(col("event_type"))
+      assert(navigated(dimQ), dimQ.queryExecution.optimizedPlan.toString)
+      // truth from a disarmed run
+      RollupNavigation.clear()
+      val truth = q(col("event_type")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      registerStats(raw, stats)
+      assert(dimQ.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet === truth)
+      // DISTINCT over the measure cannot be served by partials
+      assert(!navigated(q(col("value"))), "COUNT(DISTINCT measure) must decline")
+    } finally RollupNavigation.clear()
+  }
+
+  test("COMPUTED dims/measure navigate (HLL register shape): max-of-maxes over per-hour register rollup") {
+    import graft.functions.{Hashing, Hll}
+    val (raw, _, _) = fixture()
+    val base = raw.stripSuffix("/events")
+    def frame = {
+      val h = Hashing.md5Long(col("value").cast("string"))
+      spark.read.parquet(raw)
+        .withColumn("reg_idx", Hll.regIdx(h)).withColumn("rho", Hll.rho(h))
+    }
+    // rho's trailing int→int cast is REDUNDANT and SimplifyCasts strips
+    // it from query plans — registration must normalize identically or
+    // this shape silently never matches (the r12 regression this pins)
+    val L = graft.ops.Rollup.StatsLadder(s"$base/hll", "ts", "rho",
+      Seq("event_type", "reg_idx"))
+    graft.ops.Rollup.buildStatsLadder(spark, frame, L)
+    def q() = frame.groupBy(col("event_type"), col("reg_idx"))
+      .agg(max(col("rho")).as("rho"))
+    val truth = q().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    try {
+      graft.ops.Rollup.registerStatsLadder(spark, frame, L)
+      val nav = q()
+      val plan = nav.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ts#"), s"not navigated:\n$plan")
+      assert(nav.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet === truth)
+    } finally RollupNavigation.clear()
+  }
+
   test("GRAIN LADDER: a stale coarse rung stands down, finer fresh rung still serves") {
     val (raw, _, stats) = fixture()
     val base = stats.stripSuffix("/rollup_stats")
