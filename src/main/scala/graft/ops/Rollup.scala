@@ -45,10 +45,16 @@ object Rollup {
     * partial-aggregate plan as [[hourly]]; the three extra columns cost
     * bytes, not passes.
     */
+  /** Per-extra-measure partial column names (suffix convention shared
+    * with [[graft.plans.RollupNavigation]]'s `extraMeasures`). */
+  private[graft] def extraMeasureCols(m: String): (String, String, String, String) =
+    (s"sum_$m", s"cnt_measure_$m", s"min_$m", s"max_$m")
+
   def hourlyStats(df: DataFrame, tsCol: String, measureCol: String,
                   dims: Seq[String] = Seq.empty,
                   hourColName: String = "hour",
-                  kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None): DataFrame = {
+                  kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None,
+                  extraMeasures: Seq[String] = Nil): DataFrame = {
     val dimCols =
       if (dims.nonEmpty) dims
       else df.columns.toSeq.filterNot(c => c == tsCol || c == measureCol)
@@ -59,6 +65,13 @@ object Rollup {
       // the measure column admits a null
       count(m).as("cnt_measure"),
       min(m).as("min_value"), max(m).as("max_value")) ++
+      // additional measures: a real summary table carries partials for
+      // EVERY dashboard measure, not one — suffixed columns per measure
+      extraMeasures.flatMap { em =>
+        val (s_, cm, mn, mx) = extraMeasureCols(em)
+        val c = col(s"`$em`")
+        Seq(sum(c).as(s_), count(c).as(cm), min(c).as(mn), max(c).as(mx))
+      } ++
       // optional KMV distinct-sketch partial: per-bucket k-minima of the
       // given (pre-hashed Long) column — merging partials is EXACT, so
       // distinct-count dashboards navigate too (KmvMergeAggregator)
@@ -95,20 +108,27 @@ object Rollup {
   /** The stats partials' MERGE aggregates — every one is re-aggregable
     * (merge(old, delta) == partial of the union), which is what makes
     * both coarser-rung derivation and O(delta) refresh exact. */
-  private def statsMergeAggs(kmvK: Option[Int]): Seq[org.apache.spark.sql.Column] =
+  private def statsMergeAggs(kmvK: Option[Int],
+                             extraMeasures: Seq[String] = Nil): Seq[org.apache.spark.sql.Column] =
     Seq(
       sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"),
       sum(col("cnt_measure")).as("cnt_measure"),
       min(col("min_value")).as("min_value"),
       max(col("max_value")).as("max_value")) ++
+      extraMeasures.flatMap { em =>
+        val (s_, cm, mn, mx) = extraMeasureCols(em)
+        Seq(sum(col(s_)).as(s_), sum(col(cm)).as(cm),
+          min(col(mn)).as(mn), max(col(mx)).as(mx))
+      } ++
       kmvK.map(k =>
         graft.functions.Kmv.mergeMinima(col("kmv_minima"), k).as("kmv_minima"))
 
   def reaggregateStats(statsDf: DataFrame, timeCol: String, grain: String,
                        dims: Seq[String],
                        outTimeCol: String = "bucket",
-                       kmvK: Option[Int] = None): DataFrame = {
-    val aggs = statsMergeAggs(kmvK)
+                       kmvK: Option[Int] = None,
+                       extraMeasures: Seq[String] = Nil): DataFrame = {
+    val aggs = statsMergeAggs(kmvK, extraMeasures)
     statsDf.groupBy(
         (date_trunc(grain, col(s"`$timeCol`")).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -127,9 +147,10 @@ object Rollup {
                            timeCol: String, dims: Seq[String],
                            partCol: String,
                            partKeyOf: org.apache.spark.sql.Column,
-                           kmvK: Option[Int] = None): Unit =
+                           kmvK: Option[Int] = None,
+                           extraMeasures: Seq[String] = Nil): Unit =
     mergeIntoPartitions(spark, path, deltaStats.withColumn(partCol, partKeyOf),
-      partCol, timeCol +: dims, statsMergeAggs(kmvK))
+      partCol, timeCol +: dims, statsMergeAggs(kmvK, extraMeasures))
 
   /** The summary LADDER as a managed artifact: hourly + daily + monthly
     * stats stores under one base path, partitioned for O(touched)
@@ -147,7 +168,8 @@ object Rollup {
     */
   final case class StatsLadder(base: String, tsCol: String, measureCol: String,
       dims: Seq[String],
-      kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None) {
+      kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None,
+      extraMeasures: Seq[String] = Nil) {
     def hourlyPath: String = s"$base/hourly"
     def dailyPath: String = s"$base/daily"
     def monthlyPath: String = s"$base/monthly"
@@ -162,15 +184,15 @@ object Rollup {
                        raw: DataFrame, ladder: StatsLadder): Unit = {
     val k = ladder.kmvOf.map(_._2)
     hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
-        kmvOf = ladder.kmvOf)
+        kmvOf = ladder.kmvOf, extraMeasures = ladder.extraMeasures)
       .withColumn("pkey", pkeyDay(col("hour")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.hourlyPath)
     reaggregateStats(spark.read.parquet(ladder.hourlyPath), "hour", "day",
-        ladder.dims, "bucket", k)
+        ladder.dims, "bucket", k, ladder.extraMeasures)
       .withColumn("pkey", pkeyMonth(col("bucket")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.dailyPath)
     reaggregateStats(spark.read.parquet(ladder.dailyPath), "bucket", "month",
-        ladder.dims, "bucket", k)
+        ladder.dims, "bucket", k, ladder.extraMeasures)
       .withColumn("pkey", year(col("bucket")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.monthlyPath)
   }
@@ -178,20 +200,22 @@ object Rollup {
   def refreshStatsLadder(spark: org.apache.spark.sql.SparkSession,
                          delta: DataFrame, ladder: StatsLadder): Unit = {
     val k = ladder.kmvOf.map(_._2)
+    val ems = ladder.extraMeasures
     // one pass over the delta; coarser rungs re-aggregate the finer
     // rung's DELTA PARTIALS (never raw, never the stores)
     val hd = CacheRegistry.persist(hourlyStats(delta, ladder.tsCol,
-      ladder.measureCol, ladder.dims, "hour", kmvOf = ladder.kmvOf))
+      ladder.measureCol, ladder.dims, "hour", kmvOf = ladder.kmvOf,
+      extraMeasures = ems))
     val dd = CacheRegistry.persist(
-      reaggregateStats(hd, "hour", "day", ladder.dims, "bucket", k))
+      reaggregateStats(hd, "hour", "day", ladder.dims, "bucket", k, ems))
     try {
       refreshStatsAdditive(spark, ladder.hourlyPath, hd, "hour", ladder.dims,
-        "pkey", pkeyDay(col("hour")), k)
+        "pkey", pkeyDay(col("hour")), k, ems)
       refreshStatsAdditive(spark, ladder.dailyPath, dd, "bucket", ladder.dims,
-        "pkey", pkeyMonth(col("bucket")), k)
+        "pkey", pkeyMonth(col("bucket")), k, ems)
       refreshStatsAdditive(spark, ladder.monthlyPath,
-        reaggregateStats(dd, "bucket", "month", ladder.dims, "bucket", k),
-        "bucket", ladder.dims, "pkey", year(col("bucket")), k)
+        reaggregateStats(dd, "bucket", "month", ladder.dims, "bucket", k, ems),
+        "bucket", ladder.dims, "pkey", year(col("bucket")), k, ems)
     } finally { CacheRegistry.release(hd); CacheRegistry.release(dd) }
   }
 
@@ -203,7 +227,8 @@ object Rollup {
         ladder.dims, ladder.measureCol, p, tc, "sum_value",
         cntCol = Some("cnt"), cntMeasureCol = Some("cnt_measure"),
         minCol = Some("min_value"), maxCol = Some("max_value"), grain = g,
-        kmv = ladder.kmvOf.map { case (c, kk) => (c, kk, "kmv_minima") })
+        kmv = ladder.kmvOf.map { case (c, kk) => (c, kk, "kmv_minima") },
+        extraMeasures = ladder.extraMeasures)
     }
 
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */

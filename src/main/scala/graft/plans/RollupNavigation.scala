@@ -62,11 +62,18 @@ import scala.util.{Either, Left, Right}
   * traces to a REGISTERED DIMENSION, the same predicate evaluated over
   * the rollup's dim columns selects exactly the same groups (dims are
   * stored verbatim, hour groups partition rows within dim values), so
-  * the filter is replayed on the navigated scan. Any reference to a
-  * non-dim column (the measure, the time column, anything the rollup
-  * does not carry), a non-deterministic predicate, or a subquery still
-  * stands the rule down — row-level predicates cannot be replayed over
-  * pre-aggregated rows.
+  * the filter is replayed on the navigated scan. TIME-RANGE bounds
+  * (r12) replay too when GRAIN-ALIGNED: `ts >= L` / `ts < U` with L/U
+  * exactly on a serving rung's bucket boundary re-point at the bucket
+  * column (a bucket starting before an aligned L holds only rows < L,
+  * so the half-open range selects exactly the same partials) — the
+  * canonical "dashboard for March" WHERE; alignment is checked by
+  * evaluating the engine's own date_trunc at plan time, per rung, so an
+  * hour-aligned-only bound is served by the hourly rung while the daily
+  * rung declines. Any other reference to a non-dim column (the measure,
+  * an unaligned or non-range time predicate), a non-deterministic
+  * predicate, or a subquery still stands the rule down — row-level
+  * predicates cannot be replayed over pre-aggregated rows.
   *
   * Matching is conservative by construction — every check must pass or
   * the plan is left untouched:
@@ -147,18 +154,20 @@ object RollupNavigation extends Rule[LogicalPlan] {
     "hour" -> 0, "day" -> 1, "week" -> 2, "month" -> 3,
     "quarter" -> 4, "year" -> 5)
 
+  /** The rollup columns carrying one measure's partials. */
+  final case class MeasureCols(sumCol: String, cntMeasureCol: Option[String],
+                               minCol: Option[String], maxCol: Option[String])
+
   final case class Registration(
       rootPaths: Set[String],
       tsTraced: Expression,
       dimsTraced: Map[String, Expression], // rollup dim col name -> traced raw expr
-      measureTraced: Expression,
+      // every registered measure: traced raw expression -> its partial
+      // columns (a real summary table carries SEVERAL dashboard measures)
+      measures: Seq[(Expression, MeasureCols)],
       rollupRelation: LogicalRelation,
       hourCol: String,
-      sumCol: String,
       cntCol: Option[String],
-      cntMeasureCol: Option[String],
-      minCol: Option[String],
-      maxCol: Option[String],
       rawSignature: String,
       grain: String,
       // KMV distinct-sketch partials: rollup column holding per-bucket
@@ -300,7 +309,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
                maxCol: Option[String] = None,
                cntMeasureCol: Option[String] = None,
                grain: String = "hour",
-               kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None): Unit = {
+               kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None,
+               extraMeasures: Seq[String] = Nil): Unit = {
     require(GrainRank.contains(normLevel(grain)),
       s"RollupNavigation: unknown grain $grain")
     // Trace through the OPTIMIZED projection, not the analyzed plan: by
@@ -308,23 +318,33 @@ object RollupNavigation extends Rule[LogicalPlan] {
     // (e.g. SimplifyCasts strips a redundant int→int cast off a computed
     // column), so the registration's canonical forms must receive the
     // same normalization or computed dims/measures silently never match.
-    val names = (Seq(tsCol, measureCol) ++ dims).distinct
+    val names = (Seq(tsCol, measureCol) ++ extraMeasures ++ dims).distinct
     val plan = raw.select(names.map(n => col(s"`$n`")): _*)
       .queryExecution.optimizedPlan
     def attrOf(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"RollupNavigation: no column $n in raw frame"))
     val ts = trace(plan, attrOf(tsCol), throughFilters = false)
     val ms = trace(plan, attrOf(measureCol), throughFilters = false)
+    val ems = extraMeasures.map(m =>
+      m -> trace(plan, attrOf(m), throughFilters = false))
     val ds = dims.map(d => d -> trace(plan, attrOf(d), throughFilters = false))
-    require(ts.nonEmpty && ms.nonEmpty && ds.forall(_._2.nonEmpty),
+    require(ts.nonEmpty && ms.nonEmpty && ds.forall(_._2.nonEmpty) &&
+        ems.forall(_._2.nonEmpty),
       "RollupNavigation: raw frame must be Project/Alias (no Filter) over one file relation")
     val roots = ts.get._1
     val rollupRel = spark.read.parquet(rollupPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(
       s"RollupNavigation: $rollupPath did not analyze to a file relation"))
+    // extra measures use the suffix convention shared with
+    // Rollup.hourlyStats(extraMeasures = ...): all four partials present
+    val extraCols = extraMeasures.map { m =>
+      m -> MeasureCols(s"sum_$m", Some(s"cnt_measure_$m"),
+        Some(s"min_$m"), Some(s"max_$m"))
+    }.toMap
     (Seq(hourCol, sumCol) ++ cntCol ++ cntMeasureCol ++ minCol ++ maxCol ++
-        kmv.map(_._3)).foreach { c =>
+        kmv.map(_._3) ++ extraCols.values.flatMap(mc =>
+          Seq(mc.sumCol) ++ mc.cntMeasureCol ++ mc.minCol ++ mc.maxCol)).foreach { c =>
       require(rollupRel.output.exists(_.name == c),
         s"RollupNavigation: rollup at $rollupPath has no column $c")
     }
@@ -357,10 +377,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
     }
     val key = roots.toSeq.sorted.mkString(",") + "|" +
       rollupRoots.toSeq.sorted.mkString(",")
+    val measures: Seq[(Expression, MeasureCols)] =
+      (ms.get._2, MeasureCols(sumCol, cntMeasureCol, minCol, maxCol)) +:
+        ems.map { case (m, t) => (t.get._2, extraCols(m)) }
     regs.put(key, Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
-      ms.get._2, rollupRel, hourCol, sumCol, cntCol, cntMeasureCol,
-      minCol, maxCol, currentSignature(spark, roots), normLevel(grain),
+      measures, rollupRel, hourCol, cntCol,
+      currentSignature(spark, roots), normLevel(grain),
       kmvCol = kmvInfo.map(_._1), kmvK = kmvInfo.map(_._2).getOrElse(0),
       kmvTraced = kmvInfo.map(_._3)))
   }
@@ -381,12 +404,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
 
   /** Navigable aggregate shapes (what the rollup's partials can serve). */
   private sealed trait ANav
-  private final case class SumNav(orig: AggregateExpression, sum: Sum) extends ANav
+  private final case class SumNav(orig: AggregateExpression, sum: Sum,
+      mc: MeasureCols) extends ANav
   private case object CntNav extends ANav
-  private case object CntMeasureNav extends ANav
-  private case object MinNav extends ANav
-  private case object MaxNav extends ANav
-  private case object AvgNav extends ANav
+  private final case class CntMeasureNav(mc: MeasureCols) extends ANav
+  private final case class MinNav(mc: MeasureCols) extends ANav
+  private final case class MaxNav(mc: MeasureCols) extends ANav
+  private final case class AvgNav(mc: MeasureCols) extends ANav
   private final case class KmvNav(
       orig: AggregateExpression,
       sa: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]) extends ANav
@@ -423,22 +447,73 @@ object RollupNavigation extends Rule[LogicalPlan] {
           Some(Nil)
         case _ => None
       }
-      def replayOf(f: Filter): Option[(Expression, Map[ExprId, String])] = {
-        if (!f.condition.deterministic) return None
-        if (f.condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
-        val mapped = f.condition.references.toSeq.map { a =>
-          trace(f.child, a).collect { case (roots, t) if roots == reg.rootPaths => t }
+      // a replayable conjunct: either a DIM predicate (re-evaluated over
+      // the rollup's dim columns) or a GRAIN-ALIGNED time-range bound
+      // (re-pointed at the bucket column). Represented as a constructor
+      // over (dim-name -> attr, bucket attr), applied once the navigated
+      // relation instance exists.
+      type Replay = (String => Attribute, Attribute) => Expression
+      // is `t` exactly on a `grain` boundary? Evaluate the engine's own
+      // truncation at plan time — handles variable-length grains
+      // (month/quarter/year) and the session calendar for free.
+      def alignedToGrain(lit: Literal): Boolean = {
+        val truncated = TruncTimestamp(
+          Literal(UTF8String.fromString(reg.grain), StringType),
+          lit, Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        truncated == lit.value
+      }
+      def tsRangeReplay(c: Expression): Option[Replay] = {
+        def isTs(e: Expression): Boolean =
+          trace(agg.child, e).exists { case (roots, t) =>
+            roots == reg.rootPaths && t == reg.tsTraced }
+        c match {
+          // ts >= L, L grain-aligned: bucket >= L selects exactly the
+          // same rows' partials (bucket < L holds only rows < L)
+          case GreaterThanOrEqual(l, lit: Literal) if isTs(l) && alignedToGrain(lit) =>
+            Some((_, bucket) => GreaterThanOrEqual(bucket, lit))
+          // ts < U, U aligned: buckets >= U hold only rows >= U
+          case LessThan(l, lit: Literal) if isTs(l) && alignedToGrain(lit) =>
+            Some((_, bucket) => LessThan(bucket, lit))
+          // flipped literal-first forms the optimizer may produce
+          case LessThanOrEqual(lit: Literal, r) if isTs(r) && alignedToGrain(lit) =>
+            Some((_, bucket) => GreaterThanOrEqual(bucket, lit))
+          case GreaterThan(lit: Literal, r) if isTs(r) && alignedToGrain(lit) =>
+            Some((_, bucket) => LessThan(bucket, lit))
+          case _ => None
+        }
+      }
+      def dimReplay(c: Expression): Option[Replay] = {
+        val mapped = c.references.toSeq.map { a =>
+          trace(agg.child, a).collect { case (roots, t) if roots == reg.rootPaths => t }
             .flatMap(t => reg.dimsTraced.collectFirst {
               case (d, dt) if dt == t => a.exprId -> d
             })
         }
-        if (mapped.forall(_.nonEmpty)) Some((f.condition, mapped.flatten.toMap))
-        else None
+        if (mapped.forall(_.nonEmpty)) {
+          val attrDims = mapped.flatten.toMap
+          Some((dimAttr, _) => c.transformUp {
+            case a: AttributeReference if attrDims.contains(a.exprId) =>
+              dimAttr(attrDims(a.exprId))
+          })
+        } else None
       }
-      val replays: Option[Seq[(Expression, Map[ExprId, String])]] =
+      def replayOf(f: Filter): Option[Seq[Replay]] = {
+        if (!f.condition.deterministic) return None
+        if (f.condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        // top-level conjuncts replay independently (the canonical
+        // dashboard WHERE: dims AND a half-open time range)
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => conjuncts(a) ++ conjuncts(b)
+          case other => Seq(other)
+        }
+        val rs = conjuncts(f.condition).map(c =>
+          dimReplay(c).orElse(tsRangeReplay(c)))
+        if (rs.forall(_.nonEmpty)) Some(rs.flatten) else None
+      }
+      val replays: Option[Seq[Replay]] =
         spineFilters(agg.child).flatMap { fs =>
           val rs = fs.map(replayOf)
-          if (rs.forall(_.nonEmpty)) Some(rs.flatten) else None
+          if (rs.forall(_.nonEmpty)) Some(rs.flatten.flatten) else None
         }
 
       // ---- grouping classification on the TRACED form (the main
@@ -452,32 +527,32 @@ object RollupNavigation extends Rule[LogicalPlan] {
           Some(TsG(l.toString, tz))
         case _ => None
       }
-      def isMeasure(e: Expression) = traced(e).exists(_ == reg.measureTraced)
+      // which registered measure (if any) does this expression compute?
+      def measureOf(e: Expression): Option[MeasureCols] = traced(e).flatMap(t =>
+        reg.measures.collectFirst { case (mt, mc) if mt == t => mc })
 
       // ---- aggregate-shape classification
       def navAgg(ae: AggregateExpression): Option[ANav] = ae match {
-        case AggregateExpression(s @ Sum(m, _), _, false, None, _) if isMeasure(m) =>
-          Some(SumNav(ae, s))
+        case AggregateExpression(s @ Sum(m, _), _, false, None, _) =>
+          measureOf(m).map(SumNav(ae, s, _))
         case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
             if l.value != null && reg.cntCol.nonEmpty =>
           Some(CntNav)
-        case AggregateExpression(Count(Seq(m)), _, false, None, _)
-            if isMeasure(m) && reg.cntMeasureCol.nonEmpty =>
-          Some(CntMeasureNav)
-        case AggregateExpression(Min(m), _, false, None, _)
-            if isMeasure(m) && reg.minCol.nonEmpty =>
-          Some(MinNav)
-        case AggregateExpression(Max(m), _, false, None, _)
-            if isMeasure(m) && reg.maxCol.nonEmpty =>
-          Some(MaxNav)
+        case AggregateExpression(Count(Seq(m)), _, false, None, _) =>
+          measureOf(m).collect {
+            case mc if mc.cntMeasureCol.nonEmpty => CntMeasureNav(mc) }
+        case AggregateExpression(Min(m), _, false, None, _) =>
+          measureOf(m).collect { case mc if mc.minCol.nonEmpty => MinNav(mc) }
+        case AggregateExpression(Max(m), _, false, None, _) =>
+          measureOf(m).collect { case mc if mc.maxCol.nonEmpty => MaxNav(mc) }
         // AVG needs the NON-NULL measure count as denominator (Average
         // ignores null measures; COUNT(*) over-counts the moment the
         // measure admits a null) — a registration without cntMeasureCol
         // declines, whatever the column's nullability flag says
         case AggregateExpression(Average(m, _), _, false, None, _)
-            if isMeasure(m) && reg.cntMeasureCol.nonEmpty &&
-              !m.dataType.isInstanceOf[DecimalType] =>
-          Some(AvgNav)
+            if !m.dataType.isInstanceOf[DecimalType] =>
+          measureOf(m).collect {
+            case mc if mc.cntMeasureCol.nonEmpty => AvgNav(mc) }
         // KMV distinct sketch: kMinima(hash, k) over raw rewrites to
         // mergeMinima(kmv_col, k) over the rollup's stored per-bucket
         // states — EXACT (the union's k minima live in the union of
@@ -512,25 +587,27 @@ object RollupNavigation extends Rule[LogicalPlan] {
       // expressions (the optimizer emits e.g. date_trunc(day, <hour
       // grouping>) directly in the aggregate list) — but nothing else
       // may leak through
-      def groundedInGroups(e: Expression): Boolean =
-        if (groupIndexOf(e) >= 0) true
-        else e match {
-          case _: AttributeReference => false
-          case _ => e.children.forall(groundedInGroups)
-        }
-      // aggregate list: grouping-derived outputs + navigable aggregates
-      val navs: Seq[Option[Either[ANav, Unit]]] = agg.aggregateExpressions.map {
-        case Alias(ae: AggregateExpression, _) => navAgg(ae).map(Left(_))
-        case Alias(child, _) =>
-          if (groundedInGroups(child) &&
-              !child.exists(_.isInstanceOf[AggregateExpression]))
-            Some(Right(())) else None
-        case a: AttributeReference =>
-          if (groupIndexOf(a) >= 0) Some(Right(())) else None
-        case _ => None
+      // An output expression is servable when every AggregateExpression
+      // inside it is a navigable shape and everything OUTSIDE the
+      // aggregates is grounded in grouping expressions (or literals).
+      // This must accept ARBITRARY functions over aggregates — the
+      // optimizer's CollapseProject merges display projections
+      // (round(avg(x), 2), date_format(day, ...)) into the aggregate
+      // list, so "Alias over a bare AggregateExpression" is NOT the
+      // shape this rule actually sees for real dashboard queries.
+      def okOutput(e: Expression): Boolean = e match {
+        case ae: AggregateExpression => navAgg(ae).nonEmpty
+        case g if groupIndexOf(g) >= 0 => true
+        case _: AttributeReference => false // non-group attr leaked
+        case other => other.children.forall(okOutput) // literals vacuous
+      }
+      val outputsOk = agg.aggregateExpressions.forall {
+        case Alias(child, _) => okOutput(child)
+        case a: AttributeReference => groupIndexOf(a) >= 0
+        case _ => false
       }
       if (classified.forall(_.nonEmpty) && tsGroups <= 1 &&
-          navs.forall(_.nonEmpty) && replays.nonEmpty &&
+          outputsOk && replays.nonEmpty &&
           agg.aggregateExpressions.nonEmpty &&
           currentSignature(spark, reg.rootPaths) == reg.rawSignature) {
         // fresh output ids for the navigated relation (it may appear
@@ -538,7 +615,6 @@ object RollupNavigation extends Rule[LogicalPlan] {
         val rel = reg.rollupRelation.newInstance()
         def rollAttr(n: String) = rel.output.find(_.name == n).get
         val hourAttr = rollAttr(reg.hourCol)
-        val sumAttr = rollAttr(reg.sumCol)
         val newGe = classified.map(_.get).map {
           case TsG(level, tz) =>
             TruncTimestamp(Literal(UTF8String.fromString(level), StringType),
@@ -548,15 +624,10 @@ object RollupNavigation extends Rule[LogicalPlan] {
         // top-most subtrees matching a grouping expression re-point at
         // the substituted grouping; anything above them is recomputed
         // over the rollup columns unchanged
-        def substGroupRefs(e: Expression): Expression = {
-          val i = groupIndexOf(e)
-          if (i >= 0) newGe(i)
-          else e.withNewChildren(e.children.map(substGroupRefs))
-        }
         def navExpr(n: ANav, origType: org.apache.spark.sql.types.DataType): Expression = n match {
-          case SumNav(ae, s) =>
+          case SumNav(ae, s, mc) =>
             val resum = ae.copy(aggregateFunction =
-              s.withNewChildren(Seq(sumAttr)).asInstanceOf[Sum])
+              s.withNewChildren(Seq(rollAttr(mc.sumCol))).asInstanceOf[Sum])
             // decimal: Sum over the (already-widened) sum_col widens the
             // precision AGAIN — cast back so downstream AttributeReferences
             // under the kept ExprId see the original result type
@@ -567,13 +638,13 @@ object RollupNavigation extends Rule[LogicalPlan] {
             Coalesce(Seq(
               Sum(rollAttr(reg.cntCol.get)).toAggregateExpression(),
               Literal(0L)))
-          case CntMeasureNav =>
+          case CntMeasureNav(mc) =>
             Coalesce(Seq(
-              Sum(rollAttr(reg.cntMeasureCol.get)).toAggregateExpression(),
+              Sum(rollAttr(mc.cntMeasureCol.get)).toAggregateExpression(),
               Literal(0L)))
-          case MinNav => Min(rollAttr(reg.minCol.get)).toAggregateExpression()
-          case MaxNav => Max(rollAttr(reg.maxCol.get)).toAggregateExpression()
-          case AvgNav =>
+          case MinNav(mc) => Min(rollAttr(mc.minCol.get)).toAggregateExpression()
+          case MaxNav(mc) => Max(rollAttr(mc.maxCol.get)).toAggregateExpression()
+          case AvgNav(mc) =>
             // the weighted recombination Σsum/Σcnt_measure — double
             // division, the same last-ulp contract as re-associated SUMs.
             // The zero denominator (an all-null-measure group) maps to
@@ -582,10 +653,10 @@ object RollupNavigation extends Rule[LogicalPlan] {
             // form of NullIf — RuntimeReplaceable can't be introduced
             // after ReplaceExpressions has run)
             val cntD = Cast(
-              Sum(rollAttr(reg.cntMeasureCol.get)).toAggregateExpression(),
+              Sum(rollAttr(mc.cntMeasureCol.get)).toAggregateExpression(),
               DoubleType)
             new Divide(
-              Cast(Sum(sumAttr).toAggregateExpression(), DoubleType),
+              Cast(Sum(rollAttr(mc.sumCol)).toAggregateExpression(), DoubleType),
               If(EqualTo(cntD, Literal(0.0d)),
                 Literal(null, DoubleType), cntD))
           case CntDistinctDimNav(orig, dim) =>
@@ -605,24 +676,25 @@ object RollupNavigation extends Rule[LogicalPlan] {
                 new graft.functions.Kmv.KmvMergeAggregator(reg.kmvK),
                 enc, enc, sa.nullable, true, 0, 0, Some("kmv_merge")))
         }
-        val newAe = agg.aggregateExpressions.zip(navs.map(_.get)).map {
-          case (al @ Alias(child, name), Left(n)) =>
-            Alias(navExpr(n, child.dataType), name)(
+        // rewrite an output: navigable aggregates -> their rollup
+        // recombinations, group subtrees -> substituted groupings, any
+        // surrounding scalar function recomputed unchanged on top
+        def rewriteOut(e: Expression): Expression = e match {
+          case ae: AggregateExpression => navExpr(navAgg(ae).get, ae.dataType)
+          case g if groupIndexOf(g) >= 0 => newGe(groupIndexOf(g))
+          case other => other.withNewChildren(other.children.map(rewriteOut))
+        }
+        val newAe = agg.aggregateExpressions.map {
+          case al @ Alias(child, name) =>
+            Alias(rewriteOut(child), name)(
               exprId = al.exprId, qualifier = al.qualifier)
-          case (al @ Alias(child, name), Right(_)) =>
-            Alias(substGroupRefs(child), name)(
-              exprId = al.exprId, qualifier = al.qualifier)
-          case (a: AttributeReference, _) =>
+          case a: AttributeReference =>
             Alias(newGe(groupIndexOf(a)), a.name)(
               exprId = a.exprId, qualifier = a.qualifier)
-          case (other, _) => other // unreachable: navs gate
+          case other => other // unreachable: outputsOk gate
         }
         val newChild = replays.get.foldLeft(rel: LogicalPlan) {
-          case (c, (cond, attrDims)) =>
-            Filter(cond.transformUp {
-              case a: AttributeReference if attrDims.contains(a.exprId) =>
-                rollAttr(attrDims(a.exprId))
-            }, c)
+          case (c, mk) => Filter(mk(rollAttr, hourAttr), c)
         }
         Some((reg, Aggregate(newGe, newAe, newChild)))
       } else None

@@ -42,8 +42,10 @@ object EventQueries {
       // per-hour KMV distinct-user sketch rides every rung: merging
       // partials is exact, so distinct-count dashboards navigate too
       val kmvIn = graft.functions.Hashing.md5Long(col("user_id").cast("string"))
+      // event_count rides as a SECOND measure (suffixed partial columns)
+      // so multi-measure dashboards navigate too
       val ladder = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
-        kmvOf = Some((kmvIn, NavKmvK)))
+        kmvOf = Some((kmvIn, NavKmvK)), extraMeasures = Seq("event_count"))
       Rollup.buildStatsLadder(s, raw, ladder)
       Rollup.registerStatsLadder(s, raw, ladder)
       base + "/hourly"
@@ -1159,6 +1161,44 @@ object EventQueries {
         .filter(col("est_users").isNotNull)
     }),
 
+    // TIME-RANGE REPLAY (r12): the canonical "dashboard for a date
+    // range" — WHERE ts >= L AND ts < U with day-aligned bounds above a
+    // daily grouping. The half-open range re-points at the DAILY rung's
+    // bucket column (aligned bounds select exactly the same partials),
+    // so the two-week dashboard scans ~14×|dims| rollup rows, never raw.
+    "q_a2_nav_timerange" -> ((s, dir) => {
+      navigationReady(s, dir)
+      val lo = lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0))
+      val hi = lit(java.time.LocalDateTime.of(2024, 1, 22, 0, 0))
+      se(s, dir).filter(col("ts") >= lo && col("ts") < hi &&
+          col("event_type") =!= "error")
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), round(col("sv"), 2).as("sum_value"), col("n"))
+    }),
+
+    // MULTI-MEASURE NAVIGATION (r12): a dashboard aggregating TWO
+    // measures — value (primary) and event_count (registered as an
+    // extra measure with suffixed partial columns) — in one aggregate.
+    // Real summary tables carry partials for every dashboard measure;
+    // one unregistered measure would stand the whole rewrite down, so
+    // this pins that the measure list, not a single column, is matched.
+    // event_count is integer-valued, so its SUM re-aggregates exactly.
+    "q_a2_nav_multimeasure" -> ((s, dir) => {
+      navigationReady(s, dir)
+      se(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day0"), col("event_type"))
+        .agg(sum("value").as("sv"), max("value").as("max_value"),
+          sum("event_count").as("sum_events"),
+          max("event_count").as("max_events"),
+          avg("event_count").as("avg_ec"), count(lit(1)).as("n"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("event_type"), round(col("sv"), 2).as("sum_value"),
+          col("max_value"), col("sum_events"), col("max_events"),
+          round(col("avg_ec"), 4).as("avg_events"), col("n"))
+    }),
+
     // COUNT(DISTINCT dim) NAVIGATION (r12): "how many event types were
     // active each day" — the distinct count of a registered DIMENSION is
     // exact over rollup rows (every raw (day, type) combination survives
@@ -1966,6 +2006,23 @@ object EventQueries {
           |      ('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
           |    FROM e))
           |WHERE rk = 32""".stripMargin),
+
+      "q_a2_nav_timerange" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |event_type, round(sum(value),2) AS sum_value, count(*) AS n
+          |FROM e
+          |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+          |  AND event_type <> 'error'
+          |GROUP BY 1, 2""".stripMargin),
+
+      "q_a2_nav_multimeasure" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |event_type, round(sum(value),2) AS sum_value, max(value) AS max_value,
+          |CAST(sum(event_count) AS BIGINT) AS sum_events,
+          |max(event_count) AS max_events,
+          |round(CAST(sum(event_count) AS DOUBLE) / count(event_count), 4) AS avg_events,
+          |count(*) AS n
+          |FROM e GROUP BY 1, 2""".stripMargin),
 
       "q_a2_nav_distinct_dims" -> cte(
         """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,

@@ -466,6 +466,72 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
+  test("TIME-RANGE replay: aligned bounds navigate rung-aware; unaligned bounds stand down") {
+    val (raw, _, stats) = fixture()
+    val base = stats.stripSuffix("/rollup_stats")
+    val daily = s"$base/rollup_daily"
+    graft.ops.Rollup.reaggregateStats(spark.read.parquet(stats), "hour",
+        "day", Seq("event_type"))
+      .write.mode("overwrite").parquet(daily)
+    val stores = Map("hourly" -> stats, "daily" -> daily)
+    // fixture starts 2023-11-14T22:13:20Z; UTC-day/hour boundaries:
+    val nov15 = new java.sql.Timestamp(1700006400000L)        // day-aligned
+    val nov17 = new java.sql.Timestamp(1700179200000L)        // day-aligned
+    val nov15_06 = new java.sql.Timestamp(1700028000000L)     // hour-aligned only
+    val nov15_0630 = new java.sql.Timestamp(1700029800000L)   // unaligned
+    def q(lo: java.sql.Timestamp, hi: java.sql.Timestamp) =
+      spark.read.parquet(raw)
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(sum("value").as("s"), count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val truthDay = rows(q(nov15, nov17))
+    val truthHour = rows(q(nov15_06, nov17))
+    try {
+      registerStats(raw, stats)
+      RollupNavigation.register(spark, spark.read.parquet(raw), "ts",
+        Seq("event_type"), "value", daily, "bucket", "sum_value",
+        cntCol = Some("cnt"), minCol = Some("min_value"),
+        maxCol = Some("max_value"), cntMeasureCol = Some("cnt_measure"),
+        grain = "day")
+      // day-aligned bounds: the DAILY rung serves with a bucket-range filter
+      assert(scannedStore(q(nov15, nov17), stores) === Some("daily"))
+      assert(rows(q(nov15, nov17)) === truthDay)
+      // hour-aligned-only lower bound: daily declines, hourly serves
+      assert(scannedStore(q(nov15_06, nov17), stores) === Some("hourly"))
+      assert(rows(q(nov15_06, nov17)) === truthHour)
+      // unaligned bound: no rung can replay it -> raw scan
+      assert(scannedStore(q(nov15_0630, nov17), stores) === None,
+        "an unaligned bound must stand the rule down")
+    } finally RollupNavigation.clear()
+  }
+
+  test("PRODUCTION nav queries all truly navigate (no silent raw-scan fallback)") {
+    // regression pin: CollapseProject merges display projections
+    // (round/date_format) into the aggregate list; before r12's
+    // general-output rewrite, q_a2_nav_multimeasure passed its ORACLE
+    // while silently scanning raw — plan identity is the feature, so the
+    // oracle alone cannot gate it
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = "/root/testdata/sf0.001"
+    val navNames = SparkEntry.queries.keys.filter(_.startsWith("q_a2_nav")).toSeq :+
+      "q_a2_reagg_navigated"
+    try {
+      navNames.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+        assert(!roots.exists(_.contains("events.parquet")),
+          s"$name fell back to the raw scan: $roots")
+      }
+    } finally RollupNavigation.clear()
+  }
+
   test("GRAIN LADDER: a stale coarse rung stands down, finer fresh rung still serves") {
     val (raw, _, stats) = fixture()
     val base = stats.stripSuffix("/rollup_stats")

@@ -94,6 +94,38 @@ class StatsLadderSpec extends SparkSpec {
     assert(rungRows(s"$base/hourly") === rungRows(s"$full/hourly"))
   }
 
+  test("MULTI-MEASURE: both measures navigate in one aggregate; an unregistered measure stands the rewrite down") {
+    val raw = fixture()
+    val df = spark.read.parquet(raw)
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder_mm_").toString
+    // uid as a SECOND measure (suffixed partials)
+    val L = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
+      extraMeasures = Seq("uid"))
+    def dash() = df
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(sum("value").as("sv"), max("value").as("mv"),
+        sum("uid").as("su"), min("uid").as("mnu"), avg("uid").as("au"))
+    val truth = dash().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    try {
+      Rollup.buildStatsLadder(spark, df, L)
+      Rollup.registerStatsLadder(spark, df, L)
+      val q = dash()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ts#"), s"not navigated:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+      assert(got === truth)
+      // event_id is NOT a registered measure -> whole rewrite declines
+      val declined = df.groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum("value").as("sv"), sum("event_id").as("se"))
+      assert(declined.queryExecution.optimizedPlan.toString.contains("ts#"),
+        "an unregistered measure must stand the whole aggregate down")
+    } finally RollupNavigation.clear()
+  }
+
   test("refresh + registerStatsLadder re-arms navigation; navigated monthly dashboard == raw truth") {
     val raw = fixture()
     val df = spark.read.parquet(raw)
