@@ -50,14 +50,35 @@ object Rollup {
   private[graft] def extraMeasureCols(m: String): (String, String, String, String) =
     (s"sum_$m", s"cnt_measure_$m", s"min_$m", s"max_$m")
 
+  /** The quantized BIGINT sum partial (see `exactSumScale`): `round` ties
+    * away from zero, but a genuinely `s`-decimal measure is never a tie —
+    * its scaled double sits within ulps of the integer. */
+  private def qsum(m: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+    sum(round(m * lit(math.pow(10, s))).cast("long")).as("sum_q")
+
+  /** When `exactSumScale = Some(s)`, the store also carries `sum_q` — the
+    * BIGINT sum of the measure quantized to `s` decimals (`Σ
+    * round(measure·10^s)`). Integer partials recombine EXACTLY under any
+    * re-association (rung climbs, O(delta) refresh, navigation), so the
+    * AVG a dashboard recombines from them is bit-deterministic — the
+    * double `sum_value` partial's last-ulp drift under a different
+    * summation tree can flip a round-at-display digit when the quotient
+    * sits on a rounding boundary (the engine-wide integer-quantized-sums
+    * discipline; only valid when the measure IS `s`-decimal data).
+    */
   def hourlyStats(df: DataFrame, tsCol: String, measureCol: String,
                   dims: Seq[String] = Seq.empty,
                   hourColName: String = "hour",
                   kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None,
-                  extraMeasures: Seq[String] = Nil): DataFrame = {
+                  extraMeasures: Seq[String] = Nil,
+                  exactSumScale: Option[Int] = None): DataFrame = {
+    // inferred dims must exclude EVERY measure — sweeping an extra
+    // measure into the group-by key would yield degenerate partials
+    // (sum_em == em * cnt per group) that navigation would happily serve
     val dimCols =
       if (dims.nonEmpty) dims
-      else df.columns.toSeq.filterNot(c => c == tsCol || c == measureCol)
+      else df.columns.toSeq.filterNot(c =>
+        c == tsCol || c == measureCol || extraMeasures.contains(c))
     val m = col(s"`$measureCol`")
     val aggs = Seq(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
       // non-null measure count: the AVG-navigation denominator (and the
@@ -75,7 +96,8 @@ object Rollup {
       // optional KMV distinct-sketch partial: per-bucket k-minima of the
       // given (pre-hashed Long) column — merging partials is EXACT, so
       // distinct-count dashboards navigate too (KmvMergeAggregator)
-      kmvOf.map { case (c, k) => graft.functions.Kmv.kMinima(c, k).as("kmv_minima") }
+      kmvOf.map { case (c, k) => graft.functions.Kmv.kMinima(c, k).as("kmv_minima") } ++
+      exactSumScale.map(s => qsum(m, s))
     df.groupBy(
         (TimeFns.toStartOfHour(col(tsCol)).as(hourColName) +: dimCols.map(c => col(s"`$c`"))): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -91,13 +113,16 @@ object Rollup {
     */
   def statsAtGrain(df: DataFrame, tsCol: String, measureCol: String,
                    dims: Seq[String], grain: String,
-                   timeColName: String = "bucket"): DataFrame = {
+                   timeColName: String = "bucket",
+                   exactSumScale: Option[Int] = None): DataFrame = {
     val m = col(s"`$measureCol`")
+    val aggs = Seq(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
+      count(m).as("cnt_measure"),
+      min(m).as("min_value"), max(m).as("max_value")) ++
+      exactSumScale.map(s => qsum(m, s))
     df.groupBy(
         (date_trunc(grain, col(s"`$tsCol`")).as(timeColName) +: dims.map(c => col(s"`$c`"))): _*)
-      .agg(sum(m).as("sum_value"), count(lit(1)).as("cnt"),
-        count(m).as("cnt_measure"),
-        min(m).as("min_value"), max(m).as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Re-aggregate a stats rollup to a coarser grain WITHOUT touching raw:
@@ -109,7 +134,8 @@ object Rollup {
     * (merge(old, delta) == partial of the union), which is what makes
     * both coarser-rung derivation and O(delta) refresh exact. */
   private def statsMergeAggs(kmvK: Option[Int],
-                             extraMeasures: Seq[String] = Nil): Seq[org.apache.spark.sql.Column] =
+                             extraMeasures: Seq[String] = Nil,
+                             hasQsum: Boolean = false): Seq[org.apache.spark.sql.Column] =
     Seq(
       sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"),
       sum(col("cnt_measure")).as("cnt_measure"),
@@ -121,14 +147,17 @@ object Rollup {
           min(col(mn)).as(mn), max(col(mx)).as(mx))
       } ++
       kmvK.map(k =>
-        graft.functions.Kmv.mergeMinima(col("kmv_minima"), k).as("kmv_minima"))
+        graft.functions.Kmv.mergeMinima(col("kmv_minima"), k).as("kmv_minima")) ++
+      // BIGINT sums of BIGINT partials: exact under any re-association
+      (if (hasQsum) Seq(sum(col("sum_q")).as("sum_q")) else Nil)
 
   def reaggregateStats(statsDf: DataFrame, timeCol: String, grain: String,
                        dims: Seq[String],
                        outTimeCol: String = "bucket",
                        kmvK: Option[Int] = None,
-                       extraMeasures: Seq[String] = Nil): DataFrame = {
-    val aggs = statsMergeAggs(kmvK, extraMeasures)
+                       extraMeasures: Seq[String] = Nil,
+                       hasQsum: Boolean = false): DataFrame = {
+    val aggs = statsMergeAggs(kmvK, extraMeasures, hasQsum)
     statsDf.groupBy(
         (date_trunc(grain, col(s"`$timeCol`")).as(outTimeCol) +: dims.map(c => col(s"`$c`"))): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -148,9 +177,10 @@ object Rollup {
                            partCol: String,
                            partKeyOf: org.apache.spark.sql.Column,
                            kmvK: Option[Int] = None,
-                           extraMeasures: Seq[String] = Nil): Unit =
+                           extraMeasures: Seq[String] = Nil,
+                           hasQsum: Boolean = false): Unit =
     mergeIntoPartitions(spark, path, deltaStats.withColumn(partCol, partKeyOf),
-      partCol, timeCol +: dims, statsMergeAggs(kmvK, extraMeasures))
+      partCol, timeCol +: dims, statsMergeAggs(kmvK, extraMeasures, hasQsum))
 
   /** The summary LADDER as a managed artifact: hourly + daily + monthly
     * stats stores under one base path, partitioned for O(touched)
@@ -169,7 +199,8 @@ object Rollup {
   final case class StatsLadder(base: String, tsCol: String, measureCol: String,
       dims: Seq[String],
       kmvOf: Option[(org.apache.spark.sql.Column, Int)] = None,
-      extraMeasures: Seq[String] = Nil) {
+      extraMeasures: Seq[String] = Nil,
+      exactSumScale: Option[Int] = None) {
     def hourlyPath: String = s"$base/hourly"
     def dailyPath: String = s"$base/daily"
     def monthlyPath: String = s"$base/monthly"
@@ -183,16 +214,18 @@ object Rollup {
   def buildStatsLadder(spark: org.apache.spark.sql.SparkSession,
                        raw: DataFrame, ladder: StatsLadder): Unit = {
     val k = ladder.kmvOf.map(_._2)
+    val q = ladder.exactSumScale.nonEmpty
     hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
-        kmvOf = ladder.kmvOf, extraMeasures = ladder.extraMeasures)
+        kmvOf = ladder.kmvOf, extraMeasures = ladder.extraMeasures,
+        exactSumScale = ladder.exactSumScale)
       .withColumn("pkey", pkeyDay(col("hour")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.hourlyPath)
     reaggregateStats(spark.read.parquet(ladder.hourlyPath), "hour", "day",
-        ladder.dims, "bucket", k, ladder.extraMeasures)
+        ladder.dims, "bucket", k, ladder.extraMeasures, q)
       .withColumn("pkey", pkeyMonth(col("bucket")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.dailyPath)
     reaggregateStats(spark.read.parquet(ladder.dailyPath), "bucket", "month",
-        ladder.dims, "bucket", k, ladder.extraMeasures)
+        ladder.dims, "bucket", k, ladder.extraMeasures, q)
       .withColumn("pkey", year(col("bucket")))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.monthlyPath)
   }
@@ -201,21 +234,22 @@ object Rollup {
                          delta: DataFrame, ladder: StatsLadder): Unit = {
     val k = ladder.kmvOf.map(_._2)
     val ems = ladder.extraMeasures
+    val q = ladder.exactSumScale.nonEmpty
     // one pass over the delta; coarser rungs re-aggregate the finer
     // rung's DELTA PARTIALS (never raw, never the stores)
     val hd = CacheRegistry.persist(hourlyStats(delta, ladder.tsCol,
       ladder.measureCol, ladder.dims, "hour", kmvOf = ladder.kmvOf,
-      extraMeasures = ems))
+      extraMeasures = ems, exactSumScale = ladder.exactSumScale))
     val dd = CacheRegistry.persist(
-      reaggregateStats(hd, "hour", "day", ladder.dims, "bucket", k, ems))
+      reaggregateStats(hd, "hour", "day", ladder.dims, "bucket", k, ems, q))
     try {
       refreshStatsAdditive(spark, ladder.hourlyPath, hd, "hour", ladder.dims,
-        "pkey", pkeyDay(col("hour")), k, ems)
+        "pkey", pkeyDay(col("hour")), k, ems, q)
       refreshStatsAdditive(spark, ladder.dailyPath, dd, "bucket", ladder.dims,
-        "pkey", pkeyMonth(col("bucket")), k, ems)
+        "pkey", pkeyMonth(col("bucket")), k, ems, q)
       refreshStatsAdditive(spark, ladder.monthlyPath,
-        reaggregateStats(dd, "bucket", "month", ladder.dims, "bucket", k, ems),
-        "bucket", ladder.dims, "pkey", year(col("bucket")), k, ems)
+        reaggregateStats(dd, "bucket", "month", ladder.dims, "bucket", k, ems, q),
+        "bucket", ladder.dims, "pkey", year(col("bucket")), k, ems, q)
     } finally { CacheRegistry.release(hd); CacheRegistry.release(dd) }
   }
 
@@ -228,7 +262,8 @@ object Rollup {
         cntCol = Some("cnt"), cntMeasureCol = Some("cnt_measure"),
         minCol = Some("min_value"), maxCol = Some("max_value"), grain = g,
         kmv = ladder.kmvOf.map { case (c, kk) => (c, kk, "kmv_minima") },
-        extraMeasures = ladder.extraMeasures)
+        extraMeasures = ladder.extraMeasures,
+        exactSum = ladder.exactSumScale.map(sc => ("sum_q", sc)))
     }
 
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */

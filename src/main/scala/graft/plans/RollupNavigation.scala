@@ -13,8 +13,6 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.util.{Either, Left, Right}
-
 /** AGGREGATE NAVIGATION — the engine-native analog of the reference's
   * "query the rollup, not raw" architecture (its warehouse delegates
   * hourly aggregation to a SummingMergeTree table and every dashboard
@@ -154,9 +152,15 @@ object RollupNavigation extends Rule[LogicalPlan] {
     "hour" -> 0, "day" -> 1, "week" -> 2, "month" -> 3,
     "quarter" -> 4, "year" -> 5)
 
-  /** The rollup columns carrying one measure's partials. */
+  /** The rollup columns carrying one measure's partials. `qSumCol` is the
+    * optional quantized BIGINT sum (see `Rollup.hourlyStats`'s
+    * `exactSumScale`): when present, AVG recombines from EXACT integer
+    * partials — bit-deterministic under any rung/refresh re-association —
+    * instead of the double `sum_value` partial whose last ulp floats with
+    * the summation tree. */
   final case class MeasureCols(sumCol: String, cntMeasureCol: Option[String],
-                               minCol: Option[String], maxCol: Option[String])
+                               minCol: Option[String], maxCol: Option[String],
+                               qSumCol: Option[String] = None, qScale: Int = 0)
 
   final case class Registration(
       rootPaths: Set[String],
@@ -189,31 +193,53 @@ object RollupNavigation extends Rule[LogicalPlan] {
   private def deepSignature(spark: SparkSession, paths: Set[String]): String = {
     deepListings.incrementAndGet()
     val conf = spark.sparkContext.hadoopConfiguration
-    paths.toSeq.sorted.map { p =>
+    var maxParentDepth = 0
+    val sig = paths.toSeq.sorted.map { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
+      val rootDepth = hp.depth()
       var n = 0L; var bytes = 0L; var mt = 0L
       if (fs.exists(hp)) {
         val it = fs.listFiles(hp, true)
         while (it.hasNext) {
           val f = it.next()
           n += 1; bytes += f.getLen; mt = math.max(mt, f.getModificationTime)
+          // directory levels between the root and this file (0 = file
+          // sits directly in the root) — drives the freshness-token depth
+          maxParentDepth = math.max(maxParentDepth,
+            f.getPath.depth() - rootDepth - 1)
         }
       }
       s"$p:$n:$bytes:$mt"
     }.mkString(";")
+    parentDepth.put(paths.toSeq.sorted.mkString(","), maxParentDepth)
+    sig
   }
 
-  /** O(1)-RPC freshness token: one shallow `listStatus` per root —
-    * (name, len, mtime) of each DIRECT child plus the root's own mtime.
-    * Every commit protocol moves it: part files / `_SUCCESS` land in the
-    * root (their entries change), and a file added inside a partition
-    * subdir bumps that subdir's mtime, which the shallow listing carries.
-    * A writer that bypasses the commit protocol and leaves every direct
-    * child's stat unchanged would evade the token — the accepted local-FS
-    * stand-in bound; a table format's commit version replaces this in
-    * deployment. */
+  /** pathsKey -> deepest directory nesting observed at the last deep
+    * listing (how far below the root data files live). Decides how deep
+    * the freshness token must look to be unevadable. */
+  private val parentDepth = TrieMap.empty[String, Int]
+
+  /** Cheap freshness token, DEPTH-ADAPTIVE to the store layout observed
+    * at the last deep listing:
+    *  - files directly in the root (`maxParentDepth == 0`, every raw
+    *    fixture here): ONE shallow `listStatus` per root — a new/rewritten
+    *    part file changes its own (name, len, mtime) entry;
+    *  - one partition level (`pkey=X/part-*`, depth 1): still one shallow
+    *    listing — a file landing inside `pkey=X` bumps that DIRECT
+    *    child's mtime, which the listing carries. The remaining evasion
+    *    (an in-place byte overwrite of an existing file that leaves len
+    *    and the parent dir untouched) is not a write any Spark/Hadoop
+    *    committer performs — the accepted local-FS stand-in bound;
+    *  - deeper layouts (`date=/hour=/part-*`, depth >= 2): a leaf append
+    *    moves only the LEAF dir's mtime, which no bounded listing sees —
+    *    the token falls back to the full recursive signature (correct,
+    *    O(files) per plan; a table format's commit version replaces this
+    *    in deployment, where such layouts are the norm). */
   private def rootToken(spark: SparkSession, paths: Set[String]): String = {
+    val key = paths.toSeq.sorted.mkString(",")
+    if (parentDepth.get(key).exists(_ >= 2)) return deepSignature(spark, paths)
     val conf = spark.sparkContext.hadoopConfiguration
     paths.toSeq.sorted.map { p =>
       val hp = new Path(p)
@@ -310,7 +336,8 @@ object RollupNavigation extends Rule[LogicalPlan] {
                cntMeasureCol: Option[String] = None,
                grain: String = "hour",
                kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None,
-               extraMeasures: Seq[String] = Nil): Unit = {
+               extraMeasures: Seq[String] = Nil,
+               exactSum: Option[(String, Int)] = None): Unit = {
     require(GrainRank.contains(normLevel(grain)),
       s"RollupNavigation: unknown grain $grain")
     // Trace through the OPTIMIZED projection, not the analyzed plan: by
@@ -343,7 +370,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
         Some(s"min_$m"), Some(s"max_$m"))
     }.toMap
     (Seq(hourCol, sumCol) ++ cntCol ++ cntMeasureCol ++ minCol ++ maxCol ++
-        kmv.map(_._3) ++ extraCols.values.flatMap(mc =>
+        kmv.map(_._3) ++ exactSum.map(_._1) ++ extraCols.values.flatMap(mc =>
           Seq(mc.sumCol) ++ mc.cntMeasureCol ++ mc.minCol ++ mc.maxCol)).foreach { c =>
       require(rollupRel.output.exists(_.name == c),
         s"RollupNavigation: rollup at $rollupPath has no column $c")
@@ -378,7 +405,9 @@ object RollupNavigation extends Rule[LogicalPlan] {
     val key = roots.toSeq.sorted.mkString(",") + "|" +
       rollupRoots.toSeq.sorted.mkString(",")
     val measures: Seq[(Expression, MeasureCols)] =
-      (ms.get._2, MeasureCols(sumCol, cntMeasureCol, minCol, maxCol)) +:
+      (ms.get._2, MeasureCols(sumCol, cntMeasureCol, minCol, maxCol,
+        qSumCol = exactSum.map(_._1),
+        qScale = exactSum.map(_._2).getOrElse(0))) +:
         ems.map { case (m, t) => (t.get._2, extraCols(m)) }
     regs.put(key, Registration(
       roots, ts.get._2, ds.map { case (d, t) => d -> t.get._2 }.toMap,
@@ -389,7 +418,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
   }
 
   /** Drop all registrations (spec hygiene). */
-  def clear(): Unit = { regs.clear(); sigCache.clear() }
+  def clear(): Unit = { regs.clear(); sigCache.clear(); parentDepth.clear() }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (regs.isEmpty) return plan
@@ -419,6 +448,12 @@ object RollupNavigation extends Rule[LogicalPlan] {
 
   private def tryNavigate(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
+    // one freshness probe per distinct roots-set per planned aggregate:
+    // the three rungs of one ladder share their raw roots, so without
+    // this each candidate would pay its own shallow listStatus
+    val sigMemo = scala.collection.mutable.Map.empty[Set[String], String]
+    def freshSignature(paths: Set[String]): String =
+      sigMemo.getOrElseUpdate(paths, currentSignature(spark, paths))
     // GRAIN-LADDER SELECTION: every registration is offered the
     // aggregate; among those that can serve it (grain composes into the
     // query's bucket, needed partials present, dims/filters replayable,
@@ -451,40 +486,86 @@ object RollupNavigation extends Rule[LogicalPlan] {
       // the rollup's dim columns) or a GRAIN-ALIGNED time-range bound
       // (re-pointed at the bucket column). Represented as a constructor
       // over (dim-name -> attr, bucket attr), applied once the navigated
-      // relation instance exists.
+      // relation instance exists. Filter-condition attributes are traced
+      // from BELOW the filter (`f.child`) — the projection ABOVE a filter
+      // is column-pruned to what the aggregate needs, so filter-only
+      // columns (the canonical dashboard WHERE's dims) no longer exist on
+      // the `agg.child` spine.
       type Replay = (String => Attribute, Attribute) => Expression
       // is `t` exactly on a `grain` boundary? Evaluate the engine's own
       // truncation at plan time — handles variable-length grains
       // (month/quarter/year) and the session calendar for free.
-      def alignedToGrain(lit: Literal): Boolean = {
+      def alignedToGrain(lit: Literal): Boolean = scala.util.Try {
         val truncated = TruncTimestamp(
           Literal(UTF8String.fromString(reg.grain), StringType),
           lit, Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
         truncated == lit.value
-      }
-      def tsRangeReplay(c: Expression): Option[Replay] = {
+      }.getOrElse(false)
+      def tsRangeReplay(below: LogicalPlan, c: Expression): Option[Replay] = {
+        val tzStr = spark.sessionState.conf.sessionLocalTimeZone
+        // UnwrapCastInBinaryComparison tolerance: when the registered time
+        // column is `cast(raw_ts)` (e.g. parquet TIMESTAMP_NTZ cast to the
+        // session type), the optimizer strips that cast off the predicate
+        // side and re-types the literal — so the conjunct compares the RAW
+        // column. Accept it and CAST THE LITERAL FORWARD into the bucket
+        // type instead, but only under a fixed-offset session zone, where
+        // the cast is a strictly monotone bijection of instants (a DST
+        // zone's overlapped/skipped wall hours would break `>=` ⇔
+        // `cast >= cast`).
+        lazy val fixedOffsetTz =
+          java.time.ZoneId.of(tzStr).getRules.isFixedOffset
+        // does `e` compute the registered time column (directly or as its
+        // un-cast child)? Returns the comparison literal re-typed to the
+        // bucket column's type, or None.
+        def tsLit(e: Expression, lit: Literal): Option[Literal] =
+          trace(below, e).flatMap { case (roots, t) =>
+            if (roots != reg.rootPaths) None
+            else if (t == reg.tsTraced) Some(lit)
+            else reg.tsTraced match {
+              case cst: Cast if cst.child == t && fixedOffsetTz =>
+                scala.util.Try(Literal(
+                  Cast(lit, cst.dataType, Some(tzStr)).eval(null),
+                  cst.dataType)).toOption
+              case _ => None
+            }
+          }
         def isTs(e: Expression): Boolean =
-          trace(agg.child, e).exists { case (roots, t) =>
-            roots == reg.rootPaths && t == reg.tsTraced }
+          trace(below, e).exists { case (roots, t) =>
+            roots == reg.rootPaths &&
+              (t == reg.tsTraced || (reg.tsTraced match {
+                case cst: Cast => cst.child == t
+                case _ => false
+              })) }
         c match {
           // ts >= L, L grain-aligned: bucket >= L selects exactly the
           // same rows' partials (bucket < L holds only rows < L)
-          case GreaterThanOrEqual(l, lit: Literal) if isTs(l) && alignedToGrain(lit) =>
-            Some((_, bucket) => GreaterThanOrEqual(bucket, lit))
+          case GreaterThanOrEqual(l, lit: Literal) =>
+            tsLit(l, lit).filter(alignedToGrain).map(cl =>
+              (_, bucket) => GreaterThanOrEqual(bucket, cl))
           // ts < U, U aligned: buckets >= U hold only rows >= U
-          case LessThan(l, lit: Literal) if isTs(l) && alignedToGrain(lit) =>
-            Some((_, bucket) => LessThan(bucket, lit))
+          case LessThan(l, lit: Literal) =>
+            tsLit(l, lit).filter(alignedToGrain).map(cl =>
+              (_, bucket) => LessThan(bucket, cl))
           // flipped literal-first forms the optimizer may produce
-          case LessThanOrEqual(lit: Literal, r) if isTs(r) && alignedToGrain(lit) =>
-            Some((_, bucket) => GreaterThanOrEqual(bucket, lit))
-          case GreaterThan(lit: Literal, r) if isTs(r) && alignedToGrain(lit) =>
-            Some((_, bucket) => LessThan(bucket, lit))
+          case LessThanOrEqual(lit: Literal, r) =>
+            tsLit(r, lit).filter(alignedToGrain).map(cl =>
+              (_, bucket) => GreaterThanOrEqual(bucket, cl))
+          case GreaterThan(lit: Literal, r) =>
+            tsLit(r, lit).filter(alignedToGrain).map(cl =>
+              (_, bucket) => LessThan(bucket, cl))
+          // the optimizer injects isnotnull(ts) alongside any range bound
+          // (InferFiltersFromConstraints); null-ts raw rows land in the
+          // null-bucket rollup group, so the same predicate over the
+          // bucket column drops exactly their partials (the un-cast form
+          // qualifies too: a cast never nulls a non-null timestamp)
+          case IsNotNull(e) if isTs(e) =>
+            Some((_, bucket) => IsNotNull(bucket))
           case _ => None
         }
       }
-      def dimReplay(c: Expression): Option[Replay] = {
+      def dimReplay(below: LogicalPlan, c: Expression): Option[Replay] = {
         val mapped = c.references.toSeq.map { a =>
-          trace(agg.child, a).collect { case (roots, t) if roots == reg.rootPaths => t }
+          trace(below, a).collect { case (roots, t) if roots == reg.rootPaths => t }
             .flatMap(t => reg.dimsTraced.collectFirst {
               case (d, dt) if dt == t => a.exprId -> d
             })
@@ -507,7 +588,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
           case other => Seq(other)
         }
         val rs = conjuncts(f.condition).map(c =>
-          dimReplay(c).orElse(tsRangeReplay(c)))
+          dimReplay(f.child, c).orElse(tsRangeReplay(f.child, c)))
         if (rs.forall(_.nonEmpty)) Some(rs.flatten) else None
       }
       val replays: Option[Seq[Replay]] =
@@ -609,7 +690,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
       if (classified.forall(_.nonEmpty) && tsGroups <= 1 &&
           outputsOk && replays.nonEmpty &&
           agg.aggregateExpressions.nonEmpty &&
-          currentSignature(spark, reg.rootPaths) == reg.rawSignature) {
+          freshSignature(reg.rootPaths) == reg.rawSignature) {
         // fresh output ids for the navigated relation (it may appear
         // several times in one tree)
         val rel = reg.rollupRelation.newInstance()
@@ -645,20 +726,36 @@ object RollupNavigation extends Rule[LogicalPlan] {
           case MinNav(mc) => Min(rollAttr(mc.minCol.get)).toAggregateExpression()
           case MaxNav(mc) => Max(rollAttr(mc.maxCol.get)).toAggregateExpression()
           case AvgNav(mc) =>
-            // the weighted recombination Σsum/Σcnt_measure — double
-            // division, the same last-ulp contract as re-associated SUMs.
-            // The zero denominator (an all-null-measure group) maps to
-            // NULL before dividing: Average returns null there, and ANSI
-            // division must never see a literal 0 (the If is the inlined
-            // form of NullIf — RuntimeReplaceable can't be introduced
-            // after ReplaceExpressions has run)
+            // the weighted recombination Σsum/Σcnt_measure. The zero
+            // denominator (an all-null-measure group) maps to NULL before
+            // dividing: Average returns null there, and ANSI division
+            // must never see a literal 0 (the If is the inlined form of
+            // NullIf — RuntimeReplaceable can't be introduced after
+            // ReplaceExpressions has run)
             val cntD = Cast(
               Sum(rollAttr(mc.cntMeasureCol.get)).toAggregateExpression(),
               DoubleType)
-            new Divide(
-              Cast(Sum(rollAttr(mc.sumCol)).toAggregateExpression(), DoubleType),
-              If(EqualTo(cntD, Literal(0.0d)),
-                Literal(null, DoubleType), cntD))
+            val denom = If(EqualTo(cntD, Literal(0.0d)),
+              Literal(null, DoubleType), cntD)
+            mc.qSumCol match {
+              // EXACT path: BIGINT Σ(quantized sums) recombines
+              // bit-identically whatever partial tree produced the stored
+              // rungs (build, rung climb, O(delta) refresh, extra
+              // registered measures) — one long→double conversion, two
+              // divisions, in a shape the oracle mirrors verbatim
+              case Some(qc) =>
+                new Divide(new Divide(
+                  Cast(Sum(rollAttr(qc)).toAggregateExpression(), DoubleType),
+                  Literal(math.pow(10, mc.qScale))), denom)
+              // double partials: carries the same last-ulp contract as
+              // re-associated SUMs (fine under round-at-display for SUM,
+              // fragile for AVG's off-grid quotient — register exactSum
+              // when the measure is fixed-decimal)
+              case None =>
+                new Divide(
+                  Cast(Sum(rollAttr(mc.sumCol)).toAggregateExpression(), DoubleType),
+                  denom)
+            }
           case CntDistinctDimNav(orig, dim) =>
             orig.copy(aggregateFunction = Count(Seq(rollAttr(dim))))
           case KmvNav(orig, sa) =>

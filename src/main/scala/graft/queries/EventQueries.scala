@@ -17,8 +17,8 @@ object EventQueries {
   private def se(spark: SparkSession, dir: String): DataFrame =
     Enrich.securityEvents(Tables.events(spark, dir))
 
-  private val navRollupPaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val navRollupLadders =
+    scala.collection.concurrent.TrieMap.empty[String, Rollup.StatsLadder]
 
   /** k of the ladder's KMV distinct-user sketch (every day×type group in
     * the fixture holds ≥ 42 distinct users, so estimates never null). */
@@ -35,22 +35,28 @@ object EventQueries {
     * `q_a2_reagg_navigated`, `q_a2_nav_filtered`, `q_a2_nav_mixed`,
     * `q_a2_nav_monthly`). */
   private def navigationReady(s: SparkSession, dir: String): Unit = {
-    navRollupPaths.getOrElseUpdate(dir, {
+    // BUILD once per fixture dir; REGISTER on every call — a suite
+    // sharing the JVM may call RollupNavigation.clear() (spec hygiene),
+    // and a stale registration cache would leave every later nav query
+    // silently riding the raw-scan fallback while its oracle stays green.
+    val ladder = navRollupLadders.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_nav_rollup_").toString
-      val raw = se(s, dir)
       // per-hour KMV distinct-user sketch rides every rung: merging
       // partials is exact, so distinct-count dashboards navigate too
       val kmvIn = graft.functions.Hashing.md5Long(col("user_id").cast("string"))
       // event_count rides as a SECOND measure (suffixed partial columns)
       // so multi-measure dashboards navigate too
-      val ladder = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
-        kmvOf = Some((kmvIn, NavKmvK)), extraMeasures = Seq("event_count"))
-      Rollup.buildStatsLadder(s, raw, ladder)
-      Rollup.registerStatsLadder(s, raw, ladder)
-      base + "/hourly"
+      // value is 2-decimal fixture data: carry the quantized BIGINT sum
+      // partial so navigated AVG recombines exactly (no ulp lottery
+      // against the oracle's round-at-display)
+      val l = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
+        kmvOf = Some((kmvIn, NavKmvK)), extraMeasures = Seq("event_count"),
+        exactSumScale = Some(2))
+      Rollup.buildStatsLadder(s, se(s, dir), l)
+      l
     })
-    ()
+    Rollup.registerStatsLadder(s, se(s, dir), ladder)
   }
 
   /** The HLL register frame: events + computed register index (a
@@ -64,20 +70,18 @@ object EventQueries {
     se(s, dir).withColumn("reg_idx", Hll.regIdx(h)).withColumn("rho", Hll.rho(h))
   }
 
-  private val hllNavBases =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hllNavLadders =
+    scala.collection.concurrent.TrieMap.empty[String, Rollup.StatsLadder]
   private def hllNavigationReady(s: SparkSession, dir: String): Unit = {
-    hllNavBases.getOrElseUpdate(dir, {
+    val ladder = hllNavLadders.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_nav_hll_").toString
-      val raw = hllFrame(s, dir)
-      val ladder = Rollup.StatsLadder(base, "ts", "rho",
+      val l = Rollup.StatsLadder(base, "ts", "rho",
         Seq("event_type", "reg_idx"))
-      Rollup.buildStatsLadder(s, raw, ladder)
-      Rollup.registerStatsLadder(s, raw, ladder)
-      base
+      Rollup.buildStatsLadder(s, hllFrame(s, dir), l)
+      l
     })
-    ()
+    Rollup.registerStatsLadder(s, hllFrame(s, dir), ladder)
   }
 
   /** Landing for q_a2_nav_refreshed: the ladder built from the FIRST 60%
@@ -90,24 +94,23 @@ object EventQueries {
     * equal a full recompute from raw (the oracle), proving
     * refresh-merge == batch semantics through the OPTIMIZER rewrite.
     */
-  private val refreshedLadderBases =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val refreshedLadders =
+    scala.collection.concurrent.TrieMap.empty[String, Rollup.StatsLadder]
   private def refreshedLadderReady(s: SparkSession, dir: String): Unit = {
-    refreshedLadderBases.getOrElseUpdate(dir, {
+    val ladder = refreshedLadders.getOrElseUpdate(dir, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_nav_refresh_").toString
       val raw = se(s, dir)
       val kmvIn = graft.functions.Hashing.md5Long(col("user_id").cast("string"))
-      val ladder = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
+      val l = Rollup.StatsLadder(base, "ts", "value", Seq("event_type"),
         kmvOf = Some((kmvIn, NavKmvK)))
       val maxId = raw.agg(max(col("event_id"))).head().getLong(0)
       val cut = (maxId * 0.6).toLong
-      Rollup.buildStatsLadder(s, raw.filter(col("event_id") < cut), ladder)
-      Rollup.refreshStatsLadder(s, raw.filter(col("event_id") >= cut), ladder)
-      Rollup.registerStatsLadder(s, raw, ladder)
-      base
+      Rollup.buildStatsLadder(s, raw.filter(col("event_id") < cut), l)
+      Rollup.refreshStatsLadder(s, raw.filter(col("event_id") >= cut), l)
+      l
     })
-    ()
+    Rollup.registerStatsLadder(s, se(s, dir), ladder)
   }
 
   private def cte(body: String): String =
@@ -1983,9 +1986,15 @@ object EventQueries {
           |max(value) AS max_value, round(sum(value),2) AS sum_value
           |FROM e GROUP BY 1, 2""".stripMargin),
 
+      // the rounded AVG is recomputed through the SAME exact form the
+      // navigated plan evaluates — Σ(cents)/100/count, all-integer sum —
+      // because `round(x, 2)` of a quotient can sit on a rounding
+      // boundary where the double `sum/cnt` recombination and a raw
+      // running average disagree by one ulp (r12's one red row)
       "q_a2_nav_avg" -> cte(
         """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
-          |event_type, round(avg(value),2) AS avg_value,
+          |event_type,
+          |round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(value),2) AS avg_value,
           |count(value) AS n_value
           |FROM e GROUP BY 1, 2""".stripMargin),
 

@@ -161,4 +161,59 @@ class StatsLadderSpec extends SparkSpec {
       assert(got === truth)
     } finally RollupNavigation.clear()
   }
+
+  test("EXACT AVG (sum_q): navigated round(avg) is invariant under ladder rebuild perturbations") {
+    // r12's one red row: the navigated AVG recombined Σsum/Σcnt over
+    // stored DOUBLE partials — a different summation tree than the
+    // oracle's, so round(·, 2) on a quotient near a .xx5 boundary was a
+    // ulp lottery that any ladder rebuild could re-roll. With
+    // exactSumScale the stored partial is the BIGINT Σ(value·100), so the
+    // recombined quotient is bit-deterministic whatever partial tree
+    // built the store. Fixture values are NON-dyadic 2-decimal (0.01
+    // steps) — the double partials here genuinely drift under
+    // re-association, so this test fails on the old contract.
+    val root = java.nio.file.Files.createTempDirectory("graft_ladder_q_").toString
+    val raw = s"$root/events"
+    val base = 1700000000000000L
+    (0 until 5000).map { i =>
+      (i.toLong, new java.sql.Timestamp(base / 1000 + i * 97000L),
+        if (i % 3 == 0) "view" else "purchase", ((i * 37) % 1000) / 100.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(raw)
+    val df = spark.read.parquet(raw)
+    def dash() = df
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(round(avg("value"), 2).as("av"), count(col("value")).as("n"))
+    def rows(q: org.apache.spark.sql.DataFrame) = q.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    // ground truth via EXACT integer arithmetic, a third evaluation tree
+    val truth = df
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(round(sum(round(col("value") * 100).cast("long")) / 100.0 /
+        count(col("value")), 2).as("av"), count(col("value")).as("n"))
+    def navigatedRows(ladder: Rollup.StatsLadder): Set[(java.sql.Timestamp, String, Double, Long)] =
+      try {
+        Rollup.registerStatsLadder(spark, df, ladder)
+        val q = dash()
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("sum_q"), s"AVG must ride the exact partial:\n$plan")
+        rows(q)
+      } finally RollupNavigation.clear()
+    // ladder A: plain build
+    val a = Rollup.StatsLadder(s"$root/a", "ts", "value", Seq("event_type"),
+      exactSumScale = Some(2))
+    Rollup.buildStatsLadder(spark, df, a)
+    // ladder B: perturbed plan — an extra registered measure widens the
+    // partial aggregate, AND the store is assembled as 60% build + 40%
+    // O(delta) refresh (every bucket straddles the event_id cut, so every
+    // partial takes the old⊕delta merge path)
+    val b = Rollup.StatsLadder(s"$root/b", "ts", "value", Seq("event_type"),
+      extraMeasures = Seq("event_id"), exactSumScale = Some(2))
+    Rollup.buildStatsLadder(spark, df.filter(col("event_id") < 3000), b)
+    Rollup.refreshStatsLadder(spark, df.filter(col("event_id") >= 3000), b)
+    val ra = navigatedRows(a)
+    val rb = navigatedRows(b)
+    assert(ra === rb, "navigated AVG changed across a ladder rebuild")
+    assert(ra === rows(truth), "navigated AVG differs from exact-arithmetic truth")
+  }
 }
