@@ -11,7 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntrySmokeSpec extends AnyFunSuite {
   test("entry returns rows on an unconfigured session at sf0.001") {
     // reuse the shared test session's JVM but verify no special conf is
-    // needed at query-build time: entry sets everything it requires itself
+    // needed at query-build time: entry sets everything it requires itself.
+    // The shared session must own the JVM default FIRST — getOrCreate
+    // binds STATIC confs (spark.sql.extensions) at creation, so if this
+    // suite ran first in an ad-hoc testOnly pair, every later plan-shape
+    // spec would silently test stock Spark (the r6 gotcha, order-shaped).
+    TestSpark.spark
     val spark = SparkSession.builder().master("local[4]").getOrCreate()
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

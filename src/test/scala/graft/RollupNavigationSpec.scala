@@ -532,6 +532,26 @@ class RollupNavigationSpec extends SparkSpec {
     } finally RollupNavigation.clear()
   }
 
+  test("HLL ladder: the monthly COUNT(DISTINCT) dashboard reads the MONTHLY register rung") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val df = SparkEntry.queries("q_a2_nav_hll_monthly")(spark, dir)
+      val roots = df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      // rung selection: month buckets are servable by hour/day/month
+      // grains; the coarsest (monthly, ~720x fewer rows than hourly) must
+      // win, and no raw-events scan may survive
+      assert(roots.nonEmpty && roots.forall(_.contains("/monthly")),
+        s"expected only the monthly rung, scanned: $roots")
+      assert(df.collect().nonEmpty)
+    } finally RollupNavigation.clear()
+  }
+
   test("GRAIN LADDER: a stale coarse rung stands down, finer fresh rung still serves") {
     val (raw, _, stats) = fixture()
     val base = stats.stripSuffix("/rollup_stats")
