@@ -539,18 +539,16 @@ object Dedup {
     *     kills the O(df²) hot-gram blowup exactly as in [[jaccardPairs]];
     *  3. seed matches chain into runs on the DIAGONAL (posA - posB): k
     *     consecutive seeds = a shared run of gramTokens + k - 1 tokens.
-    *     Runs are found via BIT-PACKED position buckets, not a window:
-    *     each seed sets bit (pa % 64) of a 64-bit mask keyed by
-    *     (pair, diagonal, pa div 64), masks combine with a partial-
-    *     aggregable `bit_or` (up to 64 seed rows collapse into ONE shuffled
-    *     long MAP-SIDE — near-identical docs are exactly the case where
-    *     whole buckets fill), and a typed per-(pair, diagonal) pass scans
-    *     the sorted masks for the longest run of consecutive set bits.
-    *     Per-group state is docLen/64 longs — O(min(|doc_i|, |doc_j|))
-    *     per pair, never corpus-wide, and there is no sort-based window
-    *     shuffle anywhere (the r5 scale watch item: the rownum-window
-    *     formulation ran 6.9× at 10× data; the pressure was per-seed
-    *     shuffle rows + the window sort, both gone here).
+    *     Seeds shuffle ONCE, keyed by (i, j), with (diagonal, posA)
+    *     bit-packed into a single Long; the per-pair typed pass sorts its
+    *     own seed array (a primitive Long sort — packed order ==
+    *     (diag, pa) order) and scans for the longest chain of
+    *     consecutive packed values. Per-group state is the pair's own
+    *     seed list — O(min(|doc_i|, |doc_j|)) per pair, never
+    *     corpus-wide, and there is no sort-based window shuffle anywhere
+    *     (the r5 scale watch item: the rownum-window formulation ran
+    *     6.9× at 10× data; the pressure was global-window sort +
+    *     re-shuffle for the per-pair max, both gone here).
     *
     * The cap can split a run that contains a corpus-hot gram (the blind
     * spot of any seeded method once seeds are capped); the oracle applies
@@ -583,7 +581,19 @@ object Dedup {
         .select(col(idCol), col("pos"), xxhash64(col("gram")).as("gram")))
     val nDocs = df.select(col(idCol)).distinct().count()
     val cap = math.max(2L, (nDocs * stopGramFrac).toLong)
-    val hot = grams.groupBy("gram")
+    // hot-gram detection in two EXACT phases: total occurrences first — a
+    // plain count whose map-side partial collapses each partition to its
+    // distinct grams, so the exchange carries ~|vocab| rows instead of
+    // every (id, pos, gram) row — and df(gram) <= occ(gram), so only
+    // grams with occ > cap can possibly exceed the distinct-DOC cap. The
+    // exact countDistinct (two full-width exchanges when run over the
+    // corpus) then runs over the hot-candidate slice only.
+    val hotCand = grams.groupBy("gram")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select("gram")
+    val hot = grams.join(broadcast(hotCand), Seq("gram"), "left_semi")
+      .groupBy("gram")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > cap)
       .select("gram")
@@ -603,7 +613,12 @@ object Dedup {
     // boxing) and sorted order == (diag, pa) order; consecutive seeds on a
     // diagonal differ by exactly 1 in the packed key (pa + 1 < 2^31 never
     // carries into the diagonal field).
-    l.join(r, Seq("gram")).filter(col("i") < col("j"))
+    // SHUFFLE_HASH: past the broadcast threshold the planner's default is
+    // a SortMergeJoin — two full sorts of the gram table that buy nothing
+    // (the seed stream is re-shuffled by pair right after). A shuffled
+    // hash join keys the same exchange but builds a per-partition hash
+    // map (~|grams|/partitions rows) instead of sorting both sides.
+    l.join(r.hint("SHUFFLE_HASH"), Seq("gram")).filter(col("i") < col("j"))
       .select(col("i"), col("j"),
         (((col("pa") - col("pb")) + lit(1L << 30)) * lit(1L << 31) +
           col("pa")).as("dp"))
