@@ -85,13 +85,22 @@ object IndexStress {
     // both scales -> flat expected); 100k is past it (cells grow
     // linearly once k caps, so refresh grows with CELL SIZE — the
     // documented deriveK boundary, stated rather than hidden)
+    // optional arg: substring filter over row labels ("Ir" / "Knn") so a
+    // change to one store's refresh re-measures without re-paying the
+    // other's corpus-priced builds
+    val only = args.headOption
+    def want(label: String) = only.forall(label.contains)
     val rows = Seq(
-      knnRow("Knn 10k vectors", 10000),
-      knnRow("Knn 60k vectors (6x, under deriveK cap)", 60000),
-      knnRow("Knn 100k vectors (10x, past deriveK cap)", 100000),
-      knnRow("Knn 200k vectors (20x)", 200000),
-      irRow("Ir 20k docs", 20000),
-      irRow("Ir 200k docs (10x)", 200000))
+      ("Knn 10k vectors", 10000, false),
+      ("Knn 60k vectors (6x, under deriveK cap)", 60000, false),
+      ("Knn 100k vectors (10x, past deriveK cap)", 100000, false),
+      ("Knn 200k vectors (20x)", 200000, false),
+      ("Ir 20k docs", 20000, true),
+      ("Ir 200k docs (10x)", 200000, true)
+    ).collect {
+      case (l, n, false) if want(l) => knnRow(l, n)
+      case (l, n, true) if want(l)  => irRow(l, n)
+    }
 
     println("| store | build sec (context) | fixed-delta refresh sec |")
     println("|---|---|---|")

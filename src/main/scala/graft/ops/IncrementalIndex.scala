@@ -92,8 +92,11 @@ object IncrementalIndex {
         .select("cell").distinct().collect().map(_.getLong(0))
       if (touchedCells.nonEmpty) {
         // 1. delta probe rows append into the store (new files only —
-        //    existing assign files stay byte-identical)
-        dAss.write.mode(SaveMode.Append).partitionBy("cell")
+        //    existing assign files stay byte-identical); clustered by
+        //    cell so the dynamic-partition append commits one file per
+        //    touched cell, not per (input partition x cell)
+        dAss.repartition(col("cell"))
+          .write.mode(SaveMode.Append).partitionBy("cell")
           .parquet(s"$root/assign")
         val sp = new Path(s"$root/assign")
         val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -151,6 +154,7 @@ object IncrementalIndex {
             .join(broadcast(qProbe.select(col("id").as("query_id")).distinct()),
               Seq("query_id"), "left_anti")
         val merged = oldKept.unionByName(newE.select(oldKept.columns.map(col): _*))
+          .repartition(col("pcell")) // one file per touched pcell, not per task
         val snap = merged.localCheckpoint(true)
         snap.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -179,8 +183,11 @@ object IncrementalIndex {
     *    increments df for each of its distinct terms), refreshed
     *    additively via [[Rollup.refreshAdditive]]: only buckets holding
     *    delta-vocabulary terms rewrite;
-    *  - `meta/`: (n_docs) — the stop-cap input (counts ALL landed docs,
-    *    token-empty ones included, matching the build-from-raw cap).
+    *  - `meta/`: (n_docs) per LANDING, append-only — the stop-cap input
+    *    is the SUM (counts ALL landed docs, token-empty ones included,
+    *    matching the build-from-raw cap). Append-only meta removes the
+    *    refresh's read-modify-write on the counter (one fewer action per
+    *    refresh, and no lost update under concurrent landings).
     *
     * The store keeps tf UNCAPPED and applies the stop-cap at view time
     * ([[Ir.postings]]): the cap threshold max(5, frac·n_docs) moves as
@@ -197,18 +204,23 @@ object IncrementalIndex {
         .select(col("id"), col("isq"), xxhash64(col("tok")).as("token"))
         .groupBy("id", "isq", "token").agg(count(lit(1)).as("tf"))
 
-    private def writeMeta(s: SparkSession, root: String, nDocs: Long): Unit =
+    /** Append one landing's doc count; the live total is the SUM. */
+    private def appendMeta(s: SparkSession, root: String, nDocs: Long): Unit =
       s.createDataFrame(Seq(Tuple1(nDocs))).toDF("n_docs")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/meta")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/meta")
 
     private def nDocs(s: SparkSession, root: String): Long =
-      s.read.parquet(s"$root/meta").head().getLong(0)
+      s.read.parquet(s"$root/meta").agg(sum(col("n_docs"))).head().getLong(0)
 
     def build(docs: DataFrame, idCol: String, textCol: String,
               isQuery: org.apache.spark.sql.Column, root: String,
               nBuckets: Int = 16): Unit = {
       val s = docs.sparkSession
-      val tf = CacheRegistry.persist(tfOf(docs, idCol, textCol, isQuery))
+      // the landed-doc count rides the tf materialization (observe fires
+      // with dtf's first action) — no separate count() pass over the input
+      val obs = org.apache.spark.sql.Observation()
+      val tf = CacheRegistry.persist(tfOf(
+        docs.observe(obs, count(lit(1)).as("n")), idCol, textCol, isQuery))
       tf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/tf")
@@ -220,7 +232,11 @@ object IncrementalIndex {
         .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong)))
         .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
         .parquet(s"$root/df")
-      writeMeta(s, root, docs.count())
+      // a rebuild resets the landing ledger
+      val mp = new Path(s"$root/meta")
+      val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(mp)) fs.delete(mp, true)
+      appendMeta(s, root, obs.get("n").asInstanceOf[Long])
       CacheRegistry.release(tf)
     }
 
@@ -228,8 +244,15 @@ object IncrementalIndex {
                 idCol: String, textCol: String,
                 isQuery: org.apache.spark.sql.Column,
                 nBuckets: Int = 16): Unit = {
-      val dtf = CacheRegistry.persist(tfOf(deltaDocs, idCol, textCol, isQuery))
+      val obs = org.apache.spark.sql.Observation()
+      val dtf = CacheRegistry.persist(tfOf(
+        deltaDocs.observe(obs, count(lit(1)).as("n")), idCol, textCol, isQuery))
+      // cluster by bucket before the dynamic-partition append: the cache
+      // pins dtf at the shuffle partition count, and a 256-partition
+      // input × 16 buckets commits ~4k tiny files (measured 7.8 s for a
+      // 30k-row delta vs 0.5 s repartitioned — pure open/commit overhead)
       dtf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Append).partitionBy("bucket")
         .parquet(s"$root/tf")
       dtf.groupBy("id").agg(sum(col("tf")).as("len"))
@@ -240,7 +263,7 @@ object IncrementalIndex {
         dtf.groupBy("token").agg(count(lit(1)).as("df"))
           .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong))),
         "dbucket", keyCols = Seq("token"), sumCols = Seq("df"))
-      writeMeta(s, root, nDocs(s, root) + deltaDocs.count())
+      appendMeta(s, root, obs.get("n").asInstanceOf[Long])
       CacheRegistry.release(dtf)
     }
 

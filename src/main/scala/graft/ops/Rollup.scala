@@ -424,8 +424,14 @@ object Rollup {
           case None => spark.read.parquet(path).filter(touchedPred)
         }
         else d.limit(0)
+      // cluster by the partition value before materializing: a dynamic-
+      // partition write opens one file per (input partition × partition
+      // value) — a 256-partition merge output touching 16 pkeys commits
+      // ~4k tiny files, and the file open/commit overhead dominates a
+      // small refresh (measured 15x on the Ir tf append, same shape)
       val merged = cur.unionByName(d)
         .groupBy(grain: _*).agg(agg.head, agg.tail: _*)
+        .repartition(col(s"`$partCol`"))
       val snap = merged.localCheckpoint(true)
       snap.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
