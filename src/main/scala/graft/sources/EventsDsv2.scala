@@ -47,6 +47,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object EventsApi {
 
+  /** Bounded exponential-backoff retry around a FETCH attempt — the
+    * batch-read side of the reference's tenacity retry on its search
+    * fetch (qradar/search_executor.py:13-20; the sink-side analog is
+    * [[graft.streaming.HttpPushSink.withRetry]]). Readers wrap the
+    * stream OPEN in this: transient storage faults (throttled opens,
+    * eventual-consistency misses) resolve without burning a whole Spark
+    * task attempt, while anything the schedule cannot change still
+    * surfaces to Spark's own task retry. Only `IOException`s are
+    * retried — an interrupt means the task is being cancelled, and any
+    * other exception is a deterministic bug backoff cannot fix.
+    */
+  def fetchWithRetry[T](maxAttempts: Int = 3, baseDelayMs: Long = 10)
+                       (attempt: => T): T = {
+    var n = 0
+    var delay = baseDelayMs
+    while (true) {
+      try return attempt
+      catch {
+        case e: java.io.IOException =>
+          n += 1
+          if (n >= maxAttempts) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The event record schema the "search API" serves. `ts_nanos` is the
     * raw epoch-nanos Long (the parquet physical form) — callers derive
     * timestamps downstream exactly as [[Tables.events]] does.
@@ -838,7 +866,7 @@ class EventsTopNPartitionReader(file: String, pushed: Array[V1Filter],
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new org.apache.hadoop.fs.Path(file)),
+      EventsApi.fetchWithRetry()(fs.open(new org.apache.hadoop.fs.Path(file))),
       java.nio.charset.StandardCharsets.UTF_8))
     // Max-heap under the sort order: head = worst surviving row, evicted
     // whenever a better row arrives with the heap full. Keys are flat
@@ -901,7 +929,7 @@ class EventsAggPartitionReader(file: String, pushed: Array[V1Filter],
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new org.apache.hadoop.fs.Path(file)),
+      EventsApi.fetchWithRetry()(fs.open(new org.apache.hadoop.fs.Path(file))),
       java.nio.charset.StandardCharsets.UTF_8))
     val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
     try {
@@ -992,7 +1020,8 @@ class EventsPartitionReader(file: String, pushed: Array[V1Filter],
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    fs.open(new org.apache.hadoop.fs.Path(file)), java.nio.charset.StandardCharsets.UTF_8))
+    EventsApi.fetchWithRetry()(fs.open(new org.apache.hadoop.fs.Path(file))),
+    java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _
   private var emitted = 0
 

@@ -367,4 +367,33 @@ class Dsv2SourceSpec extends SparkSpec {
     val v = node.get("ts_nanos").asLong()
     assert(v > 1600000000000000000L, s"ts_nanos=$v not a nanos-scale epoch")
   }
+
+  test("fetchWithRetry: transient IO faults retry with backoff; fatal and exhausted rethrow") {
+    // batch-read retry parity with the reference's tenacity fetch retry
+    // (qradar/search_executor.py:13-20) — the readers wrap their stream
+    // open in this
+    var attempts = 0
+    val got = EventsApi.fetchWithRetry(maxAttempts = 3, baseDelayMs = 1) {
+      attempts += 1
+      if (attempts < 3) throw new java.io.IOException(s"transient $attempts")
+      "fetched"
+    }
+    assert(got === "fetched" && attempts === 3)
+    // exhausted: the final IOException surfaces (Spark task retry's turn)
+    attempts = 0
+    val ex = intercept[java.io.IOException] {
+      EventsApi.fetchWithRetry(maxAttempts = 3, baseDelayMs = 1) {
+        attempts += 1; throw new java.io.IOException("always")
+      }
+    }
+    assert(ex.getMessage === "always" && attempts === 3)
+    // deterministic (non-IO) failures never retry — backoff can't fix a bug
+    attempts = 0
+    intercept[IllegalArgumentException] {
+      EventsApi.fetchWithRetry(maxAttempts = 3, baseDelayMs = 1) {
+        attempts += 1; throw new IllegalArgumentException("bug")
+      }
+    }
+    assert(attempts === 1)
+  }
 }
