@@ -37,4 +37,12 @@ object GraftSession {
       // plans are untouched; injection itself is plan-pinned in
       // PlanShapeSpec under lowered thresholds.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // let AQE swap SortMergeJoin -> ShuffledHashJoin from MEASURED
+      // partition sizes: the pair-family self-joins (shingles, grams)
+      // re-shuffle their output immediately, so the SMJ's two full sorts
+      // buy nothing — but a static SHUFFLE_HASH hint also overrides the
+      // broadcast pick at small scale (measured +0.9 s on q_dedup_jaccard
+      // at sf0.1). Runtime selection takes broadcast when tiny, hash when
+      // the per-partition build fits, sort-merge only past that.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
 }

@@ -119,6 +119,10 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("i"), col("shingle"))
     val b = sh.select(col(idCol).as("j"), col("shingle"))
+    // join strategy is left to AQE (maxShuffledHashJoinLocalMapThreshold
+    // in GraftSession): broadcast when the shingle table is small, hash
+    // join from measured partition sizes past that — the SMJ's two full
+    // sorts buy nothing here, the intersection re-shuffles by pair
     val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     (inter, sizes)
@@ -613,11 +617,11 @@ object Dedup {
     // boxing) and sorted order == (diag, pa) order; consecutive seeds on a
     // diagonal differ by exactly 1 in the packed key (pa + 1 < 2^31 never
     // carries into the diagonal field).
-    // SHUFFLE_HASH: past the broadcast threshold the planner's default is
-    // a SortMergeJoin — two full sorts of the gram table that buy nothing
-    // (the seed stream is re-shuffled by pair right after). A shuffled
-    // hash join keys the same exchange but builds a per-partition hash
-    // map (~|grams|/partitions rows) instead of sorting both sides.
+    // SHUFFLE_HASH, measured at both scales (1.15/6.5 s hinted vs
+    // 1.33/7.9 s AQE-selected): the hashed gram table is ~60 MB at sf0.1
+    // — past broadcast's sweet spot (32 threads each deserialize the
+    // whole build side) but trivially partition-hashable; the seed
+    // stream re-shuffles by pair right after, so SMJ's sorts buy nothing.
     l.join(r.hint("SHUFFLE_HASH"), Seq("gram")).filter(col("i") < col("j"))
       .select(col("i"), col("j"),
         (((col("pa") - col("pb")) + lit(1L << 30)) * lit(1L << 31) +
@@ -705,7 +709,16 @@ object Dedup {
           case (seg, i) => (id, i.toLong, seg.mkString(" "), seg.length.toLong)
         }
       }.toDF(idCol, "seg_idx", "seg", "n_seg_tokens"))
-    val hot = segs.groupBy("seg")
+    // two EXACT phases (the substringRuns discipline): total occurrences
+    // first — map-side-combinable, the exchange carries ~|segment vocab|
+    // rows — then the exact distinct-doc count only over segments whose
+    // occ >= threshold (df <= occ, so the prefilter can't drop a hot seg)
+    val hotCand = segs.groupBy("seg")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= dfThreshold)
+      .select("seg")
+    val hot = segs.join(broadcast(hotCand), Seq("seg"), "left_semi")
+      .groupBy("seg")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= dfThreshold)
       .select("seg")
