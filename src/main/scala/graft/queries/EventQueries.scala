@@ -1181,6 +1181,29 @@ object EventQueries {
           col("event_type"), round(col("sv"), 2).as("sum_value"), col("n"))
     }),
 
+    // THE FULL DASHBOARD SHAPE (r13): every replay and serving path in
+    // ONE plan — a half-open day-aligned time range AND a dim predicate
+    // replay over the daily rung while SUM / COUNT(*) / AVG /
+    // COUNT(DISTINCT dim) all re-aggregate from stored partials (AVG from
+    // the exact cents BIGINT sum_q). This is the canonical "March
+    // dashboard, errors excluded" WHERE a BI tool emits; the optimizer
+    // must compose conjunct-wise replay with multi-shape serving, not
+    // just handle each in isolation. Oracle recomputes everything from
+    // raw; PRODUCTION plan pin proves no events scan survives.
+    "q_a2_nav_dashboard" -> ((s, dir) => {
+      navigationReady(s, dir)
+      val lo = lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0))
+      val hi = lit(java.time.LocalDateTime.of(2024, 1, 22, 0, 0))
+      se(s, dir).filter(col("ts") >= lo && col("ts") < hi &&
+          col("event_type") =!= "error")
+        .groupBy(date_trunc("day", col("ts")).as("day0"))
+        .agg(sum("value").as("sv"), count(lit(1)).as("n"),
+          avg("value").as("av"), countDistinct(col("event_type")).as("n_types"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          round(col("sv"), 2).as("sum_value"), col("n"),
+          round(col("av"), 2).as("avg_value"), col("n_types"))
+    }),
+
     // MULTI-MEASURE NAVIGATION (r12): a dashboard aggregating TWO
     // measures — value (primary) and event_count (registered as an
     // extra measure with suffixed partial columns) — in one aggregate.
@@ -2050,6 +2073,18 @@ object EventQueries {
           |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
           |  AND event_type <> 'error'
           |GROUP BY 1, 2""".stripMargin),
+
+      // the full dashboard: range + dim WHERE from raw; AVG recomputed
+      // through the exact cents form the navigated plan evaluates
+      "q_a2_nav_dashboard" -> cte(
+        """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+          |round(sum(value),2) AS sum_value, count(*) AS n,
+          |round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(value),2) AS avg_value,
+          |count(DISTINCT event_type) AS n_types
+          |FROM e
+          |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+          |  AND event_type <> 'error'
+          |GROUP BY 1""".stripMargin),
 
       "q_a2_nav_multimeasure" -> cte(
         """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,

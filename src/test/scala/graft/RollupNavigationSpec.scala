@@ -593,4 +593,97 @@ class RollupNavigationSpec extends SparkSpec {
       assert(got === expected)
     } finally RollupNavigation.clear()
   }
+
+  test("RANDOMIZED differential: seeded dashboard shapes give identical results navigated and raw") {
+    // Differential fuzzing of the whole navigation surface: one seeded
+    // random fixture (null timestamps, null dims, null measures — every
+    // boundary the rewrite must preserve), a two-rung ladder, and 24
+    // random dashboard shapes composed from {grain, dim predicate,
+    // aligned time range, aggregate subset}. Every shape's NAVIGATED
+    // result must equal its RAW result exactly — the measure is integer,
+    // so sums/averages are exact doubles and no rounding indirection is
+    // needed. Guards against vacuity: most shapes must actually navigate.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rnd = new scala.util.Random(20260815L)
+    val root = java.nio.file.Files.createTempDirectory("graft_nav_fuzz_").toString
+    val raw = s"$root/events"
+    val baseMs = 1700000000000L
+    val types = Array("view", "click", "purchase", null)
+    (0 until 6000).map { i =>
+      val ts = if (rnd.nextInt(50) == 0) null
+        else new java.sql.Timestamp(baseMs + math.abs(rnd.nextLong() % (90L * 86400000L)))
+      val v: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(1000).toLong)
+      (ts, types(rnd.nextInt(types.length)), v)
+    }.toDF("ts", "event_type", "value").write.mode("overwrite").parquet(raw)
+    val rawDf = spark.read.parquet(raw)
+    graft.ops.Rollup.hourlyStats(rawDf, "ts", "value", Seq("event_type"), "hour")
+      .write.mode("overwrite").parquet(s"$root/hourly")
+    graft.ops.Rollup.reaggregateStats(
+        spark.read.parquet(s"$root/hourly"), "hour", "day", Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$root/daily")
+    def register(): Unit =
+      Seq((s"$root/hourly", "hour", "hour"), (s"$root/daily", "bucket", "day"))
+        .foreach { case (p, tc, g) =>
+          RollupNavigation.register(spark, rawDf, "ts", Seq("event_type"),
+            "value", p, tc, "sum_value", cntCol = Some("cnt"),
+            cntMeasureCol = Some("cnt_measure"), minCol = Some("min_value"),
+            maxCol = Some("max_value"), grain = g)
+        }
+    def alignedTs(dayOffset: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDate.of(2023, 11, 15)
+        .plusDays(dayOffset.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+    def shape(seed: Int): DataFrame = {
+      val r = new scala.util.Random(seed)
+      var df = rawDf
+      r.nextInt(4) match { // dim predicate
+        case 0 =>
+        case 1 => df = df.filter(col("event_type") === "view")
+        case 2 => df = df.filter(col("event_type") =!= "view")
+        case 3 => df = df.filter(col("event_type").isin("view", "click"))
+      }
+      if (r.nextInt(2) == 1) { // aligned half-open time range
+        val lo = r.nextInt(40); val hi = lo + 1 + r.nextInt(45)
+        df = df.filter(col("ts") >= lit(alignedTs(lo)) && col("ts") < lit(alignedTs(hi)))
+      }
+      val groups: Seq[org.apache.spark.sql.Column] = r.nextInt(6) match {
+        case 0 => Seq(date_trunc("hour", col("ts")).as("b"))
+        case 1 => Seq(date_trunc("day", col("ts")).as("b"))
+        case 2 => Seq(date_trunc("week", col("ts")).as("b"), col("event_type"))
+        case 3 => Seq(date_trunc("month", col("ts")).as("b"), col("event_type"))
+        case 4 => Seq(col("event_type")) // dims-only
+        case 5 => Seq.empty              // global
+      }
+      val allAggs = Seq(
+        sum("value").as("s"), count(lit(1)).as("n"), avg("value").as("a"),
+        min("value").as("mn"), max("value").as("mx"),
+        countDistinct(col("event_type")).as("nd"))
+      val picked = allAggs.zipWithIndex.filter { case (_, i) => r.nextInt(2) == 0 || i == 0 }
+        .map(_._1)
+      df.groupBy(groups: _*).agg(picked.head, picked.tail: _*)
+    }
+    def rowsOf(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    def readsRaw(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.exists(_.contains("/events"))
+    try {
+      var navigatedCount = 0
+      for (seed <- 1 to 24) {
+        RollupNavigation.clear()
+        val expected = rowsOf(shape(seed)) // raw truth, rule disarmed
+        register()
+        val q = shape(seed)
+        if (!readsRaw(q)) navigatedCount += 1
+        assert(rowsOf(q) === expected, s"seed $seed diverged")
+      }
+      // every shape here is servable (aligned bounds, registered dims,
+      // served aggregate set) — if most ran raw the differential is vacuous
+      assert(navigatedCount >= 16, s"only $navigatedCount/24 shapes navigated")
+    } finally RollupNavigation.clear()
+  }
 }
