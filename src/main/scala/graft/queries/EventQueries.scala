@@ -1204,6 +1204,38 @@ object EventQueries {
           round(col("av"), 2).as("avg_value"), col("n_types"))
     }),
 
+    // CUBE-FROM-LADDER (r13): the grouping-sets dashboard as a UNION of
+    // navigable aggregates instead of Spark's Expand. Expand multiplies
+    // the RAW row stream by the number of grouping sets before the
+    // aggregate (4x the scan at 100 TB), and its plan shape
+    // (Aggregate-over-Expand) is un-navigable; the union form plans four
+    // independent Aggregates the optimizer rewrites onto the ladder —
+    // (day,type)/(day) ride the daily rung, (type)/() the monthly — so
+    // the whole cube reads O(rollup) rows and never touches raw
+    // (PRODUCTION plan pin). gid carries the standard GROUPING_ID bit
+    // convention (MSB = first cube column), mirrored by the oracle's
+    // GROUP BY CUBE + GROUPING().
+    "q_a2_nav_cube" -> ((s, dir) => {
+      navigationReady(s, dir)
+      def branch(byDay: Boolean, byType: Boolean, gid: Int) = {
+        val groups =
+          (if (byDay) Seq(date_trunc("day", col("ts")).as("day0")) else Nil) ++
+            (if (byType) Seq(col("event_type")) else Nil)
+        val agg = se(s, dir).groupBy(groups: _*)
+          .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+        agg.select(
+          (if (byDay) date_format(col("day0"), "yyyy-MM-dd") else lit(null)
+            .cast("string")).as("day"),
+          (if (byType) col("event_type") else lit(null).cast("string"))
+            .as("event_type"),
+          lit(gid).as("gid"), round(col("sv"), 2).as("sum_value"), col("n"))
+      }
+      branch(byDay = true, byType = true, 0)
+        .unionByName(branch(byDay = true, byType = false, 1))
+        .unionByName(branch(byDay = false, byType = true, 2))
+        .unionByName(branch(byDay = false, byType = false, 3))
+    }),
+
     // MULTI-MEASURE NAVIGATION (r12): a dashboard aggregating TWO
     // measures — value (primary) and event_count (registered as an
     // extra measure with suffixed partial columns) — in one aggregate.
@@ -2073,6 +2105,18 @@ object EventQueries {
           |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
           |  AND event_type <> 'error'
           |GROUP BY 1, 2""".stripMargin),
+
+      // CUBE over raw with GROUPING() bits (DuckDB grouping markers CAST
+      // to INT, the engine-parity gotcha) — the union-of-navigated form
+      // must be indistinguishable from the relational CUBE
+      "q_a2_nav_cube" -> cte(
+        """SELECT CASE WHEN GROUPING(d) = 0
+          |  THEN strftime(CAST(d AS DATE), '%Y-%m-%d') END AS day,
+          |CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+          |CAST(GROUPING(d, event_type) AS INT) AS gid,
+          |round(sum(value),2) AS sum_value, count(*) AS n
+          |FROM (SELECT date_trunc('day', ts) AS d, event_type, value FROM e)
+          |GROUP BY CUBE (d, event_type)""".stripMargin),
 
       // the full dashboard: range + dim WHERE from raw; AVG recomputed
       // through the exact cents form the navigated plan evaluates
