@@ -44,5 +44,9 @@ object GraftSession {
       // broadcast pick at small scale (measured +0.9 s on q_dedup_jaccard
       // at sf0.1). Runtime selection takes broadcast when tiny, hash when
       // the per-partition build fits, sort-merge only past that.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+      // SIZING RULE (the threshold is COMPRESSED shuffle bytes; the hash
+      // map is NOT spillable): threshold x concurrent tasks x ~5x object
+      // expansion must fit the heap. 32 threads on a 24g heap -> 32m
+      // (128m OOMed the 100x pair-family stress at exactly this join).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "32m")
 }
