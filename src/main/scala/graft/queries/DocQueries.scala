@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
-import graft.ops.{CacheRegistry, Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{CacheRegistry, Dedup, MediaCodec, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
@@ -846,14 +846,20 @@ object DocQueries {
           sum(length(col("frame"))).as("total_frame_bytes"))
     }),
 
+    // REAL codec decode (MediaCodec): synthesize PNG/WAV/PNG-container
+    // payloads whose pixel/sample values are closed-form in doc_id, then
+    // decode them with javax.imageio / javax.sound.sampled and census the
+    // DECODED content. The oracle recomputes the features from the formula
+    // alone, so a hash match proves the codec round-trip is exact.
     "q_mm_features" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
-      Multimodal.decodeStub(s, media).toDF()
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      MediaCodec.decodeFeatures(s, media).toDF()
         .groupBy("kind").agg(
           count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
-          min(col("head_byte")).as("min_head"),
-          max(col("head_byte")).as("max_head"))
+          sum(col("n_units")).as("total_units"),
+          sum(col("feat")).as("total_feat"),
+          min(col("feat")).as("min_feat"),
+          max(col("feat")).as("max_feat"))
     }),
 
     // Multimodal -> embedding loop closed: media -> resize -> frame-sample
@@ -875,10 +881,14 @@ object DocQueries {
     // The Spark-side plumbing (binary frames, one-to-many flatMap,
     // hash-groupBy) is the production shape; only the slicer is fake.
     "q_mm_frame_dedup" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
-      val frames = Multimodal.frameSampleStub(s, media, frameBytes = 64, stride = 2)
-      val g = frames.toDF().select(md5(col("frame")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
+      // REAL video-frame dedup: demux the PNG container, ImageIO-decode
+      // each keyframe, hash the canonical DECODED pixel bytes (equality ==
+      // pixel equality, independent of encoder bytes), census duplicate
+      // groups. The oracle groups by the content seed — md5 classes match
+      // seed classes iff the decode is exact.
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      val g = MediaCodec.decodedFrames(s, media).toDF()
+        .groupBy(col("px_md5")).agg(count(lit(1)).as("c"))
       g.agg(sum(col("c")).as("n_frames"), count(lit(1)).as("n_distinct"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_frames"),
         max(col("c")).as("max_group"))
@@ -891,15 +901,17 @@ object DocQueries {
     // clip. The one-to-many flatMap is the same seam as the frame
     // slicer; a real decoder + VAD model slots in per partition.
     "q_mm_audio_vad" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
-        .filter(col("kind") === "audio")
-      Multimodal.vadChunksStub(s, media, frameBytes = 256, thresholdPerByte = 96)
-        .toDF()
+      // REAL WAV decode via javax.sound.sampled: PCM s16le samples out of
+      // the RIFF payload, 256-sample chunks, integer energy = sum |sample|,
+      // voiced = energy above 1024/sample (the mean-|uniform| midline).
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      MediaCodec.vadChunks(s, media, chunkSamples = 256).toDF()
+        .withColumn("voiced", col("energy") > lit(1024L) * col("n_samples"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
-          sum(when(col("voiced"), col("n_bytes")).otherwise(0L)).as("voiced_bytes"),
-          max(col("energy_u")).as("max_energy"))
+          sum(when(col("voiced"), col("n_samples")).otherwise(0L)).as("voiced_samples"),
+          max(col("energy")).as("max_energy"))
     }),
 
     // Scene-cut detection (STUB decode, real plumbing) — the video-
@@ -910,18 +922,19 @@ object DocQueries {
     // threshold. The lag window is per-clip frame-count-bounded, never
     // corpus-wide; a real codec slots into the same 1→N flatMap seam.
     "q_mm_scenecut" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
-        .filter(col("kind") === "video")
-      val frames = Multimodal.frameSampleStub(s, media,
-        frameBytes = 64, stride = 1)
-      val fe = Multimodal.embedStub(s, frames.toDF(), dim = 1).toDF()
-        .select(col("doc_id"), col("frame_idx"), col("v").as("energy"))
+      // REAL scene-cut: demux + ImageIO-decode keyframes, per-frame energy
+      // = decoded pixel-value sum, a CUT where the adjacent-frame delta
+      // exceeds 1800 (≈ the corpus median delta — see MediaCodec seeds).
+      // The lag window is per-clip frame-count-bounded, never corpus-wide.
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      val fe = MediaCodec.decodedFrames(s, media).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("energy"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
       fe.withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(w)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
-          sum(when(col("delta") > 600L, 1L).otherwise(0L)).as("n_cuts"),
+          sum(when(col("delta") > 1800L, 1L).otherwise(0L)).as("n_cuts"),
           max(coalesce(col("delta"), lit(0L))).as("max_delta"))
     }),
 
@@ -1557,64 +1570,57 @@ object DocQueries {
            |  FROM scored) r
            |WHERE rnk <= 5""".stripMargin,
 
-      // closed form of the stub chain: m = min(bytes,256) resized bytes;
-      // c = ceil(m/64) chunks; every 2nd chunk kept (k = ceil(c/2)); kept
-      // bytes depend on whether the (short) last chunk index is even.
-      // per_doc is filtered to k > 0: the Spark side inner-joins through
-      // frames, so a doc whose payload yields zero frames (empty text)
-      // contributes no row — the closed form must mirror that.
-      // frames are byte-slices of the (ASCII-pinned) text payload, so
-      // substring replays the slicer and DuckDB md5 over the same bytes
-      // reproduces every hash
+      // Real-codec frame dedup: the Spark side hashes DECODED pixel bytes;
+      // the oracle groups by the generating content seed. The two censuses
+      // agree iff ImageIO's PNG round-trip is pixel-exact (distinct seeds
+      // give distinct first channels, so md5 classes == seed classes).
       "q_mm_frame_dedup" ->
-        """WITH fr AS (SELECT substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
-          |  FROM documents,
-          |    unnest(generate_series(0,
-          |      CAST(floor((length(text) - 1) / 64.0) AS BIGINT))) AS t(i)
-          |  WHERE i % 2 = 0),
-          |g AS (SELECT md5(frame) AS h, count(*) AS c FROM fr GROUP BY 1)
+        """WITH fr AS (SELECT ((d.doc_id * 3 + f.f * 7) % 32) AS seed
+          |  FROM documents d,
+          |    unnest(generate_series(0, CAST(5 + d.doc_id % 4 AS BIGINT))) AS f(f)
+          |  WHERE d.doc_id % 3 = 2),
+          |g AS (SELECT seed, count(*) AS c FROM fr GROUP BY 1)
           |SELECT CAST(sum(c) AS BIGINT) AS n_frames, count(*) AS n_distinct,
           |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_frames,
           |  CAST(max(c) AS BIGINT) AS max_group
           |FROM g""".stripMargin,
 
-      // ASCII-pinned payloads: ord(char) == byte value, so the oracle
-      // replays every frame energy exactly
+      // Real-WAV VAD: the oracle replays the closed-form PCM samples
+      // s(i) = ((doc_id*17+i*i*5)%4097)-2048; the Spark side reads them
+      // back out of the RIFF container via javax.sound. Exact match iff
+      // the encode->decode sample round-trip is bit-exact.
       "q_mm_audio_vad" ->
-        """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
-          |fr AS (SELECT doc_id, i AS ci,
-          |    substring(text, CAST(i * 256 + 1 AS BIGINT), 256) AS frame
-          |  FROM m, unnest(generate_series(0,
-          |    CAST(floor((length(text) - 1) / 256.0) AS BIGINT))) AS t(i)),
-          |e AS (SELECT doc_id, ci, length(frame) AS n_bytes,
-          |    CAST(sum(ord(substring(frame, CAST(j AS INT), 1))) AS BIGINT) AS energy
-          |  FROM fr, unnest(generate_series(1, length(frame))) AS s(j)
-          |  GROUP BY 1, 2, 3)
+        """WITH s AS (SELECT d.doc_id, t.i // 256 AS ci,
+          |    abs(((d.doc_id * 17 + t.i * t.i * 5) % 4097) - 2048) AS a
+          |  FROM documents d, unnest(generate_series(0, 2047)) AS t(i)
+          |  WHERE d.doc_id % 3 = 1),
+          |e AS (SELECT doc_id, ci, CAST(count(*) AS BIGINT) AS n_samples,
+          |    CAST(sum(a) AS BIGINT) AS energy
+          |  FROM s GROUP BY 1, 2)
           |SELECT doc_id, count(*) AS n_chunks,
-          |  CAST(sum(CASE WHEN energy > 96 * n_bytes THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
-          |  CAST(sum(CASE WHEN energy > 96 * n_bytes THEN n_bytes ELSE 0 END) AS BIGINT) AS voiced_bytes,
+          |  CAST(sum(CASE WHEN energy > 1024 * n_samples THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+          |  CAST(sum(CASE WHEN energy > 1024 * n_samples THEN n_samples ELSE 0 END) AS BIGINT) AS voiced_samples,
           |  CAST(max(energy) AS BIGINT) AS max_energy
           |FROM e GROUP BY 1""".stripMargin,
 
-      // ASCII-pinned payloads again: per-frame energies replay via ord
+      // Real-codec scene-cut: per-frame energy = decoded pixel sum, which
+      // the oracle recomputes from the frame-seed formula; deltas/cuts
+      // replay in SQL windows.
       "q_mm_scenecut" ->
-        """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-          |fr AS (SELECT doc_id, i AS fi,
-          |    substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
-          |  FROM m, unnest(generate_series(0,
-          |    CAST(floor((length(text) - 1) / 64.0) AS BIGINT))) AS t(i)),
-          |e AS (SELECT doc_id, fi,
-          |    CAST(sum(ord(substring(frame, CAST(j AS INT), 1))) AS BIGINT) AS energy
-          |  FROM fr, unnest(generate_series(1, length(frame))) AS s(j)
-          |  GROUP BY 1, 2),
-          |d AS (SELECT doc_id,
+        """WITH e AS (SELECT d.doc_id, f.f AS fi,
+          |    CAST(sum((((d.doc_id * 3 + f.f * 7) % 32) * 29 + t.i * t.i * 11) % 256) AS BIGINT) AS energy
+          |  FROM documents d,
+          |    unnest(generate_series(0, CAST(5 + d.doc_id % 4 AS BIGINT))) AS f(f),
+          |    unnest(generate_series(0, 191)) AS t(i)
+          |  WHERE d.doc_id % 3 = 2 GROUP BY 1, 2),
+          |dl AS (SELECT doc_id,
           |    abs(energy - lag(energy, 1) OVER (PARTITION BY doc_id
           |      ORDER BY fi)) AS delta
           |  FROM e)
           |SELECT doc_id, count(*) AS n_frames,
-          |  CAST(sum(CASE WHEN delta > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |  CAST(sum(CASE WHEN delta > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
           |  CAST(max(COALESCE(delta, 0)) AS BIGINT) AS max_delta
-          |FROM d GROUP BY 1""".stripMargin,
+          |FROM dl GROUP BY 1""".stripMargin,
 
       "q_mm_pipeline" ->
         """WITH base AS (
@@ -1689,20 +1695,36 @@ object DocQueries {
           |GROUP BY 1
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
-      // head CASE mirrors the Spark stub's empty-payload sentinel (-1):
-      // DuckDB's ascii('') is 0, not -1.
+      // Real-codec features: the oracle recomputes each modality's decoded
+      // census from the closed-form content (16x16x3 PNG channels, 2048
+      // PCM samples, 6+id%4 frames of 8x8x3) — the Spark side must get the
+      // identical integers back OUT of the encoded PNG/WAV/container via
+      // javax.imageio / javax.sound for the hash to match.
       "q_mm_features" ->
-        """SELECT
-          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-          |       WHEN doc_id % 3 = 1 THEN 'audio'
-          |       ELSE 'video' END AS kind,
-          |  count(*) AS n,
-          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-          |  min(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-          |           ELSE ascii(substring(text, 1, 1)) END) AS min_head,
-          |  max(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-          |           ELSE ascii(substring(text, 1, 1)) END) AS max_head
-          |FROM documents GROUP BY 1""".stripMargin
+        """WITH img AS (SELECT d.doc_id, CAST(256 AS BIGINT) AS n_units,
+          |    CAST(sum((d.doc_id * 31 + t.i * t.i * 13) % 256) AS BIGINT) AS feat
+          |  FROM documents d, unnest(generate_series(0, 767)) AS t(i)
+          |  WHERE d.doc_id % 3 = 0 GROUP BY 1),
+          |aud AS (SELECT d.doc_id, CAST(2048 AS BIGINT) AS n_units,
+          |    CAST(sum(abs(((d.doc_id * 17 + t.i * t.i * 5) % 4097) - 2048)) AS BIGINT) AS feat
+          |  FROM documents d, unnest(generate_series(0, 2047)) AS t(i)
+          |  WHERE d.doc_id % 3 = 1 GROUP BY 1),
+          |vid AS (SELECT d.doc_id, CAST(6 + d.doc_id % 4 AS BIGINT) AS n_units,
+          |    CAST(sum((((d.doc_id * 3 + f.f * 7) % 32) * 29 + t.i * t.i * 11) % 256) AS BIGINT) AS feat
+          |  FROM documents d,
+          |    unnest(generate_series(0, CAST(5 + d.doc_id % 4 AS BIGINT))) AS f(f),
+          |    unnest(generate_series(0, 191)) AS t(i)
+          |  WHERE d.doc_id % 3 = 2 GROUP BY 1),
+          |u AS (
+          |  SELECT 'image' AS kind, n_units, feat FROM img
+          |  UNION ALL SELECT 'audio', n_units, feat FROM aud
+          |  UNION ALL SELECT 'video', n_units, feat FROM vid)
+          |SELECT kind, count(*) AS n,
+          |  CAST(sum(n_units) AS BIGINT) AS total_units,
+          |  CAST(sum(feat) AS BIGINT) AS total_feat,
+          |  CAST(min(feat) AS BIGINT) AS min_feat,
+          |  CAST(max(feat) AS BIGINT) AS max_feat
+          |FROM u GROUP BY 1""".stripMargin
     )
   }
 }
