@@ -101,6 +101,10 @@ object IndexStress {
       case (l, n, false) if want(l) => knnRow(l, n)
       case (l, n, true) if want(l)  => irRow(l, n)
     }
+    // fail fast on a typo'd filter: a header-only table would read as a
+    // successful run with no data (matching is case-sensitive contains)
+    require(rows.nonEmpty, s"filter '${only.getOrElse("")}' matched no rows; " +
+      "labels contain: Knn, Ir")
 
     println("| store | build sec (context) | fixed-delta refresh sec |")
     println("|---|---|---|")

@@ -101,13 +101,24 @@ object Sampling {
     * aggregate, rates as a when-chain, apply as a pure hash-threshold
     * scan predicate — no join, no shuffle, streaming-safe.
     */
+  /** Driver-state ceiling for the mix/temperature metadata collects:
+    * group keys are training-mix DOMAINS (config-scale), never row-scale
+    * data. The limit+require turns a high-cardinality caller mistake into
+    * a clear error instead of a driver-size surprise (the deriveBlocks
+    * convention). */
+  private val MaxMixGroups = 10000
+
   def temperatureRates(df: org.apache.spark.sql.DataFrame,
                        grp: Column): Map[String, Long] = {
     // cast-to-string so an arbitrary group expression (int, date, …)
     // collects cleanly instead of ClassCastException-ing at getString
     val counts = df.groupBy(grp.cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"))
+      .limit(MaxMixGroups + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= MaxMixGroups,
+      s"temperatureRates: grp exceeds $MaxMixGroups distinct values — " +
+        "mix groups must be config-scale domains, not row-scale keys")
     require(counts.nonEmpty, "temperatureRates: empty corpus (no groups)")
     val wq = counts.map { case (g, n) =>
       g -> math.floor(1e6 * math.sqrt(n.toDouble)).toLong }
@@ -139,7 +150,11 @@ object Sampling {
     require(targets.values.sum == 1000L, s"target permilles must sum to 1000: $targets")
     require(targets.values.forall(_ > 0), s"every target must be positive: $targets")
     val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__n"))
+      .limit(MaxMixGroups + 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(counts.size <= MaxMixGroups,
+      s"mixReweight: grp exceeds $MaxMixGroups distinct values — " +
+        "mix groups must be config-scale domains, not row-scale keys")
     require(counts.keySet == targets.keySet,
       s"groups ${counts.keySet} != targets ${targets.keySet}")
     val t = targets.map { case (g, f) => counts(g) * 1000L / f }.min

@@ -238,8 +238,6 @@ object RollupNavigation extends Rule[LogicalPlan] {
     *    O(files) per plan; a table format's commit version replaces this
     *    in deployment, where such layouts are the norm). */
   private def rootToken(spark: SparkSession, paths: Set[String]): String = {
-    val key = paths.toSeq.sorted.mkString(",")
-    if (parentDepth.get(key).exists(_ >= 2)) return deepSignature(spark, paths)
     val conf = spark.sparkContext.hadoopConfiguration
     paths.toSeq.sorted.map { p =>
       val hp = new Path(p)
@@ -264,12 +262,23 @@ object RollupNavigation extends Rule[LogicalPlan] {
     * re-detect). */
   private def currentSignature(spark: SparkSession, paths: Set[String]): String = {
     val key = paths.toSeq.sorted.mkString(",")
+    // deep layouts (depth >= 2): the recursive signature IS the token —
+    // exactly one deep walk per probe, and the cache stays coherent (a
+    // shallow token would never match it, forcing a second walk per plan)
+    if (parentDepth.get(key).exists(_ >= 2)) {
+      val sig = deepSignature(spark, paths)
+      sigCache.put(key, (sig, sig))
+      return sig
+    }
     val tok = rootToken(spark, paths)
     sigCache.get(key) match {
       case Some((t, sig)) if t == tok => sig
       case _ =>
         val sig = deepSignature(spark, paths)
-        sigCache.put(key, (tok, sig))
+        // the walk may have just DISCOVERED a deep layout; prime the cache
+        // with the deep token so the next probe pays one walk, not two
+        val cacheTok = if (parentDepth.get(key).exists(_ >= 2)) sig else tok
+        sigCache.put(key, (cacheTok, sig))
         sig
     }
   }

@@ -56,7 +56,10 @@ object EventsApi {
     * task attempt, while anything the schedule cannot change still
     * surfaces to Spark's own task retry. Only `IOException`s are
     * retried — an interrupt means the task is being cancelled, and any
-    * other exception is a deterministic bug backoff cannot fix.
+    * other exception is a deterministic bug backoff cannot fix. A
+    * `FileNotFoundException` is likewise deterministic (a genuinely
+    * missing file stays missing through every backoff, and Spark's task
+    * retry would then repeat the same futile sleeps) — it fails fast.
     */
   def fetchWithRetry[T](maxAttempts: Int = 3, baseDelayMs: Long = 10)
                        (attempt: => T): T = {
@@ -65,6 +68,7 @@ object EventsApi {
     while (true) {
       try return attempt
       catch {
+        case e: java.io.FileNotFoundException => throw e
         case e: java.io.IOException =>
           n += 1
           if (n >= maxAttempts) throw e
