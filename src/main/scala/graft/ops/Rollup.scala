@@ -213,6 +213,7 @@ object Rollup {
 
   def buildStatsLadder(spark: org.apache.spark.sql.SparkSession,
                        raw: DataFrame, ladder: StatsLadder): Unit = {
+    armedLadders.remove(ladder.hourlyPath) // store mutates: re-arm fully
     val k = ladder.kmvOf.map(_._2)
     val q = ladder.exactSumScale.nonEmpty
     hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
@@ -232,6 +233,7 @@ object Rollup {
 
   def refreshStatsLadder(spark: org.apache.spark.sql.SparkSession,
                          delta: DataFrame, ladder: StatsLadder): Unit = {
+    armedLadders.remove(ladder.hourlyPath) // store mutates: re-arm fully
     val k = ladder.kmvOf.map(_._2)
     val ems = ladder.extraMeasures
     val q = ladder.exactSumScale.nonEmpty
@@ -253,11 +255,34 @@ object Rollup {
     } finally { CacheRegistry.release(hd); CacheRegistry.release(dd) }
   }
 
+  /** Per-ladder memo of the rung registration keys last armed: queries call
+    * registerStatsLadder on EVERY invocation (clear()-resilience), and the
+    * full derivation — three optimized-plan traces + three parquet
+    * re-analyses + signature probes — measured ~0.31 s/call at sf0.1
+    * (tools.NavOverhead), the bulk of the nav family's fixed cost. When all
+    * rung keys are still live the re-arm is a map lookup. build/refresh
+    * invalidate (store contents changed ⇒ the cached LogicalRelation's file
+    * list is stale); RollupNavigation.clear() empties the registration
+    * table, so isLive goes false and the next call re-derives. Keeping the
+    * FIRST registration's raw-store signature is also the conservative
+    * choice: a raw store that changed after the ladder was built now fails
+    * the plan-time freshness probe and falls back to the raw scan, instead
+    * of being re-stamped fresh over stale rollup contents. */
+  private val armedLadders =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   def registerStatsLadder(spark: org.apache.spark.sql.SparkSession,
-                          raw: DataFrame, ladder: StatsLadder): Unit =
-    Seq((ladder.hourlyPath, "hour", "hour"), (ladder.dailyPath, "bucket", "day"),
-        (ladder.monthlyPath, "bucket", "month")).foreach { case (p, tc, g) =>
-      graft.plans.RollupNavigation.register(spark, raw, ladder.tsCol,
+                          raw: => DataFrame, ladder: StatsLadder): Unit = {
+    // `raw` is by-name: on a memo hit the caller's (possibly enriched)
+    // frame is never even CONSTRUCTED — analysis of a wide enrichment
+    // projection was the residual ~0.12 s/call after the memo landed
+    if (armedLadders.get(ladder.hourlyPath)
+        .exists(graft.plans.RollupNavigation.isLive)) return
+    val rawDf = raw
+    val keys = Seq((ladder.hourlyPath, "hour", "hour"),
+        (ladder.dailyPath, "bucket", "day"),
+        (ladder.monthlyPath, "bucket", "month")).map { case (p, tc, g) =>
+      graft.plans.RollupNavigation.register(spark, rawDf, ladder.tsCol,
         ladder.dims, ladder.measureCol, p, tc, "sum_value",
         cntCol = Some("cnt"), cntMeasureCol = Some("cnt_measure"),
         minCol = Some("min_value"), maxCol = Some("max_value"), grain = g,
@@ -265,6 +290,8 @@ object Rollup {
         extraMeasures = ladder.extraMeasures,
         exactSum = ladder.exactSumScale.map(sc => ("sum_q", sc)))
     }
+    armedLadders.put(ladder.hourlyPath, keys)
+  }
 
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */
   def reaggregate(hourlyDf: DataFrame, hourCol: String, sumCol: String,

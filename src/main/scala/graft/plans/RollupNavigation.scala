@@ -346,7 +346,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
                grain: String = "hour",
                kmv: Option[(org.apache.spark.sql.Column, Int, String)] = None,
                extraMeasures: Seq[String] = Nil,
-               exactSum: Option[(String, Int)] = None): Unit = {
+               exactSum: Option[(String, Int)] = None): String = {
     require(GrainRank.contains(normLevel(grain)),
       s"RollupNavigation: unknown grain $grain")
     // Trace through the OPTIMIZED projection, not the analyzed plan: by
@@ -424,7 +424,16 @@ object RollupNavigation extends Rule[LogicalPlan] {
       currentSignature(spark, roots), normLevel(grain),
       kmvCol = kmvInfo.map(_._1), kmvK = kmvInfo.map(_._2).getOrElse(0),
       kmvTraced = kmvInfo.map(_._3)))
+    key
   }
+
+  /** True iff every key (as returned by [[register]]) is still live — the
+    * cheap re-arm check callers use to skip re-deriving a registration
+    * whose traces/relations are unchanged (Rollup.registerStatsLadder's
+    * memo). `clear()` empties the table, so suites that wipe registrations
+    * force the next register to do full work. */
+  private[graft] def isLive(keys: Seq[String]): Boolean =
+    keys.nonEmpty && keys.forall(regs.contains)
 
   /** Drop all registrations (spec hygiene). */
   def clear(): Unit = { regs.clear(); sigCache.clear(); parentDepth.clear() }
