@@ -69,7 +69,7 @@ object ScaleStress {
     // time-bin join would see 10× windows × 10× in-window density = ×100
     // OUTPUT rows — measuring the fixture's time-collapse, not the
     // operator (see COVERAGE.md).
-    "q_dedup_containment", "q_sim_pq", "q_agg_countmin",
+    "q_dedup_containment", "q_sim_pq", "q_sim_ivfpq", "q_agg_countmin",
     // kNN graph: EVERY vector is a query, so candidate volume is
     // corpus × ~nprobe/k — the cell-local kernel must keep the ratio
     // near-linear as both corpus and cell populations grow 10×

@@ -23,15 +23,21 @@ import org.apache.spark.sql.functions._
   * data collect: its size is fixed by the filter parameters, independent of
   * table cardinality.
   *
-  * k seeded md5 hashes (k=4, mBits=2^16 → fpp ≈ (1-e^(-kn/m))^k ≈ 4e-6 at
-  * n=750). md5 keeps oracle reproducibility; a production variant free of
-  * oracle constraints would swap [[Hashing.md5LongSeeded]] for xxhash64.
+  * k seed-prefixed xxhash64 probes (k=4, mBits=2^16 → fpp ≈
+  * (1-e^(-kn/m))^k ≈ 4e-6 at n=750). The family MUST be cheap: the test
+  * runs once per FACT row ahead of the join, and an earlier md5-seeded
+  * variant (digest → hex → substring → base-16 conv per seed, evaluated
+  * twice per probe) measured 3.3 s over a 0.13 s lineitem scan at sf0.1 —
+  * the "optimization" cost 10× the plain broadcast semi join it was meant
+  * to beat. xxhash64 is a codegen'd native expression (~ns/row); the
+  * filter's false positives are semantically invisible (the exact join
+  * follows), so no oracle models the family and it can be engine-native.
   */
 object Bloom {
 
-  /** k bit positions of a key (md5-seeded family; hash is non-negative). */
+  /** k bit positions of a key (seed-prefixed xxhash64; pmod → [0, mBits)). */
   def positions(c: Column, k: Int, mBits: Int): Seq[Column] =
-    (0 until k).map(s => Hashing.md5LongSeeded(c, s) % mBits)
+    (0 until k).map(s => pmod(xxhash64(lit(s), c), lit(mBits.toLong)))
 
   /** Bitmap words as a DataFrame: one explode + one 64-ary groupBy (map-side
     * partial `bit_or`). At most mBits/64 output rows.
