@@ -261,6 +261,9 @@ object ScaleStress {
       // is the stable throughput estimate the ratio should be built from
       val base = math.min(timed(q, sfDir), timed(q, sfDir))
       val scaled = math.min(timed(q, big), timed(q, big))
+      // stream progress: long runs are launched nohup'd — a silent main
+      // until the final table means 30+ min with no signal
+      println(f"SCALESTRESS $q base=$base%.2f scaled=$scaled%.2f ratio=${scaled / base}%.1f")
       (q, base, scaled, scaled / base)
     }
 

@@ -908,9 +908,10 @@ object Similarity {
     */
   private def assignCells(q: DataFrame,
                           cents: Array[(Long, Array[Long])]): DataFrame =
-    q.select(col("id"), col("q")).mapPartitions { rows =>
+    spreadForKernel(q.select(col("id"), col("q"))).mapPartitions { rows =>
       rows.map { r =>
-        val v = r.getSeq[Long](1)
+        val vSeq = r.getSeq[Long](1)
+        val v = vSeq.toArray // primitive copy once; the loop reads k×dim times
         var bd = Long.MaxValue
         var bc = Long.MaxValue
         var ci = 0
@@ -923,7 +924,7 @@ object Similarity {
           if (d < bd || (d == bd && cid < bc)) { bd = d; bc = cid }
           ci += 1
         }
-        org.apache.spark.sql.Row(r.getLong(0), v, bc, bd)
+        org.apache.spark.sql.Row(r.getLong(0), vSeq, bc, bd)
       }
     }(org.apache.spark.sql.Encoders.row(assignSchema))
 
@@ -951,14 +952,19 @@ object Similarity {
                               cents: Seq[(Long, Array[Long])], p: Int,
                               marginX: Long = 0L): DataFrame = {
     require(p >= 1 && p <= cents.length, s"p=$p out of range 1..${cents.length}")
-    val q = em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q"))
+    val q = spreadForKernel(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
     val carr = cents.toArray
     // typed kernel (see assignCells): p smallest (dist, cid) per vector,
     // identical ordering to array_sort over the candidate structs
     q.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val v = r.getSeq[Long](1)
+        val vSeq = r.getSeq[Long](1)
+        // primitive copy ONCE per row: the Seq view boxes every element
+        // access, and the distance loop reads it k×dim times (jstack'd
+        // at 100×: the boxed path was the whole stage)
+        val v = vSeq.toArray
         val ds = new Array[Long](carr.length)
         var ci = 0
         while (ci < carr.length) {
@@ -969,14 +975,54 @@ object Similarity {
           ds(ci) = d
           ci += 1
         }
-        val ranked = carr.indices.sortBy(i => (ds(i), carr(i)._1)).take(p)
+        // top-p by (dist, cid) via p linear argmin passes — O(k·p)
+        // unboxed; the previous per-ROW sortBy over all k indices was
+        // O(k log k) in BOXED tuples and dominated the 100× assignment
+        // stage (p ≤ 2 in every caller). Ordering identical: min dist,
+        // ties to the lowest centroid id.
+        val ranked = new Array[Int](p)
+        val used = new Array[Boolean](carr.length)
+        var rp = 0
+        while (rp < p) {
+          var bi = -1
+          var bd = Long.MaxValue
+          var bc = Long.MaxValue
+          var i2 = 0
+          while (i2 < carr.length) {
+            if (!used(i2)) {
+              val d = ds(i2)
+              val cid = carr(i2)._1
+              if (d < bd || (d == bd && cid < bc)) { bd = d; bc = cid; bi = i2 }
+            }
+            i2 += 1
+          }
+          used(bi) = true
+          ranked(rp) = bi
+          rp += 1
+        }
         val kept =
-          if (marginX <= 0L) ranked
-          else ranked.take(1) ++
+          if (marginX <= 0L) ranked.toSeq
+          else ranked.take(1).toSeq ++
             ranked.drop(1).filter(i => ds(i) <= marginX * ds(ranked.head))
-        kept.map(i => org.apache.spark.sql.Row(id, v, carr(i)._1, ds(i)))
+        kept.map(i => org.apache.spark.sql.Row(id, vSeq, carr(i)._1, ds(i)))
       }
     }(org.apache.spark.sql.Encoders.row(assignSchema))
+  }
+
+  /** Spread an under-parallel corpus before a per-row O(k·dim) kernel: a
+    * single-file parquet corpus plans 1-8 input partitions, which leaves
+    * 31 of 32 cores idle under the heaviest map in the family (jstack'd
+    * at the 100× stress: ONE task running the whole assignment). The
+    * round-robin shuffle moves only (id, q) rows — ~0.5 KiB each — and is
+    * skipped when the scan already matches the session's parallelism.
+    */
+  private def spreadForKernel(q: DataFrame): DataFrame = {
+    // streaming frames cannot be .rdd-probed (checkForBatch throws) and a
+    // micro-batch's partitioning is the source's admission decision —
+    // leave streams untouched
+    if (q.isStreaming) return q
+    val par = q.sparkSession.sparkContext.defaultParallelism
+    if (q.rdd.getNumPartitions < par) q.repartition(par) else q
   }
 
   /** Default cap on one cell's pair expansion in [[cellPairsCapped]] —
