@@ -393,6 +393,10 @@ object Dedup {
     * the driver orchestrates rounds and reads one count per round.
     * Returns (id, cluster) for every doc incident to >= 1 pair.
     */
+  /** Rounds the last [[dedupClusters]] call took to converge (diagnostic
+    * hook for the convergence-rate specs and the ScaleStress readings). */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
     // persist the pair list BEFORE the symmetric union: both union
     // branches reference the same (potentially expensive) pair plan, and
@@ -417,14 +421,23 @@ object Dedup {
       // propagate: min of own label and neighbors' labels; carry the
       // previous label through so convergence detection is one cheap
       // filter on the checkpointed round output — not a second join
-      val prop = labels.join(neighborMin, Seq("a"), "left")
+      // persisted: the jump below self-joins prop, and without the cache
+      // the edges-join + groupBy above would execute twice per round
+      val prop = CacheRegistry.persist(labels.join(neighborMin, Seq("a"), "left")
         .select(col("a"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("plabel"),
-          col("label").as("old"))
-      // pointer jump: lbl(lbl(a)). Every label IS a node id present in
-      // the table (labels are mins over node ids), and lbl(x) <= x, so
-      // jumping never leaves the component and never increases a label.
-      val ptr = labels.select(col("a").as("plabel"), col("label").as("jlabel"))
+          col("label").as("old")))
+      // pointer jump: plabel(plabel(a)) — through THIS round's propagated
+      // table, which is what makes it true path doubling. Jumping through
+      // the PREVIOUS round's labels (the pre-r14 form) compresses with
+      // one-round-stale pointers: the 100× kNN graph (200k nodes, replica
+      // clusters chained by the fixture's small per-replica shift) blew
+      // past 30 rounds; with the current-table jump it converges in the
+      // O(log diameter) the scaladoc promises. Every plabel IS a node id
+      // present in prop (labels are mins over node ids, prop left-joins
+      // onto the full label table), and plabel(x) <= x, so jumping never
+      // leaves the component and never increases a label.
+      val ptr = prop.select(col("a").as("plabel"), col("plabel").as("jlabel"))
       val ckpt = prop.join(ptr, Seq("plabel"), "left")
         .select(col("a"),
           least(col("plabel"), coalesce(col("jlabel"), col("plabel"))).as("label"),
@@ -442,9 +455,11 @@ object Dedup {
       // materialized data untouched.
       val next = ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
       converged = next.filter(col("label") =!= col("old")).count() == 0
+      CacheRegistry.release(prop) // ckpt materialized; the round cache is dead
       labels = next.select("a", "label")
       round += 1
     }
+    lastRounds.set(round)
     // a silently unconverged result would mislabel chain tails as separate
     // clusters (and hash-mismatch any exact oracle) — refuse instead
     if (!converged)

@@ -402,10 +402,11 @@ object Similarity {
       while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
       math.sqrt(d.toDouble)
     }
-    q.select(col("id"), col("q")).mapPartitions { rows =>
+    spreadForKernel(q.select(col("id"), col("q"))).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val v = r.getSeq[Long](1)
+        val vSeq = r.getSeq[Long](1)
+        val v = vSeq.toArray // primitive once; the loop reads k×dim times
         var selfDot = 0L
         var i = 0
         while (i < v.length) { selfDot += v(i) * v(i); i += 1 }
@@ -420,11 +421,44 @@ object Similarity {
           cos(ci) = dot.toDouble / (nv * cnorm(ci))
           ci += 1
         }
-        // max cos first, ties to the lowest cid — ivfTopK's max_by rule
-        carr.indices.sortBy(i2 => (-cos(i2), carr(i2)._1)).take(nprobe)
-          .zipWithIndex.map { case (bi, p) =>
-            org.apache.spark.sql.Row(carr(bi)._1, p + 1, id, v, nv)
+        // top-nprobe by (max cos, ties to the lowest cid — ivfTopK's
+        // max_by rule) via linear argmax passes: O(k·nprobe) unboxed vs
+        // the boxed O(k log k) sortBy per ROW (the 100× stress lesson,
+        // same as assignWithCentroidsTopP)
+        val picked = new Array[Int](nprobe)
+        val used = new Array[Boolean](carr.length)
+        var rp = 0
+        while (rp < nprobe) {
+          var bi = -1
+          var bc2 = Double.NegativeInfinity
+          var bid = Long.MaxValue
+          var i2 = 0
+          while (i2 < carr.length) {
+            if (!used(i2)) {
+              val c = cos(i2)
+              val cid = carr(i2)._1
+              if (c > bc2 || (c == bc2 && cid < bid)) { bc2 = c; bid = cid; bi = i2 }
+            }
+            i2 += 1
           }
+          if (bi == -1) {
+            // every remaining cosine is NaN (zero-norm vector/centroid):
+            // the old total-order sort ranked NaNs last with the cid
+            // tie-break — pick the lowest remaining cid
+            var i3 = 0
+            var bid3 = Long.MaxValue
+            while (i3 < carr.length) {
+              if (!used(i3) && carr(i3)._1 < bid3) { bid3 = carr(i3)._1; bi = i3 }
+              i3 += 1
+            }
+          }
+          used(bi) = true
+          picked(rp) = bi
+          rp += 1
+        }
+        (0 until nprobe).iterator.map { p =>
+          org.apache.spark.sql.Row(carr(picked(p))._1, p + 1, id, vSeq, nv)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(knnAssignSchema))
   }
@@ -443,7 +477,12 @@ object Similarity {
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .mapPartitions { rows =>
-        type R = (Boolean, Boolean, Long, Seq[Long], Double) // (ism, isq, id, q, nrm)
+        // q is a PRIMITIVE Array[Long], converted once per row at group
+        // build: the scoring loop reads it |cands|×dim times per query —
+        // through the boxed Seq view that was ~10^10 boxed accesses at the
+        // 100× stress (318× time for 100× rows; primitive + the probe
+        // fixes brought the family back sub-linear)
+        type R = (Boolean, Boolean, Long, Array[Long], Double) // (ism, isq, id, q, nrm)
         val in = rows.buffered
         def group(): Iterator[org.apache.spark.sql.Row] = {
           val cell = in.head.getLong(0)
@@ -451,7 +490,7 @@ object Similarity {
           while (in.hasNext && in.head.getLong(0) == cell)  {
             val r = in.next()
             grp += ((r.getBoolean(1), r.getBoolean(2), r.getLong(3),
-              r.getSeq[Long](4), r.getDouble(5)))
+              r.getSeq[Long](4).toArray, r.getDouble(5)))
           }
           val cands = grp.filter(_._1).toArray // ism rows = members
           grp.iterator.filter(_._2).flatMap { case (_, _, qid, qv, qn) =>

@@ -173,6 +173,22 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("dedupClusters: 65536-node path converges in <= 16 rounds (true doubling)") {
+    // the r14 100× stress blew the 30-round cap on a 200k-node kNN graph:
+    // the jump went through the PREVIOUS round's labels (stale pointers
+    // compress slower than doubling on merging chains). With the jump
+    // through THIS round's propagated table, the distance covered obeys
+    // d' = 2d + 2, so a 65535-diameter path needs ceil(log2(65537/3)) = 15
+    // propagation rounds + 1 convergence-detection round.
+    val n = 65536L
+    val path = spark.range(n - 1).select(col("id").as("i"), (col("id") + 1L).as("j"))
+    val got = Dedup.dedupClusters(path, maxRounds = 16)
+    assert(got.filter(col("cluster") === 0L).count() === n)
+    assert(Dedup.lastRounds.get() <= 16,
+      s"rounds=${Dedup.lastRounds.get()}")
+    graft.ops.CacheRegistry.drain()
+  }
+
   test("q_dedup_simhash plan is a shuffled equi-join — no cartesian scan") {
     val df = graft.SparkEntry.queries("q_dedup_simhash")(
       spark, "/root/testdata/sf0.001")
