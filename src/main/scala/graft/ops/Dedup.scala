@@ -365,32 +365,37 @@ object Dedup {
     * cluster; dropping `j` of every pair over-drops on chains (a~b, b~c
     * removes b AND c even when a~c is below tau).
     *
-    * Iterative min-label propagation with POINTER JUMPING: each round every
-    * node takes (a) the min of its neighbors' labels and (b) its label's
-    * label — `lbl(lbl(a))` — so label chains halve per round and
-    * convergence is O(log diameter), not O(diameter). Near-clique dup
-    * components converge in 2 rounds; a pathological 30k-node path graph
-    * still fits the default `maxRounds`.
+    * Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): the edge
+    * set itself contracts toward per-component stars rooted at the min
+    * id. Large-star re-links every strictly-larger neighbor of a node to
+    * its neighborhood min; small-star re-links the ≤ neighbors (and the
+    * node) to it. Both preserve connectivity exactly; the fixpoint is one
+    * star per component. Proven O(log² n) rounds w.h.p. and ~5-14 in
+    * practice on every shape tried — including ADVERSARIAL id layouts.
+    *
+    * WHY not min-label propagation + pointer jumping (the pre-r14 form):
+    * its label chains follow strictly-DECREASING id walks along graph
+    * edges, which die at local id minima — on a path with randomly
+    * permuted ids the jump buys nothing and convergence is O(diameter)
+    * (simulated: a 10k-node permuted path exceeds 3000 rounds even with
+    * full per-round chain compression; the r14 100× kNN graph blew a
+    * 30-round cap the same way). Star operations move EDGES, not labels,
+    * so compression is geometric regardless of id placement.
     *
     * The loop-scaling discipline (each item measured, not theoretical):
-    *  - Every round's output is rebased with an EAGER `localCheckpoint`,
-    *    so `labels` is a flat in-memory scan. Without this the logical
-    *    plan grows by the whole round body each iteration — Catalyst
-    *    re-optimizes an O(rounds x candidate-pipeline) tree per round and
-    *    planning time dwarfs execution (measured 5-60 s/query on a
-    *    229-row label table; flat-lineage rounds are ~100 ms). At cluster
-    *    scale prefer reliable `checkpoint` if executor loss matters; the
-    *    loop shape is unchanged.
-    *  - The pair cache is released as soon as the symmetric edge list is
-    *    materialized, and the edge cache before returning (the final
-    *    labels are checkpoint-backed, so the result plan references
-    *    NOTHING upstream) — live cache inside the loop is O(1) tables.
-    *  - Checkpointed round outputs are small — O(docs incident to a
-    *    near-dup pair), not O(corpus) — and the superseded ones are
-    *    reaped by the ContextCleaner once unreferenced.
+    *  - Every star output is rebased with an EAGER `localCheckpoint`
+    *    (flat lineage, stats reset — see the round body) so Catalyst
+    *    never re-optimizes a compounding tree and size estimates never
+    *    overflow BigInteger (both failure modes measured in earlier
+    *    rounds).
+    *  - Live cache inside the loop is O(1) tables; each round's inputs
+    *    are released as soon as its outputs materialize.
+    *  - Round outputs are ≤ the input edge count — star operations never
+    *    grow the edge set beyond one edge per (node, root) pair.
     *
     * All data movement is distributed joins/aggregates on the edge list;
-    * the driver orchestrates rounds and reads one count per round.
+    * the driver orchestrates rounds and reads two counts per round.
     * Returns (id, cluster) for every doc incident to >= 1 pair.
     */
   /** Rounds the last [[dedupClusters]] call took to converge (diagnostic
@@ -398,65 +403,62 @@ object Dedup {
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
-    // persist the pair list BEFORE the symmetric union: both union
-    // branches reference the same (potentially expensive) pair plan, and
-    // without the cache the whole candidate pipeline would execute twice
+    // persist the pair list BEFORE the fan-out below: the node universe
+    // and the canonical edge set both reference the same (potentially
+    // expensive) pair plan
     val p = CacheRegistry.persist(
       pairs.select(col("i").cast("long"), col("j").cast("long")))
-    val edges = CacheRegistry.persist(
-      p.select(col("i").as("a"), col("j").as("b"))
-        .union(p.select(col("j").as("a"), col("i").as("b"))))
-    // seed: min over self + direct neighbors; eager checkpoint both
-    // materializes the edge cache and flattens the seed's lineage
-    var labels = edges.groupBy("a").agg(min(col("b")).as("nmin"))
-      .select(col("a"), least(col("a"), col("nmin")).as("label"))
+    // node universe — the output contract is one row per doc incident to
+    // a pair, including self-pair-only docs the star iteration never sees
+    val universe = p.select(col("i").as("id"))
+      .union(p.select(col("j").as("id"))).distinct()
       .localCheckpoint(true)
-    CacheRegistry.release(p) // edges materialized; the pair cache is dead
-    var converged = false
+    // canonical distinct undirected edges (a < b), self-loops dropped
+    var edges = p.filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // eager: materialize + flatten lineage
+    CacheRegistry.release(p)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
     var round = 0
     while (!converged && round < maxRounds) {
-      val byNeighbor = labels.select(col("a").as("b"), col("label").as("blabel"))
-      val neighborMin = edges.join(byNeighbor, "b")
-        .groupBy("a").agg(min(col("blabel")).as("nmin"))
-      // propagate: min of own label and neighbors' labels; carry the
-      // previous label through so convergence detection is one cheap
-      // filter on the checkpointed round output — not a second join
-      // persisted: the jump below self-joins prop, and without the cache
-      // the edges-join + groupBy above would execute twice per round
-      val prop = CacheRegistry.persist(labels.join(neighborMin, Seq("a"), "left")
-        .select(col("a"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("plabel"),
-          col("label").as("old")))
-      // pointer jump: plabel(plabel(a)) — through THIS round's propagated
-      // table, which is what makes it true path doubling. Jumping through
-      // the PREVIOUS round's labels (the pre-r14 form) compresses with
-      // one-round-stale pointers: the 100× kNN graph (200k nodes, replica
-      // clusters chained by the fixture's small per-replica shift) blew
-      // past 30 rounds; with the current-table jump it converges in the
-      // O(log diameter) the scaladoc promises. Every plabel IS a node id
-      // present in prop (labels are mins over node ids, prop left-joins
-      // onto the full label table), and plabel(x) <= x, so jumping never
-      // leaves the component and never increases a label.
-      val ptr = prop.select(col("a").as("plabel"), col("plabel").as("jlabel"))
-      val ckpt = prop.join(ptr, Seq("plabel"), "left")
-        .select(col("a"),
-          least(col("plabel"), coalesce(col("jlabel"), col("plabel"))).as("label"),
-          col("old"))
-        .localCheckpoint(true) // eager: materialize + flatten lineage
-      // REBASE the plan stats: localCheckpoint copies the origin plan's
-      // ESTIMATED statistics into its LogicalRDD, and a round's estimate
-      // is the product of the previous round's (two joins ⇒ the
-      // size-in-bytes BigInt's bit-length ~triples per round). 15 rounds
-      // sit just under BigInteger's 2^31-bit ceiling; round 16+ threw
-      // "BigInteger would overflow supported range" during planning
-      // (caught by the 10× q_graph_cc stress, which needs 16 rounds).
-      // Rebuilding the frame from the checkpointed RDD resets stats to
-      // the session default each round — compounding broken, the
-      // materialized data untouched.
-      val next = ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
-      converged = next.filter(col("label") =!= col("old")).count() == 0
-      CacheRegistry.release(prop) // ckpt materialized; the round cache is dead
-      labels = next.select("a", "label")
+      // LARGE-STAR: every strictly-larger neighbor of u re-links to u's
+      // neighborhood min m = min(u, N(u)); m <= u < v keeps (m, v)
+      // canonical. Checkpointed: the small-star below reads it twice
+      // (the symmetric union), and the REBASE (createDataFrame over the
+      // checkpointed RDD) resets plan-size estimates each round —
+      // compounding estimates overflowed BigInteger at round 16+ in the
+      // r8 form of this loop, and compounding lineage made Catalyst
+      // re-optimize an O(rounds × pipeline) tree (5-60 s/round measured).
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val large0 = sym.join(mins, "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .localCheckpoint(true)
+      val large = large0.sparkSession.createDataFrame(large0.rdd, large0.schema)
+      // SMALL-STAR: every <= neighbor of u (and u itself) re-links to the
+      // neighborhood min; m <= v for every emitted (m, v)
+      val sym2 = large.select(col("a").as("u"), col("b").as("v"))
+        .union(large.select(col("b").as("u"), col("a").as("v")))
+      val mins2 = sym2.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val small0 = sym2.join(mins2, "u")
+        .where(col("v") < col("u"))
+        .select(col("v"), col("m"))
+        .union(mins2.select(col("u").as("v"), col("m")))
+        .where(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .localCheckpoint(true)
+      val next = small0.sparkSession.createDataFrame(small0.rdd, small0.schema)
+      // fixpoint = the round was an edge-set no-op (both sets are
+      // distinct, so equal counts + empty difference ⇒ set equality)
+      val nNext = next.count()
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges = next
+      nEdges = nNext
       round += 1
     }
     lastRounds.set(round)
@@ -464,14 +466,16 @@ object Dedup {
     // clusters (and hash-mismatch any exact oracle) — refuse instead
     if (!converged)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxRounds rounds — a component's " +
-          s"diameter exceeds 2^$maxRounds; raise maxRounds " +
-          s"(rounds needed = O(log diameter) with pointer jumping)")
-    // the final labels are checkpoint-backed: the returned plan no longer
-    // references the edge list, so its cache can be dropped NOW instead of
-    // riding along until the harness drains
-    CacheRegistry.release(edges)
-    labels.select(col("a").as("id"), col("label").as("cluster"))
+        s"dedupClusters did not converge in $maxRounds rounds — " +
+          "large-star/small-star needs O(log² n) w.h.p. (~5-14 observed " +
+          "on every shape incl. adversarial id layouts); raise maxRounds")
+    // fixpoint edges ARE the labels: one star per component, root = min
+    // id, members point at it. Universe left-join restores docs whose
+    // only pairs were self-loops (their own cluster).
+    val labels = edges.select(col("b").as("id"), col("a").as("cluster"))
+      .union(edges.select(col("a").as("id"), col("a").as("cluster")).distinct())
+    universe.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Per-document 60-bit SimHash over term frequencies: bit b of the sketch
