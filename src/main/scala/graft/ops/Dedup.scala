@@ -408,11 +408,18 @@ object Dedup {
     // expensive) pair plan
     val p = CacheRegistry.persist(
       pairs.select(col("i").cast("long"), col("j").cast("long")))
-    // node universe — the output contract is one row per doc incident to
-    // a pair, including self-pair-only docs the star iteration never sees
-    val universe = p.select(col("i").as("id"))
-      .union(p.select(col("j").as("id"))).distinct()
-      .localCheckpoint(true)
+    // the output contract is one row per doc incident to a pair — a doc
+    // whose ONLY pairs are self-loops never enters the star iteration, so
+    // it needs a universe backfill. Count them first (cheap on the
+    // persisted pair table): every production pair source emits i < j, so
+    // the fast path skips the extra join and keeps the consumer plan
+    // broadcast-only (PlanShapeSpec pins it).
+    val nSelf = p.filter(col("i") === col("j")).count()
+    val universe =
+      if (nSelf == 0) null
+      else p.select(col("i").as("id"))
+        .union(p.select(col("j").as("id"))).distinct()
+        .localCheckpoint(true)
     // canonical distinct undirected edges (a < b), self-loops dropped
     var edges = p.filter(col("i") =!= col("j"))
       .select(least(col("i"), col("j")).as("a"),
@@ -470,11 +477,11 @@ object Dedup {
           "large-star/small-star needs O(log² n) w.h.p. (~5-14 observed " +
           "on every shape incl. adversarial id layouts); raise maxRounds")
     // fixpoint edges ARE the labels: one star per component, root = min
-    // id, members point at it. Universe left-join restores docs whose
-    // only pairs were self-loops (their own cluster).
+    // id, members point at it
     val labels = edges.select(col("b").as("id"), col("a").as("cluster"))
       .union(edges.select(col("a").as("id"), col("a").as("cluster")).distinct())
-    universe.join(labels, Seq("id"), "left")
+    if (universe == null) labels
+    else universe.join(labels, Seq("id"), "left") // self-loop-only docs
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
