@@ -442,9 +442,12 @@ object Dedup {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // no distinct here: duplicate (m, v) rows cannot change small-star's
+      // neighborhood MIN, and its own distinct canonicalizes the round
+      // output — dropping it saves one shuffle per round
       val large0 = sym.join(mins, "u")
         .where(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .select(col("m").as("a"), col("v").as("b"))
         .localCheckpoint(true)
       val large = large0.sparkSession.createDataFrame(large0.rdd, large0.schema)
       // SMALL-STAR: every <= neighbor of u (and u itself) re-links to the
