@@ -398,11 +398,20 @@ object Dedup {
     * the driver orchestrates rounds and reads two counts per round.
     * Returns (id, cluster) for every doc incident to >= 1 pair.
     */
-  /** Rounds the last [[dedupClusters]] call took to converge (diagnostic
-    * hook for the convergence-rate specs and the ScaleStress readings). */
-  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Rounds the last [[dedupClusters]] call ON THIS THREAD took to converge
+    * (diagnostic hook for the convergence-rate specs and the ScaleStress
+    * readings). ThreadLocal, not a shared atomic: concurrent dedupClusters
+    * calls in one JVM must not overwrite each other's diagnostic. */
+  private[graft] val lastRounds = new ThreadLocal[Int] {
+    override def initialValue: Int = 0
+  }
 
-  def dedupClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+  /** Default round cap 20: large-star/small-star converges in ~5 rounds on
+    * LSH-shaped pair graphs, but the measured worst case is 17 rounds on a
+    * 65k-node monotone PATH (DedupSpec pins ≤18) — 20 leaves headroom for
+    * longer chains, and post-convergence rounds are never paid (the loop
+    * exits at the fixpoint, the cap only bounds divergence). */
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // persist the pair list BEFORE the fan-out below: the node universe
     // and the canonical edge set both reference the same (potentially
     // expensive) pair plan

@@ -179,10 +179,24 @@ object MediaCodec {
   /** Real-payload media table: doc_id -> (kind, encoded bytes). Encoding is
     * per-partition streaming work (no shuffle, no driver bytes); doc_id%3
     * picks the modality, matching the oracle's WHERE partition exactly.
+    *
+    * `only` restricts the table to one modality BEFORE the encode stage:
+    * a single-modality consumer (frame dedup, VAD) must not pay PNG/WAV
+    * encoding for the ~2/3 of docs it then discards — the doc_id%3 filter
+    * is a cheap scan predicate, the encode is the expensive stage.
     */
-  def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
+  def mediaTable(spark: SparkSession, documents: DataFrame,
+                 only: Option[String] = None): Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    documents.select(col("doc_id")).where(col("doc_id").isNotNull).as[Long]
+    val ids = documents.select(col("doc_id")).where(col("doc_id").isNotNull)
+    val picked = only match {
+      case Some("image") => ids.where(col("doc_id") % 3 === 0)
+      case Some("audio") => ids.where(col("doc_id") % 3 === 1)
+      case Some("video") => ids.where(col("doc_id") % 3 === 2)
+      case Some(k) => throw new IllegalArgumentException(s"unknown media kind $k")
+      case None => ids
+    }
+    picked.as[Long]
       .mapPartitions { it =>
         it.map { id =>
           (id % 3) match {

@@ -267,17 +267,32 @@ object Rollup {
     * FIRST registration's raw-store signature is also the conservative
     * choice: a raw store that changed after the ladder was built now fails
     * the plan-time freshness probe and falls back to the raw scan, instead
-    * of being re-stamped fresh over stale rollup contents. */
+    * of being re-stamped fresh over stale rollup contents.
+    *
+    * The map is keyed by hourlyPath (what build/refresh invalidate by) but
+    * a hit additionally requires the FULL ladder identity to match: two
+    * StatsLadder configs sharing an hourly path but differing in
+    * dims/measures/kmv must not cross-memo — the second config re-derives
+    * and its registration REPLACES the first's (RollupNavigation keys regs
+    * by (raw roots, rollup path), so the overwrite is total, not a leak). */
   private val armedLadders =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[String])]
+
+  /** Value-identity of everything that feeds register(); Column has no
+    * stable equals, so its expression string stands in. */
+  private def ladderIdentity(l: StatsLadder): String = Seq(
+    l.base, l.tsCol, l.measureCol, l.dims.mkString(","),
+    l.kmvOf.map { case (c, k) => s"${c.toString}#$k" }.getOrElse(""),
+    l.extraMeasures.mkString(","), l.exactSumScale.toString).mkString("|")
 
   def registerStatsLadder(spark: org.apache.spark.sql.SparkSession,
                           raw: => DataFrame, ladder: StatsLadder): Unit = {
     // `raw` is by-name: on a memo hit the caller's (possibly enriched)
     // frame is never even CONSTRUCTED — analysis of a wide enrichment
     // projection was the residual ~0.12 s/call after the memo landed
-    if (armedLadders.get(ladder.hourlyPath)
-        .exists(graft.plans.RollupNavigation.isLive)) return
+    val ident = ladderIdentity(ladder)
+    if (armedLadders.get(ladder.hourlyPath).exists { case (id, keys) =>
+        id == ident && graft.plans.RollupNavigation.isLive(keys) }) return
     val rawDf = raw
     val keys = Seq((ladder.hourlyPath, "hour", "hour"),
         (ladder.dailyPath, "bucket", "day"),
@@ -290,7 +305,7 @@ object Rollup {
         extraMeasures = ladder.extraMeasures,
         exactSum = ladder.exactSumScale.map(sc => ("sum_q", sc)))
     }
-    armedLadders.put(ladder.hourlyPath, keys)
+    armedLadders.put(ladder.hourlyPath, (ident, keys))
   }
 
   /** A2: re-aggregate an hourly rollup to a coarser grain (sum-of-sums). */

@@ -886,7 +886,7 @@ object DocQueries {
       // pixel equality, independent of encoder bytes), census duplicate
       // groups. The oracle groups by the content seed — md5 classes match
       // seed classes iff the decode is exact.
-      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir), only = Some("video"))
       val g = MediaCodec.decodedFrames(s, media).toDF()
         .groupBy(col("px_md5")).agg(count(lit(1)).as("c"))
       g.agg(sum(col("c")).as("n_frames"), count(lit(1)).as("n_distinct"),
@@ -904,7 +904,7 @@ object DocQueries {
       // REAL WAV decode via javax.sound.sampled: PCM s16le samples out of
       // the RIFF payload, 256-sample chunks, integer energy = sum |sample|,
       // voiced = energy above 1024/sample (the mean-|uniform| midline).
-      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir), only = Some("audio"))
       MediaCodec.vadChunks(s, media, chunkSamples = 256).toDF()
         .withColumn("voiced", col("energy") > lit(1024L) * col("n_samples"))
         .groupBy("doc_id")
@@ -926,7 +926,7 @@ object DocQueries {
       // = decoded pixel-value sum, a CUT where the adjacent-frame delta
       // exceeds 1800 (≈ the corpus median delta — see MediaCodec seeds).
       // The lag window is per-clip frame-count-bounded, never corpus-wide.
-      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      val media = MediaCodec.mediaTable(s, Tables.documents(s, dir), only = Some("video"))
       val fe = MediaCodec.decodedFrames(s, media).toDF()
         .select(col("doc_id"), col("frame_idx"), col("energy"))
       val w = org.apache.spark.sql.expressions.Window
