@@ -377,6 +377,232 @@ object Similarity {
     knnTopK(scoreCellsLocal(tagged, k), k)
   }
 
+  /** Coarse-level cell count for the TWO-LEVEL index: k1 = k2 =
+    * ceil(sqrt(N / [[TargetCellSize]])), so k1·k2 fine cells keep the
+    * average fine population at the target while per-row assignment work
+    * is k1 + k2 = O(sqrt(N)) instead of flat IVF's k = N/cell — total
+    * assignment O(N^1.5/sqrt(cell)) → O(N·sqrt(N/cell)), vs the flat
+    * optimum N^1.5 (SCALE.md "IVF boundary"). The 1024 cap bounds the
+    * COARSE broadcast exactly like [[deriveK]]'s (fine centroids never
+    * ride a broadcast — they live and die inside their coarse cell's
+    * task), so the ceiling binds at N ≈ 64·1024² ≈ 67M vectors per
+    * index shard rather than flat IVF's 65k.
+    */
+  def deriveK2(nVectors: Long): Int =
+    math.max(2L, math.min(1024L,
+      math.ceil(math.sqrt(nVectors.toDouble / TargetCellSize)).toLong)).toInt
+
+  /** TWO-LEVEL (hierarchical) IVF kNN graph — the scale path past flat
+    * IVF's N^1.5 boundary (SCALE.md r14: `q_sim_knn_graph` read 63.7× at
+    * 100× rows because cell population grows linearly once deriveK caps).
+    * Level 1: every vector multi-probes `nprobe1` of the `coarseCents`
+    * cells (broadcast-literal kernel, ≤1024 × 64 longs). Level 2 runs
+    * entirely INSIDE each coarse cell's task group after ONE shuffle
+    * (repartition by coarse cell): train `k2` fine centroids on the
+    * cell's members by the exact-integer Lloyd rules of [[kmeansTrain]]
+    * (seeds = the k2 lowest member ids, `iters2` rounds of L2-argmin
+    * assignment ties-to-lowest-fcid, floorDiv means, empty cells keep
+    * their previous centroid), then members take their top-1 fine cell
+    * and query rows their top-`nprobe2` fine cells by COSINE (max cos,
+    * ties to the lowest fcid — [[probeAssign]]'s serving rule), and each
+    * query scores only its probed fine cells' members with the bounded
+    * top-k loop. [[knnTopK]] merges the per-coarse-cell winners.
+    *
+    * Why this shape survives 100 TB: fine centroids are NEVER driver or
+    * broadcast state — k1·k2 total centroids stay distributed, each
+    * group's k2×dim longs living only in its task; the corpus is
+    * shuffled once; per-query candidate volume is nprobe1·nprobe2·
+    * (N/(k1·k2)) ≈ constant at the deriveK2 sizing; and the one
+    * per-task memory bound is a coarse cell (≈ nprobe1·N/k1 rows =
+    * O(sqrt(N)) at the sizing — 11k rows ≈ 6 MB at 2M vectors). Fine
+    * training cost is capped by `trainCap2` (id-stride thinning of the
+    * id-sorted member list — deterministic, engine-only: the cap never
+    * fires at oracle scale, the same posture as [[TrainSampleCap]]).
+    *
+    * Exact-integer float discipline throughout (quantized dots, floorDiv
+    * means, correctly-rounded sqrt/divide), so a DuckDB oracle replays
+    * the whole derivation — coarse Lloyd, per-cell fine Lloyd, both
+    * assignment rules, scoring — bit for bit.
+    */
+  def knnGraphHier(em: DataFrame, idCol: String, embCol: String,
+                   coarseCents: Seq[(Long, Array[Long])], k: Int,
+                   nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
+                   trainCap2: Int = 2048): DataFrame = {
+    require(k2 >= 1 && iters2 >= 0 && nprobe2 >= 1)
+    val assigned = probeAssign(em, idCol, embCol, coarseCents, nprobe1)
+    val winners = assigned
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "id")
+      .mapPartitions { rows =>
+        val in = rows.buffered
+        def group(): Iterator[org.apache.spark.sql.Row] = {
+          val cell = in.head.getLong(0)
+          // (isMember, id, q, nrm); members arrive id-sorted (the sort
+          // above), queries = every probe row of this cell
+          val grp = scala.collection.mutable.ArrayBuffer
+            .empty[(Boolean, Long, Array[Long], Double)]
+          while (in.hasNext && in.head.getLong(0) == cell) {
+            val r = in.next()
+            grp += ((r.getInt(1) == 1, r.getLong(2),
+              r.getSeq[Long](3).toArray, r.getDouble(4)))
+          }
+          val members = grp.filter(_._1).toArray
+          if (members.isEmpty) Iterator.empty
+          else {
+            val dim = members(0)._3.length
+            // ---- fine training set: id-stride thin past trainCap2 ----
+            val train =
+              if (members.length <= trainCap2) members
+              else {
+                val step = (members.length + trainCap2 - 1) / trainCap2
+                members.indices.collect {
+                  case i if i % step == 0 => members(i) }.toArray
+              }
+            val k2eff = math.min(k2, train.length)
+            // seeds: the k2eff lowest member ids (train is id-sorted), so
+            // fine-cell identity is POSITIONAL — ascending index order IS
+            // ascending seed-id order, and every "lowest fcid" tie-break
+            // below is an ascending scan with a strict comparison
+            var cents = Array.tabulate(k2eff)(i => train(i)._3)
+            // ---- local Lloyd: L2 argmin (ascending scan = ties to the
+            // lowest fcid, seeds are id-ordered), floorDiv means ----
+            var it = 0
+            while (it < iters2) {
+              val sums = Array.ofDim[Long](k2eff, dim)
+              val cnts = new Array[Long](k2eff)
+              var m = 0
+              while (m < train.length) {
+                val v = train(m)._3
+                var bd = Long.MaxValue
+                var bi = 0
+                var ci = 0
+                while (ci < k2eff) {
+                  val cv = cents(ci)
+                  var d = 0L
+                  var j = 0
+                  while (j < dim) { val t = v(j) - cv(j); d += t * t; j += 1 }
+                  if (d < bd) { bd = d; bi = ci }
+                  ci += 1
+                }
+                val s = sums(bi)
+                var j2 = 0
+                while (j2 < dim) { s(j2) += v(j2); j2 += 1 }
+                cnts(bi) += 1
+                m += 1
+              }
+              cents = Array.tabulate(k2eff) { ci =>
+                if (cnts(ci) == 0) cents(ci)
+                else {
+                  val s = sums(ci)
+                  val n = cnts(ci)
+                  Array.tabulate(dim)(j => Math.floorDiv(s(j), n))
+                }
+              }
+              it += 1
+            }
+            val cnorm = cents.map { cv =>
+              var d = 0L
+              var i = 0
+              while (i < dim) { d += cv(i) * cv(i); i += 1 }
+              math.sqrt(d.toDouble)
+            }
+            // serving-side cosine ranks vs the fine centroids: top-1 for
+            // membership, top-nprobe2 for probing — max cos, ties to the
+            // lowest fcid; all-NaN rows fall to the lowest remaining fcid
+            // (probeAssignQ's rule)
+            def topFine(v: Array[Long], nrm: Double, p: Int): Array[Int] = {
+              val cos = new Array[Double](k2eff)
+              var ci = 0
+              while (ci < k2eff) {
+                val cv = cents(ci)
+                var dot = 0L
+                var j = 0
+                while (j < dim) { dot += v(j) * cv(j); j += 1 }
+                cos(ci) = dot.toDouble / (nrm * cnorm(ci))
+                ci += 1
+              }
+              val used = new Array[Boolean](k2eff)
+              val out = new Array[Int](p)
+              var rp = 0
+              while (rp < p) {
+                var bi = -1
+                var bc = Double.NegativeInfinity
+                var i2 = 0
+                while (i2 < k2eff) {
+                  // ascending fcid scan + strict > = ties to lowest fcid
+                  if (!used(i2) && cos(i2) > bc) { bc = cos(i2); bi = i2 }
+                  i2 += 1
+                }
+                if (bi == -1) {
+                  var i3 = 0
+                  while (bi == -1 && i3 < k2eff) {
+                    if (!used(i3)) bi = i3
+                    i3 += 1
+                  }
+                }
+                used(bi) = true
+                out(rp) = bi
+                rp += 1
+              }
+              out
+            }
+            val buckets = Array.fill(k2eff)(
+              scala.collection.mutable.ArrayBuffer.empty[Int])
+            var mi = 0
+            while (mi < members.length) {
+              buckets(topFine(members(mi)._3, members(mi)._4, 1)(0)) += mi
+              mi += 1
+            }
+            val p2 = math.min(nprobe2, k2eff)
+            grp.iterator.flatMap { case (_, qid, qv, qn) =>
+              // bounded top-k by (cos desc, cand_id asc) over the probed
+              // fine cells' members — scoreCellsLocal's insertion loop
+              val a = new Array[Double](k)
+              val ii = new Array[Long](k)
+              var n = 0
+              val probes = topFine(qv, qn, p2)
+              var pi = 0
+              while (pi < p2) {
+                val b = buckets(probes(pi))
+                var bi2 = 0
+                while (bi2 < b.length) {
+                  val (_, cid, cv, cn) = members(b(bi2))
+                  if (cid != qid) {
+                    var dot = 0L
+                    var j = 0
+                    while (j < dim) { dot += qv(j) * cv(j); j += 1 }
+                    val c = dot.toDouble / (qn * cn)
+                    if (n < k || c > a(n - 1) || (c == a(n - 1) && cid < ii(n - 1))) {
+                      var pos = if (n < k) n else k - 1
+                      while (pos > 0 && (a(pos - 1) < c ||
+                          (a(pos - 1) == c && ii(pos - 1) > cid))) {
+                        a(pos) = a(pos - 1); ii(pos) = ii(pos - 1); pos -= 1
+                      }
+                      a(pos) = c; ii(pos) = cid
+                      if (n < k) n += 1
+                    }
+                  }
+                  bi2 += 1
+                }
+                pi += 1
+              }
+              (0 until n).iterator.map(p =>
+                org.apache.spark.sql.Row(qid, ii(p), a(p)))
+            }
+          }
+        }
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!out.hasNext && in.hasNext) out = group()
+            out.hasNext
+          }
+          def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(knnPairSchema))
+    knnTopK(winners, k)
+  }
+
   /** Multi-probe COSINE assignment rows (cell, rk, id, q, nrm): each
     * vector probes its `nprobe` highest-cosine cells (max cos first,
     * ties to the lowest cid — ivfTopK's max_by rule); the rank-1 row IS

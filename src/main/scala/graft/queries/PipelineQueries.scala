@@ -559,6 +559,28 @@ object PipelineQueries {
     // the price of candidates staying linear).
     "q_sim_knn_graph" -> ((s, dir) => knnGraphDf(s, dir)),
 
+    // TWO-LEVEL (hierarchical) IVF kNN graph — the scale path past flat
+    // IVF's N^1.5 boundary (SCALE.md r14: q_sim_knn_graph read 63.7× at
+    // 100× rows because deriveK caps at 1024 and cells then grow
+    // linearly). Coarse k1 = fine k2 = ceil(sqrt(N/64)) keeps the fine
+    // population at the 64-vector target while per-row assignment work
+    // is k1 + k2 = O(sqrt(N)); fine centroids are trained INSIDE each
+    // coarse cell's task after the one shuffle — never driver or
+    // broadcast state. Same output contract as q_sim_knn_graph (every
+    // vector's top-3 cosine neighbors); the oracle replays the coarse
+    // Lloyd, the per-cell fine Lloyd, both cosine assignment ranks, and
+    // the scoring relationally — bit-exact. k1 derives to 3 on the
+    // 500-vector verify fixture (pinned by the oracle's constants, like
+    // flat IVF's 8).
+    "q_sim_ivf2" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val k1 = Similarity.deriveK2(em.count())
+      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding",
+        k = k1, iters = 2)
+      Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
+        k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+    }),
+
     // MATERIALIZED kNN edge artifact (see [[knnEdgesArtifact]]): the
     // one-per-snapshot ANN-graph build, exposed as the edge table its
     // consumers join. Oracle = the full kNN derivation replayed in SQL,
@@ -1133,6 +1155,87 @@ object PipelineQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
        |  FROM scored) r
        |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** DuckDB replay of q_sim_ivf2 — the two-level IVF kNN graph: coarse
+    * Lloyd ([[sqlKmeansCtes]]), cosine coarse assignment (top-1 =
+    * membership, top-np1 = probes), PER-COARSE-CELL fine Lloyd (the same
+    * exact-integer rules grouped by (cell, fcid); seeds = the k2
+    * lowest member ids per cell), cosine fine serving, global top-k.
+    * Mirrors Similarity.knnGraphHier's kernel: fine-cell identity there
+    * is positional over id-ordered seeds, here fcid = the seed vec_id —
+    * ascending index order IS ascending fcid order, so every tie-break
+    * agrees. */
+  private def sqlIvf2(k1: Int, k2: Int, np1: Int, np2: Int,
+                      iters2: Int, dim: Int, k: Int): String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    def fineUpdate(i: Int) =
+      s"""fex$i AS (SELECT a.cell, a.fcid, t.i, a.q[t.i] AS v
+         |  FROM fa$i a, unnest(generate_series(1, $dim)) AS t(i)),
+         |fcs$i AS (SELECT cell, fcid, i,
+         |    CAST(CASE WHEN sum(v) >= 0 OR sum(v) % count(*) = 0
+         |         THEN sum(v) // count(*)
+         |         ELSE sum(v) // count(*) - 1 END AS BIGINT) AS cv
+         |  FROM fex$i GROUP BY 1, 2, 3),
+         |fcn$i AS (SELECT cell, fcid, list(cv ORDER BY i) AS q
+         |  FROM fcs$i GROUP BY cell, fcid),
+         |fcents$i AS (SELECT cell, fcid, q FROM fcn$i
+         |  UNION ALL
+         |  SELECT c.cell, c.fcid, c.q FROM fcents${i - 1} c
+         |  WHERE NOT EXISTS (SELECT 1 FROM fcn$i n
+         |                    WHERE n.cell = c.cell AND n.fcid = c.fcid))""".stripMargin
+    def fineAssign(name: String, cents: String) =
+      s"""$name AS (SELECT cell, vec_id, q, fcid FROM (
+         |  SELECT m.cell, m.vec_id, m.q, c.fcid,
+         |    row_number() OVER (PARTITION BY m.cell, m.vec_id
+         |      ORDER BY ${sqlL2("m.q", "c.q")}, c.fcid) AS rn
+         |  FROM mem m JOIN $cents c ON c.cell = m.cell) WHERE rn = 1)""".stripMargin
+    val fineIters = (1 to iters2).map(i =>
+      fineAssign(s"fa$i", s"fcents${i - 1}") + ",\n" + fineUpdate(i)).mkString(",\n")
+    s"""WITH ${sqlKmeansCtes(k = k1, iters = 2, dim = dim)},
+       |cents AS (SELECT cid, q AS qc FROM cents2),
+       |cassign AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.q, c.qc) /
+       |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
+       |        c.cid) AS rk
+       |  FROM em e, cents c),
+       |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
+       |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= $np1),
+       |mem AS (SELECT c.cell, e.vec_id, e.q
+       |  FROM em e JOIN cells c ON c.vec_id = e.vec_id),
+       |fcents0 AS (SELECT cell, vec_id AS fcid, q FROM (
+       |  SELECT cell, vec_id, q,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |  FROM mem) WHERE rn <= $k2),
+       |$fineIters,
+       |fcents AS (SELECT cell, fcid, q FROM fcents$iters2),
+       |fmem AS (SELECT cell, fcid, vec_id FROM (
+       |  SELECT m.cell, m.vec_id, c.fcid,
+       |    row_number() OVER (PARTITION BY m.cell, m.vec_id
+       |      ORDER BY list_dot_product(m.q, c.q) /
+       |        (sqrt(list_dot_product(m.q, m.q)) * sqrt(list_dot_product(c.q, c.q))) DESC,
+       |        c.fcid) AS rn
+       |  FROM mem m JOIN fcents c ON c.cell = m.cell) WHERE rn = 1),
+       |qprobe AS (SELECT cell, fcid, vec_id FROM (
+       |  SELECT qc.cell, qc.vec_id, c.fcid,
+       |    row_number() OVER (PARTITION BY qc.cell, qc.vec_id
+       |      ORDER BY list_dot_product(e.q, c.q) /
+       |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.q, c.q))) DESC,
+       |        c.fcid) AS rn
+       |  FROM qcells qc JOIN em e ON e.vec_id = qc.vec_id
+       |       JOIN fcents c ON c.cell = qc.cell) WHERE rn <= $np2),
+       |scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+       |  FROM em a JOIN fmem fm ON fm.vec_id = a.vec_id,
+       |       em b JOIN qprobe qp ON qp.vec_id = b.vec_id
+       |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
+       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= $k""".stripMargin
   }
 
   /** The kNN graph (see q_sim_knn_graph); also the edge source for
@@ -1995,6 +2098,8 @@ object PipelineQueries {
     // same CTE chain as q_sim_ivf_trained with the query restriction
     // dropped: every vector ranks its probed-cell candidates
     "q_sim_knn_graph" -> sqlKnnGraph,
+    "q_sim_ivf2" -> sqlIvf2(k1 = 3, k2 = 3, np1 = 2, np2 = 2,
+      iters2 = 2, dim = 64, k = 3),
 
     // one-hop majority vote over the replayed kNN edges; tie-break
     // (cnt desc, label) identical on both engines

@@ -161,6 +161,68 @@ class SimilaritySpec extends SparkSpec {
     assert(kernel.nonEmpty)
   }
 
+  test("knnGraphHier with ONE coarse cell == flat knnGraph, bit for bit") {
+    // with a single coarse cell every vector is a member and every query
+    // probes it, so the fine level IS the whole index: local Lloyd over
+    // all members (seeds = k2 lowest ids, L2 ties-to-lowest, floorDiv
+    // means) must replicate kmeansTrain exactly, and the cosine
+    // membership/probe/scoring rules must replicate knnGraph's — any
+    // drift in the per-cell kernel breaks exact equality here
+    val one = Seq((0L, Array.fill(8)(1L)))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val flatCents = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
+      k = 3, iters = 2, dim = 8)
+    val flat = keyed(Similarity.knnGraph(pqVecs, "vec_id", "embedding",
+      flatCents.toSeq, k = 2, nprobe = 2))
+    val hier = keyed(Similarity.knnGraphHier(pqVecs, "vec_id", "embedding",
+      one, k = 2, nprobe1 = 1, k2 = 3, iters2 = 2, nprobe2 = 2))
+    assert(hier === flat)
+    assert(hier.nonEmpty)
+  }
+
+  test("knnGraphHier multi-cell: per-query contract holds and every cos is the exact cosine") {
+    val big = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val coarse = Similarity.kmeansTrain(big, "vec_id", "embedding",
+      k = 4, iters = 2, dim = 8)
+    val got = Similarity.knnGraphHier(big, "vec_id", "embedding",
+      coarse.toSeq, k = 3, nprobe1 = 2, k2 = 3, iters2 = 2, nprobe2 = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet.size === 60, "every vector is a query")
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val rnks = rows.map(_._2).sorted
+      assert(rnks.toSeq === (1L to rows.length).toSeq, "rnk is dense from 1")
+      // rnk order follows cos desc — compared on the ROUNDED output, so
+      // only non-increase is checkable (rnk was assigned pre-rounding:
+      // two rows equal at 4dp may order by their unrounded values)
+      val ord = rows.sortBy(_._2)
+      ord.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+    // reported cos@4dp equals the exact quantized cosine, and no self rows
+    val quant = big.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (va, vb) = (quant(a), quant(b))
+      val dot = (0 until 8).map(i => va(i) * vb(i)).sum
+      val na = math.sqrt((0 until 8).map(i => va(i) * va(i)).sum.toDouble)
+      val nb = math.sqrt((0 until 8).map(i => vb(i) * vb(i)).sum.toDouble)
+      math.rint(dot.toDouble / (na * nb) * 1e4) / 1e4
+    }
+    got.foreach { case (qid, _, cid, c) =>
+      assert(qid != cid, "self rows excluded")
+      assert(c === cosOf(qid, cid), s"cos($qid,$cid)")
+    }
+  }
+
   test("ivfPqTopK == ADC brute force restricted to the probed cells") {
     val fullCents = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
       k = 3, iters = 2, dim = 8)
