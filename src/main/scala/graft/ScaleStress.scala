@@ -143,7 +143,14 @@ object ScaleStress {
     "q_knn_edges_materialized", "q_graph_triangles", "q_graph_clustering_coef",
     "q_graph_cc", "q_graph_knn_classify", "q_ir_index_materialized",
     "q_sim_bm25", "q_ts_acf", "q_ts_cusum", "q_ts_dow_seasonality",
-    "q_sec_spike", "q_sec_first_seen", "q_user_entropy")
+    "q_sec_spike", "q_sec_first_seen", "q_user_entropy",
+    // round-15 wave: the real-decode multimodal family (encode+decode
+    // both per-partition streaming work, no shuffle — near-linear is the
+    // claim under test), the materialize-once media artifact consumer,
+    // and the two-level IVF kNN graph (the flat-IVF N^1.5 fix — its
+    // ratio must land clearly under q_sim_knn_graph's at every rung)
+    "q_mm_features", "q_mm_frame_dedup", "q_mm_scenecut", "q_mm_audio_vad",
+    "q_mm_features_materialized", "q_sim_ivf2")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third

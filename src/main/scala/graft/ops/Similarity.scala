@@ -395,29 +395,44 @@ object Similarity {
   /** TWO-LEVEL (hierarchical) IVF kNN graph — the scale path past flat
     * IVF's N^1.5 boundary (SCALE.md r14: `q_sim_knn_graph` read 63.7× at
     * 100× rows because cell population grows linearly once deriveK caps).
-    * Level 1: every vector multi-probes `nprobe1` of the `coarseCents`
-    * cells (broadcast-literal kernel, ≤1024 × 64 longs). Level 2 runs
-    * entirely INSIDE each coarse cell's task group after ONE shuffle
-    * (repartition by coarse cell): train `k2` fine centroids on the
-    * cell's members by the exact-integer Lloyd rules of [[kmeansTrain]]
-    * (seeds = the k2 lowest member ids, `iters2` rounds of L2-argmin
-    * assignment ties-to-lowest-fcid, floorDiv means, empty cells keep
-    * their previous centroid), then members take their top-1 fine cell
-    * and query rows their top-`nprobe2` fine cells by COSINE (max cos,
-    * ties to the lowest fcid — [[probeAssign]]'s serving rule), and each
-    * query scores only its probed fine cells' members with the bounded
-    * top-k loop. [[knnTopK]] merges the per-coarse-cell winners.
     *
-    * Why this shape survives 100 TB: fine centroids are NEVER driver or
-    * broadcast state — k1·k2 total centroids stay distributed, each
-    * group's k2×dim longs living only in its task; the corpus is
-    * shuffled once; per-query candidate volume is nprobe1·nprobe2·
-    * (N/(k1·k2)) ≈ constant at the deriveK2 sizing; and the one
-    * per-task memory bound is a coarse cell (≈ nprobe1·N/k1 rows =
-    * O(sqrt(N)) at the sizing — 11k rows ≈ 6 MB at 2M vectors). Fine
-    * training cost is capped by `trainCap2` (id-stride thinning of the
-    * id-sorted member list — deterministic, engine-only: the cap never
-    * fires at oracle scale, the same posture as [[TrainSampleCap]]).
+    * Three stages:
+    *  1. COARSE assignment ([[probeAssign]]): every vector multi-probes
+    *     its `nprobe1` highest-cosine coarse cells (broadcast-literal
+    *     kernel, ≤1024 × 64 longs).
+    *  2. FINE TRAINING, one streaming pass per coarse cell (repartition
+    *     members by cell): `k2` fine centroids per cell by the
+    *     exact-integer Lloyd rules of [[kmeansTrain]] — seeds = the k2
+    *     lowest member ids, `iters2` rounds of L2-argmin assignment with
+    *     ties to the lowest seed id, floorDiv means, empty cells keep
+    *     their previous centroid. Task memory is O(`trainCap2`): past the
+    *     cap the training sample is the cap lowest md5Long(id) members
+    *     (deterministic, order-independent — the [[TrainSampleCap]]
+    *     posture; never fires at oracle scale). The stage emits only the
+    *     k1·k2 centroids — config-scale metadata collected to the driver
+    *     and rebroadcast, the same contract as the Lloyd loop itself
+    *     (assignment state is k1·k2·dim longs ≈ 16 MB at 2M vectors;
+    *     the ceiling binds at N ≈ 64·(k1·k2) vectors per index shard —
+    *     1000× flat IVF's 65k for the same per-row assignment budget).
+    *  3. FINE serving: each row looks up ITS coarse cell's fine
+    *     centroids from the broadcast (per-row work k2 = O(sqrt N)
+    *     cosines) — members tag their top-1 fine cell, query rows their
+    *     top-`nprobe2` (max cos, ties to the lowest fcid =
+    *     [[probeAssign]]'s serving rule). A fine cell is GLOBALLY
+    *     identified by its seed's vec_id (seeds are distinct vectors, so
+    *     no two cells share one), which makes the tagged rows exactly
+    *     [[scoreCellsLocal]]'s input — the shared bounded top-k kernel
+    *     scores each fine cell in its own task, and [[knnTopK]] merges.
+    *
+    * Why the granularity matters (measured, not theoretical): the first
+    * cut of this operator trained AND scored inside one task per coarse
+    * cell — at the 100× fixture one hot coarse cell put 10+ minutes of
+    * scoring on a single thread while 31 cores idled (jstack'd). Fine
+    * cells are the right task unit: ~[[TargetCellSize]] rows each,
+    * nprobe1·nprobe2·|fine cell| candidates per query — constant at the
+    * [[deriveK2]] sizing. A pathologically hot FINE cell (near-identical
+    * vectors) remains the documented caveat shared with flat
+    * [[knnGraph]] — compose with the sign-split if a corpus needs it.
     *
     * Exact-integer float discipline throughout (quantized dots, floorDiv
     * means, correctly-rounded sqrt/divide), so a DuckDB oracle replays
@@ -429,43 +444,76 @@ object Similarity {
                    nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
                    trainCap2: Int = 2048): DataFrame = {
     require(k2 >= 1 && iters2 >= 0 && nprobe2 >= 1)
-    val assigned = probeAssign(em, idCol, embCol, coarseCents, nprobe1)
-    val winners = assigned
+    val spark = em.sparkSession
+    // persisted: read twice (fine training members, serving rows); stays
+    // registered so the returned plan's action reuses it — the harness's
+    // CacheRegistry.drain() reclaims it (the kmeansLloyd convention)
+    val assigned = CacheRegistry.persist(
+      probeAssign(em, idCol, embCol, coarseCents, nprobe1))
+
+    // ---- stage 2: per-coarse-cell fine Lloyd, emitting centroids only --
+    val fineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fcid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cq",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
+    def md5Of(id: Long): Long = {
+      // Hashing.md5Long replicated locally (60-bit hex prefix of the
+      // string md5) — the thinning rule must stay the engine-wide one
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(8).map(b => f"${b & 0xFF}%02x").mkString.take(15), 16)
+    }
+    val fineRows = assigned.filter(col("rk") === 1)
+      .select(col("cell"), col("id"), col("q"))
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
       .mapPartitions { rows =>
         val in = rows.buffered
         def group(): Iterator[org.apache.spark.sql.Row] = {
           val cell = in.head.getLong(0)
-          // (isMember, id, q, nrm); members arrive id-sorted (the sort
-          // above), queries = every probe row of this cell
-          val grp = scala.collection.mutable.ArrayBuffer
-            .empty[(Boolean, Long, Array[Long], Double)]
+          // bounded deterministic reservoir: the trainCap2 LOWEST
+          // md5Long(id) members, streamed — a hot coarse cell costs this
+          // task O(cap) memory, never O(|cell|)
+          val heap = new scala.collection.mutable.PriorityQueue[
+            (Long, Long, Array[Long])]()(Ordering.by(_._1)) // max-heap on md5
+          var under = true // md5 keys are lazily materialized at cap+1
           while (in.hasNext && in.head.getLong(0) == cell) {
             val r = in.next()
-            grp += ((r.getInt(1) == 1, r.getLong(2),
-              r.getSeq[Long](3).toArray, r.getDouble(4)))
-          }
-          val members = grp.filter(_._1).toArray
-          if (members.isEmpty) Iterator.empty
-          else {
-            val dim = members(0)._3.length
-            // ---- fine training set: id-stride thin past trainCap2 ----
-            val train =
-              if (members.length <= trainCap2) members
-              else {
-                val step = (members.length + trainCap2 - 1) / trainCap2
-                members.indices.collect {
-                  case i if i % step == 0 => members(i) }.toArray
+            val id = r.getLong(1)
+            if (under) {
+              heap.enqueue((0L, id, r.getSeq[Long](2).toArray))
+              if (heap.size > trainCap2) {
+                // cap exceeded: retro-key everything by md5, evict max
+                val kept = heap.dequeueAll.map { t: (Long, Long, Array[Long]) =>
+                  (md5Of(t._2), t._2, t._3) }
+                heap.clear()
+                heap.enqueue(kept: _*)
+                heap.dequeue()
+                under = false
               }
-            val k2eff = math.min(k2, train.length)
-            // seeds: the k2eff lowest member ids (train is id-sorted), so
-            // fine-cell identity is POSITIONAL — ascending index order IS
-            // ascending seed-id order, and every "lowest fcid" tie-break
-            // below is an ascending scan with a strict comparison
+            } else {
+              val hh = md5Of(id)
+              if (hh < heap.head._1) {
+                heap.dequeue()
+                heap.enqueue((hh, id, r.getSeq[Long](2).toArray))
+              }
+            }
+          }
+          val train = heap.dequeueAll.toArray.sortBy(_._2) // ascending id
+          val k2eff = math.min(k2, train.length)
+          if (k2eff == 0) Iterator.empty
+          else {
+            val dim = train(0)._3.length
+            // seeds: the k2eff lowest sample ids; fine-cell identity IS
+            // the seed id (globally unique — seeds are distinct vectors),
+            // and ascending index order is ascending fcid order, so every
+            // strict-compare ascending scan below ties to the lowest fcid
             var cents = Array.tabulate(k2eff)(i => train(i)._3)
-            // ---- local Lloyd: L2 argmin (ascending scan = ties to the
-            // lowest fcid, seeds are id-ordered), floorDiv means ----
             var it = 0
             while (it < iters2) {
               val sums = Array.ofDim[Long](k2eff, dim)
@@ -500,95 +548,8 @@ object Similarity {
               }
               it += 1
             }
-            val cnorm = cents.map { cv =>
-              var d = 0L
-              var i = 0
-              while (i < dim) { d += cv(i) * cv(i); i += 1 }
-              math.sqrt(d.toDouble)
-            }
-            // serving-side cosine ranks vs the fine centroids: top-1 for
-            // membership, top-nprobe2 for probing — max cos, ties to the
-            // lowest fcid; all-NaN rows fall to the lowest remaining fcid
-            // (probeAssignQ's rule)
-            def topFine(v: Array[Long], nrm: Double, p: Int): Array[Int] = {
-              val cos = new Array[Double](k2eff)
-              var ci = 0
-              while (ci < k2eff) {
-                val cv = cents(ci)
-                var dot = 0L
-                var j = 0
-                while (j < dim) { dot += v(j) * cv(j); j += 1 }
-                cos(ci) = dot.toDouble / (nrm * cnorm(ci))
-                ci += 1
-              }
-              val used = new Array[Boolean](k2eff)
-              val out = new Array[Int](p)
-              var rp = 0
-              while (rp < p) {
-                var bi = -1
-                var bc = Double.NegativeInfinity
-                var i2 = 0
-                while (i2 < k2eff) {
-                  // ascending fcid scan + strict > = ties to lowest fcid
-                  if (!used(i2) && cos(i2) > bc) { bc = cos(i2); bi = i2 }
-                  i2 += 1
-                }
-                if (bi == -1) {
-                  var i3 = 0
-                  while (bi == -1 && i3 < k2eff) {
-                    if (!used(i3)) bi = i3
-                    i3 += 1
-                  }
-                }
-                used(bi) = true
-                out(rp) = bi
-                rp += 1
-              }
-              out
-            }
-            val buckets = Array.fill(k2eff)(
-              scala.collection.mutable.ArrayBuffer.empty[Int])
-            var mi = 0
-            while (mi < members.length) {
-              buckets(topFine(members(mi)._3, members(mi)._4, 1)(0)) += mi
-              mi += 1
-            }
-            val p2 = math.min(nprobe2, k2eff)
-            grp.iterator.flatMap { case (_, qid, qv, qn) =>
-              // bounded top-k by (cos desc, cand_id asc) over the probed
-              // fine cells' members — scoreCellsLocal's insertion loop
-              val a = new Array[Double](k)
-              val ii = new Array[Long](k)
-              var n = 0
-              val probes = topFine(qv, qn, p2)
-              var pi = 0
-              while (pi < p2) {
-                val b = buckets(probes(pi))
-                var bi2 = 0
-                while (bi2 < b.length) {
-                  val (_, cid, cv, cn) = members(b(bi2))
-                  if (cid != qid) {
-                    var dot = 0L
-                    var j = 0
-                    while (j < dim) { dot += qv(j) * cv(j); j += 1 }
-                    val c = dot.toDouble / (qn * cn)
-                    if (n < k || c > a(n - 1) || (c == a(n - 1) && cid < ii(n - 1))) {
-                      var pos = if (n < k) n else k - 1
-                      while (pos > 0 && (a(pos - 1) < c ||
-                          (a(pos - 1) == c && ii(pos - 1) > cid))) {
-                        a(pos) = a(pos - 1); ii(pos) = ii(pos - 1); pos -= 1
-                      }
-                      a(pos) = c; ii(pos) = cid
-                      if (n < k) n += 1
-                    }
-                  }
-                  bi2 += 1
-                }
-                pi += 1
-              }
-              (0 until n).iterator.map(p =>
-                org.apache.spark.sql.Row(qid, ii(p), a(p)))
-            }
+            (0 until k2eff).iterator.map(i =>
+              org.apache.spark.sql.Row(cell, train(i)._2, cents(i).toSeq))
           }
         }
         new Iterator[org.apache.spark.sql.Row] {
@@ -599,8 +560,100 @@ object Similarity {
           }
           def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
         }
-      }(org.apache.spark.sql.Encoders.row(knnPairSchema))
-    knnTopK(winners, k)
+      }(org.apache.spark.sql.Encoders.row(fineSchema))
+
+    // k1·k2 centroids -> driver -> broadcast: config-scale metadata, the
+    // documented contract (NOT per-candidate data). Per-cell arrays are
+    // fcid-ascending so positional scans tie to the lowest fcid.
+    val fineMap: Map[Long, (Array[Long], Array[Array[Long]], Array[Double])] =
+      fineRows.collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rs) =>
+          val sorted = rs.sortBy(_.getLong(1))
+          val fcids = sorted.map(_.getLong(1))
+          val cs = sorted.map(_.getSeq[Long](2).toArray)
+          val norms = cs.map { cv =>
+            var d = 0L
+            var i = 0
+            while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
+            math.sqrt(d.toDouble)
+          }
+          cell -> (fcids, cs, norms)
+        }
+    val bc = spark.sparkContext.broadcast(fineMap)
+
+    // ---- stage 3: tag every row with its fine cells; score fine-cell-
+    // locally with the shared kernel ----
+    val taggedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ism",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("isq",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val tagged = assigned.mapPartitions { rows =>
+      val fines = bc.value
+      rows.flatMap { r =>
+        val cell = r.getLong(0)
+        fines.get(cell) match {
+          case None => Iterator.empty // memberless coarse cell: no cands
+          case Some((fcids, cents, norms)) =>
+            val isMember = r.getInt(1) == 1
+            val id = r.getLong(2)
+            val vSeq = r.getSeq[Long](3)
+            val v = vSeq.toArray
+            val nrm = r.getDouble(4)
+            val k2eff = fcids.length
+            val dim = v.length
+            val cos = new Array[Double](k2eff)
+            var ci = 0
+            while (ci < k2eff) {
+              val cv = cents(ci)
+              var dot = 0L
+              var j = 0
+              while (j < dim) { dot += v(j) * cv(j); j += 1 }
+              cos(ci) = dot.toDouble / (nrm * norms(ci))
+              ci += 1
+            }
+            val p2 = math.min(nprobe2, k2eff)
+            val used = new Array[Boolean](k2eff)
+            val picked = new Array[Int](p2)
+            var rp = 0
+            while (rp < p2) {
+              var bi = -1
+              var bc2 = Double.NegativeInfinity
+              var i2 = 0
+              while (i2 < k2eff) {
+                // ascending-fcid scan + strict > = ties to lowest fcid
+                if (!used(i2) && cos(i2) > bc2) { bc2 = cos(i2); bi = i2 }
+                i2 += 1
+              }
+              if (bi == -1) { // all-NaN: lowest remaining fcid
+                var i3 = 0
+                while (bi == -1 && i3 < k2eff) {
+                  if (!used(i3)) bi = i3
+                  i3 += 1
+                }
+              }
+              used(bi) = true
+              picked(rp) = bi
+              rp += 1
+            }
+            (0 until p2).iterator.map { p =>
+              org.apache.spark.sql.Row(fcids(picked(p)),
+                isMember && p == 0, true, id, vSeq, nrm)
+            }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(taggedSchema))
+    knnTopK(scoreCellsLocal(tagged, k), k)
   }
 
   /** Multi-probe COSINE assignment rows (cell, rk, id, q, nrm): each

@@ -47,6 +47,24 @@ object DocQueries {
       out
     })
 
+  /** Materialize-once MEDIA artifact for `dir`: the encoded PNG/WAV/
+    * container payloads ([[MediaCodec.mediaTable]]) land as parquet on
+    * first request; consumers scan the artifact instead of re-encoding
+    * (at 100 TB, media bytes are INGESTED once — the per-query encode in
+    * the q_mm_* fixtures is the bench-discipline stand-in for that
+    * ingest, and this artifact is what repeat decode passes read).
+    */
+  private val mediaPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def mediaArtifact(s: SparkSession, dir: String): String =
+    mediaPaths.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_").toString + "/media"
+      MediaCodec.mediaTable(s, Tables.documents(s, dir)).toDF()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   // ---- shared DuckDB fragments ----
 
   /** The pinned merge table as a VALUES literal — one source of truth
@@ -853,6 +871,27 @@ object DocQueries {
     // alone, so a hash match proves the codec round-trip is exact.
     "q_mm_features" -> ((s, dir) => {
       val media = MediaCodec.mediaTable(s, Tables.documents(s, dir))
+      MediaCodec.decodeFeatures(s, media).toDF()
+        .groupBy("kind").agg(
+          count(lit(1)).as("n"),
+          sum(col("n_units")).as("total_units"),
+          sum(col("feat")).as("total_feat"),
+          min(col("feat")).as("min_feat"),
+          max(col("feat")).as("max_feat"))
+    }),
+
+    // MATERIALIZED media artifact consumer — the deployment shape at
+    // 100 TB: media bytes land in parquet ONCE per corpus snapshot (the
+    // dedup-labels / knn-edges pattern) and every decode pass scans the
+    // artifact instead of re-synthesizing payloads. The per-query encode
+    // variants above stay as the bench-discipline reading (they price
+    // the full encode+decode pipeline); this query prices what repeat
+    // consumers actually pay — artifact scan + decode. Same aggregate,
+    // same oracle as q_mm_features: the artifact IS the media table.
+    "q_mm_features_materialized" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(mediaArtifact(s, dir))
+        .as[Multimodal.MediaRecord]
       MediaCodec.decodeFeatures(s, media).toDF()
         .groupBy("kind").agg(
           count(lit(1)).as("n"),
@@ -1700,7 +1739,17 @@ object DocQueries {
       // PCM samples, 6+id%4 frames of 8x8x3) — the Spark side must get the
       // identical integers back OUT of the encoded PNG/WAV/container via
       // javax.imageio / javax.sound for the hash to match.
-      "q_mm_features" ->
+      "q_mm_features" -> sqlMmFeatures,
+      // the artifact holds EXACTLY the per-query media table, so the
+      // materialized consumer replays against the identical formula
+      "q_mm_features_materialized" -> sqlMmFeatures
+    )
+  }
+
+  /** Oracle for q_mm_features / q_mm_features_materialized: recompute the
+    * decoded-content census from the closed-form payload formulas (the
+    * hash match proves the JDK codec round-trip bit-exact). */
+  private def sqlMmFeatures: String =
         """WITH img AS (SELECT d.doc_id, CAST(256 AS BIGINT) AS n_units,
           |    CAST(sum((d.doc_id * 31 + t.i * t.i * 13) % 256) AS BIGINT) AS feat
           |  FROM documents d, unnest(generate_series(0, 767)) AS t(i)
@@ -1725,6 +1774,4 @@ object DocQueries {
           |  CAST(min(feat) AS BIGINT) AS min_feat,
           |  CAST(max(feat) AS BIGINT) AS max_feat
           |FROM u GROUP BY 1""".stripMargin
-    )
-  }
 }
