@@ -746,15 +746,54 @@ object Similarity {
     * id, q, nrm): per cell the `ism` rows are the candidate set and
     * every `isq` row emits its top-k by (cos desc, cand_id asc) —
     * [[knnGraph]] tags every probe row a query and rank-1 rows members;
-    * the incremental refresh feeds members from the STORE and queries
-    * from the touched set only. Emits cell-local winners; callers merge
-    * with [[knnTopK]]. One shuffle (repartition by cell), plain integer
-    * loops, task memory one cell's rows.
+    * [[knnGraphHier]] tags fine cells; the incremental refresh feeds
+    * members from the STORE and queries from the touched set only.
+    * Emits cell-local winners; callers merge with [[knnTopK]]. One
+    * shuffle, plain integer loops, task memory one (sub)cell's rows.
+    *
+    * HOT-CELL bound (the cellPairsCapped convention composed into the
+    * kNN family): a cell whose MEMBER count exceeds `maxCell` would cost
+    * queries×members dots in one group — a degenerate Lloyd cell on
+    * clustered data put 9+ minutes of scoring on one task at the 100×
+    * fixture (jstack'd). Such cells sign-split: members AND queries
+    * re-bucket by ceil(log2(members/maxCell)) sign bits of spread-out
+    * dimensions, and each query takes its top-k within its own subcell —
+    * neighbors in cosine space agree on most signs, so the recall trade
+    * is the sign-LSH one the semantic family documents (RECALL.md). The
+    * hot set is a metadata-sized aggregate + broadcast; the no-hot-cell
+    * case pays one map-side-combinable count. Every verify fixture's
+    * cells sit far under the cap, so the DuckDB oracles see the exact
+    * un-split semantics.
     */
-  private[graft] def scoreCellsLocal(tagged: DataFrame, k: Int): DataFrame =
-    tagged
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "id")
+  private[graft] def scoreCellsLocal(tagged: DataFrame, k: Int,
+                                     maxCell: Int = DefaultMaxCell): DataFrame = {
+    val hot = tagged.filter(col("ism")).groupBy("cell")
+      .agg(count(lit(1)).as("msz")).filter(col("msz") > maxCell)
+    val normal = tagged.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0L).as("subcell"),
+        col("ism"), col("isq"), col("id"), col("q"), col("nrm"))
+    val bits = least(lit(MaxSplitBits),
+      ceil(log(2.0, col("msz").cast("double") / maxCell))).cast("int")
+    val subcell = (0 until MaxSplitBits).map { i =>
+      when(lit(i) < col("__bits") &&
+        try_element_at(col("q"), lit(1 + 4 * i)) >= 0L, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hotRows = tagged.join(broadcast(hot), Seq("cell"))
+      .withColumn("__bits", bits)
+      .select(col("cell"), subcell.as("subcell"),
+        col("ism"), col("isq"), col("id"), col("q"), col("nrm"))
+    normal.union(hotRows)
+      // EXPLICIT partition count: this stage is CPU-dense (64-dim dots per
+      // candidate) at modest byte volume, AQE's blind spot — it coalesces
+      // the column-only repartition by SIZE (400k tagged rows ≈ 240 MB →
+      // 4 partitions; 28 cores idled through the 100× scoring, jstack'd).
+      // A user-specified count is exempt from AQE coalescing; 4× the
+      // parallelism smooths unequal per-cell cost across the hash.
+      .repartition(
+        tagged.sparkSession.sparkContext.defaultParallelism * 4,
+        col("cell"), col("subcell"))
+      .sortWithinPartitions("cell", "subcell", "id")
       .mapPartitions { rows =>
         // q is a PRIMITIVE Array[Long], converted once per row at group
         // build: the scoring loop reads it |cands|×dim times per query —
@@ -765,11 +804,13 @@ object Similarity {
         val in = rows.buffered
         def group(): Iterator[org.apache.spark.sql.Row] = {
           val cell = in.head.getLong(0)
+          val sub = in.head.getLong(1)
           val grp = scala.collection.mutable.ArrayBuffer.empty[R]
-          while (in.hasNext && in.head.getLong(0) == cell)  {
+          while (in.hasNext && in.head.getLong(0) == cell &&
+              in.head.getLong(1) == sub) {
             val r = in.next()
-            grp += ((r.getBoolean(1), r.getBoolean(2), r.getLong(3),
-              r.getSeq[Long](4).toArray, r.getDouble(5)))
+            grp += ((r.getBoolean(2), r.getBoolean(3), r.getLong(4),
+              r.getSeq[Long](5).toArray, r.getDouble(6)))
           }
           val cands = grp.filter(_._1).toArray // ism rows = members
           grp.iterator.filter(_._2).flatMap { case (_, _, qid, qv, qn) =>
@@ -810,6 +851,7 @@ object Similarity {
           def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
         }
       }(org.apache.spark.sql.Encoders.row(knnPairSchema))
+  }
 
   /** Global per-query merge of cell-local winners: (query_id, rnk,
     * cand_id, cos@4dp), rnk by (cos desc, cand_id asc). */
@@ -1514,7 +1556,11 @@ object Similarity {
       org.apache.spark.sql.types.StructField("c",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     normal.union(hotFlagged)
-      .repartition(col("cell"), col("subcell"))
+      // explicit count for the same reason as scoreCellsLocal: the pair
+      // stage is CPU-dense at modest bytes and AQE size-coalescing
+      // serializes it onto a handful of cores
+      .repartition(m.sparkSession.sparkContext.defaultParallelism * 4,
+        col("cell"), col("subcell"))
       .sortWithinPartitions("cell", "subcell", "id")
       .mapPartitions { rows =>
         type Member = (Long, Seq[Long], Long) // (id, q, nrm)
