@@ -442,7 +442,19 @@ object Similarity {
   def knnGraphHier(em: DataFrame, idCol: String, embCol: String,
                    coarseCents: Seq[(Long, Array[Long])], k: Int,
                    nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
-                   trainCap2: Int = 2048): DataFrame = {
+                   trainCap2: Int = 2048,
+                   spreadSeeds: Boolean = true): DataFrame =
+    knnTopK(scoreCellsLocal(hierTagged(em, idCol, embCol, coarseCents,
+      nprobe1, k2, iters2, nprobe2, trainCap2, spreadSeeds), k), k)
+
+  /** Stages 1-3 of [[knnGraphHier]] up to the tagged frame (fine-cell,
+    * ism, isq, id, q, nrm) — split out so diagnostics can census fine
+    * cells without paying the scoring stage. */
+  private[graft] def hierTagged(em: DataFrame, idCol: String, embCol: String,
+                   coarseCents: Seq[(Long, Array[Long])],
+                   nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
+                   trainCap2: Int = 2048,
+                   spreadSeeds: Boolean = true): DataFrame = {
     require(k2 >= 1 && iters2 >= 0 && nprobe2 >= 1)
     val spark = em.sparkSession
     // persisted: read twice (fine training members, serving rows); stays
@@ -509,11 +521,23 @@ object Similarity {
           if (k2eff == 0) Iterator.empty
           else {
             val dim = train(0)._3.length
-            // seeds: the k2eff lowest sample ids; fine-cell identity IS
-            // the seed id (globally unique — seeds are distinct vectors),
-            // and ascending index order is ascending fcid order, so every
-            // strict-compare ascending scan below ties to the lowest fcid
-            var cents = Array.tabulate(k2eff)(i => train(i)._3)
+            // seeds: with spreadSeeds (production) the k2eff lowest
+            // (md5Long(id), id) sample members — the kmeansTrainSpread
+            // posture, per cell: lowest-ID fine seeds inherit the coarse
+            // level's clustered-data degeneracy (Ivf2Diag measured one
+            // fine cell holding 56k of a 104k-member coarse cell).
+            // Without it, the k2eff lowest ids (the Lloyd-replication
+            // contract the differential spec pins). Either way the chosen
+            // seeds are re-sorted by id: fine-cell identity IS the seed
+            // id (globally unique — seeds are distinct vectors), and
+            // ascending index order must be ascending fcid order so the
+            // strict-compare ascending scans below tie to the lowest fcid
+            val seedIdx: Array[Int] =
+              if (!spreadSeeds) (0 until k2eff).toArray
+              else train.indices
+                .sortBy(i => (md5Of(train(i)._2), train(i)._2))
+                .take(k2eff).sorted.toArray
+            var cents = seedIdx.map(i => train(i)._3)
             var it = 0
             while (it < iters2) {
               val sums = Array.ofDim[Long](k2eff, dim)
@@ -549,7 +573,7 @@ object Similarity {
               it += 1
             }
             (0 until k2eff).iterator.map(i =>
-              org.apache.spark.sql.Row(cell, train(i)._2, cents(i).toSeq))
+              org.apache.spark.sql.Row(cell, train(seedIdx(i))._2, cents(i).toSeq))
           }
         }
         new Iterator[org.apache.spark.sql.Row] {
@@ -653,7 +677,7 @@ object Similarity {
         }
       }
     }(org.apache.spark.sql.Encoders.row(taggedSchema))
-    knnTopK(scoreCellsLocal(tagged, k), k)
+    tagged
   }
 
   /** Multi-probe COSINE assignment rows (cell, rk, id, q, nrm): each
@@ -1221,6 +1245,40 @@ object Similarity {
     val q = CacheRegistry.persist(
       em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
     val cents = lloydLoop(q, k, iters, dim)
+    CacheRegistry.release(q)
+    cents
+  }
+
+  /** [[kmeansTrain]] with SPREAD seeding: seeds are the k lowest
+    * md5Long(id) vectors (ties to the lowest id) — a deterministic
+    * uniform sample of the corpus instead of the k lowest IDS. Lowest-id
+    * seeding is a measured scale trap on clustered corpora: when low ids
+    * concentrate in one region (replicated fixtures, append-ordered
+    * ingests), every seed lands there and two Lloyd rounds cannot undo
+    * it — the 100× fixture trained ONE coarse cell holding 104k of 200k
+    * vectors (Ivf2Diag), which cascaded into a 15-billion-candidate
+    * scoring budget. md5-order seeds land ∝ data density (the standard
+    * random-init posture, made engine-reproducible), and the DuckDB
+    * oracle replays the exact seed set via the same md5 expression.
+    */
+  def kmeansTrainSpread(em: DataFrame, idCol: String, embCol: String,
+                        k: Int, iters: Int, dim: Int = 64): Array[(Long, Array[Long])] = {
+    val q = CacheRegistry.persist(
+      em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
+    val n = q.count()
+    val tq =
+      if (n <= TrainSampleCap) q
+      else {
+        val step = (n + TrainSampleCap - 1) / TrainSampleCap
+        val s = q.filter(pmod(graft.functions.Hashing.md5Long(
+          col("id").cast("string")), lit(step)) === 0L)
+        if (s.count() >= k) s else q
+      }
+    val seeds: Array[(Long, Array[Long])] = tq
+      .orderBy(graft.functions.Hashing.md5Long(col("id").cast("string")), col("id"))
+      .limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cents = lloydIterate(tq, seeds, k, iters, dim)
     CacheRegistry.release(q)
     cents
   }

@@ -575,7 +575,7 @@ object PipelineQueries {
     "q_sim_ivf2" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
       val k1 = Similarity.deriveK2(em.count())
-      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding",
+      val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
         k = k1, iters = 2)
       Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
         k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
@@ -1193,7 +1193,7 @@ object PipelineQueries {
          |  FROM mem m JOIN $cents c ON c.cell = m.cell) WHERE rn = 1)""".stripMargin
     val fineIters = (1 to iters2).map(i =>
       fineAssign(s"fa$i", s"fcents${i - 1}") + ",\n" + fineUpdate(i)).mkString(",\n")
-    s"""WITH ${sqlKmeansCtes(k = k1, iters = 2, dim = dim)},
+    s"""WITH ${sqlKmeansCtes(k = k1, iters = 2, dim = dim, seedSpread = true)},
        |cents AS (SELECT cid, q AS qc FROM cents2),
        |cassign AS (
        |  SELECT e.vec_id, c.cid,
@@ -1208,7 +1208,9 @@ object PipelineQueries {
        |  FROM em e JOIN cells c ON c.vec_id = e.vec_id),
        |fcents0 AS (SELECT cell, vec_id AS fcid, q FROM (
        |  SELECT cell, vec_id, q,
-       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    row_number() OVER (PARTITION BY cell ORDER BY
+       |      ${graft.functions.Hashing.sqlMd5Long("CAST(vec_id AS VARCHAR)")},
+       |      vec_id) AS rn
        |  FROM mem) WHERE rn <= $k2),
        |$fineIters,
        |fcents AS (SELECT cell, fcid, q FROM fcents$iters2),
@@ -1579,7 +1581,8 @@ object PipelineQueries {
     * select) — shared by the k-means query and the trained-IVF query.
     */
   private def sqlKmeansCtes(k: Int, iters: Int, dim: Int,
-                            where: String = ""): String = {
+                            where: String = "",
+                            seedSpread: Boolean = false): String = {
     def update(i: Int) =
       s"""ex$i AS (SELECT a.cid, t.i, a.q[t.i] AS v
          |        FROM a$i a, unnest(generate_series(1, $dim)) AS t(i)),
@@ -1598,10 +1601,18 @@ object PipelineQueries {
          |            WHERE cid NOT IN (SELECT cid FROM cn$i))""".stripMargin
     val iterCtes = (1 to iters).map(i =>
       sqlKmeansAssign(s"a$i", s"cents${i - 1}") + ",\n" + update(i)).mkString(",\n")
+    // seedSpread = kmeansTrainSpread's seeds: k lowest (md5Long(id), id) —
+    // the engine's deterministic uniform sample; default = k lowest ids
+    val seed0 =
+      if (seedSpread)
+        s"SELECT vec_id AS cid, q FROM em ORDER BY " +
+          graft.functions.Hashing.sqlMd5Long("CAST(vec_id AS VARCHAR)") +
+          s", vec_id LIMIT $k"
+      else s"SELECT vec_id AS cid, q FROM em WHERE vec_id < $k"
     s"""em AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings$where),
-       |cents0 AS (SELECT vec_id AS cid, q FROM em WHERE vec_id < $k),
+       |cents0 AS ($seed0),
        |$iterCtes""".stripMargin
   }
 
