@@ -154,6 +154,24 @@ object Recall {
       }
     }
 
+    // --- two-level fine-cell pair recall (q_dedup_semantic_hier) ---
+    // Same ground truth, candidacy = sharing >= 1 probed FINE cell of the
+    // hierarchical index (each vector probes <= nprobe1×nprobe2 = 4 fine
+    // cells); the scale path past flat deriveK's 1024-cell cap.
+    val semHierRow = {
+      val k1 = Similarity.deriveK2(nVec)
+      val c = Similarity.kmeansTrainSpread(em, "vec_id", "embedding", k1, iters = 2)
+      val cellsOf = Similarity.hierTagged(em, "vec_id", "embedding", c.toSeq,
+          nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+        .select(col("id"), col("cell")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+      val caught = allDupPairs.count { case (i, j) =>
+        cellsOf(i).exists(cellsOf(j)) }
+      CacheRegistry.drain()
+      (k1, caught, allDupPairs.size)
+    }
+
     // --- capped-path pair recall: the hot-cell chain bound, forced ---
     // DefaultMaxCell (4096) never engages on the fixture, so the cap's
     // recall price is measured by forcing caps far below the fixture's
@@ -238,6 +256,17 @@ object Recall {
       "(SemDeDup-style pipelines accept <1.0 pair recall as the price of " +
       "escaping the corpus-squared kernel; probes is the cheap recall dial " +
       "at fixed k).\n")
+    sb.append("\n### Two-level fine-cell pair recall (q_dedup_semantic_hier)\n\n")
+    sb.append("Candidacy = sharing ≥ 1 probed fine cell of the two-level " +
+      s"index (k1 = k2 = ${semHierRow._1} on this corpus; each vector " +
+      "probes ≤ 2×2 = 4 fine cells). Fine cells stay at the 64-vector " +
+      "target at ANY corpus size — the scale path past flat deriveK's " +
+      "1024-cell cap (SCALE.md r15: flat probe2 read 124.8× at 2M " +
+      "vectors) — so this row prices the recall side of that trade:\n\n")
+    sb.append("| index | probed cells/vector | caught dup pairs | pair recall |\n|---|---|---|---|\n")
+    sb.append(f"| two-level (fine cells) | ≤4 | ${semHierRow._2}/${semHierRow._3} " +
+      f"| ${semHierRow._2.toDouble / semHierRow._3}%.3f |\n")
+
     sb.append("\n### Probe-2 margin gate (q_dedup_semantic_probe2's marginX dial)\n\n")
     sb.append("Rank-2 assignments kept only while d2 <= marginX × d1 " +
       "(exact integer compare on quantized L2; marginX=0 is ungated). The " +

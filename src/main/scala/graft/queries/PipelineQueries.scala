@@ -519,6 +519,32 @@ object PipelineQueries {
     // bit-stable) output row.
     "q_dedup_semantic_probe2" -> ((s, dir) => semanticPairs(s, dir, probes = 2)),
 
+    // TWO-LEVEL semantic dedup — the pair family's scale path past flat
+    // deriveK's 1024-cell cap: at 2M vectors flat cells grow to ~3.9k
+    // rows and Σ|cell|² reads 124.8× for 1000× data (SCALE.md r15); the
+    // hierarchical index keeps fine cells at the 64-vector target, so
+    // candidate volume stays corpus-linear at any N. A pair is a
+    // candidate when two vectors share ≥1 probed FINE cell (each vector
+    // probes ≤ nprobe1×nprobe2 = 4 — recall measured vs flat probe2 in
+    // RECALL.md); scoring is the same τ-cut local pair kernel, the
+    // oracle replays the full two-level derivation + all-pairs final.
+    "q_dedup_semantic_hier" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val k1 = Similarity.deriveK2(em.count())
+      val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
+        k = k1, iters = 2)
+      val tagged = Similarity.hierTagged(em, "vec_id", "embedding",
+        cents.toSeq, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+      val m = tagged.select(col("cell"), col("id"), col("q"))
+        .withColumn("nrm", aggregate(transform(col("q"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("nrm") > 0L)
+      Similarity.cellPairsLocalScored(
+          m.select("cell", "id", "q", "nrm"), SemanticTau)
+        .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
+        .distinct()
+    }),
+
     // The production IVF build: TRAIN centroids (2 Lloyd rounds), then
     // index + probe with them — k-means feeding ivfTopK end-to-end.
     "q_sim_ivf_trained" -> ((s, dir) => {
@@ -1170,6 +1196,40 @@ object PipelineQueries {
                       iters2: Int, dim: Int, k: Int): String = {
     val cos = "(list_dot_product(a.q, b.q) / " +
       "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    s"""WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim)},
+       |scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+       |  FROM em a JOIN fmem fm ON fm.vec_id = a.vec_id,
+       |       em b JOIN qprobe qp ON qp.vec_id = b.vec_id
+       |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
+       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Two-level pair-family oracle: the [[sqlIvf2Ctes]] derivation with an
+    * all-pairs tau-scored final over the probe rows — q_dedup_semantic's
+    * semantics on the hierarchical index's fine cells. */
+  private def sqlSemanticHier(k1: Int, k2: Int, np1: Int, np2: Int,
+                              iters2: Int, dim: Int, tau: Double): String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    s"""WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim)},
+       |scored AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
+       |  FROM em a JOIN qprobe pa ON pa.vec_id = a.vec_id,
+       |       em b JOIN qprobe pb ON pb.vec_id = b.vec_id
+       |  WHERE a.vec_id < b.vec_id AND pa.cell = pb.cell AND pa.fcid = pb.fcid)
+       |SELECT DISTINCT i, j, round(cos, 4) AS cos FROM scored
+       |WHERE cos >= $tau""".stripMargin
+  }
+
+  /** Shared derivation CTEs of the two-level index (through `fmem` /
+    * `qprobe`): coarse Lloyd (spread seeds), cosine coarse assignment,
+    * per-cell fine Lloyd, cosine fine membership + probes. */
+  private def sqlIvf2Ctes(k1: Int, k2: Int, np1: Int, np2: Int,
+                          iters2: Int, dim: Int): String = {
     def fineUpdate(i: Int) =
       s"""fex$i AS (SELECT a.cell, a.fcid, t.i, a.q[t.i] AS v
          |  FROM fa$i a, unnest(generate_series(1, $dim)) AS t(i)),
@@ -1193,7 +1253,7 @@ object PipelineQueries {
          |  FROM mem m JOIN $cents c ON c.cell = m.cell) WHERE rn = 1)""".stripMargin
     val fineIters = (1 to iters2).map(i =>
       fineAssign(s"fa$i", s"fcents${i - 1}") + ",\n" + fineUpdate(i)).mkString(",\n")
-    s"""WITH ${sqlKmeansCtes(k = k1, iters = 2, dim = dim, seedSpread = true)},
+    s"""${sqlKmeansCtes(k = k1, iters = 2, dim = dim, seedSpread = true)},
        |cents AS (SELECT cid, q AS qc FROM cents2),
        |cassign AS (
        |  SELECT e.vec_id, c.cid,
@@ -1228,16 +1288,7 @@ object PipelineQueries {
        |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.q, c.q))) DESC,
        |        c.fcid) AS rn
        |  FROM qcells qc JOIN em e ON e.vec_id = qc.vec_id
-       |       JOIN fcents c ON c.cell = qc.cell) WHERE rn <= $np2),
-       |scored AS (
-       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
-       |  FROM em a JOIN fmem fm ON fm.vec_id = a.vec_id,
-       |       em b JOIN qprobe qp ON qp.vec_id = b.vec_id
-       |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
-       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-       |  FROM scored) r
-       |WHERE rnk <= $k""".stripMargin
+       |       JOIN fcents c ON c.cell = qc.cell) WHERE rn <= $np2)""".stripMargin
   }
 
   /** The kNN graph (see q_sim_knn_graph); also the edge source for
@@ -2111,6 +2162,8 @@ object PipelineQueries {
     "q_sim_knn_graph" -> sqlKnnGraph,
     "q_sim_ivf2" -> sqlIvf2(k1 = 3, k2 = 3, np1 = 2, np2 = 2,
       iters2 = 2, dim = 64, k = 3),
+    "q_dedup_semantic_hier" -> sqlSemanticHier(k1 = 3, k2 = 3, np1 = 2,
+      np2 = 2, iters2 = 2, dim = 64, tau = SemanticTau),
 
     // one-hop majority vote over the replayed kNN edges; tie-break
     // (cnt desc, label) identical on both engines

@@ -44,6 +44,33 @@ object Ivf2Diag {
     census.orderBy((col("m") * col("q")).desc).limit(12).collect().foreach { r =>
       println(s"IVF2DIAG hot fine cell=${r.getLong(0)} m=${r.getLong(1)} q=${r.getLong(2)}")
     }
+    CacheRegistry.release(census)
+
+    if (args.length > 1 && args(1) == "recall") {
+      // overlap@3 vs exact brute force for a deterministic query sample:
+      // the evidence that the two-level speedup is candidate PRUNING at
+      // held recall, not neighbor loss. Flat knnGraph measured alongside.
+      val nQ = 500L
+      val step = math.max(1L, n / nQ)
+      val qs = em.filter(pmod(graft.functions.Hashing.md5Long(
+        col("vec_id").cast("string")), lit(step)) === 0L)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("cand_id"))
+      def overlap(graph: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val got = graph.join(qs.select(col("vec_id").as("query_id")), "query_id")
+          .select(col("query_id"), col("cand_id"))
+        val hit = truth.join(got, Seq("query_id", "cand_id")).count()
+        val tot = truth.count()
+        println(f"IVF2DIAG recall@3 $name = ${hit.toDouble / tot}%.3f ($hit/$tot)")
+      }
+      overlap(Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
+        k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2), "ivf2")
+      val flatK = Similarity.deriveK(n)
+      val flatCents = Similarity.kmeansTrain(em, "vec_id", "embedding",
+        k = flatK, iters = 2)
+      overlap(Similarity.knnGraph(em, "vec_id", "embedding", flatCents.toSeq,
+        k = 3, nprobe = 2), "flat")
+    }
     spark.stop()
   }
 }
