@@ -24,7 +24,10 @@ object Bench {
     "q_rfm_segmentation", "q_dedup_labels_materialized", "q_emb_pca",
     // round-10: the two new materialize-once consumers (artifact-scan
     // bounded) — the suite's former #1/#2 heavies
-    "q_graph_clustering_coef", "q_sim_bm25")
+    "q_graph_clustering_coef", "q_sim_bm25",
+    // round-15: the two-level index (the flat-IVF N^1.5 fix), its pair-
+    // family sibling, and the decode families' materialize-once consumer
+    "q_sim_ivf2", "q_dedup_semantic_hier", "q_mm_features_materialized")
 
   val DetailFile = "BENCH_LOCAL.json"
 
