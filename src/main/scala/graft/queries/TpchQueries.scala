@@ -386,6 +386,15 @@ object TpchQueries {
       import graft.ops.Graph
       val li = Tables.lineitem(s, dir)
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      // Cost attribution (tools/PrDiag, quiet box): this query is graph
+      // PREP — distinct + degree + node-set shuffles over the 1.18M-edge
+      // graph — not round cost (iters=1 == iters=3; the rounds broadcast-
+      // join a ~400k-node rank table). Two "obvious" prep rewrites
+      // measured WORSE and were reverted: distinct-before-mirror
+      // re-executes the distinct per union branch (+3 s), and persisting
+      // the distincted base changes the cached-union stats enough to
+      // degrade the round joins (+3.7 s). The straight form below is the
+      // measured optimum (~5.6 s warm at sf0.1).
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
       Graph.pagerank(edges, iters = 3)
