@@ -146,6 +146,18 @@ class TextAnalysisSpec extends SparkSpec {
       ("aa", "ab", 2L), ("x", "y", 1L)))
   }
 
+  test("bpeTrain: local and distributed round engines train identically") {
+    // localMaxWords = 0 forces the distributed per-round path; default runs
+    // the driver-local rounds. Same merges, same counts, same tie-breaks —
+    // including a cross-engine-ordering-sensitive tie (ab vs ba words).
+    val corpus = Seq("aaab aaab xy", "ba ab ba ab zq zq",
+      "the thin cat that cat", "mississippi").toDF("text")
+    val local = TA.bpeTrain(corpus, "text", nMerges = 10)
+    val dist = TA.bpeTrain(corpus, "text", nMerges = 10, localMaxWords = 0L)
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
   test("bpeStats counts words/pieces and checksums segmentations") {
     val got = TA.bpeStats(
       Seq(("en", "The THIN cat, that cat!"), ("en", null)).toDF("lang", "text"),
