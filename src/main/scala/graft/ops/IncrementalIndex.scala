@@ -61,7 +61,12 @@ object IncrementalIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
       val assigned = CacheRegistry.persist(
         Similarity.probeAssign(em, idCol, embCol, cents.toSeq, NProbe))
-      assigned.write.mode(SaveMode.Overwrite)
+      // cluster by the partition column before every dynamic-partition
+      // write (the r13 small-files discipline — the refresh path already
+      // did this; the build committed one file per (cached task partition
+      // × cell) instead of one per cell, and the census queries reading
+      // the store paid the open/footer overhead of every tiny file)
+      assigned.repartition(col("cell")).write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(s"$root/assign")
       val tagged = assigned.select(col("cell"), (col("rk") === 1).as("ism"),
         lit(true).as("isq"), col("id"), col("q"), col("nrm"))
@@ -70,6 +75,7 @@ object IncrementalIndex {
       val pcell = assigned.filter(col("rk") === 1)
         .select(col("id").as("query_id"), col("cell").as("pcell"))
       edges.join(pcell, "query_id")
+        .repartition(col("pcell"))
         .write.mode(SaveMode.Overwrite).partitionBy("pcell")
         .parquet(s"$root/edges")
       CacheRegistry.release(assigned)
@@ -221,15 +227,23 @@ object IncrementalIndex {
       val obs = org.apache.spark.sql.Observation()
       val tf = CacheRegistry.persist(tfOf(
         docs.observe(obs, count(lit(1)).as("n")), idCol, textCol, isQuery))
+      // cluster by bucket before each dynamic-partition write (same
+      // small-files discipline as refresh: the cached tf pins the shuffle
+      // partition count, and N partitions × nBuckets would commit N×16
+      // tiny files — the store's census consumers then pay every file's
+      // open/footer cost on each read)
       tf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/tf")
       tf.groupBy("id").agg(sum(col("tf")).as("len"))
         .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/doclen")
       tf.groupBy("token").agg(count(lit(1)).as("df"))
         .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong)))
+        .repartition(col("dbucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
         .parquet(s"$root/df")
       // a rebuild resets the landing ledger
@@ -257,6 +271,7 @@ object IncrementalIndex {
         .parquet(s"$root/tf")
       dtf.groupBy("id").agg(sum(col("tf")).as("len"))
         .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Append).partitionBy("bucket")
         .parquet(s"$root/doclen")
       Rollup.refreshAdditive(s, s"$root/df",

@@ -216,18 +216,25 @@ object Rollup {
     armedLadders.remove(ladder.hourlyPath) // store mutates: re-arm fully
     val k = ladder.kmvOf.map(_._2)
     val q = ladder.exactSumScale.nonEmpty
+    // cluster by pkey before each dynamic-partition write: the agg output
+    // is hash-distributed on (bucket, dims), so every task holds rows of
+    // every pkey and an unclustered write commits tasks × days files (the
+    // r13 small-files discipline, applied to the build like the refresh)
     hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
         kmvOf = ladder.kmvOf, extraMeasures = ladder.extraMeasures,
         exactSumScale = ladder.exactSumScale)
       .withColumn("pkey", pkeyDay(col("hour")))
+      .repartition(col("pkey"))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.hourlyPath)
     reaggregateStats(spark.read.parquet(ladder.hourlyPath), "hour", "day",
         ladder.dims, "bucket", k, ladder.extraMeasures, q)
       .withColumn("pkey", pkeyMonth(col("bucket")))
+      .repartition(col("pkey"))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.dailyPath)
     reaggregateStats(spark.read.parquet(ladder.dailyPath), "bucket", "month",
         ladder.dims, "bucket", k, ladder.extraMeasures, q)
       .withColumn("pkey", year(col("bucket")))
+      .repartition(col("pkey"))
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.monthlyPath)
   }
 

@@ -52,6 +52,13 @@ class IncrementalIndexSpec extends SparkSpec {
     IncrementalIndex.Knn.build(base, "vec_id", "embedding", root)
     val before = fileHashes(s"$root/edges")
     val assignBefore = fileHashes(s"$root/assign")
+    // small-files pin: build writes cluster by partition value — one file
+    // per cell/pcell, never (task partitions × cells)
+    val nCells = Similarity.deriveK(160)
+    assert(assignBefore.size <= nCells,
+      s"assign build committed ${assignBefore.size} files (> $nCells cells)")
+    assert(before.size <= nCells,
+      s"edges build committed ${before.size} files (> $nCells pcells)")
     IncrementalIndex.Knn.refresh(spark, root, delta, "vec_id", "embedding")
 
     // 1. every base assign file is untouched (delta rows APPEND)
@@ -103,6 +110,11 @@ class IncrementalIndexSpec extends SparkSpec {
     val tfBefore = fileHashes(s"$root/tf")
     val dlBefore = fileHashes(s"$root/doclen")
     val dfBefore = fileHashes(s"$root/df")
+    // small-files pin: the build clusters by bucket before each dynamic-
+    // partition write, so the store holds at most ONE file per bucket —
+    // not (cached task partitions × buckets)
+    Seq(tfBefore, dlBefore, dfBefore).foreach(h =>
+      assert(h.size <= 16, s"build committed ${h.size} files (> nBuckets)"))
     // "hot" was kept at build time
     val hotTok = base.sparkSession.range(1)
       .select(xxhash64(lit("hot"))).head().getLong(0)
