@@ -111,13 +111,37 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val extSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    // HYPERVISOR STEAL sentinel (r15): a noisy VM neighbor is invisible to
+    // the guest's CPU accounting — getCpuLoad reads the guest view, so a
+    // run can report ext_cpu 0.000 while every query runs 1.8× slow
+    // (observed: 232 s total vs the same tree's 150 s, steal the only
+    // non-zero /proc/stat delta). Sample the steal tick counter (field 9
+    // of the aggregate cpu line, USER_HZ=100) alongside external CPU and
+    // express each 500 ms window's steal as a fraction of box capacity.
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          if (f.length > 8) f(8).toLong else 0L
+        } finally src.close()
+      } catch { case _: Throwable => 0L }
+    val stealSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     @volatile var sampling = true
     val sampler = new Thread(() => {
+      val cores = Runtime.getRuntime.availableProcessors
+      var lastSteal = stealTicks()
+      var lastT = System.nanoTime()
       while (sampling) {
         val sysLoad = osBean.getCpuLoad // whole-box busy fraction [0,1]
         val selfLoad = osBean.getProcessCpuLoad
         if (sysLoad >= 0 && selfLoad >= 0)
           extSamples.add(math.max(0.0, sysLoad - selfLoad))
+        val st = stealTicks(); val t = System.nanoTime()
+        val capacityTicks = cores * 100.0 * (t - lastT) / 1e9
+        if (capacityTicks > 0)
+          stealSamples.add(math.max(0.0, (st - lastSteal) / capacityTicks))
+        lastSteal = st; lastT = t
         Thread.sleep(500)
       }
     }, "ext-cpu-sampler")
@@ -139,6 +163,9 @@ object Bench {
       a
     }
     val extCpuMedian = if (extArr.isEmpty) 0.0 else extArr(extArr.length / 2)
+    val stealArr = stealSamples.toArray(Array.empty[java.lang.Double])
+      .map(_.doubleValue).sorted
+    val stealMedian = if (stealArr.isEmpty) 0.0 else stealArr(stealArr.length / 2)
     // Contended-box retry (judge r5 #8): this box is shared with the
     // harness — a concurrent 32-thread JVM inflates heavy queries 10-50×.
     // When the OS load sentinel says the timed pass was contended, rerun
@@ -156,7 +183,11 @@ object Bench {
     // timed pass (process-subtracted, so the bench cannot self-flag and a
     // loaded box cannot self-certify quiet — judge r14 #1: the r14
     // artifact read loadavg 13 yet `contended: false`).
-    val contended = loadAtLaunch > 6.0 || extCpuMedian > 0.125
+    // steal > ~2% of box capacity sustained at the median means the
+    // hypervisor is taking cycles all run long — times inflate 1.5-2×
+    // well before steal reaches the 4-core-equivalent external-CPU bar
+    val contended = loadAtLaunch > 6.0 || extCpuMedian > 0.125 ||
+      stealMedian > 0.02
     val results = firstPass.map { case (n, sec, off) =>
       val w = warmSec(n)
       val suspicious = sec >= 0 && w >= 0 &&
@@ -188,6 +219,7 @@ object Bench {
     sb.append("  \"cores\": ").append(Runtime.getRuntime.availableProcessors).append(",\n")
     sb.append("  \"ext_cpu_median\": ").append(jNum(extCpuMedian)).append(",\n")
     sb.append("  \"ext_cpu_samples\": ").append(extArr.length).append(",\n")
+    sb.append("  \"steal_median\": ").append(jNum(stealMedian)).append(",\n")
     sb.append("  \"contended\": ").append(contended).append(",\n")
     sb.append("  \"retried\": ").append(
       retried.map("\"" + _ + "\"").mkString("[", ",", "]")).append(",\n")
@@ -213,7 +245,7 @@ object Bench {
     val reported = if (nErr == 0) total else -1.0
     val qs = Headline.filter(byName.contains)
       .map(n => "\"" + n + "\":" + jNum(byName(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jNum(reported)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_launch":${jNum(loadAtLaunch)},"loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"ext_cpu_median":${jNum(extCpuMedian)},"contended":$contended,"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
+    println(s"""{"metric":"total","value":${jNum(reported)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_launch":${jNum(loadAtLaunch)},"loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"ext_cpu_median":${jNum(extCpuMedian)},"steal_median":${jNum(stealMedian)},"contended":$contended,"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
