@@ -150,7 +150,12 @@ object ScaleStress {
     // and the two-level IVF kNN graph (the flat-IVF N^1.5 fix — its
     // ratio must land clearly under q_sim_knn_graph's at every rung)
     "q_mm_features", "q_mm_frame_dedup", "q_mm_scenecut", "q_mm_audio_vad",
-    "q_mm_features_materialized", "q_sim_ivf2", "q_dedup_semantic_hier")
+    "q_mm_features_materialized", "q_sim_ivf2", "q_dedup_semantic_hier",
+    // round-15 second session: the incremental index stores' census
+    // reads (the artifact memoizes per dir, so min-of-two isolates the
+    // view-time cost; the small-files BUILD fix is what keeps these
+    // flat — before it, census reads paid tasks × buckets file opens)
+    "q_ir_index_incremental", "q_knn_edges_incremental")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third
