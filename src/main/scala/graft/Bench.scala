@@ -44,6 +44,27 @@ object Bench {
     // someone else's work.
     val loadAtLaunch = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Box-speed CALIBRATION (r15): a fixed single-thread xorshift spin,
+    // min of 3 — the portable denominator for cross-round total
+    // comparisons. The 2026-08-16 episode showed the host can run ~2×
+    // slow with loadavg ~1, ext_cpu 0.000 AND steal 0.2% (frequency or
+    // memory-bandwidth degradation is invisible to every guest-side
+    // sentinel); a drifted spin_ms is the one signal that survives.
+    def spinMs(): Double = {
+      def once(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 50000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        val ms = (System.nanoTime() - t0) / 1e6
+        if (x == 42L) System.err.println("") // defeat dead-code elimination
+        ms
+      }
+      once(); math.min(once(), once()) // first run pays JIT; min of 2 after
+    }
+    val spinMsLaunch = spinMs()
     val spark = GraftSession.builder(cpus)
       .getOrCreate()
     // FATAL, not WARN: the driver keeps only a ~2 KB stdout/stderr tail,
@@ -149,6 +170,7 @@ object Bench {
     sampler.start()
 
     val loadBefore = loadAvg
+    val spinMsBefore = spinMs() // re-read at the timed pass: the box can degrade mid-run
     val benchT0 = System.nanoTime()
     val firstPass = names.map { n =>
       val startOffset = (System.nanoTime() - benchT0) / 1e9
@@ -220,6 +242,8 @@ object Bench {
     sb.append("  \"ext_cpu_median\": ").append(jNum(extCpuMedian)).append(",\n")
     sb.append("  \"ext_cpu_samples\": ").append(extArr.length).append(",\n")
     sb.append("  \"steal_median\": ").append(jNum(stealMedian)).append(",\n")
+    sb.append("  \"spin_ms_launch\": ").append(jNum(spinMsLaunch)).append(",\n")
+    sb.append("  \"spin_ms_before\": ").append(jNum(spinMsBefore)).append(",\n")
     sb.append("  \"contended\": ").append(contended).append(",\n")
     sb.append("  \"retried\": ").append(
       retried.map("\"" + _ + "\"").mkString("[", ",", "]")).append(",\n")
@@ -245,7 +269,7 @@ object Bench {
     val reported = if (nErr == 0) total else -1.0
     val qs = Headline.filter(byName.contains)
       .map(n => "\"" + n + "\":" + jNum(byName(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jNum(reported)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_launch":${jNum(loadAtLaunch)},"loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"ext_cpu_median":${jNum(extCpuMedian)},"steal_median":${jNum(stealMedian)},"contended":$contended,"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
+    println(s"""{"metric":"total","value":${jNum(reported)},"unit":"sec","queries":$qs,"n_queries":${results.size},"errors":$errs,"retried":${retried.size},"sf":"$sfDir","loadavg_launch":${jNum(loadAtLaunch)},"loadavg_before":${jNum(loadBefore)},"loadavg_after":${jNum(loadAfter)},"ext_cpu_median":${jNum(extCpuMedian)},"steal_median":${jNum(stealMedian)},"spin_ms":${jNum(spinMsBefore)},"contended":$contended,"cores":${Runtime.getRuntime.availableProcessors},"detail_file":"$DetailFile"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

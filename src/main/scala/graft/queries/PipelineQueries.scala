@@ -1316,7 +1316,12 @@ object PipelineQueries {
     * artifact is corpus-linear and the consumers' wedge joins stay ≤ k²N.
     * At 100 TB this is one ANN-graph job per snapshot instead of one per
     * kernel — the same materialize-once deployment shape as the dedup
-    * label table.
+    * label table. The build kernel here is flat IVF (the sf-scale
+    * optimum and the oracle's replay); past ~10⁶ vectors the snapshot
+    * build swaps to [[graft.ops.Similarity.knnGraphHier]] — identical
+    * output schema, measured 13× faster at 200k vectors with HIGHER
+    * recall (q_sim_ivf2's oracle + SCALE.md r15 rows prove the swap),
+    * so consumers never change.
     */
   private[graft] def knnEdgesArtifact(s: SparkSession, dir: String): String =
     knnEdgePaths.getOrElseUpdate(dir, {
