@@ -62,7 +62,8 @@ object Bench {
         if (x == 42L) System.err.println("") // defeat dead-code elimination
         ms
       }
-      once(); math.min(once(), once()) // first run pays JIT; min of 2 after
+      once() // discard: first run pays JIT
+      math.min(once(), once()) // reported value = min of 2 warm runs
     }
     val spinMsLaunch = spinMs()
     val spark = GraftSession.builder(cpus)
@@ -139,18 +140,30 @@ object Bench {
     // non-zero /proc/stat delta). Sample the steal tick counter (field 9
     // of the aggregate cpu line, USER_HZ=100) alongside external CPU and
     // express each 500 ms window's steal as a fraction of box capacity.
+    // -1 on a failed read: a 0 fallback would make the NEXT delta read as
+    // cumulative-steal-since-boot and inject a garbage sample
     def stealTicks(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
         try {
           val f = src.getLines().next().trim.split("\\s+")
-          if (f.length > 8) f(8).toLong else 0L
+          if (f.length > 8) f(8).toLong else -1L
         } finally src.close()
-      } catch { case _: Throwable => 0L }
+      } catch { case _: Throwable => -1L }
+    // steal accumulates over HOST CPUs in /proc/stat — count the cpuN
+    // lines rather than trusting availableProcessors, which is
+    // cgroup-quota-aware and would overstate the fraction in a
+    // CPU-limited container
+    def statCpuCount(): Int =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
+        finally src.close()
+      } catch { case _: Throwable => Runtime.getRuntime.availableProcessors }
     val stealSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     @volatile var sampling = true
     val sampler = new Thread(() => {
-      val cores = Runtime.getRuntime.availableProcessors
+      val cores = math.max(1, statCpuCount())
       var lastSteal = stealTicks()
       var lastT = System.nanoTime()
       while (sampling) {
@@ -160,7 +173,7 @@ object Bench {
           extSamples.add(math.max(0.0, sysLoad - selfLoad))
         val st = stealTicks(); val t = System.nanoTime()
         val capacityTicks = cores * 100.0 * (t - lastT) / 1e9
-        if (capacityTicks > 0)
+        if (st >= 0 && lastSteal >= 0 && capacityTicks > 0)
           stealSamples.add(math.max(0.0, (st - lastSteal) / capacityTicks))
         lastSteal = st; lastT = t
         Thread.sleep(500)

@@ -203,6 +203,10 @@ object IncrementalIndex {
     */
   object Ir {
 
+    /** Write-salt width for corpus-scale build writes: ≤ this many files
+      * per bucket, nBuckets × this many parallel write tasks. */
+    val WriteSalt = 8L
+
     private def tfOf(docs: DataFrame, idCol: String, textCol: String,
                      isQuery: org.apache.spark.sql.Column): DataFrame =
       docs.select(col(idCol).cast("long").as("id"), isQuery.as("isq"),
@@ -227,23 +231,29 @@ object IncrementalIndex {
       val obs = org.apache.spark.sql.Observation()
       val tf = CacheRegistry.persist(tfOf(
         docs.observe(obs, count(lit(1)).as("n")), idCol, textCol, isQuery))
-      // cluster by bucket before each dynamic-partition write (same
-      // small-files discipline as refresh: the cached tf pins the shuffle
-      // partition count, and N partitions × nBuckets would commit N×16
-      // tiny files — the store's census consumers then pay every file's
-      // open/footer cost on each read)
-      tf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
-        .repartition(col("bucket"))
+      // cluster by (bucket, salt) before each dynamic-partition write
+      // (small-files discipline, same as refresh: the cached tf pins the
+      // shuffle partition count, and N partitions × nBuckets would commit
+      // N×16 tiny files the census consumers re-open on every read). The
+      // salt keeps the BUILD parallel: tf is corpus-scale, and a plain
+      // repartition(bucket) would funnel the whole rebuild through
+      // nBuckets=16 write tasks — the one-task-per-value serialization
+      // writePartitionedByDay deliberately avoids. Bound: ≤ WriteSalt
+      // files per bucket, up to nBuckets × WriteSalt write tasks.
+      def salted(df: DataFrame, keyCol: String, bucketCol: String) =
+        df.repartition(col(bucketCol), pmod(col(keyCol), lit(WriteSalt)))
+      salted(tf.withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong))),
+          "id", "bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/tf")
-      tf.groupBy("id").agg(sum(col("tf")).as("len"))
-        .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
-        .repartition(col("bucket"))
+      salted(tf.groupBy("id").agg(sum(col("tf")).as("len"))
+          .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong))),
+          "id", "bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/doclen")
-      tf.groupBy("token").agg(count(lit(1)).as("df"))
-        .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong)))
-        .repartition(col("dbucket"))
+      salted(tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("dbucket", pmod(col("token"), lit(nBuckets.toLong))),
+          "token", "dbucket")
         .write.mode(SaveMode.Overwrite).partitionBy("dbucket")
         .parquet(s"$root/df")
       // a rebuild resets the landing ledger

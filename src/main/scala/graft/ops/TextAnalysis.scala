@@ -197,7 +197,14 @@ object TextAnalysis {
       // count() both materializes the cache (needed before round 1 either
       // way) and decides the round engine.
       val nWords = wf.count()
-      if (nWords <= localMaxWords) {
+      // the local rounds are single-threaded O(nMerges × nWords)
+      // re-segmentation — gate on TOTAL work, not word count alone, so a
+      // 30k-merge production vocabulary near the word budget doesn't pin
+      // one driver core while the executors idle (2e9 word-rounds ≈ the
+      // point where the distributed engine's per-round job cost amortizes)
+      val localBudget =
+        math.min(localMaxWords, 2000000000L / math.max(1, nMerges))
+      if (nWords <= localBudget) {
         val words = wf.as[(String, Long)].collect()
         for (_ <- 1 to nMerges if !exhausted) {
           val rank = merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap

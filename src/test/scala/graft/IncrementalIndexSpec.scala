@@ -110,11 +110,14 @@ class IncrementalIndexSpec extends SparkSpec {
     val tfBefore = fileHashes(s"$root/tf")
     val dlBefore = fileHashes(s"$root/doclen")
     val dfBefore = fileHashes(s"$root/df")
-    // small-files pin: the build clusters by bucket before each dynamic-
-    // partition write, so the store holds at most ONE file per bucket —
-    // not (cached task partitions × buckets)
+    // small-files pin: the build clusters by (bucket, salt) before each
+    // dynamic-partition write, so the store holds ≤ WriteSalt files per
+    // bucket — not (cached task partitions × buckets); the salt keeps
+    // the corpus-scale build write parallel
+    val maxFiles = 16 * IncrementalIndex.Ir.WriteSalt
     Seq(tfBefore, dlBefore, dfBefore).foreach(h =>
-      assert(h.size <= 16, s"build committed ${h.size} files (> nBuckets)"))
+      assert(h.size <= maxFiles,
+        s"build committed ${h.size} files (> nBuckets × WriteSalt)"))
     // "hot" was kept at build time
     val hotTok = base.sparkSession.range(1)
       .select(xxhash64(lit("hot"))).head().getLong(0)
