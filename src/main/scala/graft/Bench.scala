@@ -45,8 +45,8 @@ object Bench {
     val loadAtLaunch = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Box-speed CALIBRATION (r15): a fixed single-thread xorshift spin,
-    // min of 3 — the portable denominator for cross-round total
-    // comparisons. The 2026-08-16 episode showed the host can run ~2×
+    // min of 2 warm runs after a discarded JIT pass — the portable
+    // denominator for cross-round total comparisons. The 2026-08-16 episode showed the host can run ~2×
     // slow with loadavg ~1, ext_cpu 0.000 AND steal 0.2% (frequency or
     // memory-bandwidth degradation is invisible to every guest-side
     // sentinel); a drifted spin_ms is the one signal that survives.

@@ -155,7 +155,12 @@ object ScaleStress {
     // reads (the artifact memoizes per dir, so min-of-two isolates the
     // view-time cost; the small-files BUILD fix is what keeps these
     // flat — before it, census reads paid tasks × buckets file opens)
-    "q_ir_index_incremental", "q_knn_edges_incremental")
+    "q_ir_index_incremental", "q_knn_edges_incremental",
+    // round-16 wave: the fused pair→cluster path (edge volume O(corpus)
+    // — the ratio must escape the pair family's output-bound regime),
+    // the hierarchical incremental store census, and the streaming
+    // two-level assignment
+    "q_dedup_semantic_clusters", "q_knn_edges_incremental_hier")
 
   def buildFixture(spark: SparkSession, src: String, replicas: Int): String = {
     // the replica token tag is two base-26 letters — beyond 26*26 a third

@@ -177,6 +177,187 @@ object IncrementalIndex {
         .select("query_id", "rnk", "cand_id", "cos")
   }
 
+  /** TWO-LEVEL (hierarchical) IVF kNN-graph store — [[Knn]] re-based on
+    * [[Similarity.knnGraphHier]], which is the scale-path snapshot
+    * builder (PipelineQueries.HierSwapVectors dispatches to it past the
+    * flat deriveK cap); the index a 100 TB corpus actually maintains is
+    * therefore the TWO-LEVEL one, and it needs the same
+    * refresh-equals-rebuild contract as the flat store. Layout under
+    * `root`:
+    *  - `coarse/` (cid, q): spread-seed coarse centroids — FROZEN at
+    *    build (the IVF discipline: cells define the index);
+    *  - `fine/` (cell, fcid, q): per-coarse-cell fine centroids — FROZEN
+    *    likewise (both levels are the index's geometry; retraining
+    *    either is a rebuild);
+    *  - `assign/` partitioned by `fcell` (the GLOBALLY-unique fine-cell
+    *    id — the fine seed's vec_id): serving rows (ism, id, q, nrm),
+    *    `ism` marking the member row (top-1 fine within rank-1 coarse);
+    *  - `edges/` partitioned by `pfcell` (the query's member fine cell,
+    *    or its lowest probed fine cell for the base-memberless-coarse
+    *    edge case): (query_id, rnk, cand_id, cos).
+    *
+    * Refresh contract (proved by the q_knn_edges_incremental_hier
+    * oracle): after `refresh(delta)` the edge table equals
+    * `Similarity.knnGraphHier(base ∪ delta)` under the BUILD-time coarse
+    * AND fine centroids. A delta vector becomes a candidate only in its
+    * member fine cell, so the affected queries are exactly those probing
+    * a delta-membered fine cell; they re-score against their probed fine
+    * cells' full membership, every other query's rows are never read or
+    * rewritten (byte-identity spec-pinned like the flat store's).
+    *
+    * Scale posture: identical to [[Knn]] — per refresh the work is
+    * O(delta + touched fine cells), centroid metadata is config-scale
+    * (guarded by Similarity.FineBroadcastBudgetBytes on read-back), and
+    * fine-cell partitions are ~TargetCellSize rows, so the touched reads
+    * are far FINER-grained than the flat store's coarse cells: the same
+    * delta touches ~1/k2 as many stored rows.
+    */
+  object Knn2 {
+
+    val NProbe1 = 2
+    val NProbe2 = 2
+    val KNn = 3
+    val Iters2 = 2
+
+    private def coarseOf(s: SparkSession, root: String): Array[(Long, Array[Long])] =
+      s.read.parquet(s"$root/coarse").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+
+    private def fineMapOf(s: SparkSession, root: String)
+        : Map[Long, (Array[Long], Array[Array[Long]], Array[Double])] =
+      Similarity.hierFineMap(
+        s.read.parquet(s"$root/fine").select("cell", "fcid", "q").collect())
+
+    /** The store's pfcell rule: the member fine cell when the query has
+      * one (always, at build — a vector's rank-1 coarse cell contains
+      * itself, so fine centroids exist there), else the lowest probed
+      * fine cell (a DELTA vector can land rank-1 in a coarse cell that
+      * had no base members and thus no frozen fine level — it still
+      * queries via its other probed cells, and its edges need a home
+      * partition). */
+    private def pfcellOf(tagged: DataFrame): DataFrame =
+      tagged.groupBy(col("id").as("query_id"))
+        .agg(coalesce(min(when(col("ism"), col("cell"))), min(col("cell")))
+          .as("pfcell"))
+
+    def build(em: DataFrame, idCol: String, embCol: String,
+              root: String): Unit = {
+      val s = em.sparkSession
+      val k1 = Similarity.deriveK2(em.count())
+      val cents = Similarity.kmeansTrainSpread(em, idCol, embCol,
+        k = k1, iters = 2)
+      s.createDataFrame(cents.toIndexedSeq.map { case (cid, q) => (cid, q.toSeq) })
+        .toDF("cid", "q")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/coarse")
+      val assigned = CacheRegistry.persist(
+        Similarity.probeAssign(em, idCol, embCol, cents.toSeq, NProbe1))
+      val fineCollected = Similarity
+        .hierFineCentroids(assigned, k2 = k1, iters2 = Iters2).collect()
+      s.createDataFrame(fineCollected.toIndexedSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getSeq[Long](2))))
+        .toDF("cell", "fcid", "q")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/fine")
+      val fineMap = Similarity.hierFineMap(fineCollected)
+      val tagged = CacheRegistry.persist(
+        Similarity.hierServeTagged(assigned, fineMap, NProbe2))
+      // one file per fine cell (the r13/r15 small-files discipline)
+      tagged.select(col("cell").as("fcell"), col("ism"),
+          col("id"), col("q"), col("nrm"))
+        .repartition(col("fcell")).write.mode(SaveMode.Overwrite)
+        .partitionBy("fcell").parquet(s"$root/assign")
+      val edges = Similarity.knnTopK(
+        Similarity.scoreCellsLocal(tagged, KNn), KNn)
+      edges.join(pfcellOf(tagged), "query_id")
+        .repartition(col("pfcell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pfcell")
+        .parquet(s"$root/edges")
+      CacheRegistry.release(tagged)
+      CacheRegistry.release(assigned)
+    }
+
+    def refresh(s: SparkSession, root: String, deltaEm: DataFrame,
+                idCol: String, embCol: String): Unit = {
+      val coarse = coarseOf(s, root)
+      val fineMap = fineMapOf(s, root)
+      val dAss = Similarity.probeAssign(deltaEm, idCol, embCol,
+        coarse.toSeq, NProbe1)
+      val dTag = CacheRegistry.persist(
+        Similarity.hierServeTagged(dAss, fineMap, NProbe2))
+      // fine cells gaining a MEMBER — the only cells whose candidate sets
+      // change; config-scale (≤ |delta| values, typically far fewer)
+      val touched = dTag.filter(col("ism"))
+        .select("cell").distinct().collect().map(_.getLong(0))
+      if (touched.nonEmpty) {
+        dTag.select(col("cell").as("fcell"), col("ism"),
+            col("id"), col("q"), col("nrm"))
+          .repartition(col("fcell"))
+          .write.mode(SaveMode.Append).partitionBy("fcell")
+          .parquet(s"$root/assign")
+        val sp = new Path(s"$root/assign")
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def cellDirs(cells: Seq[Long]): Seq[String] = cells
+          .map(v => new Path(sp, s"fcell=$v")).filter(hasData(fs, _))
+          .map(_.toString)
+        def readCells(cells: Seq[Long]): DataFrame =
+          s.read.option("basePath", s"$root/assign")
+            .parquet(cellDirs(cells): _*)
+            .withColumn("fcell", col("fcell").cast("long"))
+        // touched queries: every vector PROBING a touched fine cell —
+        // partition-pruned store read, O(touched fine-cell rows)
+        val qvecs = readCells(touched.toIndexedSeq)
+          .select(col("id"), col("q")).dropDuplicates("id")
+        // their FULL serving rows, recomputed against the frozen two-level
+        // geometry (re-serving beats scanning every fine cell for rows)
+        val qTag = CacheRegistry.persist(Similarity.hierServeTagged(
+          Similarity.probeAssignQ(qvecs, coarse.toSeq, NProbe1),
+          fineMap, NProbe2))
+        val candCells = qTag.select("cell").distinct()
+          .collect().map(_.getLong(0))
+        // members of every probed fine cell (store post-append = corpus +
+        // delta) vs the touched queries — the build kernel, queries
+        // restricted to the touched set
+        val members = readCells(candCells.toIndexedSeq)
+          .filter(col("ism"))
+          .select(col("fcell").as("cell"), lit(true).as("ism"),
+            lit(false).as("isq"), col("id"), col("q"), col("nrm"))
+        val queries = qTag.select(col("cell"), lit(false).as("ism"),
+          lit(true).as("isq"), col("id"), col("q"), col("nrm"))
+        val newEdges = Similarity.knnTopK(
+          Similarity.scoreCellsLocal(members.unionByName(queries), KNn), KNn)
+        val pfcellMap = pfcellOf(qTag)
+        val newE = newEdges.join(pfcellMap, "query_id")
+        val touchedPcells = pfcellMap.select("pfcell").distinct()
+          .collect().map(_.getLong(0))
+        val ep = new Path(s"$root/edges")
+        val edirs = touchedPcells.toIndexedSeq
+          .map(v => new Path(ep, s"pfcell=$v")).filter(hasData(fs, _))
+          .map(_.toString)
+        val oldKept =
+          if (edirs.isEmpty)
+            newE.limit(0)
+          else s.read.option("basePath", s"$root/edges").parquet(edirs: _*)
+            .withColumn("pfcell", col("pfcell").cast("long"))
+            .join(broadcast(qTag.select(col("id").as("query_id")).distinct()),
+              Seq("query_id"), "left_anti")
+        val merged = oldKept.unionByName(newE.select(oldKept.columns.map(col): _*))
+          .repartition(col("pfcell"))
+        val snap = merged.localCheckpoint(true)
+        snap.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pfcell").parquet(s"$root/edges")
+        snap.unpersist(blocking = true)
+        CacheRegistry.release(qTag)
+      }
+      CacheRegistry.release(dTag)
+    }
+
+    /** The consumer-facing kNN graph off the store. */
+    def edges(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(s"$root/edges")
+        .select("query_id", "rnk", "cand_id", "cos")
+  }
+
   /** Inverted-index store — [[TextAnalysis.irIndex]] re-shaped for
     * incremental landings. Layout under `root`:
     *  - `tf/` partitioned by `bucket = pmod(id, nBuckets)`: per-(doc,

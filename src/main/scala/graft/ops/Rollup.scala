@@ -219,12 +219,23 @@ object Rollup {
     // cluster by pkey before each dynamic-partition write: the agg output
     // is hash-distributed on (bucket, dims), so every task holds rows of
     // every pkey and an unclustered write commits tasks × days files (the
-    // r13 small-files discipline, applied to the build like the refresh)
+    // r13 small-files discipline, applied to the build like the refresh).
+    // The HOURLY rung additionally salts the clustering (the Ir.build
+    // posture): pkey is the DAY, so a single-day raw batch with
+    // high-cardinality dims would otherwise funnel the whole hourly
+    // aggregate through ONE write task — the exact serialization
+    // writePartitionedByDay's exception exists to avoid. Salt = hash of
+    // the full group key mod WriteSalt: ≤ Ir.WriteSalt files per day,
+    // day-partition writes stay ≤ days × WriteSalt-way parallel. The
+    // daily/monthly rungs re-aggregate the hourly rung (≥ 24× / ≥ 720×
+    // smaller) — one task per month/year is aggregate-bounded there.
+    val hourSalt = pmod(xxhash64(
+      (col("hour") +: ladder.dims.map(col)): _*), lit(IncrementalIndex.Ir.WriteSalt))
     hourlyStats(raw, ladder.tsCol, ladder.measureCol, ladder.dims, "hour",
         kmvOf = ladder.kmvOf, extraMeasures = ladder.extraMeasures,
         exactSumScale = ladder.exactSumScale)
       .withColumn("pkey", pkeyDay(col("hour")))
-      .repartition(col("pkey"))
+      .repartition(col("pkey"), hourSalt)
       .write.mode("overwrite").partitionBy("pkey").parquet(ladder.hourlyPath)
     reaggregateStats(spark.read.parquet(ladder.hourlyPath), "hour", "day",
         ladder.dims, "bucket", k, ladder.extraMeasures, q)

@@ -383,10 +383,20 @@ object Similarity {
     * is k1 + k2 = O(sqrt(N)) instead of flat IVF's k = N/cell — total
     * assignment O(N^1.5/sqrt(cell)) → O(N·sqrt(N/cell)), vs the flat
     * optimum N^1.5 (SCALE.md "IVF boundary"). The 1024 cap bounds the
-    * COARSE broadcast exactly like [[deriveK]]'s (fine centroids never
-    * ride a broadcast — they live and die inside their coarse cell's
-    * task), so the ceiling binds at N ≈ 64·1024² ≈ 67M vectors per
-    * index shard rather than flat IVF's 65k.
+    * COARSE broadcast exactly like [[deriveK]]'s. Fine centroids are
+    * TRAINED inside their coarse cell's task (emitting centroids only),
+    * then COLLECTED and REBROADCAST as one fine map — the post-rework
+    * design SCALE.md describes: serving needs every row to see its
+    * probed coarse cells' fine centroids, and a broadcast map is one
+    * config-scale shuffle-free lookup. The true ceiling is therefore the
+    * FINE broadcast: k1·k2 ≤ 1024² ≈ 1M centroids, binding at
+    * N ≈ 64·1024² ≈ 67M vectors per index shard (1000× flat IVF's 65k).
+    * At this fixture's 64-long quantized dim that is ≤ ~0.5 GB; at
+    * production embedding dims (e.g. 768 floats) a full-cap fine map is
+    * MULTI-GB PER EXECUTOR — [[hierTagged]] guards the broadcast with
+    * [[FineBroadcastBudgetBytes]] and refuses loudly past it, naming
+    * index sharding (per-shard coarse training, union of per-shard edge
+    * sets) as the scale-out step.
     */
   def deriveK2(nVectors: Long): Int =
     math.max(2L, math.min(1024L,
@@ -443,9 +453,21 @@ object Similarity {
                    coarseCents: Seq[(Long, Array[Long])], k: Int,
                    nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
                    trainCap2: Int = 2048,
-                   spreadSeeds: Boolean = true): DataFrame =
+                   spreadSeeds: Boolean = true,
+                   fineBroadcastBudget: Long = FineBroadcastBudgetBytes): DataFrame =
     knnTopK(scoreCellsLocal(hierTagged(em, idCol, embCol, coarseCents,
-      nprobe1, k2, iters2, nprobe2, trainCap2, spreadSeeds), k), k)
+      nprobe1, k2, iters2, nprobe2, trainCap2, spreadSeeds,
+      fineBroadcastBudget), k), k)
+
+  /** Ceiling on the two-level index's fine-centroid broadcast (see
+    * [[deriveK2]]): every executor holds the full fine map, so this is a
+    * PER-EXECUTOR memory commitment, not a driver nicety. 512 MiB covers
+    * the full 1024² centroid cap at this engine's 64-long quantized dim
+    * (~0.5 GB) while refusing the multi-GB maps a production-dim
+    * (768-float) corpus would produce near the cap — those corpora shard
+    * the index instead.
+    */
+  val FineBroadcastBudgetBytes: Long = 512L << 20
 
   /** Stages 1-3 of [[knnGraphHier]] up to the tagged frame (fine-cell,
     * ism, isq, id, q, nrm) — split out so diagnostics can census fine
@@ -454,16 +476,30 @@ object Similarity {
                    coarseCents: Seq[(Long, Array[Long])],
                    nprobe1: Int, k2: Int, iters2: Int, nprobe2: Int,
                    trainCap2: Int = 2048,
-                   spreadSeeds: Boolean = true): DataFrame = {
+                   spreadSeeds: Boolean = true,
+                   fineBroadcastBudget: Long = FineBroadcastBudgetBytes): DataFrame = {
     require(k2 >= 1 && iters2 >= 0 && nprobe2 >= 1)
-    val spark = em.sparkSession
     // persisted: read twice (fine training members, serving rows); stays
     // registered so the returned plan's action reuses it — the harness's
     // CacheRegistry.drain() reclaims it (the kmeansLloyd convention)
     val assigned = CacheRegistry.persist(
       probeAssign(em, idCol, embCol, coarseCents, nprobe1))
+    val fineMap = hierFineMap(
+      hierFineCentroids(assigned, k2, iters2, trainCap2, spreadSeeds).collect(),
+      fineBroadcastBudget)
+    hierServeTagged(assigned, fineMap, nprobe2)
+  }
 
-    // ---- stage 2: per-coarse-cell fine Lloyd, emitting centroids only --
+  /** Stage 2 of [[knnGraphHier]] as a standalone pass: per-coarse-cell
+    * fine Lloyd over [[probeAssign]] rows, emitting (cell, fcid, cq)
+    * centroid rows ONLY — split out so the incremental store
+    * ([[IncrementalIndex.Knn2]]) can materialize the frozen fine level
+    * as a parquet table, the same freeze-at-build contract as the flat
+    * store's `centroids/`. */
+  private[graft] def hierFineCentroids(assigned: DataFrame, k2: Int,
+      iters2: Int, trainCap2: Int = 2048,
+      spreadSeeds: Boolean = true): DataFrame = {
+    require(k2 >= 1 && iters2 >= 0)
     val fineSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -480,7 +516,7 @@ object Similarity {
       java.lang.Long.parseLong(
         h.take(8).map(b => f"${b & 0xFF}%02x").mkString.take(15), 16)
     }
-    val fineRows = assigned.filter(col("rk") === 1)
+    assigned.filter(col("rk") === 1)
       .select(col("cell"), col("id"), col("q"))
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "id")
@@ -585,29 +621,59 @@ object Similarity {
           def next(): org.apache.spark.sql.Row = { hasNext; out.next() }
         }
       }(org.apache.spark.sql.Encoders.row(fineSchema))
+  }
 
-    // k1·k2 centroids -> driver -> broadcast: config-scale metadata, the
-    // documented contract (NOT per-candidate data). Per-cell arrays are
-    // fcid-ascending so positional scans tie to the lowest fcid.
-    val fineMap: Map[Long, (Array[Long], Array[Array[Long]], Array[Double])] =
-      fineRows.collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rs) =>
-          val sorted = rs.sortBy(_.getLong(1))
-          val fcids = sorted.map(_.getLong(1))
-          val cs = sorted.map(_.getSeq[Long](2).toArray)
-          val norms = cs.map { cv =>
-            var d = 0L
-            var i = 0
-            while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
-            math.sqrt(d.toDouble)
-          }
-          cell -> (fcids, cs, norms)
+  /** k1·k2 collected fine-centroid rows (cell, fcid, cq) → the serving
+    * map keyed by coarse cell — config-scale metadata, the documented
+    * contract (NOT per-candidate data). Per-cell arrays are
+    * fcid-ascending so positional scans tie to the lowest fcid.
+    * BUDGET GUARD (see deriveK2's scaladoc): the fine map is the index's
+    * true ceiling — k1·k2 centroids × dim longs ride one broadcast to
+    * every executor. Refuse loudly past the budget rather than OOM a
+    * fleet: past this point the corpus needs INDEX SHARDING (split the
+    * corpus, train/serve a two-level index per shard, union the edge
+    * sets — queries spanning shards re-merge with knnTopK). */
+  private[graft] def hierFineMap(
+      fineCollected: Array[org.apache.spark.sql.Row],
+      fineBroadcastBudget: Long = FineBroadcastBudgetBytes)
+      : Map[Long, (Array[Long], Array[Array[Long]], Array[Double])] = {
+    val fineBytes = fineCollected.iterator
+      .map(r => 24L + 8L * r.getSeq[Long](2).length).sum
+    require(fineBytes <= fineBroadcastBudget,
+      s"two-level IVF fine-centroid map is ~$fineBytes bytes " +
+        s"(${fineCollected.length} fine centroids), over the " +
+        s"$fineBroadcastBudget-byte broadcast budget: this corpus/dim " +
+        "needs index sharding (per-shard coarse+fine training, per-shard " +
+        "serving, knnTopK re-merge of per-shard edges) — a bigger " +
+        "broadcast would ship multi-GB to every executor")
+    fineCollected
+      .groupBy(_.getLong(0))
+      .map { case (cell, rs) =>
+        val sorted = rs.sortBy(_.getLong(1))
+        val fcids = sorted.map(_.getLong(1))
+        val cs = sorted.map(_.getSeq[Long](2).toArray)
+        val norms = cs.map { cv =>
+          var d = 0L
+          var i = 0
+          while (i < cv.length) { d += cv(i) * cv(i); i += 1 }
+          math.sqrt(d.toDouble)
         }
-    val bc = spark.sparkContext.broadcast(fineMap)
+        cell -> (fcids, cs, norms)
+      }
+  }
 
-    // ---- stage 3: tag every row with its fine cells; score fine-cell-
-    // locally with the shared kernel ----
+  /** Stage 3 of [[knnGraphHier]] — SERVING against a frozen fine map:
+    * each [[probeAssign]] row looks up its coarse cell's fine centroids
+    * from the broadcast, members tag their top-1 fine cell, every row
+    * tags its top-`nprobe2` as query probes (max cos, ties to the lowest
+    * fcid). Split out so the incremental store can serve a DELTA batch
+    * (and the streaming path an arriving micro-batch) against the
+    * build-frozen two-level centroids without retraining anything. */
+  private[graft] def hierServeTagged(assigned: DataFrame,
+      fineMap: Map[Long, (Array[Long], Array[Array[Long]], Array[Double])],
+      nprobe2: Int): DataFrame = {
+    require(nprobe2 >= 1)
+    val bc = assigned.sparkSession.sparkContext.broadcast(fineMap)
     val taggedSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -622,7 +688,7 @@ object Similarity {
           org.apache.spark.sql.types.LongType, containsNull = false)),
       org.apache.spark.sql.types.StructField("nrm",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
-    val tagged = assigned.mapPartitions { rows =>
+    assigned.mapPartitions { rows =>
       val fines = bc.value
       rows.flatMap { r =>
         val cell = r.getLong(0)
@@ -677,7 +743,6 @@ object Similarity {
         }
       }
     }(org.apache.spark.sql.Encoders.row(taggedSchema))
-    tagged
   }
 
   /** Multi-probe COSINE assignment rows (cell, rk, id, q, nrm): each
@@ -1585,27 +1650,6 @@ object Similarity {
     */
   def cellPairsLocalScored(m: DataFrame, tau: Double,
                            maxCell: Int = DefaultMaxCell): DataFrame = {
-    val hot = m.groupBy("cell").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") > maxCell)
-    val normal = m.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
-      .select(col("cell"), lit(0L).as("subcell"), lit(false).as("chain"),
-        col("id"), col("q"), col("nrm"))
-    val bits = least(lit(MaxSplitBits),
-      ceil(log(2.0, col("csz").cast("double") / maxCell))).cast("int")
-    val subcell = (0 until MaxSplitBits).map { i =>
-      when(lit(i) < col("__bits") &&
-        try_element_at(col("q"), lit(1 + 4 * i)) >= 0L, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val hotRows = m.join(broadcast(hot), Seq("cell"))
-      .withColumn("__bits", bits)
-      .withColumn("subcell", subcell)
-    val hotSub = hotRows.groupBy("cell", "subcell")
-      .agg(count(lit(1)).as("ssz")).filter(col("ssz") > maxCell)
-      .select(col("cell"), col("subcell"), lit(true).as("__chain"))
-    val hotFlagged = hotRows.join(broadcast(hotSub), Seq("cell", "subcell"), "left")
-      .select(col("cell"), col("subcell"),
-        coalesce(col("__chain"), lit(false)).as("chain"),
-        col("id"), col("q"), col("nrm"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("i",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -1613,13 +1657,7 @@ object Similarity {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("c",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
-    normal.union(hotFlagged)
-      // explicit count for the same reason as scoreCellsLocal: the pair
-      // stage is CPU-dense at modest bytes and AQE size-coalescing
-      // serializes it onto a handful of cores
-      .repartition(m.sparkSession.sparkContext.defaultParallelism * 4,
-        col("cell"), col("subcell"))
-      .sortWithinPartitions("cell", "subcell", "id")
+    cellGroupedSorted(m, maxCell)
       .mapPartitions { rows =>
         type Member = (Long, Seq[Long], Long) // (id, q, nrm)
         def scoreOpt(a: Member, b: Member): Option[org.apache.spark.sql.Row] = {
@@ -1668,6 +1706,146 @@ object Similarity {
             val a = members.toArray
             a.indices.iterator.flatMap(i =>
               (i + 1 until a.length).iterator.flatMap(j => scoreOpt(a(i), a(j))))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Phase A of the local pair kernels, shared by [[cellPairsLocalScored]]
+    * and [[cellPairsLocalSpanning]]: [[cellPairsCapped]]'s exact
+    * hot/subcell derivation (metadata-sized aggregates, broadcast), then
+    * ONE shuffle of the assignment rows clustered by (cell, subcell) and
+    * locally sorted — rows arrive as (cell, subcell, chain, id, q, nrm)
+    * runs ready for a streaming per-group pass. The explicit partition
+    * count exempts the CPU-dense pair stage from AQE size-coalescing
+    * (same rationale as scoreCellsLocal).
+    */
+  private def cellGroupedSorted(m: DataFrame, maxCell: Int): DataFrame = {
+    val hot = m.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCell)
+    val normal = m.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0L).as("subcell"), lit(false).as("chain"),
+        col("id"), col("q"), col("nrm"))
+    val bits = least(lit(MaxSplitBits),
+      ceil(log(2.0, col("csz").cast("double") / maxCell))).cast("int")
+    val subcell = (0 until MaxSplitBits).map { i =>
+      when(lit(i) < col("__bits") &&
+        try_element_at(col("q"), lit(1 + 4 * i)) >= 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hotRows = m.join(broadcast(hot), Seq("cell"))
+      .withColumn("__bits", bits)
+      .withColumn("subcell", subcell)
+    val hotSub = hotRows.groupBy("cell", "subcell")
+      .agg(count(lit(1)).as("ssz")).filter(col("ssz") > maxCell)
+      .select(col("cell"), col("subcell"), lit(true).as("__chain"))
+    val hotFlagged = hotRows.join(broadcast(hotSub), Seq("cell", "subcell"), "left")
+      .select(col("cell"), col("subcell"),
+        coalesce(col("__chain"), lit(false)).as("chain"),
+        col("id"), col("q"), col("nrm"))
+    normal.union(hotFlagged)
+      .repartition(m.sparkSession.sparkContext.defaultParallelism * 4,
+        col("cell"), col("subcell"))
+      .sortWithinPartitions("cell", "subcell", "id")
+  }
+
+  /** SPANNING-FOREST variant of [[cellPairsLocalScored]] — the fused
+    * pair→cluster path (SCALE.md r15: at 2M vectors the semantic pair
+    * family is OUTPUT-bound — 1.1–1.7G τ-passing pairs materialized only
+    * to be consumed by connected components). Per (cell, subcell) group
+    * this emits a spanning forest of the group's τ-graph instead of every
+    * τ-pair: a local union-find processes pairs in (i asc, j asc) order
+    * and an edge is emitted ONLY when it joins two distinct local
+    * components — ≤ |group|−1 rows per group, so the downstream edge
+    * volume is O(corpus), never O(true pairs).
+    *
+    * Why the global components are EXACTLY preserved (DedupSpec pins it
+    * differentially): within a group, a spanning forest generates the
+    * same connectivity relation as the full τ-edge set; globally,
+    * connectivity is the transitive closure of the UNION of per-group
+    * relations, and replacing each member of a union by an equivalent
+    * generator leaves the closure unchanged. Across groups the forests
+    * may overlap or form cycles — [[Dedup.dedupClusters]] canonicalizes
+    * and closes transitively, exactly as it does for the pair form.
+    *
+    * CPU also drops on dense groups: a pair whose endpoints are already
+    * locally connected SKIPS its dot product entirely (two ~O(α)
+    * find()s), so a fully-duplicate group costs O(g) dots + O(g²) finds
+    * instead of O(g²) 64-dim dots. Chain groups (unsplittable
+    * near-identical content) keep the O(1)-memory adjacent scan — their
+    * τ-passing adjacent links are already forest-shaped.
+    *
+    * Output: (i, j) spanning edges, i < j within each group's emission.
+    * No cosine column — the consumer is clustering, and dropping the
+    * score is what makes skipping connected pairs' dots legal.
+    */
+  def cellPairsLocalSpanning(m: DataFrame, tau: Double,
+                             maxCell: Int = DefaultMaxCell): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    cellGroupedSorted(m, maxCell)
+      .mapPartitions { rows =>
+        type Member = (Long, Seq[Long], Long) // (id, q, nrm)
+        def clears(a: Member, b: Member): Boolean = {
+          val qa = a._2; val qb = b._2
+          var dot = 0L
+          var i = 0
+          val n = qa.length
+          while (i < n) { dot += qa(i) * qb(i); i += 1 }
+          dot.toDouble /
+            (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble)) >= tau
+        }
+        val in = rows.buffered
+        val groups = new Iterator[(Boolean, Iterator[Member])] {
+          def hasNext: Boolean = in.hasNext
+          def next(): (Boolean, Iterator[Member]) = {
+            val cell = in.head.getLong(0)
+            val sub = in.head.getLong(1)
+            val chain = in.head.getBoolean(2)
+            (chain, new Iterator[Member] {
+              def hasNext: Boolean = in.hasNext &&
+                in.head.getLong(0) == cell && in.head.getLong(1) == sub
+              def next(): Member = {
+                val r = in.next(); (r.getLong(3), r.getSeq[Long](4), r.getLong(5))
+              }
+            })
+          }
+        }
+        groups.flatMap { case (chain, members) =>
+          if (chain) {
+            // adjacent τ-links are already ≤ g−1 edges — stream them
+            if (!members.hasNext) Iterator.empty
+            else {
+              var prev = members.next()
+              members.flatMap { mm =>
+                val p = prev; prev = mm
+                if (clears(p, mm)) Iterator.single(
+                  org.apache.spark.sql.Row(p._1, mm._1))
+                else Iterator.empty
+              }
+            }
+          } else {
+            // all-pairs group ≤ maxCell: local union-find, dot products
+            // only for pairs that could still merge components
+            val a = members.toArray
+            val parent = Array.tabulate(a.length)(identity)
+            def find(x: Int): Int = {
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+              r
+            }
+            a.indices.iterator.flatMap(i =>
+              (i + 1 until a.length).iterator.flatMap { j =>
+                val ri = find(i); val rj = find(j)
+                if (ri != rj && clears(a(i), a(j))) {
+                  parent(rj) = ri
+                  Iterator.single(org.apache.spark.sql.Row(a(i)._1, a(j)._1))
+                } else Iterator.empty
+              })
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -105,8 +105,14 @@ object TextAnalysis {
     BpeMerges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
   /** Distinct-word-table size up to which BPE training rounds run on the
-    * driver: 4M short words ≈ 150 MB of heap, two orders below the corpus
-    * data that stays distributed. See [[bpeTrain]].
+    * driver. Honest heap budget: 4M (String, Long) tuples carry JVM
+    * object + char[] overhead (~60-90 B per short word), and each round
+    * builds a pair-count HashMap keyed by (String, String) — realistically
+    * **300-500+ MB peak**, not the raw ~50 MB of characters. Size the
+    * driver heap accordingly (the bench JVMs run ≥ 8g; a default 1g
+    * driver near this cap would GC-thrash). The corpus→word-frequency
+    * pass stays distributed regardless — only the Zipf-bounded distinct
+    * word table ever collects. See [[bpeTrain]].
     */
   val BpeLocalTrainMaxWords: Long = 4L * 1000 * 1000
 

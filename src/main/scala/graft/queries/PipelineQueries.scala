@@ -517,6 +517,18 @@ object PipelineQueries {
     // bucketing gives up (measured in RECALL.md); pairs matched in both
     // shared cells are collapsed by a distinct over the (exact, so
     // bit-stable) output row.
+    //
+    // ROLE DECISION (r15 verdict #6): probe2 is the FLAT pair family's
+    // sf-scale oracle-replay and recall-measurement variant — the same
+    // posture as flat q_sim_knn_graph beside knnGraphHier. At 2M vectors
+    // flat probe2 read 124.8× for 1000× rows while the hier index found
+    // 46% MORE true pairs at comparable per-pair cost (SCALE.md /
+    // RECALL.md r15), so no production path routes candidacy through
+    // flat probe2 past the deriveK cap: the scale path is the hier fine
+    // cells — q_dedup_semantic_hier for scored pairs,
+    // q_dedup_semantic_clusters for the fused labels. probe2 stays
+    // because it is the two-dial recall ladder the RECALL.md
+    // measurements (and their DuckDB replays) are pinned against.
     "q_dedup_semantic_probe2" -> ((s, dir) => semanticPairs(s, dir, probes = 2)),
 
     // TWO-LEVEL semantic dedup — the pair family's scale path past flat
@@ -543,6 +555,35 @@ object PipelineQueries {
           m.select("cell", "id", "q", "nrm"), SemanticTau)
         .select(col("i"), col("j"), round(col("c"), 4).as("cos"))
         .distinct()
+    }),
+
+    // FUSED semantic dedup — pairs → clusters WITHOUT a τ-pair table
+    // (SCALE.md r15: at 2M vectors the pair family is OUTPUT-bound,
+    // 1.1–1.7G true pairs materialized only to be consumed by connected
+    // components). Candidacy is q_dedup_semantic_hier's fine cells; each
+    // fine-cell group emits a local-union-find SPANNING FOREST of its
+    // τ-graph (≤ |group|−1 edges, dots skipped for already-connected
+    // pairs — Similarity.cellPairsLocalSpanning) and LSSS closes the
+    // union transitively. Same components as clustering the full pair
+    // set (DedupSpec pins it differentially); edge volume O(corpus),
+    // time ∝ clusters, never ∝ pairs. Output = the cluster census
+    // (the q_graph_cc shape: cluster id IS the survivor id).
+    "q_dedup_semantic_clusters" -> ((s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val k1 = Similarity.deriveK2(em.count())
+      val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
+        k = k1, iters = 2)
+      val tagged = Similarity.hierTagged(em, "vec_id", "embedding",
+        cents.toSeq, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+      val m = tagged.select(col("cell"), col("id"), col("q"))
+        .withColumn("nrm", aggregate(transform(col("q"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("nrm") > 0L)
+      val spanning = Similarity.cellPairsLocalSpanning(
+        m.select("cell", "id", "q", "nrm"), SemanticTau)
+      Dedup.dedupClusters(spanning, maxRounds = 30)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
     // The production IVF build: TRAIN centroids (2 Lloyd rounds), then
@@ -626,6 +667,18 @@ object PipelineQueries {
     // refresh is proven equal to rebuilding, not just plausible.
     "q_knn_edges_incremental" -> ((s, dir) =>
       IncrementalIndex.Knn.edges(s, knnIncArtifact(s, dir))),
+
+    // INCREMENTAL maintenance of the TWO-LEVEL index (r15 verdict #5:
+    // the hier index is the scale-path snapshot builder, so it needs the
+    // same refresh-equals-rebuild contract as the flat store): newest
+    // 20% of vectors land as a delta against a store whose coarse AND
+    // fine centroids froze on the first 80% — delta vectors probe the
+    // frozen fine cells, only queries probing a delta-MEMBERED fine cell
+    // re-score, untouched edge partitions never rewrite
+    // (IncrementalIndexSpec pins them byte-identical). Oracle = the FULL
+    // two-level rebuild on (base + delta) under base-trained geometry.
+    "q_knn_edges_incremental_hier" -> ((s, dir) =>
+      IncrementalIndex.Knn2.edges(s, knnInc2Artifact(s, dir))),
 
     // kNN-graph label propagation (one hop) — semi-supervised labeling
     // over the MATERIALIZED edge artifact (fourth consumer): 80% of
@@ -744,6 +797,15 @@ object PipelineQueries {
     // kernel. Oracle = the batch cell-join restricted to the drained
     // backlog (every arrival processed exactly once).
     "q_t12_streaming_semantic" -> ((s, dir) => streamedSemanticFlags(s, dir)),
+
+    // SEMANTIC DEDUP AT INGEST, TWO-LEVEL (T28): arrivals are served
+    // against the corpus-frozen hierarchical geometry and flagged
+    // fine-cell-locally — the streaming twin of the batch scale path, so
+    // streamed candidacy matches the batch index exactly (see
+    // streamedSemanticHierFlags). Oracle = the batch fmem × qprobe
+    // fine-cell pairs over the drained backlog.
+    "q_t28_streaming_semantic_hier" -> ((s, dir) =>
+      streamedSemanticHierFlags(s, dir)),
 
     // Heavy hitters AT INGEST: the Misra-Gries sketch lives in streaming
     // aggregation state (O(cap) per group, vocabulary never enters the
@@ -1199,8 +1261,8 @@ object PipelineQueries {
     s"""WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim)},
        |scored AS (
        |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
-       |  FROM em a JOIN fmem fm ON fm.vec_id = a.vec_id,
-       |       em b JOIN qprobe qp ON qp.vec_id = b.vec_id
+       |  FROM ema a JOIN fmem fm ON fm.vec_id = a.vec_id,
+       |       ema b JOIN qprobe qp ON qp.vec_id = b.vec_id
        |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
        |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
@@ -1218,18 +1280,77 @@ object PipelineQueries {
     s"""WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim)},
        |scored AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
-       |  FROM em a JOIN qprobe pa ON pa.vec_id = a.vec_id,
-       |       em b JOIN qprobe pb ON pb.vec_id = b.vec_id
+       |  FROM ema a JOIN qprobe pa ON pa.vec_id = a.vec_id,
+       |       ema b JOIN qprobe pb ON pb.vec_id = b.vec_id
        |  WHERE a.vec_id < b.vec_id AND pa.cell = pb.cell AND pa.fcid = pb.fcid)
        |SELECT DISTINCT i, j, round(cos, 4) AS cos FROM scored
        |WHERE cos >= $tau""".stripMargin
   }
 
+  /** DuckDB replay of q_knn_edges_incremental_hier: the FULL two-level
+    * rebuild over (base + delta) with BOTH Lloyd levels trained on the
+    * base 80% only — the frozen-geometry contract the hierarchical store
+    * maintains ([[IncrementalIndex.Knn2]]). [[sqlIvf2]] with the
+    * trainPred restriction; serving reads `ema` (all vectors).
+    */
+  private def sqlIvf2Inc(k1: Int, k2: Int, np1: Int, np2: Int,
+                         iters2: Int, dim: Int, k: Int): String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    val basePred = "vec_id < (SELECT (max(vec_id)+1)*4//5 FROM embeddings)"
+    s"""WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim, trainPred = basePred)},
+       |scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+       |  FROM ema a JOIN fmem fm ON fm.vec_id = a.vec_id,
+       |       ema b JOIN qprobe qp ON qp.vec_id = b.vec_id
+       |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
+       |SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Fused-cluster oracle: the [[sqlSemanticHier]] τ-pair derivation
+    * closed transitively (the q_graph_cc reach pattern) — the census the
+    * spanning-forest fusion must reproduce exactly, since spanning
+    * forests generate the same connectivity as the full τ-pair set. */
+  private def sqlSemanticClusters(k1: Int, k2: Int, np1: Int, np2: Int,
+                                  iters2: Int, dim: Int, tau: Double): String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    s"""WITH RECURSIVE ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim)},
+       |scored AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
+       |  FROM ema a JOIN qprobe pa ON pa.vec_id = a.vec_id,
+       |       ema b JOIN qprobe pb ON pb.vec_id = b.vec_id
+       |  WHERE a.vec_id < b.vec_id AND pa.cell = pb.cell AND pa.fcid = pb.fcid),
+       |pairs AS (SELECT DISTINCT i, j FROM scored WHERE cos >= $tau),
+       |syme AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM syme
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN syme e ON r.b = e.a),
+       |lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT cluster, count(*) AS n_members, max(a) AS max_id
+       |FROM lab GROUP BY 1""".stripMargin
+  }
+
   /** Shared derivation CTEs of the two-level index (through `fmem` /
     * `qprobe`): coarse Lloyd (spread seeds), cosine coarse assignment,
     * per-cell fine Lloyd, cosine fine membership + probes. */
+  /** `trainPred` (optional vec_id predicate) restricts BOTH Lloyd levels
+    * to the base corpus while serving (cassign/mem/fmem/qprobe) runs over
+    * every vector — the frozen-geometry contract the incremental
+    * two-level store maintains ([[IncrementalIndex.Knn2]]). Serving
+    * always reads the `ema` CTE (the full quantized table); `em` (from
+    * sqlKmeansCtes) carries the training restriction. */
   private def sqlIvf2Ctes(k1: Int, k2: Int, np1: Int, np2: Int,
-                          iters2: Int, dim: Int): String = {
+                          iters2: Int, dim: Int,
+                          trainPred: String = ""): String = {
+    val memT = if (trainPred.isEmpty) "mem" else "memt"
+    val memtCte =
+      if (trainPred.isEmpty) ""
+      else s"memt AS (SELECT * FROM mem WHERE $trainPred),\n"
     def fineUpdate(i: Int) =
       s"""fex$i AS (SELECT a.cell, a.fcid, t.i, a.q[t.i] AS v
          |  FROM fa$i a, unnest(generate_series(1, $dim)) AS t(i)),
@@ -1250,10 +1371,15 @@ object PipelineQueries {
          |  SELECT m.cell, m.vec_id, m.q, c.fcid,
          |    row_number() OVER (PARTITION BY m.cell, m.vec_id
          |      ORDER BY ${sqlL2("m.q", "c.q")}, c.fcid) AS rn
-         |  FROM mem m JOIN $cents c ON c.cell = m.cell) WHERE rn = 1)""".stripMargin
+         |  FROM $memT m JOIN $cents c ON c.cell = m.cell) WHERE rn = 1)""".stripMargin
     val fineIters = (1 to iters2).map(i =>
       fineAssign(s"fa$i", s"fcents${i - 1}") + ",\n" + fineUpdate(i)).mkString(",\n")
-    s"""${sqlKmeansCtes(k = k1, iters = 2, dim = dim, seedSpread = true)},
+    s"""${sqlKmeansCtes(k = k1, iters = 2, dim = dim,
+          where = if (trainPred.isEmpty) "" else s" WHERE $trainPred",
+          seedSpread = true)},
+       |ema AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
        |cents AS (SELECT cid, q AS qc FROM cents2),
        |cassign AS (
        |  SELECT e.vec_id, c.cid,
@@ -1261,17 +1387,17 @@ object PipelineQueries {
        |      ORDER BY list_dot_product(e.q, c.qc) /
        |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.qc, c.qc))) DESC,
        |        c.cid) AS rk
-       |  FROM em e, cents c),
+       |  FROM ema e, cents c),
        |cells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk = 1),
        |qcells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rk <= $np1),
        |mem AS (SELECT c.cell, e.vec_id, e.q
-       |  FROM em e JOIN cells c ON c.vec_id = e.vec_id),
-       |fcents0 AS (SELECT cell, vec_id AS fcid, q FROM (
+       |  FROM ema e JOIN cells c ON c.vec_id = e.vec_id),
+       |${memtCte}fcents0 AS (SELECT cell, vec_id AS fcid, q FROM (
        |  SELECT cell, vec_id, q,
        |    row_number() OVER (PARTITION BY cell ORDER BY
        |      ${graft.functions.Hashing.sqlMd5Long("CAST(vec_id AS VARCHAR)")},
        |      vec_id) AS rn
-       |  FROM mem) WHERE rn <= $k2),
+       |  FROM $memT) WHERE rn <= $k2),
        |$fineIters,
        |fcents AS (SELECT cell, fcid, q FROM fcents$iters2),
        |fmem AS (SELECT cell, fcid, vec_id FROM (
@@ -1287,7 +1413,7 @@ object PipelineQueries {
        |      ORDER BY list_dot_product(e.q, c.q) /
        |        (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.q, c.q))) DESC,
        |        c.fcid) AS rn
-       |  FROM qcells qc JOIN em e ON e.vec_id = qc.vec_id
+       |  FROM qcells qc JOIN ema e ON e.vec_id = qc.vec_id
        |       JOIN fcents c ON c.cell = qc.cell) WHERE rn <= $np2)""".stripMargin
   }
 
@@ -1302,7 +1428,58 @@ object PipelineQueries {
       k = 3, nprobe = 2)
   }
 
+  /** Corpus size past which [[knnEdgesArtifact]]'s snapshot build swaps
+    * from flat IVF to the two-level index: `deriveK`'s 1024-cell cap
+    * boundary (TargetCellSize × 1024 = 65 536 vectors). Below it flat IVF
+    * sits at its k = N/64 optimum (and the DuckDB oracle replays it
+    * bit-exact at fixture scale); above it flat cells grow linearly with
+    * the corpus — SCALE.md r15 measured flat at 76.5 s vs hier's 28.8 s
+    * at 2M vectors with hier recall HIGHER (0.992 vs 0.982 @3), so past
+    * the cap the swap strictly dominates.
+    */
+  private[graft] val HierSwapVectors: Long = Similarity.TargetCellSize * 1024L
+
+  /** True ⇢ the edge-artifact build should use the two-level index for a
+    * corpus of `n` vectors — the dispatch rule, split out so the boundary
+    * is unit-testable. */
+  private[graft] def useHierEdges(n: Long): Boolean = n > HierSwapVectors
+
+  /** Size-dispatched edge-graph builder for [[knnEdgesArtifact]]: flat
+    * IVF at oracle scale (the DuckDB replay pins it), [[Similarity
+    * .knnGraphHier]] past [[HierSwapVectors]] — identical output schema
+    * (query_id, rnk, cand_id, cos), so consumers never change.
+    * `forceHier` is the differential-spec seam (HierArtifactSpec runs the
+    * hier build at fixture scale against the same consumers).
+    */
+  private[graft] def knnEdgesDf(s: SparkSession, dir: String,
+                                forceHier: Boolean = false): DataFrame = {
+    val em = Tables.embeddings(s, dir)
+    val n = em.count()
+    if (!forceHier && !useHierEdges(n)) knnGraphDf(s, dir)
+    else {
+      val k1 = Similarity.deriveK2(n)
+      val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
+        k = k1, iters = 2)
+      Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
+        k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+    }
+  }
+
   private val knnEdgePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Test seam: point `dir`'s edge artifact at a pre-built path (returns
+    * the previous binding so the spec can restore it). Lets the
+    * differential spec feed the UNCHANGED consumer queries a hier-built
+    * edge table at fixture scale. */
+  private[graft] def seedKnnEdges(dir: String,
+                                  path: Option[String]): Option[String] = {
+    val prev = knnEdgePaths.get(dir)
+    path match {
+      case Some(p) => knnEdgePaths.put(dir, p)
+      case None => knnEdgePaths.remove(dir)
+    }
+    prev
+  }
 
   /** MATERIALIZED kNN edge set — the graph-family sibling of
     * [[DocQueries.dedupLabelsArtifact]]: the expensive derivation
@@ -1316,22 +1493,30 @@ object PipelineQueries {
     * artifact is corpus-linear and the consumers' wedge joins stay ≤ k²N.
     * At 100 TB this is one ANN-graph job per snapshot instead of one per
     * kernel — the same materialize-once deployment shape as the dedup
-    * label table. The build kernel here is flat IVF (the sf-scale
-    * optimum and the oracle's replay); past ~10⁶ vectors the snapshot
-    * build swaps to [[graft.ops.Similarity.knnGraphHier]] — identical
-    * output schema, measured 13× faster at 200k vectors with HIGHER
-    * recall (q_sim_ivf2's oracle + SCALE.md r15 rows prove the swap),
-    * so consumers never change.
+    * label table. The build kernel is SIZE-DISPATCHED ([[knnEdgesDf]]):
+    * flat IVF at oracle scale (the sf-scale optimum and the DuckDB
+    * replay), [[graft.ops.Similarity.knnGraphHier]] past
+    * [[HierSwapVectors]] — identical output schema, measured 13× faster
+    * at 200k vectors with HIGHER recall (q_sim_ivf2's oracle + SCALE.md
+    * r15 rows prove the swap), so consumers never change.
+    * HierArtifactSpec runs the hier build through the unchanged
+    * consumers differentially.
     */
+  /** Fold a directed kNN result (query_id, cand_id, …) to the artifact's
+    * undirected distinct (a, b) edge set — shared by the production build
+    * and HierArtifactSpec's differential build so the two can never
+    * disagree on what "the edge table" means. */
+  private[graft] def foldUndirected(knn: DataFrame): DataFrame =
+    knn.filter(col("query_id") =!= col("cand_id"))
+      .select(least(col("query_id"), col("cand_id")).as("a"),
+        greatest(col("query_id"), col("cand_id")).as("b"))
+      .distinct()
+
   private[graft] def knnEdgesArtifact(s: SparkSession, dir: String): String =
     knnEdgePaths.getOrElseUpdate(dir, {
       val out = java.nio.file.Files
         .createTempDirectory("graft_knn_edges_").toString + "/edges"
-      knnGraphDf(s, dir)
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(least(col("query_id"), col("cand_id")).as("a"),
-          greatest(col("query_id"), col("cand_id")).as("b"))
-        .distinct()
+      foldUndirected(knnEdgesDf(s, dir))
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -1385,6 +1570,28 @@ object PipelineQueries {
       IncrementalIndex.Knn.build(
         em.filter(col("vec_id") < deltaFrom), "vec_id", "embedding", root)
       IncrementalIndex.Knn.refresh(s, root,
+        em.filter(col("vec_id") >= deltaFrom), "vec_id", "embedding")
+      root
+    })
+
+  private val knnInc2Paths = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** INCREMENTALLY-maintained TWO-LEVEL kNN store (see
+    * `q_knn_edges_incremental_hier`): the hierarchical sibling of
+    * [[knnIncArtifact]] — built on the first 80% of vectors (coarse AND
+    * fine centroids freeze there), refreshed with the newest 20%, same
+    * deriveBlocks boundary rule as the flat store.
+    */
+  private[graft] def knnInc2Artifact(s: SparkSession, dir: String): String =
+    knnInc2Paths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_knn_inc2_").toString
+      val em = Tables.embeddings(s, dir)
+      val deltaFrom =
+        (em.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 4L / 5L
+      IncrementalIndex.Knn2.build(
+        em.filter(col("vec_id") < deltaFrom), "vec_id", "embedding", root)
+      IncrementalIndex.Knn2.refresh(s, root,
         em.filter(col("vec_id") >= deltaFrom), "vec_id", "embedding")
       root
     })
@@ -1557,6 +1764,78 @@ object PipelineQueries {
       // only the emitted measure
       val craw = Similarity.dotQ(col("qi"), col("qj")).cast("double") /
         (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double")))
+      val flags = arrivals.join(corpusIdx, "cell")
+        .withColumn("craw", craw)
+        .filter(col("craw") >= SemanticTau)
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_dups"), min(col("i")).as("first_dup"),
+          max(round(col("craw"), 4)).as("max_cos"))
+      graft.streaming.Landing.availableNow(flags, sink, ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      sink
+    })
+    s.read.parquet(out).groupBy("j")
+      .agg(max(col("n_dups")).as("n_dups"), min(col("first_dup")).as("first_dup"),
+        max(col("max_cos")).as("max_cos"))
+  }
+
+  /** Landing for [[queries q_t28_streaming_semantic_hier]] — the
+    * q_t12 ingest shape re-based on the TWO-LEVEL index (r15 verdict #7:
+    * once hier is the batch scale path, streamed candidacy must land in
+    * the same fine cells the batch index holds). The corpus trains BOTH
+    * Lloyd levels batch-side and freezes them; corpus vectors sit in the
+    * index at their MEMBER fine cell (top-1 fine within rank-1 coarse —
+    * exactly what the batch index holds); each ARRIVING vector is served
+    * against the frozen two-level geometry by the same stateless
+    * broadcast kernel the batch path uses (probeAssign +
+    * hierServeTagged work unchanged on a streaming frame) and probes its
+    * ≤ nprobe1×nprobe2 fine cells; the flag join runs ON THE FINE-CELL
+    * KEY — an arriving batch touches ~1/(k1·k2) of the corpus index,
+    * k2× finer than the flat q_t12 join. A corpus member's member cell
+    * is unique and an arrival's probed (cell, fcid) pairs are distinct,
+    * so each (i, j) can match at most once — no distinct pass needed.
+    * Oracle = the batch fine-cell pairs (fmem × qprobe under
+    * corpus-frozen geometry) restricted to the drained backlog.
+    */
+  private[graft] val streamSemHierPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamedSemanticHierFlags(s: SparkSession, dir: String): DataFrame = {
+    val out = streamSemHierPaths.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_semh_").toString
+      val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
+      val em = Tables.embeddings(s, dir)
+      val corpus = em.filter(col("vec_id") < SemStreamCut)
+      val k1 = Similarity.deriveK2(corpus.count())
+      val coarse = Similarity.kmeansTrainSpread(corpus, "vec_id", "embedding",
+        k = k1, iters = 2)
+      val corpusAss = CacheRegistry.persist(Similarity.probeAssign(
+        corpus, "vec_id", "embedding", coarse.toSeq, 2))
+      val fineMap = Similarity.hierFineMap(
+        Similarity.hierFineCentroids(corpusAss, k2 = k1, iters2 = 2).collect())
+      val corpusIdx = CacheRegistry.persist(
+        Similarity.hierServeTagged(corpusAss, fineMap, 2)
+          .filter(col("ism") && col("nrm") > 0.0)
+          .select(col("cell"), col("id").as("i"), col("q").as("qi"),
+            col("nrm").as("ni")))
+      corpusIdx.count() // materialize before releasing the assign rows
+      CacheRegistry.release(corpusAss)
+      em.filter(col("vec_id") >= SemStreamCut)
+        .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+        .repartition(4).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+      val decoded = graft.streaming.KafkaSource.decodeJson(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src), schema)
+      val arrivals = Similarity.hierServeTagged(
+          Similarity.probeAssign(decoded, "vec_id", "embedding",
+            coarse.toSeq, 2), fineMap, 2)
+        .filter(col("nrm") > 0.0)
+        .select(col("cell"), col("id").as("j"), col("q").as("qj"),
+          col("nrm").as("nj"))
+      // nrm carries the correctly-rounded sqrt of the integer self-dot,
+      // so ni·nj then divide is the exact oracle float shape
+      val craw = Similarity.dotQ(col("qi"), col("qj")).cast("double") /
+        (col("ni") * col("nj"))
       val flags = arrivals.join(corpusIdx, "cell")
         .withColumn("craw", craw)
         .filter(col("craw") >= SemanticTau)
@@ -2125,6 +2404,28 @@ object PipelineQueries {
          |  max(round(craw, 4)) AS max_cos
          |FROM p WHERE craw >= $SemanticTau GROUP BY 1""".stripMargin,
 
+    // streamed arrivals served against the corpus-frozen TWO-LEVEL
+    // geometry == the batch fmem × qprobe fine-cell pairs over the
+    // drained backlog (corpus members at their member fine cell,
+    // arrivals at their ≤ np1×np2 probed fine cells)
+    "q_t28_streaming_semantic_hier" -> {
+      val cos = "(list_dot_product(a.q, b.q) / " +
+        "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+      s"""WITH ${sqlIvf2Ctes(k1 = 3, k2 = 3, np1 = 2, np2 = 2, iters2 = 2,
+            dim = 64, trainPred = s"vec_id < $SemStreamCut")},
+         |scored AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
+         |  FROM ema a JOIN fmem fm ON fm.vec_id = a.vec_id,
+         |       ema b JOIN qprobe qp ON qp.vec_id = b.vec_id
+         |  WHERE a.vec_id < $SemStreamCut AND b.vec_id >= $SemStreamCut
+         |    AND fm.cell = qp.cell AND fm.fcid = qp.fcid
+         |    AND list_dot_product(a.q, a.q) > 0
+         |    AND list_dot_product(b.q, b.q) > 0)
+         |SELECT j, count(*) AS n_dups, min(i) AS first_dup,
+         |  max(round(cos, 4)) AS max_cos
+         |FROM scored WHERE cos >= $SemanticTau GROUP BY 1""".stripMargin
+    },
+
     // streaming MG sketch + exact recount == the batch heavy hitters
     // (same oracle text as q_agg_heavy_hitters: the candidate superset
     // guarantee holds under any micro-batch split, and the recount +
@@ -2169,6 +2470,8 @@ object PipelineQueries {
       iters2 = 2, dim = 64, k = 3),
     "q_dedup_semantic_hier" -> sqlSemanticHier(k1 = 3, k2 = 3, np1 = 2,
       np2 = 2, iters2 = 2, dim = 64, tau = SemanticTau),
+    "q_dedup_semantic_clusters" -> sqlSemanticClusters(k1 = 3, k2 = 3,
+      np1 = 2, np2 = 2, iters2 = 2, dim = 64, tau = SemanticTau),
 
     // one-hop majority vote over the replayed kNN edges; tie-break
     // (cnt desc, label) identical on both engines
@@ -2231,6 +2534,10 @@ object PipelineQueries {
 
     // the refreshed store == the full rebuild under base-trained cells
     "q_knn_edges_incremental" -> sqlKnnGraphInc,
+    // the refreshed TWO-LEVEL store == the full hier rebuild under
+    // base-trained coarse + fine centroids
+    "q_knn_edges_incremental_hier" -> sqlIvf2Inc(k1 = 3, k2 = 3,
+      np1 = 2, np2 = 2, iters2 = 2, dim = 64, k = 3),
 
     // edges = the undirected kNN pairs (the q_sim_knn_graph oracle as a
     // derived table), then the a<b<c wedge-close join

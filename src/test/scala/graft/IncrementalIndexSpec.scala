@@ -94,6 +94,70 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("Knn2 store: refresh == frozen-geometry hier rebuild; untouched partitions byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_knninc2_").toString
+    // bigger base than the flat test: deriveK2(600) = 4 coarse cells ⇒ up
+    // to 16 fine cells, and every vector probes ≤ 2×2 = 4 of them — room
+    // for a clustered delta to leave fine cells untouched (at the flat
+    // test's 160 rows deriveK2 = 2 and nprobe1×nprobe2 covers the whole
+    // index, which would make the untouched-partition claim vacuous)
+    val base = clusteredEm(600, delta = false)
+    val delta = clusteredEm(40, delta = true)
+    IncrementalIndex.Knn2.build(base, "vec_id", "embedding", root)
+    val before = fileHashes(s"$root/edges")
+    val assignBefore = fileHashes(s"$root/assign")
+    // small-files pin: one file per fine cell / pfcell
+    val k1 = Similarity.deriveK2(600)
+    assert(assignBefore.size <= k1 * k1,
+      s"assign build committed ${assignBefore.size} files (> ${k1 * k1} fine cells)")
+    assert(before.size <= k1 * k1,
+      s"edges build committed ${before.size} files (> ${k1 * k1} pfcells)")
+    IncrementalIndex.Knn2.refresh(spark, root, delta, "vec_id", "embedding")
+
+    // 1. every base assign file is untouched (delta rows APPEND)
+    val assignAfter = fileHashes(s"$root/assign")
+    assignBefore.foreach { case (f, h) =>
+      assert(assignAfter.get(f).contains(h), s"assign file rewritten: $f")
+    }
+
+    // 2. equality with the FROZEN-GEOMETRY rebuild: coarse AND fine
+    //    centroids from the base, serving over base ∪ delta — the exact
+    //    contract the store (and its DuckDB oracle) maintains
+    val coarse = Similarity.kmeansTrainSpread(base, "vec_id", "embedding",
+      k = k1, iters = 2)
+    val baseAss = Similarity.probeAssign(base, "vec_id", "embedding",
+      coarse.toSeq, IncrementalIndex.Knn2.NProbe1)
+    val fineMap = Similarity.hierFineMap(
+      Similarity.hierFineCentroids(baseAss, k2 = k1,
+        iters2 = IncrementalIndex.Knn2.Iters2).collect())
+    val allAss = Similarity.probeAssign(base.unionByName(delta),
+      "vec_id", "embedding", coarse.toSeq, IncrementalIndex.Knn2.NProbe1)
+    val expected = Similarity.knnTopK(Similarity.scoreCellsLocal(
+        Similarity.hierServeTagged(allAss, fineMap,
+          IncrementalIndex.Knn2.NProbe2), IncrementalIndex.Knn2.KNn),
+        IncrementalIndex.Knn2.KNn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = IncrementalIndex.Knn2.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === expected)
+
+    // 3. at least one edge partition was never rewritten, and every file
+    //    in an un-rewritten partition is byte-identical
+    val after = fileHashes(s"$root/edges")
+    def part(f: String) = f.split('/').head
+    val changed = (after.keySet ++ before.keySet)
+      .filter(f => before.get(f) != after.get(f)).map(part)
+    val untouchedParts = before.keySet.map(part) -- changed
+    assert(untouchedParts.nonEmpty,
+      s"expected clustered delta to leave some pfcell partitions untouched; changed=$changed")
+    before.foreach { case (f, h) =>
+      if (untouchedParts(part(f)))
+        assert(after.get(f).contains(h), s"untouched partition file changed: $f")
+    }
+  }
+
   test("Ir store: refresh == irIndex full rebuild; tf append-only; df bucket-pruned; cap crossing applies") {
     val root = java.nio.file.Files.createTempDirectory("graft_irinc_").toString
     // base: 30 docs; token "hot" sits in exactly 5 docs (cap = max(5,

@@ -159,6 +159,45 @@ class SemanticDedupSpec extends SparkSpec {
     assert(filtered == local.filter(_._3 >= 0.9))
   }
 
+  test("cellPairsLocalSpanning: exact same components as the full τ-pair set") {
+    // the fused path's correctness claim: per-group spanning forests
+    // generate the same global connectivity as every τ-pair. Mixed
+    // fixture exercising all group kinds at cap=10 — small all-pairs,
+    // diverse hot (sign-split subcells), identical hot (chain)
+    val diverse = for {
+      g <- 0 until 4; r <- 0 until 10
+    } yield {
+      val s1 = if ((g & 1) == 0) 1L else -1L
+      val s5 = if ((g & 2) == 0) 1L else -1L
+      val q = Array(s1 * 3, 1L, 1L, 1L, s5 * 4, 1L, 1L, 1L)
+      (5L, (1000 + g * 10 + r).toLong, q, q.map(x => x * x).sum)
+    }
+    val m = identicalCell(1L, 25).union(identicalCell(2L, 6, base = 100L))
+      .union(diverse.toDF("cell", "id", "q", "nrm"))
+    def labelsOf(p: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val out = graft.ops.Dedup.dedupClusters(p, maxRounds = 30)
+        .as[(Long, Long)].collect().toMap
+      graft.ops.CacheRegistry.drain()
+      out
+    }
+    for (tau <- Seq(-1.0, 0.9)) {
+      val full = Similarity.cellPairsLocalScored(m, tau, maxCell = 10)
+        .select("i", "j")
+      val span = Similarity.cellPairsLocalSpanning(m, tau, maxCell = 10)
+      val fullSet = full.as[(Long, Long)].collect().toSet
+      val spanSet = span.as[(Long, Long)].collect().toSet
+      // the forest is a SUBSET of the τ-pairs …
+      assert(spanSet.subsetOf(fullSet), s"tau=$tau")
+      // … with identical connected components
+      assert(labelsOf(span) === labelsOf(full.toDF("i", "j")), s"tau=$tau")
+    }
+    // output bound: the 6-member all-pairs cell emits 15 τ-pairs but only
+    // 5 spanning edges (|group|−1) — the O(pairs) → O(corpus) claim
+    val spanAll = Similarity.cellPairsLocalSpanning(m, -1.0, maxCell = 10)
+      .as[(Long, Long)].collect()
+    assert(spanAll.count(p => p._1 >= 100L && p._1 < 1000L) === 5)
+  }
+
   test("fixture cells sit below the default cap: capped == uncapped") {
     val em = Tables.embeddings(spark, sf)
     val k = Similarity.deriveK(em.count())

@@ -185,6 +185,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hier.nonEmpty)
   }
 
+  test("knnGraphHier refuses a fine map over the broadcast budget, naming sharding") {
+    // the guard is the deriveK2 ceiling made executable: a production-dim
+    // corpus near the 1024² cap would broadcast multi-GB per executor —
+    // the engine must refuse with the scale-out step in the message, not
+    // OOM a fleet. 64 bytes is under any real fine map.
+    val coarse = Similarity.kmeansTrain(pqVecs, "vec_id", "embedding",
+      k = 2, iters = 1, dim = 8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphHier(pqVecs, "vec_id", "embedding", coarse.toSeq,
+        k = 2, nprobe1 = 1, k2 = 2, iters2 = 1, nprobe2 = 1,
+        fineBroadcastBudget = 64L).count()
+    }
+    assert(e.getMessage.contains("index sharding"))
+    // at the default budget the same build serves fine
+    assert(Similarity.knnGraphHier(pqVecs, "vec_id", "embedding", coarse.toSeq,
+      k = 2, nprobe1 = 1, k2 = 2, iters2 = 1, nprobe2 = 1).count() > 0)
+  }
+
   test("knnGraphHier multi-cell: per-query contract holds and every cos is the exact cosine") {
     val big = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat)))
