@@ -31,6 +31,22 @@ object Bench {
 
   val DetailFile = "BENCH_LOCAL.json"
 
+  /** Healthy-box single-thread spin baseline (ms), pinned from a quiet
+    * artifact (r15 verdict #1): a reading where `contended` is false on
+    * every other sentinel AND q_graph_pagerank sits in its 5.6-6.1 s
+    * steady band. -1 = no healthy reading exists yet, fold disabled —
+    * pinning a guessed baseline would brand every future healthy run
+    * contended (or certify degraded ones), so the flag stays honest and
+    * conservative until a real reading lands. When pinned, a timed-pass
+    * spin above [[SpinContendedFactor]]× baseline marks the run
+    * contended even when loadavg/ext_cpu/steal are all quiet — the
+    * 2026-08-16 episode's signature (host-level frequency or
+    * memory-bandwidth degradation is invisible to every guest-side
+    * sentinel; the spin is the one reading that survives).
+    */
+  val SpinBaselineMs: Double = -1.0
+  val SpinContendedFactor: Double = 1.3
+
   private def jNum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
@@ -220,13 +236,26 @@ object Bench {
     // artifact read loadavg 13 yet `contended: false`).
     // steal > ~2% of box capacity sustained at the median means the
     // hypervisor is taking cycles all run long — times inflate 1.5-2×
-    // well before steal reaches the 4-core-equivalent external-CPU bar
+    // well before steal reaches the 4-core-equivalent external-CPU bar.
+    // The spin fold takes the WORSE of the launch/timed-pass readings:
+    // the box can degrade mid-run (r15: 149 ms at launch, 102 ms later)
+    // and either window poisons the total.
+    val spinWorst = math.max(spinMsLaunch, spinMsBefore)
+    val spinDegraded = SpinBaselineMs > 0 &&
+      spinWorst > SpinBaselineMs * SpinContendedFactor
     val contended = loadAtLaunch > 6.0 || extCpuMedian > 0.125 ||
-      stealMedian > 0.02
+      stealMedian > 0.02 || spinDegraded
+    // Retry floor rides the spin denominator (r15: 18 retries on the
+    // degraded box — sub-second queries sat just above the fixed w+0.5 s
+    // absolute floor purely because the whole box ran ~2.5× slow). A
+    // uniformly slow box stretches w and sec together, so the RELATIVE
+    // test self-corrects; only the absolute floor needs the scaling.
+    val spinRatio =
+      if (SpinBaselineMs > 0) math.max(1.0, spinWorst / SpinBaselineMs) else 1.0
     val results = firstPass.map { case (n, sec, off) =>
       val w = warmSec(n)
       val suspicious = sec >= 0 && w >= 0 &&
-        sec > math.max(1.5 * w, w + 0.5)
+        sec > math.max(1.5 * w, w + 0.5 * spinRatio)
       if (!suspicious) (n, sec, off, false)
       else {
         val again = run(n)
@@ -257,6 +286,7 @@ object Bench {
     sb.append("  \"steal_median\": ").append(jNum(stealMedian)).append(",\n")
     sb.append("  \"spin_ms_launch\": ").append(jNum(spinMsLaunch)).append(",\n")
     sb.append("  \"spin_ms_before\": ").append(jNum(spinMsBefore)).append(",\n")
+    sb.append("  \"spin_baseline_ms\": ").append(jNum(SpinBaselineMs)).append(",\n")
     sb.append("  \"contended\": ").append(contended).append(",\n")
     sb.append("  \"retried\": ").append(
       retried.map("\"" + _ + "\"").mkString("[", ",", "]")).append(",\n")

@@ -61,6 +61,24 @@ object IndexStress {
       (label, tBuild, t)
     }
 
+    // ---- TWO-LEVEL kNN store (r16): same fixture and fixed topical
+    // delta as the flat rows — the claim is the same O(delta + touched)
+    // refresh, with the touched set now FINE cells (~k2× fewer stored
+    // rows read per touched cell), and a build that stays hier-priced
+    // (O(N·sqrt(N/cell)) assignment) past the flat deriveK cap ----------
+    def knn2Row(label: String, n: Int): (String, Double, Double) = {
+      val root = tmp(s"graft_idxstress_knn2_$n") + "/store"
+      val clusters = math.max(8, n / 64)
+      val tBuild = timeIt(
+        graft.ops.IncrementalIndex.Knn2.build(em(n, 0L, clusters),
+          "vec_id", "embedding", root))
+      def delta(seq: Int) = em(500, 10000000L * seq, 4)
+      val t = (1 to 2).map(i => timeIt(
+        graft.ops.IncrementalIndex.Knn2.refresh(spark, root, delta(i),
+          "vec_id", "embedding"))).min
+      (label, tBuild, t)
+    }
+
     // ---- IR store: synthetic docs, zipf-ish vocabulary ------------------
     def docs(n: Int, idFrom: Long): org.apache.spark.sql.DataFrame =
       spark.range(n.toLong).select((col("id") + idFrom).as("doc_id"),
@@ -91,20 +109,25 @@ object IndexStress {
     val only = args.headOption
     def want(label: String) = only.forall(label.contains)
     val rows = Seq(
-      ("Knn 10k vectors", 10000, false),
-      ("Knn 60k vectors (6x, under deriveK cap)", 60000, false),
-      ("Knn 100k vectors (10x, past deriveK cap)", 100000, false),
-      ("Knn 200k vectors (20x)", 200000, false),
-      ("Ir 20k docs", 20000, true),
-      ("Ir 200k docs (10x)", 200000, true)
+      ("Knn 10k vectors", 10000, 0),
+      ("Knn 60k vectors (6x, under deriveK cap)", 60000, 0),
+      ("Knn 100k vectors (10x, past deriveK cap)", 100000, 0),
+      ("Knn 200k vectors (20x)", 200000, 0),
+      ("Knn2 10k vectors (hier store)", 10000, 2),
+      ("Knn2 100k vectors (hier, 10x)", 100000, 2),
+      ("Knn2 200k vectors (hier, 20x)", 200000, 2),
+      ("Knn2 1M vectors (hier, 100x)", 1000000, 2),
+      ("Ir 20k docs", 20000, 1),
+      ("Ir 200k docs (10x)", 200000, 1)
     ).collect {
-      case (l, n, false) if want(l) => knnRow(l, n)
-      case (l, n, true) if want(l)  => irRow(l, n)
+      case (l, n, 0) if want(l) => knnRow(l, n)
+      case (l, n, 1) if want(l) => irRow(l, n)
+      case (l, n, 2) if want(l) => knn2Row(l, n)
     }
     // fail fast on a typo'd filter: a header-only table would read as a
     // successful run with no data (matching is case-sensitive contains)
     require(rows.nonEmpty, s"filter '${only.getOrElse("")}' matched no rows; " +
-      "labels contain: Knn, Ir")
+      "labels contain: Knn, Knn2, Ir")
 
     println("| store | build sec (context) | fixed-delta refresh sec |")
     println("|---|---|---|")

@@ -52,6 +52,11 @@ object VecStress {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-call trace: artifact-backed queries memoize their build in the
+      // first call, so the call sequence (build+read, read, read) is the
+      // only place the BUILD cost is visible — the table's min-of-2 is the
+      // steady read
+      println(f"[vecstress] $name ${if (dir == sfDir) "base" else "scaled"} $sec%.2f s")
       clean(); sec
     }
     println(s"| query | sf0.1 (s) | ${replicas}× (s) | ratio |")
