@@ -465,9 +465,70 @@ object Similarity {
     * the full 1024² centroid cap at this engine's 64-long quantized dim
     * (~0.5 GB) while refusing the multi-GB maps a production-dim
     * (768-float) corpus would produce near the cap — those corpora shard
-    * the index instead.
+    * the index instead ([[knnGraphHierSharded]]).
     */
   val FineBroadcastBudgetBytes: Long = 512L << 20
+
+  /** SHARDED two-level IVF kNN graph — the scale-out step
+    * [[hierFineMap]]'s broadcast guard names, made executable. Shard
+    * `s = vec_id mod nShards` (deterministic, so a DuckDB oracle replays
+    * the shard split); each shard trains its OWN coarse + fine geometry
+    * on its members only, so per-shard fine maps are ~1/nShards of the
+    * unsharded one and the broadcast ceiling moves to
+    * nShards × ~67M vectors (the per-shard [[deriveK2]] bound) — the
+    * answer for production-dim corpora whose single-index fine map
+    * would blow [[FineBroadcastBudgetBytes]].
+    *
+    * Serving: every vector probes EVERY shard's index — members ride
+    * their own shard's [[probeAssign]] rows (ism from rank-1 coarse ×
+    * top-1 fine, exactly the single-index rule), cross-shard vectors are
+    * served query-only ([[probeAssignQ]] + [[hierServeTagged]] with ism
+    * masked false). Fine-cell ids are fine-seed vec_ids and shards are
+    * disjoint vector sets, so fine cells are GLOBALLY disjoint across
+    * shards: the union of shard tagged frames feeds the same
+    * [[scoreCellsLocal]] kernel unchanged, and one global [[knnTopK]]
+    * per query IS the cross-shard re-merge — no per-shard top-k pass,
+    * no extra shuffle beyond the single-index plan's.
+    *
+    * Cost: queries pay nprobe1·nprobe2 fine-cell probes PER SHARD (the
+    * sharding tax — candidate volume ×nShards at fixed fine-cell size);
+    * training cost drops to Σ per-shard O(n_s·sqrt(n_s/cell)). Shard
+    * counts and per-shard centroids stay config-scale driver metadata.
+    */
+  def knnGraphHierSharded(em: DataFrame, idCol: String, embCol: String,
+      nShards: Int, k: Int, nprobe1: Int, iters2: Int, nprobe2: Int,
+      trainCap2: Int = 2048, dim: Int = 64,
+      fineBroadcastBudget: Long = FineBroadcastBudgetBytes): DataFrame = {
+    require(nShards >= 1 && k >= 1 && nprobe1 >= 1 && nprobe2 >= 1)
+    val idL = col(idCol).cast("long")
+    // persisted: every shard reads the full quantized table for
+    // cross-shard serving (nShards scans of one cached projection beats
+    // nShards re-reads + re-quantizations of the source)
+    val allQ = CacheRegistry.persist(
+      em.select(idL.as("id"), quantize(col(embCol)).as("q")))
+    val tagged = (0 until nShards).map { s =>
+      val shardRaw = em.filter(pmod(idL, lit(nShards.toLong)) === s)
+      val k1 = deriveK2(shardRaw.count())
+      val np1 = math.min(nprobe1, k1)
+      val cents = kmeansTrainSpread(shardRaw, idCol, embCol,
+        k = k1, iters = 2, dim = dim)
+      val assigned = CacheRegistry.persist(
+        probeAssign(shardRaw, idCol, embCol, cents.toSeq, np1))
+      val fineMap = hierFineMap(
+        hierFineCentroids(assigned, k2 = k1, iters2 = iters2,
+          trainCap2 = trainCap2).collect(),
+        fineBroadcastBudget)
+      val memberTagged = hierServeTagged(assigned, fineMap, nprobe2)
+      val crossTagged = hierServeTagged(
+          probeAssignQ(allQ.filter(pmod(col("id"), lit(nShards.toLong)) =!= s),
+            cents.toSeq, np1),
+          fineMap, nprobe2)
+        .select(col("cell"), lit(false).as("ism"), col("isq"),
+          col("id"), col("q"), col("nrm"))
+      memberTagged.unionByName(crossTagged)
+    }.reduce(_ unionByName _)
+    knnTopK(scoreCellsLocal(tagged, k), k)
+  }
 
   /** Stages 1-3 of [[knnGraphHier]] up to the tagged frame (fine-cell,
     * ism, isq, id, q, nrm) — split out so diagnostics can census fine

@@ -648,6 +648,19 @@ object PipelineQueries {
         k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
     }),
 
+    // SHARDED two-level index — the broadcast guard's named scale-out
+    // step as a running query (r16): vec_id mod 2 splits the corpus, each
+    // shard trains its own coarse+fine geometry, every vector probes both
+    // shards, one global knnTopK re-merges. Per-shard fine maps are half
+    // the unsharded index's, which is the whole point: corpora whose fine
+    // map would blow FineBroadcastBudgetBytes split here instead of
+    // broadcasting multi-GB. Oracle replays BOTH shards' double-Lloyd
+    // chains and the global top-k.
+    "q_sim_ivf2_sharded" -> ((s, dir) =>
+      Similarity.knnGraphHierSharded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nShards = 2, k = 3, nprobe1 = 2,
+        iters2 = 2, nprobe2 = 2)),
+
     // MATERIALIZED kNN edge artifact (see [[knnEdgesArtifact]]): the
     // one-per-snapshot ANN-graph build, exposed as the edge table its
     // consumers join. Oracle = the full kNN derivation replayed in SQL,
@@ -1310,6 +1323,34 @@ object PipelineQueries {
        |WHERE rnk <= $k""".stripMargin
   }
 
+  /** DuckDB replay of q_sim_ivf2_sharded: per shard (vec_id mod nShards)
+    * the FULL two-level chain — coarse+fine Lloyd trained on the shard,
+    * membership (fmem) restricted to the shard, probes (qprobe) over
+    * EVERY vector — each inside its own `(WITH ...)` subquery so the CTE
+    * names never collide, then one global row_number top-k over the
+    * unioned shard scores (the cross-shard re-merge, exactly
+    * [[graft.ops.Similarity.knnGraphHierSharded]]'s knnTopK). `k1`/`k2`
+    * are PER-SHARD deriveK2 values (shards of 250 at sf0.01 ⇒ 2). */
+  private def sqlIvf2Sharded(nShards: Int, k1: Int, k2: Int, np1: Int,
+                             np2: Int, iters2: Int, dim: Int, k: Int): String = {
+    val cos = "(list_dot_product(a.q, b.q) / " +
+      "(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))))"
+    val shardScored = (0 until nShards).map { s =>
+      s"""(WITH ${sqlIvf2Ctes(k1, k2, np1, np2, iters2, dim,
+             trainPred = s"vec_id % $nShards = $s", membersFromTrain = true)},
+         |scored AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS cand_id, $cos AS cos
+         |  FROM ema a JOIN fmem fm ON fm.vec_id = a.vec_id,
+         |       ema b JOIN qprobe qp ON qp.vec_id = b.vec_id
+         |  WHERE a.vec_id <> b.vec_id AND fm.cell = qp.cell AND fm.fcid = qp.fcid)
+         |SELECT query_id, cand_id, cos FROM scored)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT query_id, rnk, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM ($shardScored) u) r
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** Fused-cluster oracle: the [[sqlSemanticHier]] τ-pair derivation
     * closed transitively (the q_graph_cc reach pattern) — the census the
     * spanning-forest fusion must reproduce exactly, since spanning
@@ -1344,10 +1385,20 @@ object PipelineQueries {
     * two-level store maintains ([[IncrementalIndex.Knn2]]). Serving
     * always reads the `ema` CTE (the full quantized table); `em` (from
     * sqlKmeansCtes) carries the training restriction. */
+  /** `membersFromTrain` additionally restricts the SERVED membership
+    * (`fmem`) to the trainPred rows — the sharded-index contract, where a
+    * shard's candidates are its own vectors only while `qprobe` still
+    * covers every vector (see [[sqlIvf2Sharded]]). The default keeps the
+    * incremental-store semantics: frozen-geometry training, full-corpus
+    * membership. */
   private def sqlIvf2Ctes(k1: Int, k2: Int, np1: Int, np2: Int,
                           iters2: Int, dim: Int,
-                          trainPred: String = ""): String = {
+                          trainPred: String = "",
+                          membersFromTrain: Boolean = false): String = {
+    require(!membersFromTrain || trainPred.nonEmpty,
+      "membersFromTrain needs a trainPred")
     val memT = if (trainPred.isEmpty) "mem" else "memt"
+    val fmemSrc = if (membersFromTrain) memT else "mem"
     val memtCte =
       if (trainPred.isEmpty) ""
       else s"memt AS (SELECT * FROM mem WHERE $trainPred),\n"
@@ -1406,7 +1457,7 @@ object PipelineQueries {
        |      ORDER BY list_dot_product(m.q, c.q) /
        |        (sqrt(list_dot_product(m.q, m.q)) * sqrt(list_dot_product(c.q, c.q))) DESC,
        |        c.fcid) AS rn
-       |  FROM mem m JOIN fcents c ON c.cell = m.cell) WHERE rn = 1),
+       |  FROM $fmemSrc m JOIN fcents c ON c.cell = m.cell) WHERE rn = 1),
        |qprobe AS (SELECT cell, fcid, vec_id FROM (
        |  SELECT qc.cell, qc.vec_id, c.fcid,
        |    row_number() OVER (PARTITION BY qc.cell, qc.vec_id
@@ -2468,6 +2519,10 @@ object PipelineQueries {
     "q_sim_knn_graph" -> sqlKnnGraph,
     "q_sim_ivf2" -> sqlIvf2(k1 = 3, k2 = 3, np1 = 2, np2 = 2,
       iters2 = 2, dim = 64, k = 3),
+    // per-shard k1/k2 = deriveK2(250) = 2 (two 250-vector shards at
+    // sf0.01); both shards' chains replay inside their own WITH scopes
+    "q_sim_ivf2_sharded" -> sqlIvf2Sharded(nShards = 2, k1 = 2, k2 = 2,
+      np1 = 2, np2 = 2, iters2 = 2, dim = 64, k = 3),
     "q_dedup_semantic_hier" -> sqlSemanticHier(k1 = 3, k2 = 3, np1 = 2,
       np2 = 2, iters2 = 2, dim = 64, tau = SemanticTau),
     "q_dedup_semantic_clusters" -> sqlSemanticClusters(k1 = 3, k2 = 3,

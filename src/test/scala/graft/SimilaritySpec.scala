@@ -203,6 +203,47 @@ class SimilaritySpec extends SparkSpec {
       k = 2, nprobe1 = 1, k2 = 2, iters2 = 1, nprobe2 = 1).count() > 0)
   }
 
+  test("knnGraphHierSharded: one shard == the unsharded index; two shards keep the contract and cross-shard candidacy") {
+    val big = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    // nShards = 1 is the unsharded index built the same way (deriveK2 on
+    // the full count, spread-seed coarse train, same serve) — differential
+    val k1 = Similarity.deriveK2(60)
+    val cents = Similarity.kmeansTrainSpread(big, "vec_id", "embedding",
+      k = k1, iters = 2, dim = 8)
+    val unsharded = Similarity.knnGraphHier(big, "vec_id", "embedding",
+      cents.toSeq, k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val one = Similarity.knnGraphHierSharded(big, "vec_id", "embedding",
+      nShards = 1, k = 3, nprobe1 = 2, iters2 = 2, nprobe2 = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(one === unsharded)
+    graft.ops.CacheRegistry.drain()
+    // two shards: per-query contract (dense rnk, cos non-increasing, no
+    // self rows) AND the cross-shard serve actually fires — odd vectors
+    // must appear as candidates of even queries or vice versa, which only
+    // happens through the query-only probeAssignQ path
+    val two = Similarity.knnGraphHierSharded(big, "vec_id", "embedding",
+      nShards = 2, k = 3, nprobe1 = 2, iters2 = 2, nprobe2 = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(two.nonEmpty)
+    val byQ = two.groupBy(_._1)
+    assert(byQ.keySet.size === 60, "every vector is a query")
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+    two.foreach { case (q, _, c, _) => assert(q != c) }
+    assert(two.exists { case (q, _, c, _) => q % 2 != c % 2 },
+      "cross-shard candidacy never fired")
+    graft.ops.CacheRegistry.drain()
+  }
+
   test("knnGraphHier multi-cell: per-query contract holds and every cos is the exact cosine") {
     val big = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(k => math.sin(i * 13 + k * 7).toFloat)))
