@@ -1495,18 +1495,42 @@ object PipelineQueries {
     * is unit-testable. */
   private[graft] def useHierEdges(n: Long): Boolean = n > HierSwapVectors
 
+  /** Corpus size past which ONE two-level index can no longer hold the
+    * whole corpus: the [[graft.ops.Similarity.deriveK2]] ceiling (1024
+    * coarse × 1024 fine × TargetCellSize-row cells ≈ 67M vectors) — past
+    * it the single index's fine cells grow linearly again (and at
+    * production dims the fine map blows the broadcast budget first), so
+    * the build splits into ⌈n / ShardVectors⌉ shards of
+    * [[graft.ops.Similarity.knnGraphHierSharded]]. */
+  private[graft] val ShardVectors: Long =
+    Similarity.TargetCellSize * 1024L * 1024L
+
+  /** Shards the edge-artifact build uses for a corpus of `n` vectors —
+    * the third rung of the dispatch ladder (flat → hier → sharded hier),
+    * split out so the boundary is unit-testable like [[useHierEdges]]. */
+  private[graft] def deriveShards(n: Long): Int =
+    math.max(1L, math.ceil(n.toDouble / ShardVectors).toLong).toInt
+
   /** Size-dispatched edge-graph builder for [[knnEdgesArtifact]]: flat
     * IVF at oracle scale (the DuckDB replay pins it), [[Similarity
-    * .knnGraphHier]] past [[HierSwapVectors]] — identical output schema
-    * (query_id, rnk, cand_id, cos), so consumers never change.
-    * `forceHier` is the differential-spec seam (HierArtifactSpec runs the
-    * hier build at fixture scale against the same consumers).
+    * .knnGraphHier]] past [[HierSwapVectors]], [[Similarity
+    * .knnGraphHierSharded]] past [[ShardVectors]] (⌈n/ShardVectors⌉
+    * shards, each under the per-index deriveK2 ceiling) — identical
+    * output schema (query_id, rnk, cand_id, cos) on every rung, so
+    * consumers never change. `forceHier`/`forceShards` are the
+    * differential-spec seams (HierArtifactSpec runs the hier and sharded
+    * builds at fixture scale against the same consumers).
     */
   private[graft] def knnEdgesDf(s: SparkSession, dir: String,
-                                forceHier: Boolean = false): DataFrame = {
+                                forceHier: Boolean = false,
+                                forceShards: Int = 0): DataFrame = {
     val em = Tables.embeddings(s, dir)
     val n = em.count()
-    if (!forceHier && !useHierEdges(n)) knnGraphDf(s, dir)
+    val shards = if (forceShards > 0) forceShards else deriveShards(n)
+    if (shards > 1)
+      Similarity.knnGraphHierSharded(em, "vec_id", "embedding",
+        nShards = shards, k = 3, nprobe1 = 2, iters2 = 2, nprobe2 = 2)
+    else if (!forceHier && !useHierEdges(n)) knnGraphDf(s, dir)
     else {
       val k1 = Similarity.deriveK2(n)
       val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",

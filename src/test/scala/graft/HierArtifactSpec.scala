@@ -24,6 +24,44 @@ class HierArtifactSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").count()))
   }
 
+  test("deriveShards splits exactly at the single-index deriveK2 ceiling") {
+    assert(PipelineQueries.deriveShards(1L) === 1)
+    assert(PipelineQueries.deriveShards(PipelineQueries.ShardVectors) === 1)
+    assert(PipelineQueries.deriveShards(PipelineQueries.ShardVectors + 1) === 2)
+    assert(PipelineQueries.deriveShards(3 * PipelineQueries.ShardVectors) === 3)
+    // the ceiling IS deriveK2's: one shard never exceeds the 1024² cap
+    assert(graft.ops.Similarity.deriveK2(PipelineQueries.ShardVectors) === 1024)
+  }
+
+  test("sharded-built edge artifact keeps the artifact contract and the graph consumers' invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shard_edges_").toString + "/edges"
+    PipelineQueries.foldUndirected(
+        PipelineQueries.knnEdgesDf(spark, sf, forceShards = 2))
+      .write.mode("overwrite").parquet(out)
+    graft.ops.CacheRegistry.drain()
+    val e = spark.read.parquet(out)
+    val nEdges = e.count()
+    assert(nEdges > 0)
+    assert(e.columns.toSeq === Seq("a", "b"))
+    assert(e.filter(col("a") >= col("b")).count() === 0)
+    assert(e.distinct().count() === nEdges)
+    val prev = PipelineQueries.seedKnnEdges(sf, Some(out))
+    try {
+      val tri = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+      assert(tri(0).getAs[Long]("n_edges") === nEdges)
+      graft.ops.CacheRegistry.drain()
+      val hist = SparkEntry.queries("q_graph_degree_hist")(spark, sf).collect()
+      val degSum = hist.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+      assert(degSum === 2 * nEdges)
+      graft.ops.CacheRegistry.drain()
+    } finally {
+      PipelineQueries.seedKnnEdges(sf, prev)
+      ()
+    }
+  }
+
   test("hier-built edge artifact feeds the unchanged consumers") {
     val sf = "/root/testdata/sf0.001"
     val out = java.nio.file.Files
