@@ -41,6 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object MediaCodec {
 
+  // ImageIO defaults to DISK-backed stream caching: every ImageIO.read /
+  // ImageIO.write without this flag creates (and deletes) a temp cache
+  // FILE in java.io.tmpdir — one file-system round-trip per 16x16 image,
+  // paid per row in every decode family query (guide §1.2 "per-task
+  // work"). Memory caching changes only the stream buffering, never the
+  // encoded/decoded bytes (PNG output is byte-identical; MediaCodecSpec
+  // pins the features). Executor-side: the object initializes on first
+  // use inside each task's classloader, so the flag applies wherever the
+  // codec runs.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- closed-form content (mirrored verbatim by the DuckDB oracle) ----
 
   /** Image: 16x16 RGB, flattened channel i of 768 gets (docId*31+i*i*13)%256. */

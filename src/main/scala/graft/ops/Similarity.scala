@@ -1033,11 +1033,26 @@ object Similarity {
               dim: Int = 64): Array[Array[(Long, Array[Long])]] = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      kmeansTrain(em.select(col(idCol),
-          slice(col(embCol), s * sub + 1, sub).as("__sub")),
-        idCol, "__sub", k, iters, sub)
-    }.toArray
+    // The m subspace trainings are INDEPENDENT Lloyd chains (each its own
+    // sequence of tiny driver-coordinated jobs); run them from a small
+    // thread pool so each chain's per-job fixed latency (plan + schedule +
+    // collect) overlaps the others' instead of serializing m×iters jobs
+    // (guide §2.6 "overlap independent jobs"). Each chain is bit-identical
+    // to its sequential run — threads share nothing but the scheduler —
+    // so every codebook (and the oracle hash) is unchanged; PqSpec pins
+    // codebook equality against the sequential form.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    try {
+      val fs = (0 until m).map { s =>
+        pool.submit(new java.util.concurrent.Callable[Array[(Long, Array[Long])]] {
+          def call(): Array[(Long, Array[Long])] =
+            kmeansTrain(em.select(col(idCol),
+                slice(col(embCol), s * sub + 1, sub).as("__sub")),
+              idCol, "__sub", k, iters, sub)
+        })
+      }
+      fs.map(_.get()).toArray
+    } finally pool.shutdown()
   }
 
   private val pqCodeSchema = org.apache.spark.sql.types.StructType(Seq(

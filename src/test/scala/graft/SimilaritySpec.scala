@@ -115,6 +115,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTrain (threaded subspaces) == sequential per-subspace kmeansTrain") {
+    // pqTrain overlaps its m independent Lloyd chains on a thread pool
+    // (r16 optimization); each chain must stay bit-identical to running
+    // kmeansTrain on that subspace slice by itself, in order.
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 8)
+    val seq = (0 until 2).map { s =>
+      Similarity.kmeansTrain(pqVecs.select(col("vec_id"),
+          slice(col("embedding"), s * 4 + 1, 4).as("__sub")),
+        "vec_id", "__sub", k = 2, iters = 2, dim = 4)
+    }
+    assert(books.length === seq.length)
+    (books zip seq).foreach { case (b, e) =>
+      assert(b.map(_._1).toSeq === e.map(_._1).toSeq)
+      (b zip e).foreach { case ((_, bv), (_, ev)) =>
+        assert(bv.toSeq === ev.toSeq)
+      }
+    }
+  }
+
   test("pqSearchTopK == driver-side ADC brute force (exact distributed top-k)") {
     val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
       m = 2, k = 2, iters = 2, dim = 8)
