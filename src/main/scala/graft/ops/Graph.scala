@@ -34,8 +34,8 @@ object Graph {
     * parts-per-[[Scale]] after `iters` rounds from a uniform start.
     */
   def pagerank(edges: DataFrame, iters: Int, dampingPermille: Long = 850L,
-               tolPpm: Long = 0L): DataFrame =
-    pagerankWithRounds(edges, iters, dampingPermille, tolPpm)._1
+               tolPpm: Long = 0L, symmetric: Boolean = false): DataFrame =
+    pagerankWithRounds(edges, iters, dampingPermille, tolPpm, symmetric)._1
 
   /** [[pagerank]] plus the number of rounds actually executed — the
     * observable for convergence-mode callers (and its spec).
@@ -54,7 +54,8 @@ object Graph {
     */
   def pagerankWithRounds(edges: DataFrame, iters: Int,
                          dampingPermille: Long = 850L,
-                         tolPpm: Long = 0L): (DataFrame, Int) = {
+                         tolPpm: Long = 0L,
+                         symmetric: Boolean = false): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 16, s"iters=$iters out of [1,16]")
     val base = Scale - dampingPermille * Scale / 1000L // (1-d) teleport mass
     // out-degree once; nodes = union of endpoints (persisted: every round
@@ -63,9 +64,28 @@ object Graph {
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val deg = CacheRegistry.persist(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    val nodes = CacheRegistry.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-        .distinct())
+    // PRE-JOINED degree-annotated edges, persisted ONCE (r16): the round
+    // body used to run e ⋈ deg ⋈ rank — re-joining the (static) degree
+    // onto the (static) edge table every round. Folding the static join
+    // out of the loop removes one join per round at every scale (the
+    // joined table is the same size as the edge table; at 100 TB it is
+    // the materialized adjacency-with-degree layout a Pregel engine
+    // keeps resident anyway).
+    val edeg = CacheRegistry.persist(e.join(deg, "src"))
+    // `symmetric = true` is the CALLER'S declaration that every node
+    // occurs as BOTH src and dst (a symmetrized graph). Then (a) the
+    // node universe is exactly deg's keys — the union-of-endpoints
+    // distinct over 2|E| rows is pure waste — and (b) every node has an
+    // in-neighbor with out-edges, so the per-round contribution aggregate
+    // already covers every node and the nodes-backfill join (dangling
+    // mass) is an identity. Declaring it on a non-symmetric graph would
+    // silently drop source-only nodes — GraphSpec pins symmetric ==
+    // general on a symmetrized fixture.
+    val nodes =
+      if (symmetric) CacheRegistry.persist(deg.select(col("src").as("node")))
+      else CacheRegistry.persist(
+        e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+          .distinct())
     var rank = nodes.withColumn("rank", lit(Scale))
     // in tol mode each round's result is already persisted+materialized
     // by the delta action — reuse it as next round's prev instead of
@@ -80,15 +100,21 @@ object Graph {
       // so truncation == floor) — a double quotient's rounding could
       // cross an integer boundary and flip the floor, breaking the
       // bit-exact oracle contract
-      val contrib = e.join(deg, "src")
+      val contrib = edeg
         .join(prev.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank") * lit(dampingPermille),
             lit(1000L) * col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      // symmetric graphs: contrib already has one row per node (see
+      // `nodes` above), so the backfill join is skipped — base + in_mass
+      // directly. General graphs keep the left-join for dangling nodes.
+      rank =
+        if (symmetric)
+          contrib.select(col("node"), (lit(base) + col("in_mass")).as("rank"))
+        else nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
       if (tolPpm > 0L) {
         val next = CacheRegistry.persist(rank)
         val delta = next.select(col("node"), col("rank").as("r2"))

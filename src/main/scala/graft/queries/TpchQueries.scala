@@ -386,18 +386,21 @@ object TpchQueries {
       import graft.ops.Graph
       val li = Tables.lineitem(s, dir)
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      // Cost attribution (tools/PrDiag, quiet box): this query is graph
-      // PREP — distinct + degree + node-set shuffles over the 1.18M-edge
-      // graph — not round cost (iters=1 == iters=3; the rounds broadcast-
-      // join a ~400k-node rank table). Two "obvious" prep rewrites
-      // measured WORSE and were reverted: distinct-before-mirror
-      // re-executes the distinct per union branch (+3 s), and persisting
-      // the distincted base changes the cached-union stats enough to
-      // degrade the round joins (+3.7 s). The straight form below is the
-      // measured optimum (~5.6 s warm at sf0.1).
+      // Cost attribution (tools/PrDiag): r16 re-measured prep at 1.2 s of
+      // the ~5.6 s steady query — the rounds, not prep, carry the rest
+      // (the r14 "prep dominates" reading didn't survive re-measurement
+      // on a quiet box). Two "obvious" prep rewrites measured WORSE and
+      // were reverted in r14: distinct-before-mirror re-executes the
+      // distinct per union branch (+3 s), and persisting the distincted
+      // base changes the cached-union stats enough to degrade the round
+      // joins (+3.7 s). r16 restructure: the degree join is folded out
+      // of the round loop (edeg persisted once) and `symmetric = true`
+      // (this union IS the symmetrization) drops the node-universe
+      // distinct and the per-round dangling backfill join — identical
+      // integer ranks, 3 joins + 1 agg per round down to 1 join + 1 agg.
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      Graph.pagerank(edges, iters = 3)
+      Graph.pagerank(edges, iters = 3, symmetric = true)
         .select(col("node"),
           when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
           (col("node") / lit(2)).cast("long").as("orig_id"), col("rank"))

@@ -55,6 +55,26 @@ class GraphSpec extends SparkSpec {
     assert(got2 === reference(diamond, rounds2))
   }
 
+  test("symmetric mode == general mode == reference on a symmetrized graph") {
+    // symmetric=true drops the node-universe distinct and the per-round
+    // dangling backfill join (r16) — valid exactly when every node occurs
+    // as both src and dst. Pin both paths equal to each other and to the
+    // integer reference on a symmetrized irregular graph.
+    val asym = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 3L), (5L, 1L))
+    val sym = (asym ++ asym.map(_.swap)).distinct
+    for (iters <- Seq(1, 3)) {
+      val g1 = Graph.pagerank(sym.toDF("src", "dst"), iters, symmetric = true)
+        .as[(Long, Long)].collect().toMap
+      graft.ops.CacheRegistry.drain()
+      val g2 = Graph.pagerank(sym.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+      graft.ops.CacheRegistry.drain()
+      assert(g1 === g2, s"iters=$iters")
+      assert(g1 === reference(sym, iters), s"iters=$iters")
+    }
+  }
+
   test("hub accumulates rank; dangling sink keeps only teleport mass downstream") {
     // star into 4, plus 5 dangling (receives from 4, emits nothing)
     val edges = Seq[(Long, Long)]((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
