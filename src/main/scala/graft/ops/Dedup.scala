@@ -102,7 +102,21 @@ object Dedup {
   private def pairIntersections(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxShingleDF: Int,
                                 stopShingleFrac: Double): (DataFrame, DataFrame) = {
-    val sh0 = CacheRegistry.persist(shingles(df, idCol, textCol, n))
+    // Shingles are 64-bit-hashed BEFORE anything shuffles (the
+    // substringRuns lesson, guide §2.3 "narrower types"): the ~20-60-byte
+    // shingle string is the key of the guard aggregate, the guard join,
+    // AND the pair self-join — as a string it means multi-hundred-MB hash
+    // tables and 3-5× the exchange bytes at 10×+ data (the measured r6
+    // cache-pressure blowup). Per-doc shingle sets stay distinct under
+    // hashing barring a collision; a collision only changes a result if
+    // two distinct shingles collide inside one pair's intersection (or
+    // merge two guard counts across the cap boundary) — P ≈ 3e-7 per
+    // corpus at 2.4M shingles, the same canonical hashed-shingle trade
+    // substringRuns documents. The DuckDB oracles join raw shingle
+    // strings; the sf fixtures are collision-free, so parity is exact
+    // (re-proved at sf0.01 for every consumer of this kernel).
+    val sh0 = CacheRegistry.persist(shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle")))
     val sh =
       if (maxShingleDF <= 0 && stopShingleFrac <= 0) sh0
       else {
@@ -335,8 +349,13 @@ object Dedup {
                                   rightFilter: org.apache.spark.sql.Column,
                                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // Signatures are computed scan-side in one typed pass (no shingle
-    // shuffle); the shingle table is only needed to verify candidates.
-    val sh = CacheRegistry.persist(shingles(df, idCol, textCol, n))
+    // shuffle); the shingle table is only needed to verify candidates —
+    // and the verify join never reads the shingle TEXT, so the table is
+    // 64-bit-hashed before it shuffles (see pairIntersections: same
+    // bytes/hash-table win, same collision trade, oracle parity
+    // re-proved at sf0.01 for every LSH consumer).
+    val sh = CacheRegistry.persist(shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle")))
     val sig = CacheRegistry.persist(
       minhashSignaturesDirect(df, idCol, textCol, n, numHashes))
     val cands = lshCandidatesImpl(sig, idCol, bands, numHashes / bands,
