@@ -506,27 +506,45 @@ object Similarity {
     // nShards re-reads + re-quantizations of the source)
     val allQ = CacheRegistry.persist(
       em.select(idL.as("id"), quantize(col(embCol)).as("q")))
-    val tagged = (0 until nShards).map { s =>
-      val shardRaw = em.filter(pmod(idL, lit(nShards.toLong)) === s)
-      val k1 = deriveK2(shardRaw.count())
-      val np1 = math.min(nprobe1, k1)
-      val cents = kmeansTrainSpread(shardRaw, idCol, embCol,
-        k = k1, iters = 2, dim = dim)
-      val assigned = CacheRegistry.persist(
-        probeAssign(shardRaw, idCol, embCol, cents.toSeq, np1))
-      val fineMap = hierFineMap(
-        hierFineCentroids(assigned, k2 = k1, iters2 = iters2,
-          trainCap2 = trainCap2).collect(),
-        fineBroadcastBudget)
-      val memberTagged = hierServeTagged(assigned, fineMap, nprobe2)
-      val crossTagged = hierServeTagged(
-          probeAssignQ(allQ.filter(pmod(col("id"), lit(nShards.toLong)) =!= s),
-            cents.toSeq, np1),
-          fineMap, nprobe2)
-        .select(col("cell"), lit(false).as("ism"), col("isq"),
-          col("id"), col("q"), col("nrm"))
-      memberTagged.unionByName(crossTagged)
-    }.reduce(_ unionByName _)
+    // Shards are INDEPENDENT double-Lloyd chains (each a sequence of tiny
+    // driver-coordinated jobs: count, seed collect, 2 coarse rounds, fine
+    // collect) — run them from a thread pool so their per-job fixed
+    // latencies overlap instead of serializing nShards chains (guide §2.6;
+    // the pqTrain posture). Each shard's chain is bit-identical to its
+    // sequential run, and the union below is in shard order, so the
+    // result (and the DuckDB oracle hash) is unchanged — SimilaritySpec
+    // pins nShards=1 == unsharded and cross-shard candidacy at nShards=2.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nShards)
+    val tagged =
+      try {
+        val fs = (0 until nShards).map { s =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = {
+              val shardRaw = em.filter(pmod(idL, lit(nShards.toLong)) === s)
+              val k1 = deriveK2(shardRaw.count())
+              val np1 = math.min(nprobe1, k1)
+              val cents = kmeansTrainSpread(shardRaw, idCol, embCol,
+                k = k1, iters = 2, dim = dim)
+              val assigned = CacheRegistry.persist(
+                probeAssign(shardRaw, idCol, embCol, cents.toSeq, np1))
+              val fineMap = hierFineMap(
+                hierFineCentroids(assigned, k2 = k1, iters2 = iters2,
+                  trainCap2 = trainCap2).collect(),
+                fineBroadcastBudget)
+              val memberTagged = hierServeTagged(assigned, fineMap, nprobe2)
+              val crossTagged = hierServeTagged(
+                  probeAssignQ(
+                    allQ.filter(pmod(col("id"), lit(nShards.toLong)) =!= s),
+                    cents.toSeq, np1),
+                  fineMap, nprobe2)
+                .select(col("cell"), lit(false).as("ism"), col("isq"),
+                  col("id"), col("q"), col("nrm"))
+              memberTagged.unionByName(crossTagged)
+            }
+          })
+        }
+        fs.map(_.get()).reduce(_ unionByName _)
+      } finally pool.shutdown()
     knnTopK(scoreCellsLocal(tagged, k), k)
   }
 

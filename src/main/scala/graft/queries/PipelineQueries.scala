@@ -67,6 +67,24 @@ object PipelineQueries {
     */
   private def repCols(df: DataFrame): DataFrame = TA.repetitionStats(df, "text")
 
+  /** Run two independent driver-coordinated phases concurrently (guide
+    * §2.6 "overlap independent jobs"): each side is its own chain of tiny
+    * Spark jobs (Lloyd rounds, config-scale collects) whose per-job fixed
+    * latency otherwise serializes. Results are bit-identical to running
+    * the sides in order — they share nothing but the scheduler. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fra = pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = fa
+      })
+      val frb = pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = fb
+      })
+      (fra.get(), frb.get())
+    } finally pool.shutdown()
+  }
+
   private val StratRates = Map("en" -> 250, "es" -> 500)
 
   /** Target domain mix for q_mix_reweight (permille per derived group). */
@@ -604,12 +622,14 @@ object PipelineQueries {
     // and every integer ADC sum relationally — bit-exact.
     "q_sim_pq" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val books = Similarity.pqTrain(em, "vec_id", "embedding",
-        m = 4, k = 16, iters = 2)
+      // codebook training and the query collect are independent driver
+      // phases — overlap them (r16; results bit-identical, see inParallel)
+      val (books, queries) = inParallel(
+        Similarity.pqTrain(em, "vec_id", "embedding", m = 4, k = 16, iters = 2),
+        em.filter(col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)))
       val coded = Similarity.pqCode(em, "vec_id", "embedding", books)
-      val queries = em.filter(col("vec_id") < 20)
-        .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       Similarity.pqSearchTopK(coded, queries, books, k = 5)
     }),
 
@@ -782,12 +802,16 @@ object PipelineQueries {
     // probing, and every ADC sum relationally.
     "q_sim_ivfpq" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val cents = Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2)
-      val books = Similarity.pqTrain(em, "vec_id", "embedding",
-        m = 4, k = 16, iters = 2)
-      val queries = em.filter(col("vec_id") < 20)
-        .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      // IVF centroid training, PQ codebook training, and the query
+      // collect are three independent driver phases — overlap them
+      // (r16; results bit-identical, see inParallel)
+      val (cents, (books, queries)) = inParallel(
+        Similarity.kmeansTrain(em, "vec_id", "embedding", k = 8, iters = 2),
+        inParallel(
+          Similarity.pqTrain(em, "vec_id", "embedding", m = 4, k = 16, iters = 2),
+          em.filter(col("vec_id") < 20)
+            .select(col("vec_id").cast("long"), Similarity.quantize(col("embedding")))
+            .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))))
       Similarity.ivfPqTopK(em, "vec_id", "embedding", cents.toSeq, books,
         queries, k = 5, nprobe = 2)
     }),
