@@ -1103,10 +1103,13 @@ object PipelineQueries {
       // additive ~N_a*N_b/w, so a planner sizes w to push the excess
       // under the signal (w=64 gave a 235x overestimate here; 8192
       // lands within ~2x — still only 32k longs of state per side)
-      val ra = li.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
-        .head.getSeq[Long](0).toArray
-      val rb = ord.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
-        .head.getSeq[Long](0).toArray
+      // the two per-side sketch aggregates are independent single-job
+      // collects — overlap them (r16; see inParallel)
+      val (ra, rb) = inParallel(
+        li.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
+          .head.getSeq[Long](0).toArray,
+        ord.agg(CountMin.sketch(col("k"), d = 4, w = 8192))
+          .head.getSeq[Long](0).toArray)
       val est = (0 until 4).map(sd =>
         (0 until 8192).map(b => ra(sd * 8192 + b) * rb(sd * 8192 + b)).sum).min
       li.join(ord, Seq("k")).agg(count(lit(1)).as("exact"))
