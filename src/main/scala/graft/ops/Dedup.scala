@@ -524,22 +524,59 @@ object Dedup {
   /** Per-document 60-bit SimHash over term frequencies: bit b of the sketch
     * is set iff sum over tokens of (tf if bit b of md5Long(token) else -tf)
     * is positive.
+    *
+    * ONE shuffle-free typed pass (r16): the sketch is a pure per-document
+    * function and a document's tokens already live in one row, so the
+    * former explode → groupBy(id, token) → 60-column bit-sum aggregate
+    * (two token-level exchanges over the corpus) was pure shuffle waste —
+    * at 100 TB the sketch must leave the scan stage as 8 bytes/doc, like
+    * [[minhashSignaturesDirect]]. Hash math is bit-identical to
+    * [[Hashing.md5Long]] (md5 hex prefix = top 60 bits of the first 8
+    * digest bytes — the minhashSignaturesDirect equivalence, pinned by
+    * DedupSpec); tf is counted in a local map with `split(" ", -1)`
+    * trailing-empty parity; null-text docs drop exactly as explode(null)
+    * dropped them.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
-    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("h", Hashing.md5Long(col("token")))
-    val bitSums = tf.groupBy(col(idCol)).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as("b0"),
-      (1 until bits).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
-          .otherwise(-col("tf"))).as(s"b$i")): _*)
-    val sketch = (0 until bits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    bitSums.select(col(idCol), sketch.as("simhash"))
+    require(bits <= 60, s"bits=$bits exceeds the 60-bit md5Long prefix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val tf = new java.util.HashMap[String, Long]()
+            text.split(" ", -1).foreach(t => tf.merge(t, 1L, _ + _))
+            val acc = new Array[Long](bits)
+            val e = tf.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              val digest = md.digest(kv.getKey.getBytes("UTF-8"))
+              var h = 0L
+              var i = 0
+              while (i < 8) { h = (h << 8) | (digest(i) & 0xFFL); i += 1 }
+              h = h >>> 4 // top 60 bits == md5 hex prefix of 15 chars
+              val n = kv.getValue
+              var b = 0
+              while (b < bits) {
+                acc(b) += (if (((h >>> b) & 1L) == 1L) n else -n)
+                b += 1
+              }
+            }
+            var sketch = 0L
+            var b = 0
+            while (b < bits) {
+              if (acc(b) > 0) sketch |= (1L << b)
+              b += 1
+            }
+            Iterator.single((id, sketch))
+          }
+        }
+      }.toDF(idCol, "simhash")
   }
 
   /** SimHash near-dup pairs (i < j) with Hamming distance <= maxDist —

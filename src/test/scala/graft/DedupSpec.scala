@@ -105,6 +105,33 @@ class DedupSpec extends SparkSpec {
     assert(direct === viaAgg)
   }
 
+  test("simhash (typed scan pass) == the declarative tf/bit-sum form") {
+    // r16: the sketch computes shuffle-free in one typed pass; pin it
+    // bit-equal to the original explode -> groupBy(id, token) ->
+    // 60-bit-sum aggregate it replaced (incl. empty-token tf parity from
+    // split's trailing empties and a doc with repeated tokens).
+    val fixture = (docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq :+ ((90L, "x x x y  z "))).toDF("doc_id", "text")
+    val typed = Dedup.simhash(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tf = fixture.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", graft.functions.Hashing.md5Long(col("token")))
+    val bitSums = tf.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as("b0"),
+      (1 until 60).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$i")): _*)
+    val sketch = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val declarative = bitSums.select(col("doc_id"), sketch.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typed === declarative)
+  }
+
   test("simhash: identical docs get identical sketches, distance 0") {
     val sk = Dedup.simhash(docs, "doc_id", "text")
     val byId = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
