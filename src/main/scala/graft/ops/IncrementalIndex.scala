@@ -244,9 +244,10 @@ object IncrementalIndex {
     def build(em: DataFrame, idCol: String, embCol: String,
               root: String): Unit = {
       val s = em.sparkSession
-      val k1 = Similarity.deriveK2(em.count())
+      val nEm = em.count()
+      val k1 = Similarity.deriveK2(nEm)
       val cents = Similarity.kmeansTrainSpread(em, idCol, embCol,
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = nEm)
       s.createDataFrame(cents.toIndexedSeq.map { case (cid, q) => (cid, q.toSeq) })
         .toDF("cid", "q")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/coarse")

@@ -521,10 +521,11 @@ object Similarity {
           pool.submit(new java.util.concurrent.Callable[DataFrame] {
             def call(): DataFrame = {
               val shardRaw = em.filter(pmod(idL, lit(nShards.toLong)) === s)
-              val k1 = deriveK2(shardRaw.count())
+              val nShard = shardRaw.count()
+              val k1 = deriveK2(nShard)
               val np1 = math.min(nprobe1, k1)
               val cents = kmeansTrainSpread(shardRaw, idCol, embCol,
-                k = k1, iters = 2, dim = dim)
+                k = k1, iters = 2, dim = dim, nKnown = nShard)
               val assigned = CacheRegistry.persist(
                 probeAssign(shardRaw, idCol, embCol, cents.toSeq, np1))
               val fineMap = hierFineMap(
@@ -1421,10 +1422,15 @@ object Similarity {
     * oracle replays the exact seed set via the same md5 expression.
     */
   def kmeansTrainSpread(em: DataFrame, idCol: String, embCol: String,
-                        k: Int, iters: Int, dim: Int = 64): Array[(Long, Array[Long])] = {
+                        k: Int, iters: Int, dim: Int = 64,
+                        nKnown: Long = -1L): Array[(Long, Array[Long])] = {
     val q = CacheRegistry.persist(
       em.select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("q")))
-    val n = q.count()
+    // nKnown > 0: the caller already counted this corpus (deriveK2 does),
+    // so skip the duplicate full-scan count (r16; one fewer job per
+    // two-level build — the count still materializes q lazily via the
+    // seed collect below)
+    val n = if (nKnown > 0) nKnown else q.count()
     val tq =
       if (n <= TrainSampleCap) q
       else {

@@ -560,9 +560,10 @@ object PipelineQueries {
     // oracle replays the full two-level derivation + all-pairs final.
     "q_dedup_semantic_hier" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val k1 = Similarity.deriveK2(em.count())
+      val nEm = em.count()
+      val k1 = Similarity.deriveK2(nEm)
       val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = nEm)
       val tagged = Similarity.hierTagged(em, "vec_id", "embedding",
         cents.toSeq, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
       val m = tagged.select(col("cell"), col("id"), col("q"))
@@ -588,9 +589,10 @@ object PipelineQueries {
     // (the q_graph_cc shape: cluster id IS the survivor id).
     "q_dedup_semantic_clusters" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val k1 = Similarity.deriveK2(em.count())
+      val nEm = em.count()
+      val k1 = Similarity.deriveK2(nEm)
       val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = nEm)
       val tagged = Similarity.hierTagged(em, "vec_id", "embedding",
         cents.toSeq, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
       val m = tagged.select(col("cell"), col("id"), col("q"))
@@ -661,9 +663,10 @@ object PipelineQueries {
     // flat IVF's 8).
     "q_sim_ivf2" -> ((s, dir) => {
       val em = Tables.embeddings(s, dir)
-      val k1 = Similarity.deriveK2(em.count())
+      val nEm = em.count()
+      val k1 = Similarity.deriveK2(nEm)
       val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = nEm)
       Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
         k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
     }),
@@ -1561,7 +1564,7 @@ object PipelineQueries {
     else {
       val k1 = Similarity.deriveK2(n)
       val cents = Similarity.kmeansTrainSpread(em, "vec_id", "embedding",
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = n)
       Similarity.knnGraphHier(em, "vec_id", "embedding", cents.toSeq,
         k = 3, nprobe1 = 2, k2 = k1, iters2 = 2, nprobe2 = 2)
     }
@@ -1907,9 +1910,10 @@ object PipelineQueries {
       val src = s"$root/src"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
       val em = Tables.embeddings(s, dir)
       val corpus = em.filter(col("vec_id") < SemStreamCut)
-      val k1 = Similarity.deriveK2(corpus.count())
+      val nCorpus = corpus.count()
+      val k1 = Similarity.deriveK2(nCorpus)
       val coarse = Similarity.kmeansTrainSpread(corpus, "vec_id", "embedding",
-        k = k1, iters = 2)
+        k = k1, iters = 2, nKnown = nCorpus)
       val corpusAss = CacheRegistry.persist(Similarity.probeAssign(
         corpus, "vec_id", "embedding", coarse.toSeq, 2))
       val fineMap = Similarity.hierFineMap(
