@@ -530,9 +530,12 @@ object DocQueries {
         .filter(col("source") =!= "src0")
         .filter(TA.predictedLang(col("toks")) === "en")
         .filter(TA.qualityScore(col("toks")) >= lit(0.5))
+      // hashed shingle keys — see q_contamination (r16)
       val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
-        "doc_id", "text", n = 5).select("shingle").distinct()
+        "doc_id", "text", n = 5)
+        .select(xxhash64(col("shingle")).as("shingle")).distinct()
       val flagged = Dedup.shingles(kept, "doc_id", "text", n = 5)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
         .join(broadcast(bench), Seq("shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 3)

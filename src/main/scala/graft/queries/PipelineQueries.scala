@@ -446,9 +446,15 @@ object PipelineQueries {
     // counting is a map-side-combined count per doc.
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // shingle keys are 64-bit-hashed before the broadcast/probe (the
+      // pair-family posture, r16): the join never reads shingle TEXT, so
+      // the benchmark set broadcasts as 8-byte keys and the probe-side
+      // exchange narrows 3-5x; same collision trade as pairIntersections
       val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
-        "doc_id", "text", n = 5).select("shingle").distinct()
+        "doc_id", "text", n = 5)
+        .select(xxhash64(col("shingle")).as("shingle")).distinct()
       Dedup.shingles(docs.filter(col("source") =!= "src0"), "doc_id", "text", n = 5)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
         .join(broadcast(bench), Seq("shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 3)
@@ -462,10 +468,13 @@ object PipelineQueries {
     // until the pipeline actually removes what it found.
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // hashed shingle keys — see q_contamination (r16)
       val bench = Dedup.shingles(docs.filter(col("source") === "src0"),
-        "doc_id", "text", n = 5).select("shingle").distinct()
+        "doc_id", "text", n = 5)
+        .select(xxhash64(col("shingle")).as("shingle")).distinct()
       val flagged = Dedup.shingles(docs.filter(col("source") =!= "src0"),
           "doc_id", "text", n = 5)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
         .join(broadcast(bench), Seq("shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 3)
