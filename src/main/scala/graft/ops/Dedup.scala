@@ -449,26 +449,60 @@ object Dedup {
     // expensive) pair plan
     val p = CacheRegistry.persist(
       pairs.select(col("i").cast("long"), col("j").cast("long")))
+    // Materialize an edge table AND read (count, 128-bit set fingerprint)
+    // in ONE job (r17, guide §1.2 "don't compute things you throw away" /
+    // §2.4 "remove shuffles outright"): the pre-r17 round ran an eager
+    // localCheckpoint, a separate count job, and — whenever counts matched
+    // — an exceptAll set-difference join (two exchanges over both edge
+    // sets) just to test the fixpoint. The lazy checkpoint's FIRST action
+    // is the fingerprint aggregate, so materialization, the count, and
+    // the set identity all come out of a single pass; the exceptAll join
+    // is gone at every scale. Set equality via fingerprint: both sets are
+    // DISTINCT canonical (a < b) edge lists, so equality ⇔ equal counts +
+    // equal order-insensitive content hash. Two independent 64-bit
+    // xxhash64 folds (column orders swapped ⇒ different mixes) XOR-reduced
+    // give a 128-bit fingerprint: a false "converged" needs both folds to
+    // collide at equal counts — P ≈ 2⁻¹²⁸ per round, far below any
+    // hardware-error floor (DedupSpec pins fingerprint convergence ==
+    // exceptAll convergence round-for-round on path/clique/random/
+    // adversarial shapes).
+    def materialize(df: DataFrame): (DataFrame, Long, Long, Long) = {
+      val ck = df.localCheckpoint(false) // lazy: first action materializes
+      val r = ck.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))"),
+        expr("bit_xor(xxhash64(b, a))")).head()
+      val n = r.getLong(0)
+      val f1 = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val f2 = if (r.isNullAt(2)) 0L else r.getLong(2)
+      // rebase through the checkpointed RDD: LogicalRDD from
+      // createDataFrame carries NO inherited stats, so Catalyst never
+      // re-optimizes a compounding tree and size estimates never overflow
+      // (both failure modes measured in earlier rounds)
+      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), n, f1, f2)
+    }
+    // canonical distinct undirected edges (a < b), self-loops dropped;
+    // this first action also materializes p's cache for the self-loop
+    // probe below
+    var (edges, nEdges, fpA, fpB) = materialize(
+      p.filter(col("i") =!= col("j"))
+        .select(least(col("i"), col("j")).as("a"),
+          greatest(col("i"), col("j")).as("b"))
+        .distinct())
     // the output contract is one row per doc incident to a pair — a doc
     // whose ONLY pairs are self-loops never enters the star iteration, so
-    // it needs a universe backfill. Count them first (cheap on the
-    // persisted pair table): every production pair source emits i < j, so
-    // the fast path skips the extra join and keeps the consumer plan
+    // it needs a universe backfill. One count over the (now cached) pair
+    // table — NOT isEmpty, whose executeTake escalation runs up to
+    // log(partitions) sequential jobs when no self-loop exists (the
+    // common case). Every production pair source emits i < j, so the
+    // fast path skips the extra join and keeps the consumer plan
     // broadcast-only (PlanShapeSpec pins it).
-    val nSelf = p.filter(col("i") === col("j")).count()
+    val hasSelf = p.filter(col("i") === col("j")).count() > 0
     val universe =
-      if (nSelf == 0) null
+      if (!hasSelf) null
       else p.select(col("i").as("id"))
         .union(p.select(col("j").as("id"))).distinct()
         .localCheckpoint(true)
-    // canonical distinct undirected edges (a < b), self-loops dropped
-    var edges = p.filter(col("i") =!= col("j"))
-      .select(least(col("i"), col("j")).as("a"),
-        greatest(col("i"), col("j")).as("b"))
-      .distinct()
-      .localCheckpoint(true) // eager: materialize + flatten lineage
     CacheRegistry.release(p)
-    var nEdges = edges.count()
     var converged = nEdges == 0
     var round = 0
     while (!converged && round < maxRounds) {
@@ -502,14 +536,16 @@ object Dedup {
         .union(mins2.select(col("u").as("v"), col("m")))
         .where(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b")).distinct()
-        .localCheckpoint(true)
-      val next = small0.sparkSession.createDataFrame(small0.rdd, small0.schema)
-      // fixpoint = the round was an edge-set no-op (both sets are
-      // distinct, so equal counts + empty difference ⇒ set equality)
-      val nNext = next.count()
-      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      // fixpoint = the round was an edge-set no-op; materialization, the
+      // count, and the 128-bit set fingerprint ride ONE job (see
+      // materialize above) — the former separate count + exceptAll
+      // convergence probe is folded away
+      val (next, nNext, gA, gB) = materialize(small0)
+      converged = nNext == nEdges && gA == fpA && gB == fpB
       edges = next
       nEdges = nNext
+      fpA = gA
+      fpB = gB
       round += 1
     }
     lastRounds.set(round)

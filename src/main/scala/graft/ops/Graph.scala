@@ -100,11 +100,25 @@ object Graph {
       // so truncation == floor) — a double quotient's rounding could
       // cross an integer boundary and flip the floor, breaking the
       // bit-exact oracle contract
-      val contrib = edeg
+      //
+      // ROUND 1 (r17, guide §2.4 remove shuffles outright): the start is
+      // UNIFORM — every node's rank is the constant Scale, and every
+      // edeg.src is a node by construction — so the rank join is an
+      // identity enrichment and round 1's contribution is a pure
+      // projection of the static edge table: no rank exchange, no join,
+      // identical integers (div(Scale·d‰, 1000·outdeg) row for row). At
+      // any scale this deletes one full co-partitioned join pass over the
+      // edge set. Rounds 2+ keep the node-keyed join (ranks are no longer
+      // constant).
+      val contrib = (if (rounds == 1)
+        edeg.select(col("dst").as("node"),
+          call_function("div", lit(Scale * dampingPermille),
+            lit(1000L) * col("outdeg")).as("c"))
+      else edeg
         .join(prev.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank") * lit(dampingPermille),
-            lit(1000L) * col("outdeg")).as("c"))
+            lit(1000L) * col("outdeg")).as("c")))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       // symmetric graphs: contrib already has one row per node (see
       // `nodes` above), so the backfill join is skipped — base + in_mass

@@ -1124,7 +1124,15 @@ object PipelineQueries {
           .head.getSeq[Long](0).toArray)
       val est = (0 until 4).map(sd =>
         (0 until 8192).map(b => ra(sd * 8192 + b) * rb(sd * 8192 + b)).sum).min
-      li.join(ord, Seq("k")).agg(count(lit(1)).as("exact"))
+      // the exact validation join keys on the ORIGINAL 8-byte longs, not
+      // the string cast the sketches hash (guide §2.3 narrower types):
+      // long→string is injective, so the join count is identical while
+      // the exchange carries 8-byte keys instead of ~6-13-byte strings +
+      // offsets. Only the sketch aggregates need the string form (the
+      // oracle replays their byte-level hash).
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("lk"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey").as("lk")), Seq("lk"))
+        .agg(count(lit(1)).as("exact"))
         .select(col("exact"), lit(est).as("cms_est"))
     }),
 

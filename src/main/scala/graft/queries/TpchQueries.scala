@@ -57,10 +57,35 @@ object TpchQueries {
     srcFmtPaths.getOrElseUpdate((dir, fmt), {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_src_${fmt}_").toString + "/t"
-      val slim = Tables.lineitem(s, dir).select(
+      val slim0 = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity").cast("long").as("qty"),
         c100(col("l_extendedprice")).as("price_c"))
+      // gzip is UNSPLITTABLE: however large the landing grows, each .gz
+      // file is one reader task forever (guide §2.5 "input skew: one huge
+      // unsplittable file — fix at the source"). Chunk the write by the
+      // INPUT's byte size, not the core count, so the layout rule is
+      // scale-adaptive: chunks = ceil(input_bytes / chunkBytes). The
+      // local default (8 MB of parquet per chunk ≈ 30-40 MB of inflated
+      // JSON text) keeps sf-fixture file counts small while giving the
+      // decode real parallelism; a production deployment raises
+      // spark.graft.roundtrip.chunkBytes toward 128-512 MB so files land
+      // in the guide §6 size band. ORC is splittable — no chunking needed.
+      val chunks = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(p).getLength
+        val target = s.conf.getOption("spark.graft.roundtrip.chunkBytes")
+          .map(_.toLong).getOrElse(8L << 20)
+        math.max(1L, (bytes + target - 1) / target).toInt
+      }
+      // hash-partition on the (high-cardinality, deterministic) order key —
+      // NOT round-robin: AQE's local shuffle read collapses a round-robin
+      // repartition of a single-mapper scan back to one output partition
+      // (observed: chunks=2, every row in part-00001), and round-robin
+      // retry semantics need the pre-shuffle sort anyway (guide §2.5)
+      val slim = if (fmt == "orc") slim0
+        else slim0.repartition(chunks, col("l_orderkey"))
       fmt match {
         case "csv" => slim.write.option("header", "true")
           .option("compression", "gzip").csv(out)

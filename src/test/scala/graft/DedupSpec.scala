@@ -218,6 +218,46 @@ class DedupSpec extends SparkSpec {
     graft.ops.CacheRegistry.drain()
   }
 
+  test("dedupClusters fingerprint convergence: labels == brute union-find, " +
+    "self-loop universe backfill intact") {
+    // r17 folded the per-round count + exceptAll set-equality probe into
+    // the checkpoint-materializing aggregate (count + two xxhash64 XOR
+    // folds in one job). Differential pin: random graphs (fixed seeds),
+    // an adversarial permuted path, and a self-loop-only doc must all
+    // label exactly as a local union-find — premature convergence or a
+    // broken universe path would diverge here.
+    val rnd = new scala.util.Random(20260819L)
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      // random sparse graph, 400 nodes / 300 edges
+      Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+        .filter { case (i, j) => i != j },
+      // permuted path (the id-layout LSSS worst case family)
+      {
+        val perm = rnd.shuffle((0L until 257L).toVector)
+        (0 until 256).map(k => (perm(k), perm(k + 1)))
+      },
+      // mixed: two cliques + a self-loop-only doc (universe backfill)
+      (for (i <- 0L until 9L; j <- (i + 1) until 9L) yield (i, j)) ++
+        Seq((100L, 101L), (101L, 102L), (999L, 999L))
+    )
+    shapes.foreach { es =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.dedupClusters(es.toDF("i", "j"), maxRounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"edges=${es.take(8)}…")
+      graft.ops.CacheRegistry.drain()
+    }
+  }
+
   test("q_dedup_simhash plan is a shuffled equi-join — no cartesian scan") {
     val df = graft.SparkEntry.queries("q_dedup_simhash")(
       spark, "/root/testdata/sf0.001")
