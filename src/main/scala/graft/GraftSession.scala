@@ -49,4 +49,14 @@ object GraftSession {
       // expansion must fit the heap. 32 threads on a 24g heap -> 32m
       // (128m OOMed the 100x pair-family stress at exactly this join).
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "32m")
+      // let AQE size CACHED plans' output partitioning by the data too
+      // (r17): default-off only to keep pre-AQE co-partitioning
+      // assumptions; here every cached frame is operator-internal and its
+      // consumers take partitioning from the plan, not a convention. OFF,
+      // a cached repartition(col) pins initialPartitionNum (256) tiny
+      // partitions and every downstream stage schedules 256 micro-tasks
+      // per round (the iterative operators' dominant fixed cost at sf;
+      // at 100 TB the same conf lets the cache land guide-§2.2-sized
+      // partitions instead of whatever the initial number was).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 }

@@ -25,6 +25,16 @@ object Profile {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name%-28s $sec%8.2fs rows=$n")
       if (sys.env.contains("PROFILE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      // POST-EXECUTION plan: AQE's final stages (join strategy switches,
+      // coalesced reads, reused exchanges/stages) only exist after the
+      // action — explain() before execution shows isFinalPlan=false trees
+      if (sys.env.contains("PROFILE_EXECUTED")) {
+        // drive THIS queryExecution's plan (a .count() would execute a
+        // separate aggregate query and leave this AQE tree un-finalized)
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan.execute().count()
+        println(qe.executedPlan.toString)
+      }
       // operators persist() shared subplans; drop them so later queries in
       // this session are not measured under accumulated storage pressure
       CacheRegistry.drain()
